@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.QueryCatalog
+import graft.queries.{ExtensionCatalog, QueryCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,11 +10,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     QueryCatalog.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * north-star extension ops (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryCatalog.queries
+    QueryCatalog.queries ++ ExtensionCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = QueryCatalog.oracleSql
+  def oracleSql: Map[String, String] =
+    QueryCatalog.oracleSql ++ ExtensionCatalog.oracleSql
 }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.HashFunctions.{minhashSig, simhash64}
+
+/** Deduplication operators for the LLM-pipeline north star.
+  *
+  * Scale design (100 TB): every method here is
+  * candidate-generation-by-bucketing — explode a per-document key set,
+  * shuffle once on the bucket key, and only compare documents that share
+  * a bucket. No driver-side state, no O(n²) stage; the quadratic work is
+  * confined to within-bucket pairs (LSH theory bounds bucket sizes for
+  * non-adversarial data; a hot bucket is AQE-skew-split since the
+  * pair-join is a shuffle join on the bucket key).
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per distinct value of `cols`. */
+  def dropExactDuplicates(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Token-set (unigram shingle) representation of a text column. */
+  def tokenSet(text: Column): Column = array_distinct(split(text, " ", -1))
+
+  /** Word k-shingles (k consecutive tokens joined by space). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ", -1)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Exact pairwise n-gram Jaccard within a blocking key. Output columns:
+    * a_id, b_id, jaccard (raw double: size ratios divide identically in
+    * any engine). Blocking bounds the pair count; pass a coarse key for
+    * exhaustive-within-group semantics.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, setCol: String,
+      blockCol: String, minJaccard: Double): DataFrame = {
+    val a = docs.select(col(idCol).as("a_id"), col(blockCol).as("block"),
+      col(setCol).as("a_set"))
+    val b = docs.select(col(idCol).as("b_id"), col(blockCol).as("block"),
+      col(setCol).as("b_set"))
+    a.join(b, Seq("block"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_set"), col("b_set"))).cast(DoubleType) /
+          size(array_union(col("a_set"), col("b_set")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash + LSH near-dedup candidates.
+    *
+    * Pipeline: tokens → MinHash signature (single-pass native expression)
+    * → split into `bands` bands of `rowsPerBand` → explode → shuffle on
+    * (band_id, band_hash) → self-join within buckets → estimate
+    * similarity as the fraction of equal signature components.
+    *
+    * Probability a pair with Jaccard j becomes a candidate:
+    * 1 - (1 - j^rowsPerBand)^bands — the standard LSH S-curve.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, tokenSetCol: String,
+      minEstSim: Double, numHashes: Int = 64, bands: Int = 16,
+      blockCol: Column = lit(0)): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = docs.select(col(idCol).as("id"), blockCol.as("block"),
+      minhashSig(col(tokenSetCol), numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("block"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_id"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+            .as("band_hash")))).as("band"))
+      .select(col("id"), col("block"), col("sig"),
+        col("band.band_id"), col("band.band_hash"))
+    val a = banded.select(col("block"), col("band_id"), col("band_hash"),
+      col("id").as("a_id"), col("sig").as("a_sig"))
+    val bb = banded.select(col("block"), col("band_id"), col("band_hash"),
+      col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(bb, Seq("block", "band_id", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast(DoubleType) / numHashes).as("est_sim"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("est_sim") >= minEstSim)
+  }
+
+  /** SimHash near-dedup: 64-bit signature per document; candidates share
+    * at least one of four 16-bit chunks (pigeonhole: any pair within
+    * Hamming distance 3 must collide on some chunk); verified by exact
+    * Hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, tokensCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      simhash64(col(tokensCol)).as("sig"))
+    val chunkStructs = (0 until 4).map { j =>
+      struct(lit(j).as("chunk_id"),
+        shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))
+          .as("chunk_val"))
+    }
+    val chunked = sigs.select(col("id"), col("sig"),
+        explode(array(chunkStructs: _*)).as("c"))
+      .select(col("id"), col("sig"), col("c.chunk_id"), col("c.chunk_val"))
+    val a = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast(LongType)
+          .as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

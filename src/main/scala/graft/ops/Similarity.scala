@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector-similarity search over an embedding column (north star:
+  * approximate-nearest-neighbor at 100 TB).
+  *
+  * Methods, in ascending scale:
+  *  - cosine / brute-force top-k: exact, one broadcast of the query —
+  *    the correctness baseline.
+  *  - blocked near-dup pairs: brute force confined to a blocking key.
+  *  - IVF: assign every vector to its nearest seed centroid (one
+  *    broadcast join), search only the query's cell. Deterministic seed
+  *    choice (vec_id stride) keeps it oracle-checkable; swap in k-means
+  *    centroids at real scale without changing the plan shape.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> for stable arithmetic. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact brute-force cosine top-k against a single query vector
+    * (broadcast). Ranked on the rounded score with an id tie-break so
+    * the cutoff is deterministic.
+    */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val v = vectors.select(col(idCol), toDouble(col(vecCol)).as("_v"))
+      .crossJoin(broadcast(
+        query.select(toDouble(col(queryVecCol)).as("_q"))))
+    v.select(col(idCol), round(cosine(col("_v"), col("_q")), 3).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Brute-force near-duplicate pairs within a blocking key. */
+  def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+      blockCol: Column, minCosine: Double): DataFrame = {
+    val base = vectors.select(col(idCol).as("_id"), blockCol.as("_block"),
+      toDouble(col(vecCol)).as("_v"))
+    val a = base.select(col("_id").as("a_id"), col("_block"), col("_v").as("a_v"))
+    val b = base.select(col("_id").as("b_id"), col("_block"), col("_v").as("b_v"))
+    a.join(b, Seq("_block"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_v"), col("b_v")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 3).as("sim"))
+  }
+
+  /** IVF-style ANN: seeds are every `seedStride`-th vec_id (deterministic
+    * stand-in for k-means centroids); every vector joins its arg-max
+    * cosine seed; the query searches only its own cell.
+    */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      seedStride: Int, queryId: Long, k: Int): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val seeds = base.filter(col("id") % seedStride === 0)
+      .select(col("id").as("seed_id"), col("v").as("seed_v"))
+    val assigned = base.crossJoin(broadcast(seeds))
+      .select(col("id"), col("v"), col("seed_id"),
+        cosine(col("v"), col("seed_v")).as("seed_cos"))
+      .groupBy(col("id"))
+      .agg(max_by(col("seed_id"), col("seed_cos")).as("cell"),
+        first(col("v")).as("v"))
+    val queryCell = assigned.filter(col("id") === queryId)
+      .select(col("cell").as("q_cell"), col("v").as("q_v"))
+    assigned.join(broadcast(queryCell), col("cell") === col("q_cell"))
+      .filter(col("id") =!= queryId)
+      .select(col("id"), round(cosine(col("v"), col("q_v")), 3).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+}

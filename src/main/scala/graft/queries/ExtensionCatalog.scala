@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** North-star extension queries (beyond the reference's own surface, per
+  * BASELINE.json): dedup family, similarity search, text analysis,
+  * multimodal plumbing. Oracle SQL provided wherever DuckDB can express
+  * the identical deterministic computation; sketch-based ops (MinHash,
+  * SimHash — xxhash64 has no DuckDB twin) are rows-only checked here and
+  * property-tested in ScalaTest against exact Jaccard/Hamming.
+  */
+object ExtensionCatalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => col(c).asc_nulls_last).toIndexedSeq: _*)
+
+  private def orderedSql(cols: Seq[String]): String =
+    "ORDER BY " + cols.map(c => s"$c NULLS LAST").mkString(", ")
+
+  private val D18_6 = DecimalType(18, 6)
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // x1 — token statistics per source (text analysis: token counting).
+    QueryDef("x1_token_stats",
+      (s, dir) => ordered(t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+          max(TextAnalysis.tokenCount(col("text"))).as("max_tokens"),
+          countDistinct(col("lang")).as("n_langs"))),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+        COUNT(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY source
+        """ + orderedSql(Seq("source", "n_docs", "sum_tokens", "max_tokens",
+          "n_langs")))),
+
+    // x2 — quality scoring per lang (length / stopword-ratio heuristics).
+    QueryDef("x2_quality_flags",
+      (s, dir) => {
+        val d = TextAnalysis.withQualitySignals(
+          t(s, dir, "documents"), col("text"), col("n_chars"))
+        ordered(d.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("low_quality"), 1L).otherwise(0L)).as("n_low_quality"),
+          sum(col("stop_cnt")).as("sum_stopwords"),
+          (sum(col("avg_word_len").cast(D18_6)).cast(DoubleType) /
+            count(lit(1))).as("mean_word_len")))
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN token_cnt < 40 OR awl < 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+        CAST(SUM(stop_cnt) AS BIGINT) AS sum_stopwords,
+        CAST(SUM(CAST(awl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_word_len
+        FROM (
+          SELECT lang, len(string_split(text, ' ')) AS token_cnt,
+            CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              / len(string_split(text, ' ')) AS awl,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ${sqlList(TextAnalysis.stopwords)})) AS stop_cnt
+          FROM documents)
+        GROUP BY lang
+        """ + orderedSql(Seq("lang", "n_docs", "n_low_quality",
+          "sum_stopwords", "mean_word_len")))),
+
+    // x3 — language/register-ID heuristic (marker-set voting).
+    QueryDef("x3_lang_id",
+      (s, dir) => ordered(t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.langId(TextAnalysis.tokens(col("text")))
+            .as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))),
+      Some(s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+          SELECT lang,
+            CASE WHEN en > tech THEN 'en_prose'
+                 WHEN en < tech THEN 'tech'
+                 ELSE 'mixed' END AS predicted
+          FROM (
+            SELECT lang,
+              len(list_filter(string_split(text, ' '),
+                t -> t IN ${sqlList(TextAnalysis.stopwords)})) AS en,
+              len(list_filter(string_split(text, ' '),
+                t -> t IN ${sqlList(TextAnalysis.techwords)})) AS tech
+            FROM documents))
+        GROUP BY lang, predicted
+        """ + orderedSql(Seq("lang", "predicted", "n")))),
+
+    // x4 — rolling-hash fingerprinting (collision audit vs distinct text).
+    QueryDef("x4_fingerprint",
+      (s, dir) => ordered(t(s, dir, "documents")
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"),
+          col("text"))
+        .agg(count(lit(1)).as("total"),
+          countDistinct(col("fp")).as("uniq_fp"),
+          countDistinct(col("text")).as("uniq_text"))),
+      Some("""SELECT COUNT(*) AS total,
+        COUNT(DISTINCT list_reduce(
+          list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''),
+            c -> CAST(ord(c) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 2147483648)) AS uniq_fp,
+        COUNT(DISTINCT text) AS uniq_text
+        FROM documents
+        """ + orderedSql(Seq("total", "uniq_fp", "uniq_text")))),
+
+    // x5 — exact token-set Jaccard near-dup pairs, blocked by source.
+    QueryDef("x5_jaccard_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Dedup.tokenSet(col("text")).as("tok"))
+        ordered(Dedup.jaccardPairs(docs, "doc_id", "tok", "source", 0.9))
+      },
+      Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.tok, b.tok))) AS jaccard
+        FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tok FROM documents) a
+        JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tok FROM documents) b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9
+        """ + orderedSql(Seq("a_id", "b_id", "jaccard")))),
+
+    // x6 — embedding-cosine near-dup pairs, blocked by (label, id-shard).
+    QueryDef("x6_cosine_pairs",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        ordered(Similarity.cosinePairs(e, "vec_id", "embedding",
+          struct(col("label"), (col("vec_id") / 500).cast(LongType)),
+          0.35))
+      },
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])), 3) AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label
+         AND CAST(FLOOR(a.vec_id / 500) AS BIGINT) = CAST(FLOOR(b.vec_id / 500) AS BIGINT)
+         AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """ + orderedSql(Seq("a_id", "b_id", "sim")))),
+
+    // x7 — IVF-style ANN top-10 (scale path for similarity search).
+    QueryDef("x7_ann_ivf",
+      (s, dir) => ordered(Similarity.ivfTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        seedStride = 251, queryId = 0L, k = 10)),
+      Some("""WITH base AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        seeds AS (
+          SELECT id AS seed_id, v AS seed_v FROM base WHERE id % 251 = 0),
+        assigned AS (
+          SELECT base.id,
+            arg_max(seed_id, list_cosine_similarity(v, seed_v)) AS cell
+          FROM base, seeds GROUP BY base.id),
+        cells AS (
+          SELECT assigned.id, cell, v FROM assigned JOIN base ON assigned.id = base.id),
+        q AS (SELECT cell AS q_cell, v AS q_v FROM cells WHERE id = 0)
+        SELECT * FROM (
+          SELECT id, ROUND(list_cosine_similarity(v, q_v), 3) AS sim
+          FROM cells, q WHERE cell = q_cell AND id <> 0
+          ORDER BY sim DESC, id LIMIT 10)
+        """ + orderedSql(Seq("id", "sim")))),
+
+    // x8 — MinHash+LSH near-dedup candidates (no DuckDB xxhash64 twin:
+    // rows-only here; estimate-vs-exact bound property-tested in
+    // MinHashLshSpec). Pre-blocked by source: the fixture's shared tiny
+    // vocabulary makes *every* doc pair similar (unigram Jaccard ~0.7),
+    // which would degenerate global LSH to all-pairs at bench scale.
+    QueryDef("x8_minhash_lsh",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Dedup.tokenSet(col("text")).as("tok"))
+        ordered(Dedup.minhashLshPairs(docs, "doc_id", "tok",
+          minEstSim = 0.9, blockCol = col("source")))
+      },
+      None),
+
+    // x9 — SimHash near-dedup candidates (rows-only; see SimHashSpec).
+    QueryDef("x9_simhash",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tok"))
+        ordered(Dedup.simhashPairs(docs, "doc_id", "tok", maxHamming = 14))
+      },
+      None),
+
+    // x10 — multimodal feature extraction: binary payloads through the
+    // typed mapPartitions decode pipeline (stub codec), re-aggregated.
+    // The deterministic stub is mirrored in SQL so the full plumbing is
+    // oracle-checked.
+    QueryDef("x10_multimodal",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val assets = Multimodal.assetsFromDocuments(t(s, dir, "documents"))
+        val feats = Multimodal.featurize(assets)
+        ordered(feats.toDF().groupBy("lang").agg(
+          count(lit(1)).as("n_assets"),
+          sum(col("byte_len")).as("sum_bytes"),
+          (sum(col("fake_brightness").cast(D18_6)).cast(DoubleType) /
+            count(lit(1))).as("mean_brightness")))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_assets,
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        CAST(SUM(CAST(CAST(octet_length(encode(text)) AS DOUBLE) /
+          (ascii(substr(text, 1, 1)) + 1) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS mean_brightness
+        FROM documents GROUP BY lang
+        """ + orderedSql(Seq("lang", "n_assets", "sum_bytes",
+          "mean_brightness"))))
+  )
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.linesIterator
+      .map(_.trim).filter(_.nonEmpty).mkString(" "))).toMap
+}
