@@ -1,0 +1,181 @@
+package graft.inspect
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.page.{DataPage, DataPageV1, DataPageV2, DictionaryPage}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet file inspector — the Spark-side analog of the reference's
+  * footer/page metadata surface, built on parquet-java 1.16 (already on
+  * Spark's classpath) *beside* Catalyst rather than inside it:
+  *
+  *  - footer deserialize → `footer()`
+  *    (reference `src/reader/metadata.cpp:198-243`, thrift.cpp:6-119)
+  *  - schema flatten with leaf def/rep levels → `leafColumns()`
+  *    (reference `src/reader/parquet_reader.cpp:484-557`)
+  *  - row-group / column-chunk metadata dump → `columnChunks()`
+  *    (reference `include/reader/metadata.hpp:48-98`)
+  *  - global page index + per-page scan → `pages()`
+  *    (reference `build_page_index`, `src/reader/parquet_reader.cpp:559-605`,
+  *    and `read_pages`, `src/reader/column_reader.cpp:73-126`)
+  *  - byte-capped page-range chunking → `pageChunks(maxBytes)`
+  *    (reference `read_pages_chunk`, `src/reader/parquet_reader.cpp:194-231`)
+  *
+  * Inspection is driver-side by design (footers are KB-scale); the 100 TB
+  * path batches over many files with `inspectFiles`, which distributes
+  * footer reads across executors.
+  */
+object ParquetInspector {
+
+  final case class FooterInfo(
+      path: String, numRows: Long, numRowGroups: Int, createdBy: String,
+      schemaLeaves: Int)
+
+  final case class LeafColumn(
+      path: String, physicalType: String, maxDefLevel: Int, maxRepLevel: Int,
+      primitiveIdx: Int)
+
+  final case class ChunkInfo(
+      rowGroup: Int, column: String, codec: String, numValues: Long,
+      totalBytes: Long, totalCompressedBytes: Long, encodings: Seq[String],
+      firstDataPageOffset: Long)
+
+  final case class PageInfo(
+      pageId: Long, rowGroup: Int, column: String, pageType: String,
+      numValues: Long, compressedBytes: Long)
+
+  final case class PageChunk(
+      chunkId: Long, firstPageId: Long, lastPageId: Long, bytes: Long)
+
+  private def open(path: String) =
+    ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(path), new Configuration()))
+
+  def footer(path: String): FooterInfo = {
+    val r = open(path)
+    try {
+      val fm = r.getFooter
+      FooterInfo(path, r.getRecordCount, fm.getBlocks.size,
+        Option(fm.getFileMetaData.getCreatedBy).getOrElse(""),
+        fm.getFileMetaData.getSchema.getColumns.size)
+    } finally r.close()
+  }
+
+  def leafColumns(path: String): Seq[LeafColumn] = {
+    val r = open(path)
+    try {
+      val schema = r.getFooter.getFileMetaData.getSchema
+      schema.getColumns.asScala.toSeq.zipWithIndex.map { case (cd, i) =>
+        LeafColumn(cd.getPath.mkString("."),
+          cd.getPrimitiveType.getPrimitiveTypeName.toString,
+          cd.getMaxDefinitionLevel, cd.getMaxRepetitionLevel, i)
+      }
+    } finally r.close()
+  }
+
+  def columnChunks(path: String): Seq[ChunkInfo] = {
+    val r = open(path)
+    try {
+      r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+        case (bl, rg) =>
+          bl.getColumns.asScala.toSeq.map { cc =>
+            ChunkInfo(rg, cc.getPath.toDotString, cc.getCodec.toString,
+              cc.getValueCount, cc.getTotalUncompressedSize, cc.getTotalSize,
+              cc.getEncodings.asScala.map(_.toString).toSeq.sorted,
+              cc.getFirstDataPageOffset)
+          }
+      }
+    } finally r.close()
+  }
+
+  /** Walks every page of every column chunk, assigning global page ids in
+    * (row group, column, page) order — the reference's page index, with
+    * dictionary pages reported but (as in the reference) given no data
+    * page id of their own.
+    */
+  def pages(path: String): Seq[PageInfo] = {
+    val r = open(path)
+    val out = ArrayBuffer.empty[PageInfo]
+    try {
+      val leaves = r.getFooter.getFileMetaData.getSchema.getColumns.asScala
+      var pageId = 0L
+      var rg = 0
+      var store = r.readNextRowGroup()
+      while (store != null) {
+        leaves.foreach { cd =>
+          val pr = store.getPageReader(cd)
+          val dict: DictionaryPage = pr.readDictionaryPage()
+          if (dict != null) {
+            out += PageInfo(-1L, rg, cd.getPath.mkString("."),
+              "DICTIONARY_PAGE", dict.getDictionarySize.toLong,
+              dict.getCompressedSize.toLong)
+          }
+          var page: DataPage = pr.readPage()
+          while (page != null) {
+            val (tpe, nvals, comp) = page match {
+              case p: DataPageV1 =>
+                ("DATA_PAGE", p.getValueCount.toLong, p.getCompressedSize.toLong)
+              case p: DataPageV2 =>
+                ("DATA_PAGE_V2", p.getValueCount.toLong, p.getCompressedSize.toLong)
+              case p => ("DATA_PAGE", p.getValueCount.toLong, -1L)
+            }
+            out += PageInfo(pageId, rg, cd.getPath.mkString("."), tpe, nvals, comp)
+            pageId += 1
+            page = pr.readPage()
+          }
+        }
+        rg += 1
+        store = r.readNextRowGroup()
+      }
+      out.toSeq
+    } finally r.close()
+  }
+
+  /** Byte-capped page chunking (reference `read_pages_chunk`): greedily
+    * packs consecutive data pages into chunks of at most `maxBytes`
+    * compressed bytes (a chunk always takes at least one page).
+    */
+  def pageChunks(path: String, maxBytes: Long): Seq[PageChunk] = {
+    val dataPages = pages(path).filter(_.pageType != "DICTIONARY_PAGE")
+    val out = ArrayBuffer.empty[PageChunk]
+    var chunkId = 0L
+    var first = -1L
+    var last = -1L
+    var bytes = 0L
+    dataPages.foreach { p =>
+      if (first >= 0 && bytes + p.compressedBytes > maxBytes) {
+        out += PageChunk(chunkId, first, last, bytes)
+        chunkId += 1; first = -1; bytes = 0
+      }
+      if (first < 0) first = p.pageId
+      last = p.pageId
+      bytes += p.compressedBytes
+    }
+    if (first >= 0) out += PageChunk(chunkId, first, last, bytes)
+    out.toSeq
+  }
+
+  /** Distributed footer inspection over many files — the 100 TB shape:
+    * file listing is parallelized, each executor opens only footers.
+    */
+  def inspectFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(paths, math.max(1, paths.size / 4))
+      .map(p => footer(p)).toDF()
+  }
+
+  /** Human-readable schema + counts — reference `schema_string()`
+    * (`src/reader/parquet_reader.cpp:99-121`).
+    */
+  def schemaString(spark: SparkSession, path: String): String = {
+    val f = footer(path)
+    val df = spark.read.parquet(path)
+    s"${df.schema.treeString}rows: ${f.numRows}, row groups: ${f.numRowGroups}, " +
+      s"leaf columns: ${f.schemaLeaves}, created by: ${f.createdBy}"
+  }
+}

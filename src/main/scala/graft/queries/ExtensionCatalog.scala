@@ -220,7 +220,26 @@ object ExtensionCatalog {
           / COUNT(*) AS mean_brightness
         FROM documents GROUP BY lang
         """ + orderedSql(Seq("lang", "n_assets", "sum_bytes",
-          "mean_brightness"))))
+          "mean_brightness")))),
+
+    // x11 — footer inspection (reference R2 footer deserialize): row
+    // counts read from Parquet footers only (no data scan), cross-checked
+    // against the oracle's full COUNT(*).
+    QueryDef("x11_inspect_footer",
+      (s, dir) => {
+        import s.implicits._
+        val rows = Tables.names.map { n =>
+          (n, graft.inspect.ParquetInspector.footer(Tables.path(dir, n)).numRows)
+        }
+        ordered(rows.toDF("table_name", "num_rows"))
+      },
+      Some {
+        val unions = Tables.names.map(n =>
+          s"SELECT '$n' AS table_name, COUNT(*) AS num_rows FROM $n")
+          .mkString(" UNION ALL ")
+        s"SELECT * FROM ($unions) " +
+          orderedSql(Seq("table_name", "num_rows"))
+      })
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.3).
+  * The reference's only streaming is pull-iteration
+  * (`StringColumnIterator`, `/root/reference/src/reader/parquet_reader.cpp:280-473`);
+  * the engine's streaming twin is event-time windowed aggregation with
+  * watermarks — the shape that scales to an unbounded 100 TB/day feed:
+  * state is bounded by the watermark, keyed state is partitioned by
+  * group key, and no driver-side accumulation exists.
+  *
+  * Every transform takes/returns DataFrames so the same code runs on
+  * `readStream` (production) and on a batch DataFrame (tests use
+  * batch-equivalence against Q20's oracle-checked form).
+  */
+object EventStreams {
+
+  /** Schema of the events stream. `ts` is TimestampType (not NTZ):
+    * Structured Streaming watermarks require an instant-typed event time.
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet event files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour window — the streaming twin of Q20. */
+  def tumblingCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2)
+          .cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Sliding window: 1-hour span every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"))
+
+  /** Session windows with a 10-minute gap, keyed by user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** Exactly-once-per-event dedup within the watermark, keyed on
+    * event_id (streaming analog of exact dedup).
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}

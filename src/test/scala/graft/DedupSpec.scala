@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.{minhashSig, simhash64}
+import graft.ops.Dedup
+
+/** Property tests for the sketch-based dedup operators (no DuckDB oracle
+  * exists for xxhash64-based sketches — SURVEY.md §2.2): MinHash estimates
+  * must track exact Jaccard, and LSH candidate generation must recall
+  * genuinely-similar pairs.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+    .select(col("doc_id"), col("source"), Dedup.tokenSet(col("text")).as("tok"))
+    .cache()
+
+  test("minhash estimate within 0.15 of exact jaccard (mean within 0.03)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "tok", "source", 0.0)
+      .select($"a_id", $"b_id", $"jaccard")
+    val sigs = docs.select($"doc_id", minhashSig($"tok", 256).as("sig"))
+    val est = exact
+      .join(sigs.select($"doc_id".as("a_id"), $"sig".as("a_sig")), "a_id")
+      .join(sigs.select($"doc_id".as("b_id"), $"sig".as("b_sig")), "b_id")
+      .select($"jaccard",
+        (size(filter(zip_with($"a_sig", $"b_sig",
+          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("double") / 256).as("est"))
+      .select(abs($"jaccard" - $"est").as("err"))
+      .agg(avg($"err").as("mean_err"), max($"err").as("max_err"))
+      .head()
+    val (meanErr, maxErr) = (est.getDouble(0), est.getDouble(1))
+    assert(meanErr < 0.03, s"mean |est-jaccard| = $meanErr")
+    assert(maxErr < 0.15, s"max |est-jaccard| = $maxErr")
+  }
+
+  test("LSH candidates recall all pairs with jaccard >= 0.9") {
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "tok", "source", 0.9)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashLshPairs(docs, "doc_id", "tok",
+        minEstSim = 0.0, blockCol = col("source"))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val missed = truth -- cand
+    // 16 bands × 4 rows: P(miss | j=0.9) = (1-0.9^4)^16 ≈ 0.002
+    assert(missed.size <= math.max(1, truth.size / 100),
+      s"LSH missed ${missed.size} of ${truth.size} true near-dup pairs")
+  }
+
+  test("identical token sets get identical simhash and hamming 0") {
+    val sig = docs.limit(1).select(simhash64($"tok").as("s")).head().getLong(0)
+    val again = docs.limit(1).select(simhash64($"tok").as("s")).head().getLong(0)
+    assert(sig == again)
+    val pairs = Dedup.simhashPairs(
+      docs.select($"doc_id", $"tok").union(
+        docs.select(($"doc_id" + 1000000).as("doc_id"), $"tok")),
+      "doc_id", "tok", maxHamming = 0)
+    // every doc duplicated under a shifted id → at least one 0-distance
+    // pair per doc must surface through chunk bucketing
+    assert(pairs.count() >= docs.count())
+  }
+
+  test("exact dedup drops duplicated rows") {
+    val d = docs.select($"doc_id", concat_ws(" ", $"tok").as("text"))
+    val doubled = d.union(d)
+    assert(Dedup.dropExactDuplicates(doubled, Seq("text")).count() ===
+      d.select($"text").distinct().count())
+  }
+}

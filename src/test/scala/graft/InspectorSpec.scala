@@ -1,0 +1,61 @@
+package graft
+
+import graft.inspect.{InspectorCli, ParquetInspector}
+
+/** Inspector parity with the data it describes (reference R2/R8/R13–R16
+  * analogs; see SURVEY.md §2.1).
+  */
+class InspectorSpec extends SparkSpec {
+
+  private val lineitem = Tables.path(sf0001, "lineitem")
+
+  test("footer num_rows matches a full scan") {
+    val f = ParquetInspector.footer(lineitem)
+    assert(f.numRows === spark.read.parquet(lineitem).count())
+    assert(f.numRowGroups >= 1)
+  }
+
+  test("leaf columns carry def levels and cover the schema") {
+    val leaves = ParquetInspector.leafColumns(lineitem)
+    assert(leaves.map(_.path).contains("l_comment") === false)
+    assert(leaves.size === spark.read.parquet(lineitem).schema.size)
+    assert(leaves.forall(_.maxDefLevel >= 0))
+  }
+
+  test("page walk accounts for every value") {
+    val chunks = ParquetInspector.columnChunks(lineitem)
+    val pages = ParquetInspector.pages(lineitem)
+    val perColumnPageValues = pages
+      .filter(_.pageType != "DICTIONARY_PAGE")
+      .groupBy(p => (p.rowGroup, p.column))
+      .view.mapValues(_.map(_.numValues).sum).toMap
+    chunks.foreach { c =>
+      assert(perColumnPageValues((c.rowGroup, c.column)) === c.numValues,
+        s"page values != chunk values for ${c.column}")
+    }
+  }
+
+  test("pageChunks respects the byte cap (reference read_pages_chunk)") {
+    val cap = 64L * 1024
+    val chunks = ParquetInspector.pageChunks(lineitem, cap)
+    assert(chunks.nonEmpty)
+    // every chunk with >1 page must be under the cap; single-page chunks
+    // may exceed it (a chunk always takes at least one page)
+    chunks.filter(c => c.lastPageId > c.firstPageId)
+      .foreach(c => assert(c.bytes <= cap))
+    assert(chunks.map(_.chunkId) === chunks.indices.map(_.toLong))
+  }
+
+  test("regex page report totals equal the column row count") {
+    val report = InspectorCli.regexPageReport(
+      spark, Tables.path(sf0001, "documents"), "text", "merge.*join",
+      negate = false)
+    val total = report.map(_._2).sum
+    assert(total === spark.read.parquet(Tables.path(sf0001, "documents")).count())
+    val matched = report.map(_._3).sum
+    val expected = Tables.load(spark, sf0001, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").rlike("merge.*join"))
+      .count()
+    assert(matched === expected)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Streaming batch-equivalence (SURVEY.md §2.3): the streaming tumbling
+  * window over a file replay of `events` must equal the Q20 batch form
+  * (which is itself DuckDB-oracle-checked), and streaming dedup must
+  * collapse duplicate event_ids.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def replayDir(): String = {
+    // re-write events as micros so readStream needs no nanos handling
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    Tables.load(spark, sf0001, "events")
+      .withColumn("ts", $"ts".cast("timestamp")) // NTZ → instant (UTC session)
+      .repartition(4) // several files → several "arrivals"
+      .write.mode("overwrite").parquet(dir + "/in")
+    dir + "/in"
+  }
+
+  test("streaming tumbling window equals Q20 batch aggregation") {
+    val stream = EventStreams.readEventStream(spark, replayDir())
+    val agg = EventStreams.tumblingCounts(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_q20")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_q20")
+        .select($"h".cast("timestamp").as("h"), $"event_type", $"n",
+          $"sum_value")
+        .orderBy($"h", $"event_type")
+        .collect().toSeq
+      val batch = SparkEntry.queries("q20_tumbling_window")(spark, sf0001)
+        .select($"h".cast("timestamp").as("h"), $"event_type", $"n",
+          $"sum_value")
+        .orderBy($"h", $"event_type")
+        .collect().toSeq
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark collapses replayed event_ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val ev = Tables.load(spark, sf0001, "events")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    ev.union(ev).write.mode("overwrite").parquet(dir + "/in")
+    val deduped = EventStreams.dedupedStream(
+      EventStreams.readEventStream(spark, dir + "/in"))
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stream_dedup").count() === ev.count())
+    } finally q.stop()
+  }
+}
