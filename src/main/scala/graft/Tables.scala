@@ -23,12 +23,19 @@ object Tables {
     * nanosecond Long (legacy conf) and truncate to microseconds — the
     * same value DuckDB produces for `CAST(ts_ns AS TIMESTAMP)`.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path(dir, name))
-      raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-    } else spark.read.parquet(path(dir, name))
-  }
+  // Catalog cache: keeps analyzed relations (schema + footer-derived file
+  // listing) so repeated loads of the same table skip schema inference.
+  // Handles only — no data is pinned in memory.
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    handles.computeIfAbsent((System.identityHashCode(spark), dir, name), { _ =>
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(path(dir, name))
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      } else spark.read.parquet(path(dir, name))
+    })
 }

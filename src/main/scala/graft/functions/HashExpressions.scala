@@ -61,11 +61,14 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
-/** MinHash signature over an array<string> of shingles: `numHashes`
-  * independent xxhash64 seeds; signature[s] = min hash under seed s.
-  * E[fraction of equal components] = Jaccard similarity of the shingle
-  * sets (Broder 1997). Empty/all-null arrays → Long.MaxValue components
-  * (never collides with a real min).
+/** MinHash signature over an array<string> of shingles: the i-th hash
+  * family member is h_i(x) = h1(x) + i*h2(x) over two independent
+  * xxhash64 seeds (the standard double-hashing construction — Kirsch &
+  * Mitzenmacher 2006 — so each token is hashed twice, not `numHashes`
+  * times); signature[i] = min over tokens. E[fraction of equal
+  * components] ≈ Jaccard similarity of the shingle sets (Broder 1997).
+  * Empty/all-null arrays → Long.MaxValue components (never collides
+  * with a real min).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
@@ -85,10 +88,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val tok = arr.getUTF8String(i)
+        val h1 = XxHash64Function.hash(tok, StringType, 0x9E3779B9L)
+        val h2 = XxHash64Function.hash(tok, StringType, 0x85EBCA6BL) | 1L
         var s = 0
+        var h = h1
         while (s < numHashes) {
-          val h = XxHash64Function.hash(tok, StringType, s.toLong)
           if (h < sig(s)) sig(s) = h
+          h += h2 // wraps mod 2^64
           s += 1
         }
       }

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot-loop kernels for the similarity operators, callable from generated
+  * code (static-shaped methods referenced by fully-qualified name in
+  * `doGenCode`). Keeps the whole stage inside codegen — the
+  * higher-order-function formulation (`aggregate(zip_with(...))`)
+  * interprets a lambda per element, which measured ~40× slower than
+  * DuckDB's native loops on the 64-dim embedding fixtures.
+  */
+object VectorKernels {
+
+  /** Dot product with double accumulation; elements may be float or
+    * double arrays ((double)af * (double)bf equals cast-then-multiply
+    * exactly, so results are bit-identical to the cast formulation).
+    */
+  def dot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  /** Set Jaccard over string arrays with array_intersect/array_union
+    * distinct semantics: |distinct(a) ∩ distinct(b)| / |distinct(a ∪ b)|.
+    * Integer sizes divided as doubles — bit-identical in any engine.
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val setA = new java.util.HashSet[UTF8String]()
+    var i = 0
+    val na = a.numElements()
+    while (i < na) { if (!a.isNullAt(i)) setA.add(a.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[UTF8String]()
+    var inter = 0
+    i = 0
+    val nb = b.numElements()
+    while (i < nb) {
+      if (!b.isNullAt(i)) {
+        val v = b.getUTF8String(i)
+        if (setB.add(v) && setA.contains(v)) inter += 1
+      }
+      i += 1
+    }
+    val union = setA.size + setB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+/** dot(a, b) over array<float>/array<double>, codegen-enabled. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+  private lazy val isFloat = elemType(left) == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (FloatType, FloatType) | (DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires two array<float> or two array<double>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.dot($a, $b, $isFloat);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Set Jaccard over array<string>, codegen-enabled. */
+case class SetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"set_jaccard requires two array<string>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.jaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SetJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def setJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

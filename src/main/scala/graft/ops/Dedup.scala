@@ -47,8 +47,8 @@ object Dedup {
     a.join(b, Seq("block"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_set"), col("b_set"))).cast(DoubleType) /
-          size(array_union(col("a_set"), col("b_set")))).as("jaccard"))
+        graft.functions.VectorFunctions.setJaccard(col("a_set"), col("b_set"))
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -76,17 +76,26 @@ object Dedup {
             .as("band_hash")))).as("band"))
       .select(col("id"), col("block"), col("sig"),
         col("band.band_id"), col("band.band_hash"))
+    // Bucket-join on ids ONLY (16 bytes/row), distinct the candidate
+    // pairs, then re-join the two signatures once per unique pair. The
+    // naive formulation carries both 64-long signatures through the
+    // bucket join — ~60× more shuffle bytes and a per-band duplicate of
+    // every pair's estimate computation.
     val a = banded.select(col("block"), col("band_id"), col("band_hash"),
-      col("id").as("a_id"), col("sig").as("a_sig"))
+      col("id").as("a_id"))
     val bb = banded.select(col("block"), col("band_id"), col("band_hash"),
-      col("id").as("b_id"), col("sig").as("b_sig"))
-    a.join(bb, Seq("block", "band_id", "band_hash"))
+      col("id").as("b_id"))
+    val candidates = a.join(bb, Seq("block", "band_id", "band_hash"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .select(col("a_id"), col("b_id"),
         (size(filter(zip_with(col("a_sig"), col("b_sig"),
           (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
           .cast(DoubleType) / numHashes).as("est_sim"))
-      .dropDuplicates("a_id", "b_id")
       .filter(col("est_sim") >= minEstSim)
   }
 

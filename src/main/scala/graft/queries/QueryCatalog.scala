@@ -375,18 +375,14 @@ object QueryCatalog {
     QueryDef("q18_cosine_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val toD = (c: Column) => transform(c, x => x.cast(DoubleType))
         val q = e.filter(col("vec_id") === 0)
-          .select(toD(col("embedding")).as("qe"))
-        val dot = (a: Column, b: Column) =>
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+          .select(col("embedding").as("qe"))
         val v = e.filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), toD(col("embedding")).as("ve"))
+          .select(col("vec_id"), col("embedding").as("ve"))
           .crossJoin(broadcast(q))
         ordered(v.select(col("vec_id"),
-            round(dot(col("ve"), col("qe")) /
-              (sqrt(dot(col("ve"), col("ve"))) * sqrt(dot(col("qe"), col("qe")))),
-              3).as("sim"))
+            round(graft.ops.Similarity.cosine(col("ve"), col("qe")), 3)
+              .as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10))
       },
