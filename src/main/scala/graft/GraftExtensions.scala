@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, MinHashSig, SetJaccard, SimHash64}
+
+/** Registers the engine's native expressions as SQL functions, so the
+  * full surface is reachable from `spark.sql(...)` as well as the
+  * DataFrame API:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *
+  * or via config (no code changes):
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * SQL surface:
+  *   simhash64(array<string>)             → bigint
+  *   minhash_sig(array<string>[, k])      → array<bigint>
+  *   dot_product(array<T>, array<T>)      → double   (T ∈ float, double)
+  *   set_jaccard(array<string>, array<string>) → double
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(tokens[, k]) - MinHash signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashSig(c, 64)
+        case Seq(c, k) => MinHashSig(c,
+          k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig expects (tokens[, numHashes])")
+      }))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - vector dot product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("set_jaccard"),
+      info("set_jaccard", "set_jaccard(a, b) - Jaccard of two string sets"),
+      (args: Seq[Expression]) => SetJaccard(args(0), args(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Registers the same functions on an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      args => args match {
+        case Seq(c) => MinHashSig(c, 64)
+        case Seq(c, k) => MinHashSig(c, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig expects (tokens[, numHashes])")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      args => DotProduct(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("set_jaccard",
+      args => SetJaccard(args(0), args(1)), "built-in")
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints physical plans for representative queries — the scale-audit
+  * loop: is the filter pushed to the scan, is the projection pruned, are
+  * dimension joins broadcast, how wide are the codegen spans.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir =
+      if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-plan-audit")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_pricing_summary", "q2_project_filter", "q5_multiway_join",
+        "q21_self_join", "x6_cosine_pairs", "x8_minhash_lsh")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
