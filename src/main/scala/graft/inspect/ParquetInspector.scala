@@ -160,6 +160,53 @@ object ParquetInspector {
     out.toSeq
   }
 
+  /** Raw bytes of one data page by global page id (reference
+    * `read_page_data`, `src/reader/parquet_reader.cpp:184-192`).
+    */
+  def readPageData(path: String, pageId: Long): Array[Byte] = {
+    val r = open(path)
+    try {
+      val leaves = r.getFooter.getFileMetaData.getSchema.getColumns.asScala
+      var id = 0L
+      var store = r.readNextRowGroup()
+      while (store != null) {
+        leaves.foreach { cd =>
+          val pr = store.getPageReader(cd)
+          pr.readDictionaryPage() // dict pages get no id (as in reference)
+          var page: DataPage = pr.readPage()
+          while (page != null) {
+            if (id == pageId) {
+              page match {
+                case p: DataPageV1 => return p.getBytes.toByteArray
+                case p: DataPageV2 => return p.getData.toByteArray
+                case _ => throw new IllegalStateException("unknown page kind")
+              }
+            }
+            id += 1
+            page = pr.readPage()
+          }
+        }
+        store = r.readNextRowGroup()
+      }
+      throw new NoSuchElementException(s"page $pageId not found in $path")
+    } finally r.close()
+  }
+
+  /** Arbitrary byte-range read — the I/O primitive everything in the
+    * reference uses (`read_range`, `src/reader/parquet_reader.cpp:173-178`),
+    * over the Hadoop FS API so it works on any supported filesystem.
+    */
+  def readRange(path: String, offset: Long, len: Int): Array[Byte] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](len)
+      in.readFully(offset, buf)
+      buf
+    } finally in.close()
+  }
+
   /** Distributed footer inspection over many files — the 100 TB shape:
     * file listing is parallelized, each executor opens only footers.
     */
