@@ -207,6 +207,30 @@ object ParquetInspector {
     } finally in.close()
   }
 
+  /** Rows of a single row group (reference `read_column(name, rg)`,
+    * `src/reader/parquet_reader.cpp:125-131` — R6). Row-group membership
+    * is sub-source granularity in Spark, so it is recovered from the
+    * footer's per-block row counts as a global row-position range over
+    * the file-order stream.
+    */
+  def rowGroupSlice(spark: SparkSession, path: String, rowGroup: Int): DataFrame = {
+    val r = open(path)
+    val counts =
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).toSeq
+      finally r.close()
+    require(rowGroup >= 0 && rowGroup < counts.size,
+      s"row group $rowGroup out of ${counts.size}")
+    val start = counts.take(rowGroup).sum
+    val end = start + counts(rowGroup)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .withColumn("_pos",
+        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+      .filter(col("_pos") >= start && col("_pos") < end)
+      .drop("_pos")
+  }
+
   /** Distributed footer inspection over many files — the 100 TB shape:
     * file listing is parallelized, each executor opens only footers.
     */

@@ -31,6 +31,27 @@ class ColumnStreamSpec extends SparkSpec {
     assert(bytes.nonEmpty)
   }
 
+  test("rowGroupSlice partitions the file exactly by row group") {
+    // write a multi-row-group file (tiny block size forces several)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rg").toString + "/t"
+    val df = spark.range(0, 50000).selectExpr("id", "CAST(id AS STRING) AS s")
+      .coalesce(1)
+    graft.sources.ParquetWriterFacade.write(df, dir,
+      graft.sources.ParquetWriterFacade.WriterOptions(
+        rowGroupSizeBytes = 64 * 1024, pageSizeBytes = 16 * 1024))
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val f = ParquetInspector.footer(file)
+    assert(f.numRowGroups > 1, s"expected several row groups, got $f")
+    val sizes = (0 until f.numRowGroups).map(rg =>
+      ParquetInspector.rowGroupSlice(spark, file, rg).count())
+    assert(sizes.sum === 50000L)
+    val all = (0 until f.numRowGroups).flatMap(rg =>
+      ParquetInspector.rowGroupSlice(spark, file, rg)
+        .select("id").collect().map(_.getLong(0)))
+    assert(all.sorted === (0L until 50000L))
+  }
+
   test("readRange reads the parquet magic") {
     assert(new String(ParquetInspector.readRange(docs, 0, 4), "ASCII") === "PAR1")
     val size = new java.io.File(docs).length()
