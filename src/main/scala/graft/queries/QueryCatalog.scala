@@ -527,7 +527,146 @@ object QueryCatalog {
           END AS col_type
           FROM ($describes)
           """ + orderedSql(Seq("table_name", "col_name", "col_type"))
-      })
+      }),
+
+    // Q25 — gap-based sessionization (10-minute inactivity gap): lag →
+    // flag → running-sum session index. Integer microsecond arithmetic
+    // end to end.
+    QueryDef("q25_sessionize",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast(TimestampType)).as("tus"))
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val isNew = when(lag(col("tus"), 1).over(wOrd).isNull ||
+          col("tus") - lag(col("tus"), 1).over(wOrd) > 600000000L, 1L)
+          .otherwise(0L)
+        ordered(e.withColumn("is_new", isNew)
+          .withColumn("session_idx", sum(col("is_new")).over(wRun))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event"),
+            max(col("event_id")).as("last_event")))
+      },
+      Some("""WITH b AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        m AS (
+          SELECT user_id, event_id,
+            CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+                   OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY event_id) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM b),
+        sx AS (
+          SELECT user_id, event_id,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_idx
+          FROM m)
+        SELECT user_id, session_idx, COUNT(*) AS n_events,
+          MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        FROM sx GROUP BY 1, 2
+        """ + orderedSql(Seq("user_id", "session_idx", "n_events",
+          "first_event", "last_event")))),
+
+    // Q26 — backward as-of join (most recent purchase at or before each
+    // event, per user) via graft.ops.AsOfJoin's union+window composition.
+    QueryDef("q26_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val purchases = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        ordered(graft.ops.AsOfJoin.asofBackward(ev, purchases,
+            keyCols = Seq("user_id"), timeCol = "ts",
+            rightOrder = "p_event_id",
+            payloadCols = Seq("p_event_id", "p_value"))
+          .select("user_id", "event_id", "p_event_id", "p_value"))
+      },
+      Some("""WITH l AS (
+          SELECT user_id, event_id, ts, 1 AS side, CAST(NULL AS BIGINT) AS ord,
+            CAST(NULL AS BIGINT) AS pe, CAST(NULL AS DOUBLE) AS pv
+          FROM events),
+        r AS (
+          SELECT user_id, CAST(NULL AS BIGINT) AS event_id, ts, 0 AS side,
+            event_id AS ord, event_id AS pe, value AS pv
+          FROM events WHERE event_type = 'purchase'),
+        u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        wv AS (
+          SELECT user_id, event_id, side,
+            last_value(pe IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts, side, ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_event_id,
+            last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts, side, ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_value
+          FROM u)
+        SELECT user_id, event_id, p_event_id, p_value FROM wv WHERE side = 1
+        """ + orderedSql(Seq("user_id", "event_id", "p_event_id", "p_value")))),
+
+    // Q27 — pivot (fixed value list for determinism; absent combos → 0).
+    QueryDef("q27_pivot",
+      (s, dir) => ordered(t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)),
+      Some("""SELECT user_id % 10 AS bucket,
+        COUNT(*) FILTER (event_type = 'click') AS click,
+        COUNT(*) FILTER (event_type = 'error') AS error,
+        COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (event_type = 'signup') AS signup,
+        COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1
+        """ + orderedSql(Seq("bucket", "click", "error", "purchase",
+          "signup", "view")))),
+
+    // Q28 — exact interpolated percentiles (engines differ by ≤1 ulp in
+    // the interpolation formula; DECIMAL(18,6) absorbs it).
+    QueryDef("q28_percentiles",
+      (s, dir) => ordered(t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").cast(D18_6).cast(DoubleType)
+            .as("med_value"),
+          expr("percentile(value, 0.9)").cast(D18_6).cast(DoubleType)
+            .as("p90_value"))),
+      Some("""SELECT event_type,
+        CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med_value,
+        CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90_value
+        FROM events GROUP BY event_type
+        """ + orderedSql(Seq("event_type", "med_value", "p90_value")))),
+
+    // Q11c — cube (all grouping-set combinations).
+    QueryDef("q11c_cube",
+      (s, dir) => ordered(t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"))),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """ + orderedSql(Seq("l_returnflag", "l_linestatus", "n_rows")))),
+
+    // Q12ia / Q12ea — multiset (bag) semantics set ops.
+    QueryDef("q12ia_intersect_all",
+      (s, dir) => ordered(
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersectAll(
+            t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+        """ + orderedSql(Seq("nationkey")))),
+
+    QueryDef("q12ea_except_all",
+      (s, dir) => ordered(
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .exceptAll(
+            t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+        """ + orderedSql(Seq("nationkey"))))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
