@@ -52,4 +52,52 @@ object Multimodal {
       }
     }
   }
+
+  /** "Resize" an asset to at most `targetBytes` (STUB: a real impl would
+    * decode → scale → re-encode; the deterministic fake stride-samples
+    * the payload bytes, preserving the batch/partition shape a real
+    * scaler would have).
+    */
+  def resize(assets: Dataset[MediaAsset], targetBytes: Int)(implicit s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.payload.length <= targetBytes) a
+        else {
+          // >>> STUB SCALER: deterministic stride sampling. <<<
+          val stride = math.ceil(a.payload.length.toDouble / targetBytes)
+          val out = Array.ofDim[Byte](
+            math.ceil(a.payload.length / stride).toInt)
+          var i = 0
+          while (i < out.length) {
+            out(i) = a.payload((i * stride).toInt)
+            i += 1
+          }
+          a.copy(payload = out)
+        }
+      }
+    }
+  }
+
+  /** One sampled "frame" of a video-like payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Sample `nFrames` evenly spaced frames (STUB: a real impl would seek
+    * keyframes; the fake splits the payload into `nFrames` equal spans).
+    * One input row fans out to `nFrames` rows — the flatMap shape a real
+    * frame sampler has.
+    */
+  def frameSample(assets: Dataset[MediaAsset], nFrames: Int)(implicit s: SparkSession): Dataset[Frame] = {
+    import s.implicits._
+    assets.flatMap { a =>
+      val n = math.max(1, math.min(nFrames, a.payload.length))
+      val span = math.max(1, a.payload.length / n)
+      (0 until n).map { i =>
+        val start = i * span
+        val end = if (i == n - 1) a.payload.length
+          else math.min(a.payload.length, start + span)
+        Frame(a.doc_id, i, a.payload.slice(start, end))
+      }
+    }
+  }
 }
