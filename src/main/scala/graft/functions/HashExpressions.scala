@@ -1,40 +1,29 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the dedup sketches (SURVEY.md §2.2
   * UDF/UDAF surface + north-star near-dedup). Single-pass over the token
   * array per row — the higher-order-function formulation would re-hash
-  * every token once per hash function (64×). Interpreted eval
-  * (CodegenFallback) is adequate: hashing dominates, and the token
-  * arrays are bounded per row.
+  * every token once per hash function. Both expressions generate code
+  * that calls a static kernel, so they stay inside whole-stage codegen
+  * (a CodegenFallback here would split the surrounding stage).
   *
-  * Uses Spark's own xxhash64 kernel, so results match
-  * `xxhash64(token, seed)` computed in SQL.
+  * Uses Spark's own xxhash64 kernel, so single-seed results match
+  * `xxhash64(token)` computed in SQL.
   */
+object SketchKernels {
 
-/** 64-bit SimHash over an array<string> of tokens: per token, xxhash64;
-  * each of the 64 bits votes +1/-1; the sign of each vote total is the
-  * signature bit. Near-duplicate texts differ in few bits (small Hamming
-  * distance). Null tokens are skipped; null array → null.
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def checkInputDataTypes() = {
-    child.dataType match {
-      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"simhash64 requires array<string>, got ${other.catalogString}")
-    }
-  }
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** 64-bit SimHash: per token, xxhash64(seed 42); each bit votes ±1;
+    * the sign of each vote total is the signature bit.
+    */
+  def simhash(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -55,33 +44,15 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
 
-/** MinHash signature over an array<string> of shingles: the i-th hash
-  * family member is h_i(x) = h1(x) + i*h2(x) over two independent
-  * xxhash64 seeds (the standard double-hashing construction — Kirsch &
-  * Mitzenmacher 2006 — so each token is hashed twice, not `numHashes`
-  * times); signature[i] = min over tokens. E[fraction of equal
-  * components] ≈ Jaccard similarity of the shingle sets (Broder 1997).
-  * Empty/all-null arrays → Long.MaxValue components (never collides
-  * with a real min).
-  */
-case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes() = {
-    child.dataType match {
-      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"minhash_sig requires array<string>, got ${other.catalogString}")
-    }
-  }
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** MinHash signature via the double-hashing construction (Kirsch &
+    * Mitzenmacher 2006): h_i(x) = h1(x) + i*h2(x) over two xxhash64
+    * seeds; signature[i] = min over tokens (Broder 1997 estimator).
+    * Empty/all-null arrays → Long.MaxValue components.
+    */
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
     val sig = Array.fill[Long](numHashes)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
@@ -102,12 +73,54 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     new GenericArrayData(sig)
   }
+}
+
+/** 64-bit SimHash over an array<string> of tokens. Near-duplicate texts
+  * differ in few bits (small Hamming distance). Null tokens are skipped;
+  * null array → null.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<string>, got ${other.catalogString}")
+    }
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.simhash($a);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature over an array<string> of shingles; see
+  * [[SketchKernels.minhash]].
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string>, got ${other.catalogString}")
+    }
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.minhash($a, $numHashes);")
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 
 object HashFunctions {
-  import org.apache.spark.sql.graftbridge.ColumnBridge
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def minhashSig(tokens: Column, numHashes: Int = 64): Column =
