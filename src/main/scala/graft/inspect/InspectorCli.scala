@@ -17,6 +17,7 @@ import org.apache.spark.sql.expressions.Window
   *   pages <file>
   *   pagechunks <file> <maxBytes>
   *   regex <file> <column> <pattern> [--neg]
+  *   chunkindex <file> <column>
   */
 object InspectorCli {
 
@@ -50,9 +51,36 @@ object InspectorCli {
         .foreach { case (pageId, total, matched) =>
           println(s"page $pageId: $matched/$total values match")
         }
+    case "chunkindex" :: file :: column :: Nil =>
+      val (chunks, tuples) = chunkIndex(spark, file, column)
+      println(s"Total chunks: $chunks")
+      println(s"Total tuples indexed: $tuples")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println("commands: schema|footer|chunks|pages|pagechunks|regex")
+  }
+
+  /** The reference demo's chunked inverted index (`index_test`,
+    * `/root/reference/src/main.cpp:10-38` + README.md:66-72), exact
+    * semantics: stream the column in file order, pack `len-prefix +
+    * bytes` records into a chunk, close the chunk when its size has
+    * reached 4096 bytes *before* appending the next record, record each
+    * tuple's chunk. Distributed value scan, driver-side packing loop
+    * with bounded memory (the packing state is a single counter — the
+    * reference is driver-side here too).
+    */
+  def chunkIndex(spark: SparkSession, file: String, column: String): (Long, Long) = {
+    var chunkCount = 1L
+    var chunkSize = 0L
+    var tuples = 0L
+    graft.ops.ColumnStream.stringColumnIterator(spark, file, column)
+      .foreach { case (_, v) =>
+        val bytes = v.length.toString.length + v.length.toLong
+        if (chunkSize >= 4096) { chunkCount += 1; chunkSize = 0 }
+        chunkSize += bytes
+        tuples += 1
+      }
+    (chunkCount, tuples)
   }
 
   /** Per-data-page regex match report for one string column: pages whose

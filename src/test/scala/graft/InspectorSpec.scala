@@ -46,6 +46,20 @@ class InspectorSpec extends SparkSpec {
     assert(chunks.map(_.chunkId) === chunks.indices.map(_.toLong))
   }
 
+  test("chunkindex packs every tuple with >=4096-byte closed chunks") {
+    val (chunks, tuples) = InspectorCli.chunkIndex(
+      spark, Tables.path(sf0001, "documents"), "text")
+    val docs = Tables.load(spark, sf0001, "documents")
+    assert(tuples === docs.filter(
+      org.apache.spark.sql.functions.col("text").isNotNull).count())
+    // every closed chunk holds >= 4096 bytes, so the chunk count is
+    // bounded by total bytes / 4096 (+1 open chunk)
+    val totalBytes = docs.selectExpr(
+      "sum(length(cast(n_chars AS STRING)) + n_chars)").head().getLong(0)
+    assert(chunks <= totalBytes / 4096 + 1)
+    assert(chunks > 1)
+  }
+
   test("regex page report totals equal the column row count") {
     val report = InspectorCli.regexPageReport(
       spark, Tables.path(sf0001, "documents"), "text", "merge.*join",
