@@ -2,7 +2,6 @@ package graft.inspect
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** CLI mirroring the reference's documented surface
   * (`/root/reference/README.md:44-72`): schema dump, footer/page
@@ -103,10 +102,9 @@ object InspectorCli {
       val m = col(column).rlike(pattern)
       if (negate) !m else m
     }
-    val rows = spark.read.parquet(file)
-      .select(col(column), matchedCol.as("matched"))
-      .withColumn("pos",
-        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+    val rows = graft.ops.PrefixSum.withPosition(
+        spark.read.parquet(file).select(col(column), matchedCol.as("matched")),
+        "pos")
       .select(col("pos").as[Long], col("matched").as[Boolean])
     val perPage = rows.mapPartitions { it =>
       val (st, pid) = bounds.value

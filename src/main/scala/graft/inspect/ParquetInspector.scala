@@ -211,7 +211,8 @@ object ParquetInspector {
     * `src/reader/parquet_reader.cpp:125-131` — R6). Row-group membership
     * is sub-source granularity in Spark, so it is recovered from the
     * footer's per-block row counts as a global row-position range over
-    * the file-order stream.
+    * the file-order stream (positions via the two-pass partition-offset
+    * pattern — no single-partition window stage).
     */
   def rowGroupSlice(spark: SparkSession, path: String, rowGroup: Int): DataFrame = {
     val r = open(path)
@@ -222,11 +223,8 @@ object ParquetInspector {
       s"row group $rowGroup out of ${counts.size}")
     val start = counts.take(rowGroup).sum
     val end = start + counts(rowGroup)
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    spark.read.parquet(path)
-      .withColumn("_pos",
-        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+    import org.apache.spark.sql.functions.col
+    graft.ops.PrefixSum.withPosition(spark.read.parquet(path), "_pos")
       .filter(col("_pos") >= start && col("_pos") < end)
       .drop("_pos")
   }
