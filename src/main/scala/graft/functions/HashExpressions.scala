@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -47,13 +49,11 @@ object SketchKernels {
     sig
   }
 
-  /** MinHash signature via the double-hashing construction (Kirsch &
-    * Mitzenmacher 2006): h_i(x) = h1(x) + i*h2(x) over two xxhash64
-    * seeds; signature[i] = min over tokens (Broder 1997 estimator).
-    * Empty/all-null arrays → Long.MaxValue components.
+  /** Folds one token array into an existing signature buffer —
+    * elementwise min, so folding N arrays is the sketch of their union.
     */
-  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
-    val sig = Array.fill[Long](numHashes)(Long.MaxValue)
+  def minhashInto(sig: Array[Long], arr: ArrayData): Unit = {
+    val numHashes = sig.length
     var i = 0
     val n = arr.numElements()
     while (i < n) {
@@ -71,6 +71,16 @@ object SketchKernels {
       }
       i += 1
     }
+  }
+
+  /** MinHash signature via the double-hashing construction (Kirsch &
+    * Mitzenmacher 2006): h_i(x) = h1(x) + i*h2(x) over two xxhash64
+    * seeds; signature[i] = min over tokens (Broder 1997 estimator).
+    * Empty/all-null arrays → Long.MaxValue components.
+    */
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill[Long](numHashes)(Long.MaxValue)
+    minhashInto(sig, arr)
     new GenericArrayData(sig)
   }
 }
@@ -120,10 +130,80 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Group-level MinHash sketch (the UDAF declared in SURVEY.md §2.2): a
+  * `TypedImperativeAggregate` that folds every row's token array into
+  * one signature — the sketch of the UNION of the group's token sets,
+  * since MinHash is an elementwise-min semilattice. Partial aggregation
+  * is the same elementwise min, so map-side combine applies and the
+  * shuffled state per group is exactly `numHashes` longs regardless of
+  * corpus size — the property that makes corpus-level sketching viable
+  * at 100 TB.
+  */
+case class MinHashAgg(
+    child: Expression,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_agg requires array<string>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) SketchKernels.minhashInto(buffer, v.asInstanceOf[ArrayData])
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashAgg =
+    copy(child = newChildren.head)
+}
+
 object HashFunctions {
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def minhashSig(tokens: Column, numHashes: Int = 64): Column =
     ColumnBridge.column(
       MinHashSig(ColumnBridge.expression(tokens), numHashes))
+  /** Aggregating form: one signature per group = sketch of the union of
+    * the group's token sets.
+    */
+  def minhashAgg(tokens: Column, numHashes: Int = 64): Column =
+    ColumnBridge.column(
+      MinHashAgg(ColumnBridge.expression(tokens), numHashes)
+        .toAggregateExpression())
 }

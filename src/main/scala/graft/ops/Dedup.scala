@@ -99,18 +99,62 @@ object Dedup {
       .filter(col("est_sim") >= minEstSim)
   }
 
+  /** The documented 100 TB near-dup path: MinHash-LSH generates the
+    * candidate pairs (bucketed — never all-pairs), then exact token-set
+    * Jaccard verifies each candidate. Output matches [[jaccardPairs]]
+    * (`a_id, b_id, jaccard`) up to the LSH miss probability
+    * (1 - j^rowsPerBand)^bands ≈ 0.002 at j = 0.9 with 16×4 — the
+    * price of replacing the O(n²) generator with a shuffle-bounded one.
+    *
+    * Cost shape: candidates carry ids only; the token sets are joined
+    * back once per unique candidate pair, so the quadratic-verify work
+    * is |candidates|, not |blocks|².
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, tokenSetCol: String,
+      minJaccard: Double, numHashes: Int = 64, bands: Int = 16,
+      blockCol: Column = lit(0)): DataFrame = {
+    val candidates = minhashLshPairs(docs, idCol, tokenSetCol,
+        minEstSim = 0.0, numHashes, bands, blockCol)
+      .select(col("a_id"), col("b_id"))
+    val toks = docs.select(col(idCol).as("id"), col(tokenSetCol).as("tok"))
+    candidates
+      .join(toks.select(col("id").as("a_id"), col("tok").as("a_set")), "a_id")
+      .join(toks.select(col("id").as("b_id"), col("tok").as("b_set")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.VectorFunctions.setJaccard(col("a_set"), col("b_set"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-dedup: 64-bit signature per document; candidates share
-    * at least one of four 16-bit chunks (pigeonhole: any pair within
-    * Hamming distance 3 must collide on some chunk); verified by exact
-    * Hamming distance.
+    * at least one of `numChunks` equal-width bit chunks, then are
+    * verified by exact Hamming distance.
+    *
+    * Recall contract (pigeonhole): a pair at Hamming distance d can
+    * differ in at most d chunks, so any pair with d < numChunks is
+    * GUARANTEED to collide on some chunk — enforced here by requiring
+    * `maxHamming < numChunks`. Raising numChunks widens the guaranteed
+    * distance but narrows the bucket key (64/numChunks bits): at 4
+    * chunks the 16-bit keys give 2^16 buckets per chunk position
+    * (scale-safe); at 8 chunks the 8-bit keys leave only 256 buckets —
+    * O(n²/256) within-bucket work at 100 TB. Default stays at the
+    * classic 4-chunk / distance-3 near-dup setting (Manku et al.,
+    * WWW'07 use the same 64-bit fingerprint, d≈3 regime).
     */
   def simhashPairs(docs: DataFrame, idCol: String, tokensCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, numChunks: Int = 4): DataFrame = {
+    require(64 % numChunks == 0, "numChunks must divide 64")
+    require(maxHamming < numChunks,
+      s"pigeonhole recall guarantee needs maxHamming < numChunks " +
+        s"(got maxHamming=$maxHamming, numChunks=$numChunks): a pair at " +
+        s"distance >= numChunks can differ in every chunk and be missed")
+    val width = 64 / numChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val sigs = docs.select(col(idCol).as("id"),
       simhash64(col(tokensCol)).as("sig"))
-    val chunkStructs = (0 until 4).map { j =>
+    val chunkStructs = (0 until numChunks).map { j =>
       struct(lit(j).as("chunk_id"),
-        shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))
+        shiftright(col("sig"), j * width).bitwiseAND(lit(mask))
           .as("chunk_val"))
     }
     val chunked = sigs.select(col("id"), col("sig"),

@@ -189,13 +189,43 @@ object ExtensionCatalog {
       },
       None),
 
-    // x9 — SimHash near-dedup candidates (rows-only; see SimHashSpec).
+    // x9 — SimHash near-dedup candidates (rows-only; recall guarantee
+    // property-tested in DedupSpec). maxHamming = 3 is the pigeonhole
+    // bound of the 4×16-bit chunk scheme: every pair within distance 3
+    // is guaranteed to surface; beyond that the guarantee would need
+    // more chunks and coarser (scale-hostile) bucket keys.
     QueryDef("x9_simhash",
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tok"))
-        ordered(Dedup.simhashPairs(docs, "doc_id", "tok", maxHamming = 14))
+        ordered(Dedup.simhashPairs(docs, "doc_id", "tok", maxHamming = 3))
       },
+      None),
+
+    // x12 — the composed 100 TB near-dup path: LSH generates candidates
+    // (bucketed, never all-pairs), exact Jaccard verifies. Rows-only
+    // (xxhash64-based candidates have no DuckDB twin); equivalence to
+    // the blocked all-pairs x5 is property-tested in DedupSpec.
+    QueryDef("x12_neardup_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Dedup.tokenSet(col("text")).as("tok"))
+        ordered(Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
+          blockCol = col("source")))
+      },
+      None),
+
+    // x13 — corpus-level MinHash sketch per source via the
+    // TypedImperativeAggregate UDAF: group state is 64 longs regardless
+    // of group size (sketch-of-union == elementwise-min property tested
+    // in DedupSpec).
+    QueryDef("x13_minhash_agg",
+      (s, dir) => ordered(t(s, dir, "documents")
+        .select(col("source"), Dedup.tokenSet(col("text")).as("tok"))
+        .groupBy("source")
+        .agg(graft.functions.HashFunctions.minhashAgg(col("tok"), 64)
+          .as("sig"))),
       None),
 
     // x10 — multimodal feature extraction: binary payloads through the

@@ -61,6 +61,73 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() >= docs.count())
   }
 
+  test("simhash chunk bucketing recalls EVERY pair within the pigeonhole bound") {
+    // Ground truth: brute-force all-pairs exact Hamming distance.
+    val sigs = docs.select($"doc_id", simhash64($"tok").as("sig"))
+    val truth = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("h"))
+      .filter($"h" <= 3)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "tok", maxHamming = 3)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // The pigeonhole guarantee is exact recall, not probabilistic:
+    // 4 chunks cover every pair at distance < 4.
+    assert(got == truth,
+      s"missed=${(truth -- got).size} extra=${(got -- truth).size} of ${truth.size}")
+  }
+
+  test("simhashPairs refuses thresholds beyond the pigeonhole guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "tok", maxHamming = 4)
+    }
+    // 8 chunks extend the guarantee to distance 7 (at coarser buckets).
+    val pairs8 = Dedup.simhashPairs(docs, "doc_id", "tok",
+      maxHamming = 7, numChunks = 8)
+    val sigs = docs.select($"doc_id", simhash64($"tok").as("sig"))
+    val truth7 = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("h"))
+      .filter($"h" <= 7)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val got8 = pairs8.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(got8 == truth7,
+      s"missed=${(truth7 -- got8).size} extra=${(got8 -- truth7).size}")
+  }
+
+  test("nearDupPairs (LSH candidates -> exact verify) matches blocked all-pairs") {
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "tok", "source", 0.9)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val got = Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
+        blockCol = col("source"))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // exact verification ⇒ no false positives, ever
+    assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).size}")
+    // LSH miss bound: P(miss | j>=0.9) = (1-0.9^4)^16 ≈ 0.002
+    val missed = truth -- got
+    assert(missed.size <= math.max(1, truth.size / 100),
+      s"LSH+verify missed ${missed.size} of ${truth.size} pairs >= 0.9")
+  }
+
+  test("group-level minhash aggregate == sketch of union (elementwise min)") {
+    import graft.functions.HashFunctions.minhashAgg
+    val perRow = docs.select($"source", minhashSig($"tok", 64).as("sig"))
+      .as[(String, Array[Long])].collect()
+    val expected = perRow.groupBy(_._1).map { case (src, rows) =>
+      src -> rows.map(_._2).reduce((a, b) =>
+        a.zip(b).map { case (x, y) => math.min(x, y) })
+    }
+    val got = docs.groupBy($"source")
+      .agg(minhashAgg($"tok", 64).as("sig"))
+      .as[(String, Array[Long])].collect().toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, sig) =>
+      assert(got(src).sameElements(sig), s"group sketch mismatch for $src")
+    }
+  }
+
   test("exact dedup drops duplicated rows") {
     val d = docs.select($"doc_id", concat_ws(" ", $"tok").as("text"))
     val doubled = d.union(d)
