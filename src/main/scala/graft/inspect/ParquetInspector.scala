@@ -34,11 +34,23 @@ object ParquetInspector {
 
   final case class FooterInfo(
       path: String, numRows: Long, numRowGroups: Int, createdBy: String,
-      schemaLeaves: Int)
+      schemaLeaves: Int,
+      /** Footer `key_value_metadata` (reference parses and surfaces it:
+        * `src/reader/metadata.cpp:16-17,198-243`).
+        */
+      keyValueMetadata: Map[String, String])
 
   final case class LeafColumn(
       path: String, physicalType: String, maxDefLevel: Int, maxRepLevel: Int,
-      primitiveIdx: Int)
+      primitiveIdx: Int,
+      /** Logical/converted type annotation string, "NONE" when absent —
+        * reference `ColumnInfo::converted_type_string`
+        * (`src/reader/column_info.cpp:5-10`). DECIMAL renders with its
+        * scale/precision, which are also split out below (reference
+        * `include/reader/metadata.hpp:16-17`).
+        */
+      logicalType: String,
+      decimalPrecision: Int, decimalScale: Int)
 
   final case class ChunkInfo(
       rowGroup: Int, column: String, codec: String, numValues: Long,
@@ -62,7 +74,9 @@ object ParquetInspector {
       val fm = r.getFooter
       FooterInfo(path, r.getRecordCount, fm.getBlocks.size,
         Option(fm.getFileMetaData.getCreatedBy).getOrElse(""),
-        fm.getFileMetaData.getSchema.getColumns.size)
+        fm.getFileMetaData.getSchema.getColumns.size,
+        Option(fm.getFileMetaData.getKeyValueMetaData)
+          .map(_.asScala.toMap).getOrElse(Map.empty))
     } finally r.close()
   }
 
@@ -71,9 +85,17 @@ object ParquetInspector {
     try {
       val schema = r.getFooter.getFileMetaData.getSchema
       schema.getColumns.asScala.toSeq.zipWithIndex.map { case (cd, i) =>
+        val prim = cd.getPrimitiveType
+        val ann = Option(prim.getLogicalTypeAnnotation)
+        val (prec, scale) = ann match {
+          case Some(d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+            (d.getPrecision, d.getScale)
+          case _ => (-1, -1)
+        }
         LeafColumn(cd.getPath.mkString("."),
-          cd.getPrimitiveType.getPrimitiveTypeName.toString,
-          cd.getMaxDefinitionLevel, cd.getMaxRepetitionLevel, i)
+          prim.getPrimitiveTypeName.toString,
+          cd.getMaxDefinitionLevel, cd.getMaxRepetitionLevel, i,
+          ann.map(_.toString).getOrElse("NONE"), prec, scale)
       }
     } finally r.close()
   }
@@ -190,6 +212,60 @@ object ParquetInspector {
       }
       throw new NoSuchElementException(s"page $pageId not found in $path")
     } finally r.close()
+  }
+
+  /** Concatenated payload bytes of data pages `[firstPage, lastPage]`,
+    * truncated at `maxBytes` — reference `read_pages_chunk`
+    * (`src/reader/parquet_reader.cpp:194-231`): pages are appended in
+    * global-id order and the page that crosses the cap is cut mid-page,
+    * so the result is exactly `min(sum(page sizes), maxBytes)` long.
+    * Throws if the range reaches past the file's last data page (unless
+    * the cap was hit first, which ends the walk early).
+    */
+  def readPagesChunk(path: String, firstPage: Long, lastPage: Long,
+      maxBytes: Long): Array[Byte] = {
+    require(firstPage >= 0 && firstPage <= lastPage,
+      s"firstPage must be in [0, lastPage] (got $firstPage..$lastPage)")
+    require(maxBytes >= 0, "maxBytes must be >= 0")
+    val out = new java.io.ByteArrayOutputStream()
+    var sawLast = false
+    var capped = false
+    val r = open(path)
+    try {
+      val leaves = r.getFooter.getFileMetaData.getSchema.getColumns.asScala
+      var id = 0L
+      var done = false
+      var store = r.readNextRowGroup()
+      while (store != null && !done) {
+        val leafIt = leaves.iterator
+        while (leafIt.hasNext && !done) {
+          val pr = store.getPageReader(leafIt.next())
+          pr.readDictionaryPage() // dict pages get no id (as in reference)
+          var page: DataPage = pr.readPage()
+          while (page != null && !done) {
+            if (id >= firstPage && id <= lastPage) {
+              val bytes = page match {
+                case p: DataPageV1 => p.getBytes.toByteArray
+                case p: DataPageV2 => p.getData.toByteArray
+                case _ => throw new IllegalStateException("unknown page kind")
+              }
+              val remaining = maxBytes - out.size()
+              val toWrite = math.min(bytes.length.toLong, remaining).toInt
+              if (toWrite > 0) out.write(bytes, 0, toWrite)
+              if (toWrite < bytes.length) { capped = true; done = true }
+            }
+            if (id == lastPage) { sawLast = true; done = true }
+            id += 1
+            if (!done) page = pr.readPage() else page = null
+          }
+        }
+        if (!done) store = r.readNextRowGroup() else store = null
+      }
+    } finally r.close()
+    if (!sawLast && !capped)
+      throw new NoSuchElementException(
+        s"page range $firstPage..$lastPage out of range in $path")
+    out.toByteArray
   }
 
   /** Arbitrary byte-range read — the I/O primitive everything in the

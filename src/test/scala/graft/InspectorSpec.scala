@@ -46,6 +46,59 @@ class InspectorSpec extends SparkSpec {
     assert(chunks.map(_.chunkId) === chunks.indices.map(_.toLong))
   }
 
+  test("readPagesChunk concatenates page bytes and truncates at the cap") {
+    val ids = 0L to 5L
+    val perPage = ids.map(ParquetInspector.readPageData(lineitem, _))
+    val full = perPage.reduce(_ ++ _)
+    // uncapped: byte-identical to the per-page reads
+    val chunk = ParquetInspector.readPagesChunk(lineitem, 0, 5, Long.MaxValue)
+    assert(chunk.sameElements(full))
+    // capped mid-page: exactly cap bytes, a strict prefix
+    val cap = perPage.head.length + perPage(1).length / 2
+    val capped = ParquetInspector.readPagesChunk(lineitem, 0, 5, cap.toLong)
+    assert(capped.length === cap)
+    assert(capped.sameElements(full.take(cap)))
+    // out-of-range end page throws unless the cap ends the walk first
+    intercept[NoSuchElementException] {
+      ParquetInspector.readPagesChunk(lineitem, 0, Long.MaxValue - 1, Long.MaxValue)
+    }
+  }
+
+  test("footer surfaces key_value_metadata; leaves carry logical types") {
+    // the pyarrow-written fixture stamps pandas + arrow schema entries
+    val f = ParquetInspector.footer(lineitem)
+    assert(f.keyValueMetadata.nonEmpty)
+    assert(f.keyValueMetadata.contains("ARROW:schema"))
+    // a Spark-written file stamps the row schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv").toString
+    graft.sources.ParquetWriterFacade.write(
+      spark.range(3).selectExpr("id"), dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val sparkF = ParquetInspector.footer(file)
+    assert(sparkF.keyValueMetadata.keys.exists(_.contains("spark")),
+      s"expected spark keys in ${sparkF.keyValueMetadata.keySet}")
+    val docLeaves = ParquetInspector.leafColumns(Tables.path(sf0001, "documents"))
+    val text = docLeaves.find(_.path == "text").get
+    assert(text.physicalType === "BINARY")
+    assert(text.logicalType === "STRING")
+    assert(text.decimalPrecision === -1 && text.decimalScale === -1)
+  }
+
+  test("DECIMAL scale/precision surface through leafColumns on a written file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dec").toString
+    val dec = spark.range(10).selectExpr(
+      "cast(id as decimal(9,2)) as d", "cast(id as string) as s")
+    graft.sources.ParquetWriterFacade.write(dec, dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val leaves = ParquetInspector.leafColumns(file)
+    val d = leaves.find(_.path == "d").get
+    assert(d.logicalType.startsWith("DECIMAL"))
+    assert(d.decimalPrecision === 9)
+    assert(d.decimalScale === 2)
+  }
+
   test("chunkindex packs every tuple with >=4096-byte closed chunks") {
     val (chunks, tuples) = InspectorCli.chunkIndex(
       spark, Tables.path(sf0001, "documents"), "text")

@@ -46,6 +46,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding window equals batch sliding aggregation") {
+    val stream = EventStreams.readEventStream(spark, replayDir())
+    val q = EventStreams.slidingCounts(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_slide")
+      .start()
+    try {
+      q.processAllAvailable()
+      val cols = Seq($"w_start", $"w_end", $"event_type", $"n")
+      val streamed = spark.table("stream_slide")
+        .orderBy(cols: _*).collect().toSeq
+      // same transform over the same rows as a batch DataFrame
+      // (withWatermark is a no-op in batch execution)
+      val batchIn = Tables.load(spark, sf0001, "events")
+        .withColumn("ts", $"ts".cast("timestamp"))
+      val batch = EventStreams.slidingCounts(batchIn)
+        .orderBy(cols: _*).collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+    } finally q.stop()
+  }
+
+  test("streaming session window equals batch session aggregation") {
+    val stream = EventStreams.readEventStream(spark, replayDir())
+    val q = EventStreams.sessionCounts(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_session")
+      .start()
+    try {
+      q.processAllAvailable()
+      val cols = Seq($"user_id", $"s_start", $"s_end", $"n")
+      val streamed = spark.table("stream_session")
+        .orderBy(cols: _*).collect().toSeq
+      val batchIn = Tables.load(spark, sf0001, "events")
+        .withColumn("ts", $"ts".cast("timestamp"))
+      val batch = EventStreams.sessionCounts(batchIn)
+        .orderBy(cols: _*).collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed event_ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
     val ev = Tables.load(spark, sf0001, "events")
