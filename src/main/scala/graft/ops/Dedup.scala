@@ -62,34 +62,43 @@ object Dedup {
     * Probability a pair with Jaccard j becomes a candidate:
     * 1 - (1 - j^rowsPerBand)^bands — the standard LSH S-curve.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, tokenSetCol: String,
-      minEstSim: Double, numHashes: Int = 64, bands: Int = 16,
+  /** Distinct LSH candidate pairs `(a_id, b_id)` — the shared bucketed
+    * generator. The bucket-join carries ids ONLY (16 bytes/row); the
+    * naive formulation would carry both 64-long signatures through the
+    * bucket join — ~60× more shuffle bytes and a per-band duplicate of
+    * every pair's downstream computation.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, tokenSetCol: String,
+      numHashes: Int = 64, bands: Int = 16,
       blockCol: Column = lit(0)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = docs.select(col(idCol).as("id"), blockCol.as("block"),
-      minhashSig(col(tokenSetCol), numHashes).as("sig"))
-    val banded = sigs.select(col("id"), col("block"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band_id"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-            .as("band_hash")))).as("band"))
-      .select(col("id"), col("block"), col("sig"),
+    val banded = docs.select(col(idCol).as("id"), blockCol.as("block"),
+        minhashSig(col(tokenSetCol), numHashes).as("sig"))
+      .select(col("id"), col("block"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_id"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("band_hash")))).as("band"))
+      .select(col("id"), col("block"),
         col("band.band_id"), col("band.band_hash"))
-    // Bucket-join on ids ONLY (16 bytes/row), distinct the candidate
-    // pairs, then re-join the two signatures once per unique pair. The
-    // naive formulation carries both 64-long signatures through the
-    // bucket join — ~60× more shuffle bytes and a per-band duplicate of
-    // every pair's estimate computation.
     val a = banded.select(col("block"), col("band_id"), col("band_hash"),
       col("id").as("a_id"))
     val bb = banded.select(col("block"), col("band_id"), col("band_hash"),
       col("id").as("b_id"))
-    val candidates = a.join(bb, Seq("block", "band_id", "band_hash"))
+    a.join(bb, Seq("block", "band_id", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    candidates
+  }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, tokenSetCol: String,
+      minEstSim: Double, numHashes: Int = 64, bands: Int = 16,
+      blockCol: Column = lit(0)): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSig(col(tokenSetCol), numHashes).as("sig"))
+    // re-join the two signatures once per unique candidate pair
+    lshCandidatePairs(docs, idCol, tokenSetCol, numHashes, bands, blockCol)
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .select(col("a_id"), col("b_id"),
@@ -113,9 +122,10 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, tokenSetCol: String,
       minJaccard: Double, numHashes: Int = 64, bands: Int = 16,
       blockCol: Column = lit(0)): DataFrame = {
-    val candidates = minhashLshPairs(docs, idCol, tokenSetCol,
-        minEstSim = 0.0, numHashes, bands, blockCol)
-      .select(col("a_id"), col("b_id"))
+    // candidates only (no signature estimate: exact verification follows
+    // anyway, so the 64-long sig re-join would be pure waste)
+    val candidates = lshCandidatePairs(
+      docs, idCol, tokenSetCol, numHashes, bands, blockCol)
     val toks = docs.select(col(idCol).as("id"), col(tokenSetCol).as("tok"))
     candidates
       .join(toks.select(col("id").as("a_id"), col("tok").as("a_set")), "a_id")
