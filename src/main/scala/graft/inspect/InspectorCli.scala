@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   *   chunks <file>
   *   pages <file>
   *   pagechunks <file> <maxBytes>
+  *   pagebytes <file> <firstPage> <lastPage> <maxBytes>
   *   regex <file> <column> <pattern> [--neg]
   *   chunkindex <file> <column>
   */
@@ -45,6 +46,10 @@ object InspectorCli {
       ParquetInspector.pages(file).foreach(println)
     case "pagechunks" :: file :: maxBytes :: Nil =>
       ParquetInspector.pageChunks(file, maxBytes.toLong).foreach(println)
+    case "pagebytes" :: file :: first :: last :: maxBytes :: Nil =>
+      val bytes = ParquetInspector.readPagesChunk(
+        file, first.toLong, last.toLong, maxBytes.toLong)
+      println(s"read ${bytes.length} bytes from pages $first..$last")
     case "regex" :: file :: column :: pattern :: rest =>
       regexPageReport(spark, file, column, pattern, rest.contains("--neg"))
         .foreach { case (pageId, total, matched) =>

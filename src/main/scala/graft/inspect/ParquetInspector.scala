@@ -214,6 +214,70 @@ object ParquetInspector {
     } finally r.close()
   }
 
+  /** Lazy pull iterator over raw data pages in global page-id order —
+    * the reference's `PageIterator` (`src/reader/parquet_reader.cpp:
+    * 242-278`, R16): one page decoded per `next()`, nothing
+    * materialized ahead, the file closed on exhaustion or `close()`.
+    */
+  final class RawPageIterator(path: String)
+      extends Iterator[(PageInfo, Array[Byte])] with AutoCloseable {
+    private val reader = open(path)
+    private val leaves =
+      reader.getFooter.getFileMetaData.getSchema.getColumns.asScala.toSeq
+    private var store = reader.readNextRowGroup()
+    private var rg = 0
+    private var leafIdx = 0
+    private var pageReader =
+      if (store != null) store.getPageReader(leaves.head) else null
+    private var pageId = 0L
+    private var nextPage: DataPage = _
+    private var closed = false
+    if (pageReader != null) { pageReader.readDictionaryPage(); advance() }
+
+    private def advance(): Unit = {
+      nextPage = if (pageReader == null) null else pageReader.readPage()
+      while (nextPage == null && store != null) {
+        leafIdx += 1
+        if (leafIdx >= leaves.size) {
+          leafIdx = 0
+          rg += 1
+          store = reader.readNextRowGroup()
+        }
+        if (store != null) {
+          pageReader = store.getPageReader(leaves(leafIdx))
+          pageReader.readDictionaryPage() // dict pages carry no id
+          nextPage = pageReader.readPage()
+        }
+      }
+      if (nextPage == null) close()
+    }
+
+    override def hasNext: Boolean = nextPage != null
+
+    override def next(): (PageInfo, Array[Byte]) = {
+      if (!hasNext) throw new NoSuchElementException("page iterator exhausted")
+      val (tpe, nvals, comp, bytes) = nextPage match {
+        case p: DataPageV1 =>
+          ("DATA_PAGE", p.getValueCount.toLong, p.getCompressedSize.toLong,
+            p.getBytes.toByteArray)
+        case p: DataPageV2 =>
+          ("DATA_PAGE_V2", p.getValueCount.toLong, p.getCompressedSize.toLong,
+            p.getData.toByteArray)
+        case _ => throw new IllegalStateException("unknown page kind")
+      }
+      val info = PageInfo(pageId, rg, leaves(leafIdx).getPath.mkString("."),
+        tpe, nvals, comp)
+      pageId += 1
+      advance()
+      (info, bytes)
+    }
+
+    override def close(): Unit = if (!closed) { closed = true; reader.close() }
+  }
+
+  /** Reference `column_iterator` surface shape: a fresh lazy iterator. */
+  def rawPageIterator(path: String): RawPageIterator = new RawPageIterator(path)
+
   /** Concatenated payload bytes of data pages `[firstPage, lastPage]`,
     * truncated at `maxBytes` — reference `read_pages_chunk`
     * (`src/reader/parquet_reader.cpp:194-231`): pages are appended in

@@ -16,6 +16,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** BPE-ish pre-tokenizer pattern — the GPT-2-style word / number /
+    * punctuation split, restricted to the POSIX character-class subset
+    * on which Java regex (Spark) and RE2 (DuckDB oracle) agree.
+    */
+  val bpePattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast(LongType)
+
   /** Average word length implied by char count vs token count:
     * (n_chars - spaces) / n_tokens. Pure per-row IEEE arithmetic —
     * bit-deterministic across engines.

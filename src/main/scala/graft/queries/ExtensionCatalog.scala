@@ -202,6 +202,21 @@ object ExtensionCatalog {
       },
       None),
 
+    // x14 — BPE-ish regex token counting next to whitespace counting
+    // (the two tokenizer granularities a training-data pipeline meters).
+    QueryDef("x14_bpe_tokens",
+      (s, dir) => ordered(t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).as("sum_bpe_tokens"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_ws_tokens"))),
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(text, '${TextAnalysis.bpePattern}'))) AS BIGINT) AS sum_bpe_tokens,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens
+        FROM documents GROUP BY lang
+        """ + orderedSql(Seq("lang", "n_docs", "sum_bpe_tokens",
+          "sum_ws_tokens")))),
+
     // x12 — the composed 100 TB near-dup path: LSH generates candidates
     // (bucketed, never all-pairs), exact Jaccard verifies. Rows-only
     // (xxhash64-based candidates have no DuckDB twin); equivalence to

@@ -64,6 +64,21 @@ class InspectorSpec extends SparkSpec {
     }
   }
 
+  test("lazy raw page iterator matches the eager page walk and page bytes") {
+    val eager = ParquetInspector.pages(lineitem)
+      .filter(_.pageType != "DICTIONARY_PAGE")
+    val it = ParquetInspector.rawPageIterator(lineitem)
+    try {
+      val first = it.next()
+      assert(first._1 === eager.head)
+      assert(first._2.sameElements(
+        ParquetInspector.readPageData(lineitem, 0)))
+      var n = 1L
+      while (it.hasNext) { n += 1; it.next() }
+      assert(n === eager.size)
+    } finally it.close()
+  }
+
   test("footer surfaces key_value_metadata; leaves carry logical types") {
     // the pyarrow-written fixture stamps pandas + arrow schema entries
     val f = ParquetInspector.footer(lineitem)
