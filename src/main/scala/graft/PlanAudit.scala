@@ -23,7 +23,8 @@ object PlanAudit {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q2_project_filter", "q5_multiway_join",
-        "q21_self_join", "x6_cosine_pairs", "x8_minhash_lsh")
+        "q21_self_join", "q22_chunked_index", "x6_cosine_pairs",
+        "x8_minhash_lsh", "x12_neardup_pairs")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

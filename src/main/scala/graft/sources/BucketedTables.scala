@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (pre-partitioned) table layout — the co-located-join lever
+  * for repeated fact⋈fact joins at 100 TB: both sides written with
+  * `bucketBy(n, key)` + `sortBy(key)` hash-place rows bucket-wise at
+  * WRITE time, so every later equi-join or aggregation on that key
+  * reads bucket i against bucket i with ZERO exchange (and, with
+  * sortBy, zero sort) in the plan. One write-time shuffle is amortized
+  * over every downstream consumer — the batch analog of the
+  * reference's single-file locality (row-group = unit of co-location,
+  * `include/reader/metadata.hpp:92-98`), generalized to a keyed layout.
+  *
+  * Spark only honors bucketing through the catalog, hence saveAsTable;
+  * `spark.sql.sources.bucketing.enabled` (default true) must stay on.
+  */
+object BucketedTables {
+
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  def drop(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+}
