@@ -57,6 +57,38 @@ object VectorKernels {
     val union = setA.size + setB.size - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  /** 64-bit sign-random-projection signature (Charikar 2002 — SimHash
+    * for vectors): bit i = sign(dot(v, h_i)) against pseudo-random ±1
+    * hyperplanes streamed from splitmix64, so no plane is materialized
+    * and the whole signature is one pass over the vector per plane.
+    * Goemans–Williamson: P[bits agree] = 1 − angle/π, so shared
+    * signature chunks bucket angularly-close vectors.
+    */
+  def srpSignature(v: ArrayData, isFloat: Boolean, seed: Long): Long = {
+    var sig = 0L
+    val n = v.numElements()
+    var i = 0
+    while (i < 64) {
+      var acc = 0.0
+      var j = 0
+      var state = seed + i.toLong * 0x9E3779B97F4A7C15L
+      while (j < n) {
+        state += 0x9E3779B97F4A7C15L // splitmix64 stream
+        var z = state
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        val comp = if ((z & 1L) == 1L) 1.0 else -1.0
+        acc += comp *
+          (if (isFloat) v.getFloat(j).toDouble else v.getDouble(j))
+        j += 1
+      }
+      if (acc >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
 }
 
 /** dot(a, b) over array<float>/array<double>, codegen-enabled. */
@@ -116,6 +148,34 @@ case class SetJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** srp_signature(v) over array<float>/array<double>, codegen-enabled. */
+case class SrpSignature(child: Expression, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_signature requires array<float> or array<double>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.srpSignature(input.asInstanceOf[ArrayData], isFloat, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.srpSignature($a, $isFloat, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -123,4 +183,6 @@ object VectorFunctions {
   def setJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(
       SetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def srpSignature(v: Column, seed: Long = 42L): Column =
+    ColumnBridge.column(SrpSignature(ColumnBridge.expression(v), seed))
 }

@@ -60,6 +60,53 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("cos"), 3).as("sim"))
   }
 
+  /** The 100 TB embedding near-dup path — sign-random-projection LSH
+    * (Charikar SimHash for vectors) generating candidates, exact cosine
+    * verifying them. Mirrors Dedup.nearDupPairs' generator∘verifier
+    * shape: signature per row (one codegen kernel pass), explode into
+    * `bands` chunks, shuffle once on (band, chunk), id-only candidate
+    * join, one vector re-join per unique pair, exact verify.
+    *
+    * Recall is the SRP S-curve: with chunk width w = 64/bands,
+    * P(candidate) = 1 − (1 − (1 − θ/π)^w)^bands — near-1 for genuine
+    * near-duplicates (θ→0), falling fast for unrelated vectors. No
+    * false positives survive the exact verify.
+    */
+  def signLshPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bands: Int = 8, seed: Long = 42L,
+      blockCol: Column = lit(0)): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val base = vectors.select(col(idCol).as("id"), blockCol.as("block"),
+      toDouble(col(vecCol)).as("v"))
+    val sigs = base.select(col("id"), col("block"),
+      graft.functions.VectorFunctions.srpSignature(col("v"), seed).as("sig"))
+    val chunkStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band_id"),
+        shiftright(col("sig"), j * width).bitwiseAND(lit(mask))
+          .as("band_val"))
+    }
+    val chunked = sigs.select(col("id"), col("block"),
+        explode(array(chunkStructs: _*)).as("c"))
+      .select(col("id"), col("block"), col("c.band_id"), col("c.band_val"))
+    val a = chunked.select(col("block"), col("band_id"), col("band_val"),
+      col("id").as("a_id"))
+    val b = chunked.select(col("block"), col("band_id"), col("band_val"),
+      col("id").as("b_id"))
+    val candidates = a.join(b, Seq("block", "band_id", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_v"), col("b_v")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 3).as("sim"))
+  }
+
   /** IVF-style ANN: seeds are every `seedStride`-th vec_id (deterministic
     * stand-in for k-means centroids); every vector joins its arg-max
     * cosine seed; the query searches only its own cell.

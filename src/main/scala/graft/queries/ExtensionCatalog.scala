@@ -217,6 +217,18 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("lang", "n_docs", "sum_bpe_tokens",
           "sum_ws_tokens")))),
 
+    // x15 — embedding near-dup at scale: sign-random-projection LSH
+    // candidates → exact cosine verify (the vector twin of x12; recall
+    // on genuine near-duplicates property-tested in SimilaritySpec).
+    // The fixture's embeddings are mutually near-orthogonal (max pair
+    // cosine ≈ 0.5), so the threshold sits at 0.4 to exercise the path;
+    // at that angle the S-curve intentionally recalls only a fraction —
+    // LSH is a near-duplicate detector, not a general range join.
+    QueryDef("x15_sign_lsh_pairs",
+      (s, dir) => ordered(Similarity.signLshPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.4)),
+      None),
+
     // x12 — the composed 100 TB near-dup path: LSH generates candidates
     // (bucketed, never all-pairs), exact Jaccard verifies. Rows-only
     // (xxhash64-based candidates have no DuckDB twin); equivalence to

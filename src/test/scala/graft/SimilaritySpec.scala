@@ -40,6 +40,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got === localTop)
   }
 
+  test("sign-LSH recalls every planted near-duplicate, no false positives") {
+    // planted corpus: 200 deterministic pseudo-random 64-dim vectors,
+    // ids 1000+i are tiny perturbations of i → cosine ≈ 0.999
+    def lcg(seed: Long): Iterator[Double] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+        .map(s => ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5).drop(1)
+    val base = (0 until 200).map { i =>
+      (i.toLong, lcg(i * 7919L + 13).take(64).toArray)
+    }
+    val planted = base.take(50).map { case (id, v) =>
+      val noise = lcg(id * 104729L + 7).take(64).toArray
+      (id + 1000L, v.zip(noise).map { case (x, e) => x + 0.01 * e })
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val truth = Similarity.cosinePairs(df, "vec_id", "embedding",
+        lit(0), 0.95)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(truth.size === 50, s"expected the 50 planted pairs, got ${truth.size}")
+    val got = Similarity.signLshPairs(df, "vec_id", "embedding",
+        minCosine = 0.95)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // SRP S-curve at cos 0.999 with 8x8-bit bands: P(miss) ≈ 2e-8
+    assert(got === truth,
+      s"missed=${(truth -- got).size} extra=${(got -- truth).size}")
+  }
+
   test("IVF top-k sims are bounded by the exact top-1 and non-empty") {
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
         seedStride = 251, queryId = 0L, k = 10)
