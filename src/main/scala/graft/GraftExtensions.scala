@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSig, SetJaccard, SimHash64}
+import graft.functions.{DotProduct, MinHashAgg, MinHashSig, SetJaccard, SimHash64, SrpSignature, VectorSumAgg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the
@@ -19,8 +19,11 @@ import graft.functions.{DotProduct, MinHashSig, SetJaccard, SimHash64}
   * SQL surface:
   *   simhash64(array<string>)             → bigint
   *   minhash_sig(array<string>[, k])      → array<bigint>
+  *   minhash_agg(array<string>[, k])      → array<bigint>  (aggregate)
   *   dot_product(array<T>, array<T>)      → double   (T ∈ float, double)
   *   set_jaccard(array<string>, array<string>) → double
+  *   srp_signature(array<T>[, seed])      → bigint   (sign-projection LSH)
+  *   vector_sum(array<double>)            → array<double>  (aggregate)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -47,6 +50,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("set_jaccard"),
       info("set_jaccard", "set_jaccard(a, b) - Jaccard of two string sets"),
       (args: Seq[Expression]) => SetJaccard(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("minhash_agg"),
+      info("minhash_agg", "minhash_agg(tokens[, k]) - group-level MinHash sketch"),
+      (args: Seq[Expression]) => (args match {
+        case Seq(c) => MinHashAgg(c, 64)
+        case Seq(c, k) => MinHashAgg(c,
+          k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash_agg expects (tokens[, numHashes])")
+      }).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("srp_signature"),
+      info("srp_signature", "srp_signature(vec[, seed]) - sign-projection LSH signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SrpSignature(c, 42L)
+        case Seq(c, s) => SrpSignature(c,
+          s.eval().asInstanceOf[Number].longValue())
+        case _ => throw new IllegalArgumentException(
+          "srp_signature expects (vector[, seed])")
+      }))
+    e.injectFunction((FunctionIdentifier("vector_sum"),
+      info("vector_sum", "vector_sum(vec) - elementwise sum aggregate"),
+      (args: Seq[Expression]) => VectorSumAgg(args.head).toAggregateExpression()))
   }
 }
 
@@ -67,5 +91,21 @@ object GraftExtensions {
       args => DotProduct(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("set_jaccard",
       args => SetJaccard(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_agg",
+      args => (args match {
+        case Seq(c) => MinHashAgg(c, 64)
+        case Seq(c, k) => MinHashAgg(c, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash_agg expects (tokens[, numHashes])")
+      }).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("srp_signature",
+      args => args match {
+        case Seq(c) => SrpSignature(c, 42L)
+        case Seq(c, s) => SrpSignature(c, s.eval().asInstanceOf[Number].longValue())
+        case _ => throw new IllegalArgumentException(
+          "srp_signature expects (vector[, seed])")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("vector_sum",
+      args => VectorSumAgg(args.head).toAggregateExpression(), "built-in")
   }
 }

@@ -176,6 +176,76 @@ case class SrpSignature(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
+/** Elementwise sum of double arrays (`TypedImperativeAggregate`) — the
+  * centroid building block: sum/count = mean vector. Group state is one
+  * double array of the vector dimension regardless of group size, and
+  * partial aggregation is the same elementwise add, so map-side combine
+  * applies — k-means recompute at 100 TB shuffles k·dim doubles per
+  * map task, nothing more.
+  */
+case class VectorSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vector_sum requires array<double>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buffer: Array[Double],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = if (buffer.length == 0) new Array[Double](n) else buffer
+    var i = 0
+    val m = math.min(n, buf.length)
+    while (i < m) { buf(i) += arr.getDouble(i); i += 1 }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    if (b1.length == 0) return b2
+    if (b2.length == 0) return b1
+    var i = 0
+    val m = math.min(b1.length, b2.length)
+    while (i < m) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Double]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asDoubleBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorSumAgg =
+    copy(child = newChildren.head)
+}
+
 object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -185,4 +255,8 @@ object VectorFunctions {
       SetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def srpSignature(v: Column, seed: Long = 42L): Column =
     ColumnBridge.column(SrpSignature(ColumnBridge.expression(v), seed))
+  /** Aggregating elementwise sum over array<double> groups. */
+  def vectorSum(v: Column): Column =
+    ColumnBridge.column(
+      VectorSumAgg(ColumnBridge.expression(v)).toAggregateExpression())
 }

@@ -130,4 +130,60 @@ object Similarity {
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
   }
+
+  /** Lloyd k-means on cosine assignment — the "swap in k-means without
+    * changing the plan shape" step promised by [[ivfTopK]]'s stride
+    * seeds. Deterministic: stride-seed init, fixed iteration count, and
+    * every step is a plain DataFrame plan (assign = broadcast arg-max
+    * join; recompute = [[graft.functions.VectorSumAgg]] / count — one
+    * map-side-combinable aggregate shuffling k·dim doubles per task).
+    * Returns `(cell, cv)` centroid rows.
+    */
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      seedStride: Int, iters: Int): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    var centroids = base.filter(col("id") % seedStride === 0)
+      .select(col("id").as("cell"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = base.crossJoin(broadcast(centroids))
+        .select(col("id"), col("v"), col("cell"),
+          cosine(col("v"), col("cv")).as("c"))
+        .groupBy(col("id"))
+        .agg(max_by(col("cell"), col("c")).as("cell"), first(col("v")).as("v"))
+      centroids = assigned.groupBy(col("cell"))
+        .agg(graft.functions.VectorFunctions.vectorSum(col("v")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell"),
+          transform(col("s"), x => x / col("n")).as("cv"))
+    }
+    centroids
+  }
+
+  /** Multi-probe IVF ANN against precomputed centroids: vectors assign
+    * to their arg-max cell; the query searches its `nProbe` closest
+    * cells instead of one, trading a bounded fan-out for recall.
+    */
+  def ivfTopKWith(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryId: Long, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cell"),
+        cosine(col("v"), col("cv")).as("c"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cell"), col("c")).as("cell"), first(col("v")).as("v"))
+    val query = base.filter(col("id") === queryId)
+      .select(col("v").as("q_v"))
+    val probed = centroids.crossJoin(broadcast(query))
+      .select(col("cell").as("q_cell"), col("q_v"),
+        cosine(col("cv"), col("q_v")).as("qc"))
+      .orderBy(col("qc").desc, col("q_cell"))
+      .limit(nProbe)
+      .select(col("q_cell"), col("q_v"))
+    assigned.join(broadcast(probed), col("cell") === col("q_cell"))
+      .filter(col("id") =!= queryId)
+      .select(col("id"), round(cosine(col("v"), col("q_v")), 3).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
 }

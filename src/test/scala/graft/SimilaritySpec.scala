@@ -74,4 +74,67 @@ class SimilaritySpec extends SparkSpec {
     val bestExact = localTop.head._2
     assert(ivf.forall(_._2 <= bestExact + 1e-9))
   }
+
+  // deterministic pseudo-random stream shared by the planted-data tests
+  private def lcgStream(seed: Long): Iterator[Double] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5).drop(1)
+
+  test("k-means centroids converge to pure planted clusters") {
+    // 4 well-separated cluster directions in 16 dims, 50 members each:
+    // member = direction + small noise → cosine(member, direction) ≈ 1
+    val dirs = (0 until 4).map { c =>
+      val v = new Array[Double](16)
+      v(c * 4) = 1.0; v(c * 4 + 1) = 0.7
+      v
+    }
+    val rows = for (c <- 0 until 4; m <- 0 until 50) yield {
+      val noise = lcgStream(c * 1000L + m * 17 + 5).take(16).toArray
+      ((c * 50 + m).toLong, c,
+        dirs(c).zip(noise).map { case (x, e) => x + 0.12 * e })
+    }
+    val df = rows.toDF("vec_id", "truth", "embedding")
+    // stride 50 seeds one member per planted cluster (ids c*50+m)
+    val centroids = Similarity.kmeansCentroids(
+      df, "vec_id", "embedding", seedStride = 50, iters = 3)
+    // assignment under the trained centroids must be cluster-pure:
+    // every truth-cluster maps to exactly one centroid cell
+    val assigned = df.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"truth", $"cell",
+        Similarity.cosine(Similarity.toDouble($"embedding"), $"cv").as("c"))
+      .groupBy($"vec_id", $"truth")
+      .agg(max_by($"cell", $"c").as("cell"))
+    val purity = assigned.groupBy("truth")
+      .agg(countDistinct($"cell").as("cells"))
+      .collect()
+    purity.foreach(r => assert(r.getLong(1) === 1L,
+      s"cluster ${r.get(0)} split over ${r.getLong(1)} cells"))
+    // and distinct clusters get distinct centroids
+    assert(assigned.select("cell").distinct().count() === 4)
+  }
+
+  test("multi-probe IVF recalls the exact top-k on clustered data") {
+    val dirs = (0 until 4).map { c =>
+      val v = new Array[Double](16); v(c * 4) = 1.0; v
+    }
+    val rows = for (c <- 0 until 4; m <- 0 until 50) yield {
+      val noise = lcgStream(c * 777L + m * 31 + 3).take(16).toArray
+      ((c * 50 + m).toLong,
+        dirs(c).zip(noise).map { case (x, e) => x + 0.15 * e })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(
+      df, "vec_id", "embedding", seedStride = 50, iters = 2)
+    val ivf2 = Similarity.ivfTopKWith(df, "vec_id", "embedding",
+        centroids, queryId = 0L, k = 5, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(
+        df.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        df.filter($"vec_id" === 0), "embedding", 5)
+      .as[(Long, Double)].collect().toSeq
+    // query 0 lives deep inside cluster 0: its true top-5 share the
+    // cluster, so probing its top cells must recover the exact answer
+    assert(ivf2.toSet === brute.toSet,
+      s"ivf=$ivf2 vs brute=$brute")
+  }
 }

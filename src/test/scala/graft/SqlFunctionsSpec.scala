@@ -20,6 +20,29 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getDouble(3) === (1.0 / 3.0))
   }
 
+  test("registered SQL aggregates and srp_signature evaluate") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  srp_signature(array(1.0D, -2.0D, 0.5D)) AS srp,
+        |  srp_signature(array(1.0D, -2.0D, 0.5D), 7) AS srp7
+        |""".stripMargin).head()
+    assert(row.getLong(0) != row.getLong(1), "seed must change the signature")
+    val agg = spark.sql(
+      """SELECT g,
+        |  size(minhash_agg(tok, 16)) AS mh,
+        |  vector_sum(v) AS vs
+        |FROM VALUES
+        |  (1, array('a','b'), array(1.0D, 2.0D)),
+        |  (1, array('b','c'), array(3.0D, 4.0D)),
+        |  (2, array('d'),     array(5.0D, 6.0D))
+        |AS t(g, tok, v) GROUP BY g ORDER BY g
+        |""".stripMargin).collect()
+    assert(agg(0).getInt(1) === 16)
+    assert(agg(0).getSeq[Double](2) === Seq(4.0, 6.0))
+    assert(agg(1).getSeq[Double](2) === Seq(5.0, 6.0))
+  }
+
   test("SQL simhash64 equals DataFrame-API simhash64") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
