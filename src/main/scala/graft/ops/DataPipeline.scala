@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline — the reason the
+  * north-star operators exist as separable stages. Each step is a
+  * DataFrame→DataFrame transform, so the same composition runs at any
+  * scale and each stage's shuffle budget is what its operator
+  * documents:
+  *
+  *   1. quality gate   — per-row signals, no shuffle
+  *   2. exact dedup    — one shuffle on the text hash
+  *   3. near-dup sweep — LSH candidates → exact verify (x12 path),
+  *                       then drop every pair's larger id: survivors
+  *                       provably contain no verified pair (any pair's
+  *                       max id is itself dropped)
+  *
+  * "Keep the smaller id" is the deterministic keep-first policy; a
+  * smarter representative choice (longest doc, centroid doc) drops in
+  * by changing the aggregation, not the plan shape.
+  */
+object DataPipeline {
+
+  /** Ids to REMOVE under keep-smallest-id near-dup policy. */
+  def nearDupVictims(pairs: DataFrame): DataFrame =
+    pairs.select(col("b_id").as("doc_id")).distinct()
+
+  /** Full curation pass over a `documents`-shaped frame. Exact dedup is
+    * keep-smallest-id (deterministic — `dropDuplicates` keeps an
+    * arbitrary row, which would flap across runs/partitionings), so the
+    * whole pipeline is a pure function of its input.
+    */
+  def curate(docs: DataFrame, minTokens: Int = 40,
+      minJaccard: Double = 0.9, blockCol: Column = lit(0)): DataFrame = {
+    val gated = docs
+      .filter(col("text").isNotNull)
+      .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+    val keep = gated.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val exact = gated.join(keep, Seq("doc_id", "text"), "left_semi")
+    val withTok = exact.withColumn("_tok", Dedup.tokenSet(col("text")))
+    val victims = nearDupVictims(
+      Dedup.nearDupPairs(withTok, "doc_id", "_tok", minJaccard,
+        blockCol = blockCol))
+    withTok.join(victims, Seq("doc_id"), "left_anti").drop("_tok")
+  }
+}

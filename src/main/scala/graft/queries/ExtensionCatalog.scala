@@ -217,6 +217,17 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("lang", "n_docs", "sum_bpe_tokens",
           "sum_ws_tokens")))),
 
+    // x16 — sketch-based distinct counting (HLL++): the scale path for
+    // q10-style COUNT(DISTINCT) — constant-size group state instead of
+    // a shuffle of every distinct key. Rows-only (DuckDB's
+    // approx_count_distinct is a different sketch); relative-error
+    // bound property-tested in ApproxDistinctSpec.
+    QueryDef("x16_approx_distinct",
+      (s, dir) => ordered(t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+      None),
+
     // x15 — embedding near-dup at scale: sign-random-projection LSH
     // candidates → exact cosine verify (the vector twin of x12; recall
     // on genuine near-duplicates property-tested in SimilaritySpec).

@@ -9,6 +9,12 @@ class InspectorSpec extends SparkSpec {
 
   private val lineitem = Tables.path(sf0001, "lineitem")
 
+  test("open rejects a non-parquet file (reference magic validation)") {
+    val f = java.nio.file.Files.createTempFile("graft-notparquet", ".parquet")
+    java.nio.file.Files.write(f, "PAR2 this is not a parquet file".getBytes)
+    intercept[Exception] { ParquetInspector.footer(f.toString) }
+  }
+
   test("footer num_rows matches a full scan") {
     val f = ParquetInspector.footer(lineitem)
     assert(f.numRows === spark.read.parquet(lineitem).count())
