@@ -217,6 +217,83 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("lang", "n_docs", "sum_bpe_tokens",
           "sum_ws_tokens")))),
 
+    // x17 — window-function breadth: dense_rank, ntile, lead, lag in
+    // one partitioned window (all oracle-checkable; deterministic via
+    // the unique (o_totalprice, o_orderkey) order).
+    QueryDef("x17_window_breadth",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ordered(t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            dense_rank().over(w).cast(LongType).as("drank"),
+            ntile(4).over(w).cast(LongType).as("quartile"),
+            lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_ok"))
+          .filter(col("drank") <= 5))
+      },
+      Some("""SELECT * FROM (
+          SELECT o_custkey, o_orderkey,
+            CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+            CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+            LEAD(o_orderkey, 1) OVER w AS next_ok,
+            LAG(o_orderkey, 1) OVER w AS prev_ok
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey))
+        WHERE drank <= 5
+        """ + orderedSql(Seq("o_custkey", "o_orderkey", "drank",
+          "quartile", "next_ok", "prev_ok")))),
+
+    // x18 — explicit GROUPING SETS with grouping_id: the general form
+    // behind q11's rollup / q11c's cube (Expand operator).
+    QueryDef("x18_grouping_sets",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.createOrReplaceTempView("x18_lineitem")
+        ordered(s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+            |    AS gid,
+            |  COUNT(*) AS n_rows
+            |FROM x18_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+            |  (l_returnflag), ())
+            |""".stripMargin))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (l_returnflag), ())
+        """ + orderedSql(Seq("l_returnflag", "l_linestatus", "gid",
+          "n_rows")))),
+
+    // x19 — datetime extraction breadth. Spark dayofweek is 1=Sunday;
+    // DuckDB dayofweek is 0=Sunday → +1 in the oracle.
+    QueryDef("x19_datetime_parts",
+      (s, dir) => ordered(t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          quarter(col("o_orderdate")).cast(LongType).as("q"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofweek(col("o_orderdate")).cast(LongType).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          min(dayofmonth(col("o_orderdate"))).cast(LongType).as("min_dom"),
+          max(dayofyear(col("o_orderdate"))).cast(LongType).as("max_doy"))),
+      Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+        CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS BIGINT) AS dow,
+        COUNT(*) AS n,
+        CAST(MIN(EXTRACT(DAY FROM o_orderdate)) AS BIGINT) AS min_dom,
+        CAST(MAX(EXTRACT(DOY FROM o_orderdate)) AS BIGINT) AS max_doy
+        FROM orders GROUP BY 1, 2, 3, 4
+        """ + orderedSql(Seq("y", "q", "m", "dow", "n", "min_dom",
+          "max_doy")))),
+
     // x16 — sketch-based distinct counting (HLL++): the scale path for
     // q10-style COUNT(DISTINCT) — constant-size group state instead of
     // a shuffle of every distinct key. Rows-only (DuckDB's
