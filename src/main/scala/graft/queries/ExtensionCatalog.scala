@@ -217,6 +217,83 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("lang", "n_docs", "sum_bpe_tokens",
           "sum_ws_tokens")))),
 
+    // x20 — null-handling / conditional functions incl. null-safe
+    // equality (Spark <=> ↔ DuckDB IS NOT DISTINCT FROM).
+    QueryDef("x20_null_funcs",
+      (s, dir) => ordered(t(s, dir, "events")
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"),
+          coalesce(nullif(col("event_type"), lit("click")), lit("was_click"))
+            .as("et2"),
+          (col("event_type") <=> "click").as("is_click"),
+          least(col("value"), lit(50.0)).as("lo"),
+          greatest(col("value"), lit(50.0)).as("hi"))),
+      Some("""SELECT event_id,
+        COALESCE(NULLIF(event_type, 'click'), 'was_click') AS et2,
+        event_type IS NOT DISTINCT FROM 'click' AS is_click,
+        LEAST(value, 50.0) AS lo,
+        GREATEST(value, 50.0) AS hi
+        FROM events WHERE event_id < 1000
+        """ + orderedSql(Seq("event_id", "et2", "is_click", "lo", "hi")))),
+
+    // x21 — array-function breadth over the token arrays (element_at /
+    // slice+join / contains / sorted head; list_* twins in DuckDB).
+    // array_position: Spark and DuckDB 1.0 both yield 0 for absent.
+    QueryDef("x21_array_funcs",
+      (s, dir) => {
+        val tok = split(col("text"), " ", -1)
+        ordered(t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(tok).cast(LongType).as("n_tok"),
+            element_at(tok, 3).as("third"),
+            array_join(slice(tok, 1, 3), "+").as("first3"),
+            array_contains(tok, "the").as("has_the"),
+            array_position(tok, "the").as("the_pos"),
+            element_at(sort_array(tok), 1).as("min_tok")))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        string_split(text, ' ')[3] AS third,
+        array_to_string(string_split(text, ' ')[1:3], '+') AS first3,
+        list_contains(string_split(text, ' '), 'the') AS has_the,
+        CAST(list_position(string_split(text, ' '), 'the') AS BIGINT) AS the_pos,
+        list_sort(string_split(text, ' '))[1] AS min_tok
+        FROM documents WHERE text IS NOT NULL
+        """ + orderedSql(Seq("doc_id", "n_tok", "third", "first3",
+          "has_the", "the_pos", "min_tok")))),
+
+    // x22 — regexp-function breadth (DuckDB regexp_replace needs the
+    // 'g' flag to match Spark's replace-all semantics).
+    QueryDef("x22_regex_funcs",
+      (s, dir) => ordered(t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(regexp_replace(col("text"), "[aeiou]+", "_")))
+            .cast(LongType).as("repl_len"),
+          sum(when(col("text").rlike("^[a-z]"), 1L).otherwise(0L))
+            .as("starts_lower"))),
+      Some("""SELECT lang, COUNT(*) AS n,
+        CAST(SUM(LENGTH(regexp_replace(text, '[aeiou]+', '_', 'g'))) AS BIGINT) AS repl_len,
+        CAST(SUM(CASE WHEN regexp_matches(text, '^[a-z]') THEN 1 ELSE 0 END) AS BIGINT) AS starts_lower
+        FROM documents WHERE text IS NOT NULL GROUP BY lang
+        """ + orderedSql(Seq("lang", "n", "repl_len", "starts_lower")))),
+
+    // x23 — deterministic hash-based sampling: md5-prefix filter gives
+    // the same reproducible ~7.8% sample in ANY engine — the scale-safe
+    // substitute for TABLESAMPLE (whose RNG never matches across
+    // engines or even runs).
+    QueryDef("x23_hash_sample",
+      (s, dir) => ordered(t(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast(StringType)), 1, 2) < "14")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))),
+      Some("""SELECT COUNT(*) AS n_sampled,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14'
+        """ + orderedSql(Seq("n_sampled", "sum_chars")))),
+
     // x17 — window-function breadth: dense_rank, ntile, lead, lag in
     // one partitioned window (all oracle-checkable; deterministic via
     // the unique (o_totalprice, o_orderkey) order).
