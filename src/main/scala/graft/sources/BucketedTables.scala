@@ -27,4 +27,17 @@ object BucketedTables {
 
   def drop(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** Hive-style partitioned directory layout (`key=value` dirs): a
+    * filter on the partition column prunes entire directories at
+    * planning time (`PartitionFilters` in the scan, zero I/O for
+    * excluded partitions) — the coarse-grained pruning lever that
+    * composes with bucketing (partition dirs × buckets) for 100 TB
+    * layouts. Plain path-based, no catalog needed.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -69,4 +69,14 @@ object EventStreams {
     events
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream–static enrichment join: the static dimension is planned
+    * per micro-batch (broadcast when small), so the streaming side
+    * never shuffles — the standard shape for joining an unbounded feed
+    * against reference data.
+    */
+  def enrichedStream(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"),
+      "left")
 }

@@ -90,6 +90,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val dim = Tables.load(spark, sf0001, "events")
+      .select($"user_id").distinct()
+      .withColumn("tier", when($"user_id" % 3 === 0, "gold").otherwise("std"))
+    val stream = EventStreams.readEventStream(spark, replayDir())
+    val q = EventStreams.enrichedStream(stream, dim)
+      .select($"event_id", $"user_id", $"tier")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_enriched")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_enriched")
+        .orderBy($"event_id").collect().toSeq
+      val batch = Tables.load(spark, sf0001, "events")
+        .join(broadcast(dim), Seq("user_id"), "left")
+        .select($"event_id", $"user_id", $"tier")
+        .orderBy($"event_id").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed event_ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
     val ev = Tables.load(spark, sf0001, "events")
