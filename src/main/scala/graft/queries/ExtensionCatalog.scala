@@ -217,6 +217,37 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("lang", "n_docs", "sum_bpe_tokens",
           "sum_ws_tokens")))),
 
+    // x24 — bucketized range join (events ⋈ 10-minute purchase
+    // windows per user): the equi-join-on-(key,bucket) plan replaces
+    // the theta join whose hot keys go quadratic; the oracle runs the
+    // literal theta join, proving the rewrite exact.
+    QueryDef("x24_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast(TimestampType)).as("tus"))
+        val iv = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_micros(col("ts").cast(TimestampType)).as("lo"))
+          .withColumn("hi", col("lo") + 600000000L)
+        val joined = graft.ops.RangeJoin.byBuckets(ev, iv,
+          Seq("user_id"), "tus", "lo", "hi", bucketWidthMicros = 600000000L)
+        ordered(joined.groupBy("user_id")
+          .agg(count(lit(1)).as("n_in_window"),
+            countDistinct(col("event_id")).as("n_events")))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        iv AS (
+          SELECT user_id, epoch_us(ts) AS lo, epoch_us(ts) + 600000000 AS hi
+          FROM events WHERE event_type = 'purchase')
+        SELECT ev.user_id AS user_id, COUNT(*) AS n_in_window,
+          COUNT(DISTINCT ev.event_id) AS n_events
+        FROM ev JOIN iv ON ev.user_id = iv.user_id
+          AND ev.tus >= iv.lo AND ev.tus <= iv.hi
+        GROUP BY 1
+        """ + orderedSql(Seq("user_id", "n_in_window", "n_events")))),
+
     // x20 — null-handling / conditional functions incl. null-safe
     // equality (Spark <=> ↔ DuckDB IS NOT DISTINCT FROM).
     QueryDef("x20_null_funcs",

@@ -120,6 +120,53 @@ class InspectorSpec extends SparkSpec {
     assert(d.decimalScale === 2)
   }
 
+  test("INT96 timestamps round-trip with real semantics (reference stringifies)") {
+    // the reference decodes INT96 to a debug string with no timestamp
+    // semantics (column_reader.cpp:257-263); Spark converts properly
+    val dir = java.nio.file.Files.createTempDirectory("graft-i96").toString
+    val src = spark.sql(
+      "SELECT id, timestamp'2024-03-01 12:34:56.789' + make_interval(0,0,0,0,0,0,id) AS ts FROM range(5)")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try src.write.mode("overwrite").parquet(dir)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val tsLeaf = ParquetInspector.leafColumns(file).find(_.path == "ts").get
+    assert(tsLeaf.physicalType === "INT96")
+    val back = spark.read.parquet(dir)
+    assert(back.orderBy("id").collect().map(_.toString).toSeq ===
+      src.orderBy("id").collect().map(_.toString).toSeq)
+  }
+
+  test("nested struct/array/map schemas carry real def/rep levels") {
+    // the reference discards repetition levels and flattens nesting
+    // (parquet_reader.cpp:503-510, column_reader.cpp:157-164); here
+    // nested values round-trip and the inspector surfaces the levels
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    val src = spark.sql(
+      """SELECT id,
+        |  named_struct('a', id, 'b', CAST(id AS STRING)) AS st,
+        |  array(id, id + 1, id + 2) AS arr,
+        |  map(CAST(id AS STRING), id * 2) AS mp
+        |FROM range(10)""".stripMargin)
+    src.write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val leaves = ParquetInspector.leafColumns(file)
+    val arrLeaf = leaves.find(_.path.startsWith("arr.")).get
+    assert(arrLeaf.maxRepLevel === 1, s"array leaf rep level: $arrLeaf")
+    val stLeaf = leaves.find(_.path == "st.a").get
+    assert(stLeaf.maxRepLevel === 0) // struct nests without repetition
+    // map values sit under a REPEATED key_value group → def AND rep
+    val mpValue = leaves.find(l => l.path.startsWith("mp.") &&
+      l.path.endsWith("value")).get
+    assert(mpValue.maxRepLevel === 1 && mpValue.maxDefLevel >= 1)
+    assert(leaves.count(_.path.startsWith("mp.")) === 2) // key + value
+    val back = spark.read.parquet(dir)
+    assert(back.orderBy("id").collect().map(_.toString).toSeq ===
+      src.orderBy("id").collect().map(_.toString).toSeq)
+  }
+
   test("chunkindex packs every tuple with >=4096-byte closed chunks") {
     val (chunks, tuples) = InspectorCli.chunkIndex(
       spark, Tables.path(sf0001, "documents"), "text")
