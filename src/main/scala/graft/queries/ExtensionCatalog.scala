@@ -217,6 +217,48 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("lang", "n_docs", "sum_bpe_tokens",
           "sum_ws_tokens")))),
 
+    // x25 — forward as-of join with tolerance: each event's NEXT
+    // purchase within 10 minutes, per user (q26 is the backward twin).
+    QueryDef("x25_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast(TimestampType)).as("tus"))
+        val purchases = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_micros(col("ts").cast(TimestampType)).as("tus"),
+            col("event_id").as("p_event_id"))
+        ordered(graft.ops.AsOfJoin.asofForward(ev, purchases,
+            keyCols = Seq("user_id"), timeCol = "tus",
+            rightOrder = "p_event_id", payloadCols = Seq("p_event_id"),
+            toleranceOn = Some(600000000L))
+          .select("user_id", "event_id", "p_event_id"))
+      },
+      Some("""WITH l AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t, 1 AS side,
+            CAST(NULL AS BIGINT) AS ord, CAST(NULL AS BIGINT) AS pe
+          FROM events),
+        r AS (
+          SELECT user_id, CAST(NULL AS BIGINT) AS event_id,
+            epoch_us(ts) AS t, 0 AS side, event_id AS ord, event_id AS pe
+          FROM events WHERE event_type = 'purchase'),
+        u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        wv AS (
+          SELECT user_id, event_id, side, t,
+            last_value(pe IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY t DESC, side ASC, ord DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid,
+            last_value(CASE WHEN pe IS NOT NULL THEN t END IGNORE NULLS)
+              OVER (PARTITION BY user_id
+              ORDER BY t DESC, side ASC, ord DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+          FROM u)
+        SELECT user_id, event_id,
+          CASE WHEN pt - t <= 600000000 THEN pid END AS p_event_id
+        FROM wv WHERE side = 1
+        """ + orderedSql(Seq("user_id", "event_id", "p_event_id")))),
+
     // x24 — bucketized range join (events ⋈ 10-minute purchase
     // windows per user): the equi-join-on-(key,bucket) plan replaces
     // the theta join whose hot keys go quadratic; the oracle runs the
