@@ -22,21 +22,31 @@ object Dedup {
   def dropExactDuplicates(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
-  /** Token-set (unigram shingle) representation of a text column. */
-  def tokenSet(text: Column): Column = array_distinct(split(text, " ", -1))
+  /** Token-set (unigram shingle) representation of a text column —
+    * distinct AND sorted, so pairwise ops can run the allocation-free
+    * merge-walk Jaccard kernel (sort once per document, compare once
+    * per candidate pair). Set semantics are order-independent, so every
+    * consumer (MinHash, LSH, exact Jaccard) is unaffected.
+    */
+  def tokenSet(text: Column): Column =
+    array_sort(array_distinct(split(text, " ", -1)))
 
-  /** Word k-shingles (k consecutive tokens joined by space). */
+  /** Word k-shingles (k consecutive tokens joined by space), sorted +
+    * distinct like [[tokenSet]].
+    */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ", -1)
-    array_distinct(transform(
+    array_sort(array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
   /** Exact pairwise n-gram Jaccard within a blocking key. Output columns:
     * a_id, b_id, jaccard (raw double: size ratios divide identically in
     * any engine). Blocking bounds the pair count; pass a coarse key for
-    * exhaustive-within-group semantics.
+    * exhaustive-within-group semantics. `setCol` must be sorted+distinct
+    * (what [[tokenSet]]/[[shingles]] produce) — the pairwise kernel is
+    * the allocation-free merge walk.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, setCol: String,
       blockCol: String, minJaccard: Double): DataFrame = {
@@ -47,8 +57,8 @@ object Dedup {
     a.join(b, Seq("block"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        graft.functions.VectorFunctions.setJaccard(col("a_set"), col("b_set"))
-          .as("jaccard"))
+        graft.functions.VectorFunctions.setJaccardSorted(
+          col("a_set"), col("b_set")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -131,8 +141,8 @@ object Dedup {
       .join(toks.select(col("id").as("a_id"), col("tok").as("a_set")), "a_id")
       .join(toks.select(col("id").as("b_id"), col("tok").as("b_set")), "b_id")
       .select(col("a_id"), col("b_id"),
-        graft.functions.VectorFunctions.setJaccard(col("a_set"), col("b_set"))
-          .as("jaccard"))
+        graft.functions.VectorFunctions.setJaccardSorted(
+          col("a_set"), col("b_set")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

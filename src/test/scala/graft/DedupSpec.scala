@@ -128,6 +128,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sorted merge-walk jaccard kernel equals the hash-set kernel") {
+    import graft.functions.VectorFunctions.{setJaccard, setJaccardSorted}
+    val pairs = docs.limit(40).crossJoin(
+        docs.limit(40).select($"doc_id".as("b_doc"), $"tok".as("b_tok")))
+      .filter($"doc_id" < $"b_doc")
+    val diff = pairs.select(
+        abs(setJaccard($"tok", $"b_tok") -
+          setJaccardSorted($"tok", $"b_tok")).as("d"))
+      .agg(max($"d")).head().getDouble(0)
+    assert(diff === 0.0)
+  }
+
   test("exact dedup drops duplicated rows") {
     val d = docs.select($"doc_id", concat_ws(" ", $"tok").as("text"))
     val doubled = d.union(d)
