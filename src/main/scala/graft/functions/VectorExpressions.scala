@@ -81,6 +81,24 @@ object VectorKernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Fraction of equal components between two long arrays — the
+    * MinHash similarity estimator (Broder: P[sig components agree] =
+    * Jaccard). One flat loop per candidate pair; the `zip_with` +
+    * `filter` + `size` HOF spelling interprets three lambdas per
+    * element.
+    */
+  def sigAgreement(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
   /** 64-bit sign-random-projection signature (Charikar 2002 — SimHash
     * for vectors): bit i = sign(dot(v, h_i)) against pseudo-random ±1
     * hyperplanes streamed from splitmix64, so no plane is materialized
@@ -180,6 +198,32 @@ case class SetJaccard(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SetJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sig_agreement(a, b) over two array<bigint> signatures, codegen. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sig_agreement requires two array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sigAgreement(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.sigAgreement($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
     copy(left = newLeft, right = newRight)
 }
 
@@ -297,6 +341,9 @@ object VectorFunctions {
         assumeSorted = true))
   def srpSignature(v: Column, seed: Long = 42L): Column =
     ColumnBridge.column(SrpSignature(ColumnBridge.expression(v), seed))
+  def sigAgreement(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SigAgreement(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   /** Aggregating elementwise sum over array<double> groups. */
   def vectorSum(v: Column): Column =
     ColumnBridge.column(

@@ -107,14 +107,15 @@ object Dedup {
       blockCol: Column = lit(0)): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
       minhashSig(col(tokenSetCol), numHashes).as("sig"))
-    // re-join the two signatures once per unique candidate pair
+    // re-join the two signatures once per unique candidate pair; the
+    // estimator is a codegen kernel (one flat loop per pair), not the
+    // triple-lambda zip_with/filter/size HOF spelling
     lshCandidatePairs(docs, idCol, tokenSetCol, numHashes, bands, blockCol)
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (size(filter(zip_with(col("a_sig"), col("b_sig"),
-          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
-          .cast(DoubleType) / numHashes).as("est_sim"))
+        graft.functions.VectorFunctions.sigAgreement(
+          col("a_sig"), col("b_sig")).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
   }
 
