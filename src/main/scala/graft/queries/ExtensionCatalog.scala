@@ -217,6 +217,73 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("lang", "n_docs", "sum_bpe_tokens",
           "sum_ws_tokens")))),
 
+    // x26 — correlated scalar subquery (TPC-H Q17 shape): rows under
+    // half their group's average. The threshold aggregates through
+    // DECIMAL so both engines compare against the identical value.
+    QueryDef("x26_scalar_subquery",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("x26_lineitem")
+        ordered(s.sql(
+          """SELECT l_partkey, COUNT(*) AS n_small,
+            |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+            |FROM x26_lineitem l1
+            |WHERE l_quantity < (
+            |  SELECT CAST(0.5 * AVG(CAST(l_quantity AS DECIMAL(18,6)))
+            |    AS DECIMAL(18,6))
+            |  FROM x26_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+            |GROUP BY l_partkey
+            |""".stripMargin))
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS n_small,
+        CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem l1
+        WHERE l_quantity < (
+          SELECT CAST(0.5 * AVG(CAST(l_quantity AS DECIMAL(18,6)))
+            AS DECIMAL(18,6))
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+        """ + orderedSql(Seq("l_partkey", "n_small", "sum_qty")))),
+
+    // x27 — full outer join (q7 covers left outer).
+    QueryDef("x27_full_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("k"), col("o_orderkey"))
+        ordered(c.join(o, Seq("k"), "full_outer")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            count(col("o_orderkey")).as("n_orders")))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+        COUNT(o_orderkey) AS n_orders
+        FROM customer FULL JOIN (
+          SELECT o_custkey, o_orderkey FROM orders
+          WHERE o_totalprice > 400000) o
+        ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        """ + orderedSql(Seq("c_mktsegment", "n", "n_orders")))),
+
+    // x28 — unpivot (stack): wide per-row metrics to (metric, value)
+    // long form; oracle spelled as UNION ALL for dialect neutrality.
+    QueryDef("x28_unpivot",
+      (s, dir) => ordered(t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1 && col("l_orderkey") < 1000)
+        .select(col("l_orderkey"),
+          expr("stack(3, 'qty', l_quantity, 'price', l_extendedprice, " +
+            "'disc', l_discount) AS (metric, val)"))),
+      Some("""SELECT l_orderkey, 'qty' AS metric, l_quantity AS val
+        FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, 'price', l_extendedprice
+        FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, 'disc', l_discount
+        FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
+        """ + orderedSql(Seq("l_orderkey", "metric", "val")))),
+
     // x25 — forward as-of join with tolerance: each event's NEXT
     // purchase within 10 minutes, per user (q26 is the backward twin).
     QueryDef("x25_asof_forward",
