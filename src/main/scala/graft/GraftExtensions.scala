@@ -71,6 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vector_sum"),
       info("vector_sum", "vector_sum(vec) - elementwise sum aggregate"),
       (args: Seq[Expression]) => VectorSumAgg(args.head).toAggregateExpression()))
+    // kernel selection the optimizer can prove: sorted+distinct inputs
+    // switch set_jaccard to the allocation-free merge-walk kernel
+    e.injectOptimizerRule(_ => graft.plans.SortedKernelRule)
   }
 }
 

@@ -140,6 +140,27 @@ class DedupSpec extends SparkSpec {
     assert(diff === 0.0)
   }
 
+  test("SortedKernelRule upgrades provably-sorted jaccard to merge-walk") {
+    import graft.functions.SetJaccard
+    import graft.functions.VectorFunctions.setJaccard
+    val d = Tables.load(spark, sf0001, "documents").limit(5)
+      .select($"doc_id", $"text")
+    val df = d.as("a").crossJoin(d.as("b"))
+      .select(
+        setJaccard(
+          array_sort(array_distinct(split(col("a.text"), " "))),
+          array_sort(array_distinct(split(col("b.text"), " ")))).as("prov"),
+        setJaccard(
+          split(col("a.text"), " "),
+          split(col("b.text"), " ")).as("unprov"))
+    val rewritten = graft.plans.SortedKernelRule(df.queryExecution.optimizedPlan)
+    val flags = rewritten.expressions.flatMap(_.collect {
+      case s: SetJaccard => s.assumeSorted
+    })
+    assert(flags.contains(true), "sorted-distinct input not upgraded")
+    assert(flags.contains(false), "unsorted input must stay on hash kernel")
+  }
+
   test("exact dedup drops duplicated rows") {
     val d = docs.select($"doc_id", concat_ws(" ", $"tok").as("text"))
     val doubled = d.union(d)
