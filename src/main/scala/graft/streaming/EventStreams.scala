@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table (SURVEY.md §2.3).
@@ -79,4 +80,29 @@ object EventStreams {
     events.join(
       org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"),
       "left")
+
+  /** Running totals per user carried in CUSTOM keyed state
+    * (`flatMapGroupsWithState`) — the arbitrary-state rung below
+    * built-in windowed aggregation: state is one (count, id-sum) pair
+    * per user, partitioned by key, updated once per micro-batch and
+    * emitted in Update mode. `sum_ids` is a Long sum so results are
+    * order-independent and comparable to the batch twin exactly.
+    */
+  def statefulUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "event_id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, eid) => n += 1; s += eid }
+          state.update((n, s))
+          Iterator(UserTotals(uid, n, s))
+      }
+  }
 }
+
+/** Output row of [[EventStreams.statefulUserTotals]]. */
+case class UserTotals(user_id: Long, n_events: Long, sum_ids: Long)

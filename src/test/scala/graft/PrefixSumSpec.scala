@@ -31,6 +31,18 @@ class PrefixSumSpec extends SparkSpec {
         "positions within a partition must be contiguous"))
   }
 
+  test("withRunningLongSum is stable across repeated evaluations") {
+    // the two internal passes share one RDD lineage; re-evaluating the
+    // result must not see different range boundaries between passes
+    val df = (1L to 4000L).map(i => (i * 37 % 5000, i % 101))
+      .toDF("k", "v").repartition(8)
+    val run = PrefixSum.withRunningLongSum(df, Seq("k", "v"), "v", "run")
+    val a = run.orderBy("k", "v").collect().map(_.toString).toSeq
+    val b = run.orderBy("k", "v").collect().map(_.toString).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("withRunningLongSum equals the sequential scan, nulls count as 0") {
     val rows = (1L to 5000L).map(i =>
       (5000L - i, if (i % 17 == 0) None else Some(i % 97)))

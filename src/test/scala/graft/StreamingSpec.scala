@@ -115,6 +115,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState carries per-user totals across micro-batches") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1) // force several micro-batches
+      .parquet(dir)
+    val q = EventStreams.statefulUserTotals(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stream_state")
+      .start()
+    try {
+      q.processAllAvailable()
+      // update mode emits one row per user per touched batch; the final
+      // state per user is the row with the highest running count
+      val finals = spark.table("stream_state")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"sum_ids")).as("m"))
+        .select($"user_id", $"m.n_events", $"m.sum_ids")
+        .orderBy($"user_id").collect().toSeq
+      val batch = Tables.load(spark, sf0001, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"event_id").as("sum_ids"))
+        .orderBy($"user_id").collect().toSeq
+      assert(finals.nonEmpty)
+      assert(finals.map(_.toString) === batch.map(_.toString))
+      // and state genuinely crossed batches: some user must have been
+      // updated in more than one micro-batch
+      val multi = spark.table("stream_state")
+        .groupBy($"user_id").count().filter($"count" > 1).count()
+      assert(multi > 0, "expected at least one user updated across batches")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed event_ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
     val ev = Tables.load(spark, sf0001, "events")
