@@ -437,19 +437,17 @@ object QueryCatalog {
     // Q21 — self-join semantics, computed without the join: the pair
     // count per orderkey under `ln1 < ln2` is C(n,2) minus the pairs
     // tied on l_linenumber (the synthetic fixture has duplicate line
-    // numbers, which `<` excludes), so two stacked hash aggregates
-    // (both map-side partial) replace the fact-fact shuffle join. The
+    // numbers, which `<` excludes). PairCountAgg computes that in ONE
+    // map-side-combinable aggregate — a single shuffle of tiny
+    // multiplicity maps replaces the fact-fact shuffle join. The
     // oracle SQL keeps the literal self-join formulation, proving the
     // algebraic rewrite exact.
     QueryDef("q21_self_join",
       (s, dir) => {
         ordered(t(s, dir, "lineitem")
-          .groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("m"))
           .groupBy("l_orderkey")
-          .agg(sum(col("m")).as("n"),
-            sum(expr("(m * (m - 1)) div 2")).as("eq_pairs"))
-          .select(col("l_orderkey"),
-            (expr("(n * (n - 1)) div 2") - col("eq_pairs")).as("n_pairs"))
+          .agg(graft.functions.PairCountFunctions.pairCount(
+            col("l_linenumber")).as("n_pairs"))
           .filter(col("n_pairs") > 0))
       },
       Some("""SELECT * FROM (
