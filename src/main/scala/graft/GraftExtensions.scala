@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashAgg, MinHashSig, SetJaccard, SimHash64, SrpSignature, VectorSumAgg}
+import graft.functions.{DotProduct, MinHashAgg, MinHashSig, PairCountAgg, SetJaccard, SigAgreement, SimHash64, SrpSignature, VectorSumAgg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the
@@ -24,6 +24,8 @@ import graft.functions.{DotProduct, MinHashAgg, MinHashSig, SetJaccard, SimHash6
   *   set_jaccard(array<string>, array<string>) → double
   *   srp_signature(array<T>[, seed])      → bigint   (sign-projection LSH)
   *   vector_sum(array<double>)            → array<double>  (aggregate)
+  *   sig_agreement(array<bigint>, array<bigint>) → double
+  *   pair_count(integral)                 → bigint   (aggregate)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -71,6 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vector_sum"),
       info("vector_sum", "vector_sum(vec) - elementwise sum aggregate"),
       (args: Seq[Expression]) => VectorSumAgg(args.head).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("sig_agreement"),
+      info("sig_agreement", "sig_agreement(a, b) - fraction of equal signature components"),
+      (args: Seq[Expression]) => SigAgreement(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("pair_count"),
+      info("pair_count", "pair_count(v) - per-group count of pairs with v_i < v_j"),
+      (args: Seq[Expression]) => PairCountAgg(args.head).toAggregateExpression()))
     // kernel selection the optimizer can prove: sorted+distinct inputs
     // switch set_jaccard to the allocation-free merge-walk kernel
     e.injectOptimizerRule(_ => graft.plans.SortedKernelRule)
@@ -110,5 +118,9 @@ object GraftExtensions {
       }, "built-in")
     reg.createOrReplaceTempFunction("vector_sum",
       args => VectorSumAgg(args.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("sig_agreement",
+      args => SigAgreement(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("pair_count",
+      args => PairCountAgg(args.head).toAggregateExpression(), "built-in")
   }
 }

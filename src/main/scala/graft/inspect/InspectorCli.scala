@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *   pages <file>
   *   pagechunks <file> <maxBytes>
   *   pagebytes <file> <firstPage> <lastPage> <maxBytes>
+  *   rowgroup <file> <rowGroup>
   *   regex <file> <column> <pattern> [--neg]
   *   chunkindex <file> <column>
   */
@@ -50,6 +51,9 @@ object InspectorCli {
       val bytes = ParquetInspector.readPagesChunk(
         file, first.toLong, last.toLong, maxBytes.toLong)
       println(s"read ${bytes.length} bytes from pages $first..$last")
+    case "rowgroup" :: file :: rg :: Nil =>
+      val df = ParquetInspector.rowGroupSlice(spark, file, rg.toInt)
+      println(s"row group $rg: ${df.count()} rows")
     case "regex" :: file :: column :: pattern :: rest =>
       regexPageReport(spark, file, column, pattern, rest.contains("--neg"))
         .foreach { case (pageId, total, matched) =>

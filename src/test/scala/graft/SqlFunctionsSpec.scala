@@ -41,6 +41,12 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(agg(0).getInt(1) === 16)
     assert(agg(0).getSeq[Double](2) === Seq(4.0, 6.0))
     assert(agg(1).getSeq[Double](2) === Seq(5.0, 6.0))
+    val more = spark.sql(
+      """SELECT sig_agreement(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS sa,
+        |  (SELECT pair_count(v) FROM VALUES (1), (2), (2), (3) AS t(v)) AS pc
+        |""".stripMargin).head()
+    assert(more.getDouble(0) === 0.5)
+    assert(more.getLong(1) === 5L) // C(4,2)=6 minus one tied pair
   }
 
   test("SQL simhash64 equals DataFrame-API simhash64") {
