@@ -217,6 +217,30 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("lang", "n_docs", "sum_bpe_tokens",
           "sum_ws_tokens")))),
 
+    // x29 — n-gram (2-shingle) Jaccard near-dup pairs: word-order-
+    // sensitive dedup next to x5's unigram sets (a reordered doc keeps
+    // its unigram Jaccard but loses its shingle Jaccard).
+    QueryDef("x29_shingle_jaccard",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Dedup.shingles(col("text"), 2).as("sh"))
+        ordered(Dedup.jaccardPairs(docs, "doc_id", "sh", "source", 0.8))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, source,
+            list_sort(list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+1], ' ')))) AS sh
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        """ + orderedSql(Seq("a_id", "b_id", "jaccard")))),
+
     // x26 — correlated scalar subquery (TPC-H Q17 shape): rows under
     // half their group's average. The threshold aggregates through
     // DECIMAL so both engines compare against the identical value.
