@@ -219,26 +219,36 @@ object ExtensionCatalog {
 
     // x29 — n-gram (2-shingle) Jaccard near-dup pairs: word-order-
     // sensitive dedup next to x5's unigram sets (a reordered doc keeps
-    // its unigram Jaccard but loses its shingle Jaccard).
+    // its unigram Jaccard but loses its shingle Jaccard). Scoped to the
+    // deterministic md5 third of the corpus (x23's sampling pattern):
+    // bigram sets are ~4× unigram sets and the all-pairs verifier is
+    // quadratic — the full-corpus path for shingles is the same
+    // lshCandidatePairs composition as x12, over shingles(k).
     QueryDef("x29_shingle_jaccard",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+          .filter(substring(md5(col("doc_id").cast(StringType)), 1, 2) < "55")
           .select(col("doc_id"), col("source"),
             Dedup.shingles(col("text"), 2).as("sh"))
-        ordered(Dedup.jaccardPairs(docs, "doc_id", "sh", "source", 0.8))
+        // word-soup bigram overlap tops out ~0.15 on this fixture (its
+        // only true near-dups are exact copies), so the declared query
+        // surfaces the highest-overlap pairs; a production 0.8+ cut is
+        // the same plan with one constant changed
+        ordered(Dedup.jaccardPairs(docs, "doc_id", "sh", "source", 0.08))
       },
       Some("""WITH d AS (
           SELECT doc_id, source,
             list_sort(list_distinct(list_transform(
               generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
               i -> array_to_string((string_split(text, ' '))[i:i+1], ' ')))) AS sh
-          FROM documents)
+          FROM documents
+          WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '55')
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
             len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.08
         """ + orderedSql(Seq("a_id", "b_id", "jaccard")))),
 
     // x26 — correlated scalar subquery (TPC-H Q17 shape): rows under
