@@ -618,6 +618,37 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("lang", "n_assets", "sum_bytes",
           "mean_brightness")))),
 
+    // x30 — multimodal frame sampling: the flatMap fan-out path (one
+    // asset → n frame rows) through the typed Dataset pipeline; the
+    // stub sampler's span arithmetic is deterministic integer math, so
+    // the full plumbing is oracle-checked per frame.
+    QueryDef("x30_frame_sample",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val assets = Multimodal.assetsFromDocuments(
+          t(s, dir, "documents").filter(col("text").isNotNull))
+        ordered(Multimodal.frameSample(assets, 4).toDF()
+          .select(col("doc_id"),
+            col("frame_idx").cast(LongType).as("frame_idx"),
+            length(col("frame")).cast(LongType).as("frame_len")))
+      },
+      Some("""WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS len
+          FROM documents WHERE text IS NOT NULL),
+        p AS (
+          SELECT doc_id, len, greatest(1, least(4, len)) AS n FROM b),
+        q AS (
+          SELECT doc_id, len, n, greatest(1, len // n) AS span FROM p),
+        f AS (
+          SELECT doc_id, len, n, span,
+            unnest(generate_series(0, n - 1)) AS i FROM q)
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+          CAST(CASE WHEN i = n - 1 THEN len - i * span
+            ELSE least(len, i * span + span) - i * span END AS BIGINT)
+            AS frame_len
+        FROM f
+        """ + orderedSql(Seq("doc_id", "frame_idx", "frame_len")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).
