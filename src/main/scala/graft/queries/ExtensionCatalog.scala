@@ -649,6 +649,27 @@ object ExtensionCatalog {
         FROM f
         """ + orderedSql(Seq("doc_id", "frame_idx", "frame_len")))),
 
+    // x31 — multimodal resize: per-asset byte budget through the typed
+    // mapPartitions pipeline; the stub scaler's stride arithmetic is
+    // deterministic, so output sizes are oracle-checked.
+    QueryDef("x31_resize",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val assets = Multimodal.assetsFromDocuments(
+          t(s, dir, "documents").filter(col("text").isNotNull))
+        ordered(Multimodal.resize(assets, 256).toDF()
+          .select(col("doc_id"), col("lang"),
+            length(col("payload")).cast(LongType).as("out_len")))
+      },
+      Some("""SELECT doc_id, lang,
+          CAST(CASE WHEN octet_length(encode(text)) <= 256
+            THEN octet_length(encode(text))
+            ELSE CAST(ceil(octet_length(encode(text)) /
+              ceil(octet_length(encode(text)) / 256.0)) AS BIGINT)
+            END AS BIGINT) AS out_len
+        FROM documents WHERE text IS NOT NULL
+        """ + orderedSql(Seq("doc_id", "lang", "out_len")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).
