@@ -649,6 +649,29 @@ object ExtensionCatalog {
         FROM f
         """ + orderedSql(Seq("doc_id", "frame_idx", "frame_len")))),
 
+    // x32 — aggregation to arrays (collect_set / collect_list):
+    // scalarized through sort + join so the comparison is
+    // order-independent in both engines.
+    QueryDef("x32_agg_arrays",
+      (s, dir) => ordered(t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .groupBy("l_orderkey")
+        .agg(
+          array_join(sort_array(collect_set(col("l_returnflag"))), ",")
+            .as("flags"),
+          array_join(sort_array(collect_list(col("l_linenumber"))), ",")
+            .as("lines"),
+          size(collect_set(col("l_linenumber"))).cast(LongType)
+            .as("n_distinct_lines"))),
+      Some("""SELECT l_orderkey,
+        array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
+        array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        COUNT(DISTINCT l_linenumber) AS n_distinct_lines
+        FROM lineitem WHERE l_orderkey < 2000
+        GROUP BY l_orderkey
+        """ + orderedSql(Seq("l_orderkey", "flags", "lines",
+          "n_distinct_lines")))),
+
     // x31 — multimodal resize: per-asset byte budget through the typed
     // mapPartitions pipeline; the stub scaler's stride arithmetic is
     // deterministic, so output sizes are oracle-checked.
