@@ -12,6 +12,31 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
   */
 class PlanQualitySpec extends SparkSpec {
 
+  test("filters and projections reach the parquet scans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scan(name: String): FileSourceScanExec =
+      // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its
+      // children from collect until execution
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.sparkPlan.collectFirst {
+          case s: FileSourceScanExec => s
+        }.get
+    // q2: both predicates pushed, and only the 5 needed of lineitem's
+    // 11 columns read
+    val s2 = scan("q2_project_filter")
+    val pushed2 = s2.metadata("PushedFilters")
+    assert(pushed2.contains("GreaterThan(l_quantity"), pushed2)
+    assert(pushed2.contains("GreaterThanOrEqual(l_discount"), pushed2)
+    assert(s2.requiredSchema.size <= 5,
+      s"q2 reads ${s2.requiredSchema.size} columns: ${s2.requiredSchema}")
+    // q1: 6 needed columns, shipdate filter pushed
+    val s1 = scan("q1_pricing_summary")
+    assert(s1.metadata("PushedFilters").contains("l_shipdate"),
+      s1.metadata("PushedFilters"))
+    assert(s1.requiredSchema.size <= 6,
+      s"q1 reads ${s1.requiredSchema.size} columns")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
