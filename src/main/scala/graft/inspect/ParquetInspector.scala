@@ -68,6 +68,13 @@ object ParquetInspector {
     ParquetFileReader.open(HadoopInputFile.fromPath(
       new Path(path), new Configuration()))
 
+  /** Copy a page payload out of parquet-java's BytesInput (the
+    * non-deprecated stream path — the array/buffer getters are
+    * deprecated in parquet-java 1.16).
+    */
+  private def payloadBytes(bi: org.apache.parquet.bytes.BytesInput): Array[Byte] =
+    bi.toInputStream.readAllBytes()
+
   def footer(path: String): FooterInfo = {
     val r = open(path)
     try {
@@ -199,8 +206,8 @@ object ParquetInspector {
           while (page != null) {
             if (id == pageId) {
               page match {
-                case p: DataPageV1 => return p.getBytes.toByteArray
-                case p: DataPageV2 => return p.getData.toByteArray
+                case p: DataPageV1 => return payloadBytes(p.getBytes)
+                case p: DataPageV2 => return payloadBytes(p.getData)
                 case _ => throw new IllegalStateException("unknown page kind")
               }
             }
@@ -259,10 +266,10 @@ object ParquetInspector {
       val (tpe, nvals, comp, bytes) = nextPage match {
         case p: DataPageV1 =>
           ("DATA_PAGE", p.getValueCount.toLong, p.getCompressedSize.toLong,
-            p.getBytes.toByteArray)
+            payloadBytes(p.getBytes))
         case p: DataPageV2 =>
           ("DATA_PAGE_V2", p.getValueCount.toLong, p.getCompressedSize.toLong,
-            p.getData.toByteArray)
+            payloadBytes(p.getData))
         case _ => throw new IllegalStateException("unknown page kind")
       }
       val info = PageInfo(pageId, rg, leaves(leafIdx).getPath.mkString("."),
@@ -309,8 +316,8 @@ object ParquetInspector {
           while (page != null && !done) {
             if (id >= firstPage && id <= lastPage) {
               val bytes = page match {
-                case p: DataPageV1 => p.getBytes.toByteArray
-                case p: DataPageV2 => p.getData.toByteArray
+                case p: DataPageV1 => payloadBytes(p.getBytes)
+                case p: DataPageV2 => payloadBytes(p.getData)
                 case _ => throw new IllegalStateException("unknown page kind")
               }
               val remaining = maxBytes - out.size()
