@@ -65,7 +65,8 @@ object InspectorCli {
       println(s"Total tuples indexed: $tuples")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: schema|footer|chunks|pages|pagechunks|regex")
+      System.err.println("commands: schema|footer|chunks|pages|pagechunks|" +
+        "pagebytes|rowgroup|regex|chunkindex")
   }
 
   /** The reference demo's chunked inverted index (`index_test`,
