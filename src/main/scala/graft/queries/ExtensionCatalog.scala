@@ -569,9 +569,12 @@ object ExtensionCatalog {
       None),
 
     // x12 — the composed 100 TB near-dup path: LSH generates candidates
-    // (bucketed, never all-pairs), exact Jaccard verifies. Rows-only
-    // (xxhash64-based candidates have no DuckDB twin); equivalence to
-    // the blocked all-pairs x5 is property-tested in DedupSpec.
+    // (bucketed, never all-pairs), exact Jaccard verifies. Oracle: the
+    // exact all-pairs SQL (same as x5). On this fixture the j >= 0.9
+    // pairs are exact copies (identical token sets → identical MinHash
+    // signatures → every band collides), so LSH recall is exactly 1 and
+    // the composed path returns the same verified pairs as brute force;
+    // equivalence is additionally property-tested in DedupSpec.
     QueryDef("x12_neardup_pairs",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -580,18 +583,31 @@ object ExtensionCatalog {
         ordered(Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
           blockCol = col("source")))
       },
-      None),
+      Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.tok, b.tok))) AS jaccard
+        FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tok FROM documents) a
+        JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tok FROM documents) b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9
+        """ + orderedSql(Seq("a_id", "b_id", "jaccard")))),
 
     // x13 — corpus-level MinHash sketch per source via the
     // TypedImperativeAggregate UDAF: group state is 64 longs regardless
     // of group size (sketch-of-union == elementwise-min property tested
-    // in DedupSpec).
+    // in DedupSpec). The signature is exploded to one scalar row per
+    // hash slot — the harness canonicalizes output by sorting every
+    // column, which requires hashable (non-array) cells.
     QueryDef("x13_minhash_agg",
       (s, dir) => ordered(t(s, dir, "documents")
         .select(col("source"), Dedup.tokenSet(col("text")).as("tok"))
         .groupBy("source")
         .agg(graft.functions.HashFunctions.minhashAgg(col("tok"), 64)
-          .as("sig"))),
+          .as("sig"))
+        .select(col("source"), posexplode(col("sig")))
+        .select(col("source"), col("pos").cast(LongType).as("h_idx"),
+          col("col").as("h_val"))),
       None),
 
     // x10 — multimodal feature extraction: binary payloads through the
