@@ -688,6 +688,46 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("l_orderkey", "flags", "lines",
           "n_distinct_lines")))),
 
+    // x33 — near-dup CLUSTERS: the LSH-verified pair list (x12's 100 TB
+    // path) closed into connected components, every document assigned
+    // the min doc_id of its cluster as canonical id (docs in no pair
+    // are their own canonical). Oracle: DuckDB recursive CTE reachability
+    // over the exact all-pairs edge list — same fixture equality as x12.
+    QueryDef("x33_dedup_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Dedup.tokenSet(col("text")).as("tok"))
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
+          blockCol = col("source"))
+        ordered(graft.ops.Clusters.assignComponents(
+            docs.select(col("doc_id")), "doc_id", pairs, "a_id", "b_id")
+          .select(col("doc_id"), col("component")))
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM toks a JOIN toks b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+        reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+        SELECT d.doc_id,
+          CAST(COALESCE(l.comp, d.doc_id) AS BIGINT) AS component
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+        """ + orderedSql(Seq("doc_id", "component")))),
+
     // x31 — multimodal resize: per-asset byte budget through the typed
     // mapPartitions pipeline; the stub scaler's stride arithmetic is
     // deterministic, so output sizes are oracle-checked.

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Clusters, Dedup}
+
+/** Connected-components clustering: known-graph cases plus the full
+  * pairs → clusters → survivors dedup path on the fixture.
+  */
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components of a chain, a triangle, and an isolated pair") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("a", "b")
+    val got = Clusters.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("edge direction does not matter") {
+    val pairs = Seq((5L, 2L), (2L, 9L), (9L, 1L)).toDF("a", "b")
+    val got = Clusters.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L) && got.keySet == Set(1L, 2L, 5L, 9L))
+  }
+
+  test("fixture near-dup clusters agree with a driver-side union-find") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        Dedup.tokenSet(col("text")).as("tok"))
+    val pairDf = Dedup.jaccardPairs(docs, "doc_id", "tok", "source", 0.9)
+    val pairs = pairDf.select($"a_id", $"b_id").as[(Long, Long)].collect()
+
+    // reference union-find on the collected edge list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+
+    val got = Clusters.connectedComponents(pairDf, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+
+    // full-corpus assignment: every doc labeled, survivors = distinct
+    // components, and filtering to representatives drops exactly the
+    // duplicate count
+    val assigned = Clusters.assignComponents(
+      docs.select($"doc_id"), "doc_id", pairDf, "a_id", "b_id")
+    val nDocs = docs.count()
+    assert(assigned.count() == nDocs)
+    val nComponents = assigned.select($"component").distinct().count()
+    val survivors = assigned.filter($"doc_id" === $"component").count()
+    assert(survivors == nComponents)
+    val dupDocs = expected.size - expected.values.toSet.size
+    assert(nComponents == nDocs - dupDocs)
+  }
+}
