@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashAgg, MinHashSig, PairCountAgg, SetJaccard, SigAgreement, SimHash64, SrpSignature, VectorSumAgg}
+import graft.functions.{DotProduct, MinHashAgg, MinHashSig, PairCountAgg, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the
@@ -20,6 +20,7 @@ import graft.functions.{DotProduct, MinHashAgg, MinHashSig, PairCountAgg, SetJac
   *   simhash64(array<string>)             → bigint
   *   minhash_sig(array<string>[, k])      → array<bigint>
   *   minhash_agg(array<string>[, k])      → array<bigint>  (aggregate)
+  *   simhash_agg(array<string>)           → bigint         (aggregate)
   *   dot_product(array<T>, array<T>)      → double   (T ∈ float, double)
   *   set_jaccard(array<string>, array<string>) → double
   *   srp_signature(array<T>[, seed])      → bigint   (sign-projection LSH)
@@ -61,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "minhash_agg expects (tokens[, numHashes])")
       }).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(tokens) - group-level SimHash signature"),
+      (args: Seq[Expression]) =>
+        SimHashAgg(args.head).toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("srp_signature"),
       info("srp_signature", "srp_signature(vec[, seed]) - sign-projection LSH signature"),
       (args: Seq[Expression]) => args match {
@@ -109,6 +114,8 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "minhash_agg expects (tokens[, numHashes])")
       }).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("simhash_agg",
+      args => SimHashAgg(args.head).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("srp_signature",
       args => args match {
         case Seq(c) => SrpSignature(c, 42L)

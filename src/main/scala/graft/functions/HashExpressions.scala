@@ -22,11 +22,12 @@ import org.apache.spark.sql.types._
   */
 object SketchKernels {
 
-  /** 64-bit SimHash: per token, xxhash64(seed 42); each bit votes ±1;
-    * the sign of each vote total is the signature bit.
+  /** Accumulates one token array's ±1 bit votes into a 64-slot buffer —
+    * votes commute, so folding N arrays equals voting over their
+    * concatenation (the multiset union). Vote totals are longs: they
+    * cannot saturate at any corpus size.
     */
-  def simhash(arr: ArrayData): Long = {
-    val votes = new Array[Int](64)
+  def simhashVotesInto(votes: Array[Long], arr: ArrayData): Unit = {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
@@ -40,6 +41,10 @@ object SketchKernels {
       }
       i += 1
     }
+  }
+
+  /** Sign of each vote total → signature bit. */
+  def votesToSig(votes: Array[Long]): Long = {
     var sig = 0L
     var b = 0
     while (b < 64) {
@@ -47,6 +52,15 @@ object SketchKernels {
       b += 1
     }
     sig
+  }
+
+  /** 64-bit SimHash: per token, xxhash64(seed 42); each bit votes ±1;
+    * the sign of each vote total is the signature bit.
+    */
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Long](64)
+    simhashVotesInto(votes, arr)
+    votesToSig(votes)
   }
 
   /** Folds one token array into an existing signature buffer —
@@ -193,6 +207,68 @@ case class MinHashAgg(
     copy(child = newChildren.head)
 }
 
+/** Group-level SimHash (MinHashAgg's SimHash sibling): the aggregate
+  * buffer is the 64 per-bit vote totals, so update order is irrelevant
+  * (votes commute) and the result equals `simhash64` of the
+  * concatenation of the group's token arrays. Partial aggregation is
+  * vote addition — map-side combine applies and the shuffled state per
+  * group is exactly 64 longs regardless of corpus size.
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_agg requires array<string>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      SketchKernels.simhashVotesInto(buffer, v.asInstanceOf[ArrayData])
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    SketchKernels.votesToSig(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimHashAgg =
+    copy(child = newChildren.head)
+}
+
 object HashFunctions {
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
@@ -206,4 +282,10 @@ object HashFunctions {
     ColumnBridge.column(
       MinHashAgg(ColumnBridge.expression(tokens), numHashes)
         .toAggregateExpression())
+  /** Aggregating SimHash: one 64-bit signature per group, equal to
+    * `simhash64` over the concatenation of the group's token arrays.
+    */
+  def simhashAgg(tokens: Column): Column =
+    ColumnBridge.column(
+      SimHashAgg(ColumnBridge.expression(tokens)).toAggregateExpression())
 }

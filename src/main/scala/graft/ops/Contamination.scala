@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/eval contamination detection: for every document in an eval
+  * (held-out / benchmark) split, find whether any training document
+  * shares a word k-shingle with it — the standard n-gram-overlap
+  * decontamination check run before training on web-scale corpora
+  * (GPT-3 appendix C / PaLM-style 8-13-gram overlap, here parameterized
+  * by k).
+  *
+  * Scale design (100 TB): both sides explode to (doc, shingle) rows and
+  * meet in ONE shuffle join keyed by the shingle; no pairwise document
+  * comparison ever happens. The join fan-out for a shingle appearing in
+  * `e` eval docs and `f` train docs is `e*f` rows, so ubiquitous
+  * shingles (boilerplate) are the skew risk — `maxShingleDf` drops
+  * shingles seen in more than that many TRAIN documents (they identify
+  * nothing; standard practice) and bounds every bucket. With `hashed`
+  * (the production default) the join key is the shingle's xxhash64
+  * instead of the string — ~8 bytes vs ~50+ through the shuffle; the
+  * 2^-64 collision rate is far below any decontamination threshold.
+  */
+object Contamination {
+
+  /** Per-eval-doc overlap report: `(eval_id, n_shared_shingles,
+    * n_train_docs, contaminated)`. Every eval document appears exactly
+    * once (zero counts when clean). `n_shared_shingles` counts the eval
+    * doc's distinct shingles that occur in ANY training doc;
+    * `n_train_docs` counts the distinct training docs sharing at least
+    * one shingle.
+    */
+  def report(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, maxShingleDf: Option[Long] = None,
+      hashed: Boolean = true): DataFrame = {
+    def shingleRows(df: DataFrame, as: String): DataFrame = {
+      // Dedup.shingles is distinct per doc, so exploded rows are already
+      // unique per (doc, shingle) — no re-distinct needed
+      val rows = df.select(col(idCol).as(as),
+        explode(Dedup.shingles(col(textCol), k)).as("sh"))
+      val key: Column = if (hashed) xxhash64(col("sh")) else col("sh")
+      rows.select(col(as), key.as("sk"))
+    }
+    val ev = shingleRows(eval, "eval_id")
+    val tr = shingleRows(train, "train_id")
+    val trCapped = maxShingleDf match {
+      case Some(cap) =>
+        // rows are unique per (train doc, shingle): count == document freq
+        tr.join(tr.groupBy("sk").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("sk"), "sk")
+      case None => tr
+    }
+    val hits = ev.join(trCapped, "sk")
+      .groupBy("eval_id")
+      .agg(countDistinct(col("sk")).as("n_shared_shingles"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    eval.select(col(idCol).as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        when(col("n_shared_shingles").isNotNull, 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Contamination, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** North-star extension queries (beyond the reference's own surface, per
   * BASELINE.json): dedup family, similarity search, text analysis,
@@ -727,6 +727,43 @@ object ExtensionCatalog {
           CAST(COALESCE(l.comp, d.doc_id) AS BIGINT) AS component
         FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
         """ + orderedSql(Seq("doc_id", "component")))),
+
+    // x34 — train/eval contamination: 5-gram overlap between the src0
+    // split (eval) and the rest of the corpus (train), one shuffle join
+    // on the shingle key. The oracle joins on the shingle STRING; the
+    // production path hashes the key (hashed == unhashed is
+    // property-tested in ContaminationSpec).
+    QueryDef("x34_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        ordered(Contamination.report(
+          train = docs.filter(col("source") =!= "src0"),
+          eval = docs.filter(col("source") === "src0"),
+          idCol = "doc_id", textCol = "text", k = 5, hashed = false))
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, source,
+            unnest(list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS s
+          FROM documents),
+        hits AS (
+          SELECT ev.doc_id AS eval_id,
+            COUNT(DISTINCT ev.s) AS n_shared,
+            COUNT(DISTINCT tr.doc_id) AS n_train
+          FROM (SELECT doc_id, s FROM sh WHERE source = 'src0') ev
+          JOIN (SELECT doc_id, s FROM sh WHERE source <> 'src0') tr
+            ON ev.s = tr.s
+          GROUP BY ev.doc_id)
+        SELECT d.doc_id AS eval_id,
+          CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+          CAST(COALESCE(h.n_train, 0) AS BIGINT) AS n_train_docs,
+          CAST(CASE WHEN h.eval_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.eval_id = d.doc_id
+        WHERE d.source = 'src0'
+        """ + orderedSql(Seq("eval_id", "n_shared_shingles", "n_train_docs",
+          "contaminated")))),
 
     // x31 — multimodal resize: per-asset byte budget through the typed
     // mapPartitions pipeline; the stub scaler's stride arithmetic is
