@@ -35,55 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
-    e.injectFunction((FunctionIdentifier("minhash_sig"),
-      info("minhash_sig", "minhash_sig(tokens[, k]) - MinHash signature"),
-      (args: Seq[Expression]) => args match {
-        case Seq(c) => MinHashSig(c, 64)
-        case Seq(c, k) => MinHashSig(c,
-          k.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "minhash_sig expects (tokens[, numHashes])")
-      }))
-    e.injectFunction((FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - vector dot product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("set_jaccard"),
-      info("set_jaccard", "set_jaccard(a, b) - Jaccard of two string sets"),
-      (args: Seq[Expression]) => SetJaccard(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("minhash_agg"),
-      info("minhash_agg", "minhash_agg(tokens[, k]) - group-level MinHash sketch"),
-      (args: Seq[Expression]) => (args match {
-        case Seq(c) => MinHashAgg(c, 64)
-        case Seq(c, k) => MinHashAgg(c,
-          k.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "minhash_agg expects (tokens[, numHashes])")
-      }).toAggregateExpression()))
-    e.injectFunction((FunctionIdentifier("simhash_agg"),
-      info("simhash_agg", "simhash_agg(tokens) - group-level SimHash signature"),
-      (args: Seq[Expression]) =>
-        SimHashAgg(args.head).toAggregateExpression()))
-    e.injectFunction((FunctionIdentifier("srp_signature"),
-      info("srp_signature", "srp_signature(vec[, seed]) - sign-projection LSH signature"),
-      (args: Seq[Expression]) => args match {
-        case Seq(c) => SrpSignature(c, 42L)
-        case Seq(c, s) => SrpSignature(c,
-          s.eval().asInstanceOf[Number].longValue())
-        case _ => throw new IllegalArgumentException(
-          "srp_signature expects (vector[, seed])")
-      }))
-    e.injectFunction((FunctionIdentifier("vector_sum"),
-      info("vector_sum", "vector_sum(vec) - elementwise sum aggregate"),
-      (args: Seq[Expression]) => VectorSumAgg(args.head).toAggregateExpression()))
-    e.injectFunction((FunctionIdentifier("sig_agreement"),
-      info("sig_agreement", "sig_agreement(a, b) - fraction of equal signature components"),
-      (args: Seq[Expression]) => SigAgreement(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("pair_count"),
-      info("pair_count", "pair_count(v) - per-group count of pairs with v_i < v_j"),
-      (args: Seq[Expression]) => PairCountAgg(args.head).toAggregateExpression()))
+    GraftExtensions.builders.foreach { case (name, usage, build) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), build))
+    }
     // kernel selection the optimizer can prove: sorted+distinct inputs
     // switch set_jaccard to the allocation-free merge-walk kernel
     e.injectOptimizerRule(_ => graft.plans.SortedKernelRule)
@@ -91,43 +45,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  private def arity(name: String, signature: String): Nothing =
+    throw new IllegalArgumentException(s"$name expects $signature")
+
+  /** One builder per SQL function, shared by the extension injection and
+    * the temp-function registration so the two surfaces cannot drift.
+    * Every builder pattern-matches arity and rejects mismatches with
+    * IllegalArgumentException (never a bare NoSuchElementException).
+    */
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array",
+      { case Seq(c) => SimHash64(c)
+        case _ => arity("simhash64", "(tokens)") }),
+    ("minhash_sig", "minhash_sig(tokens[, k]) - MinHash signature",
+      { case Seq(c) => MinHashSig(c, 64)
+        case Seq(c, k) => MinHashSig(c, k.eval().asInstanceOf[Number].intValue())
+        case _ => arity("minhash_sig", "(tokens[, numHashes])") }),
+    ("dot_product", "dot_product(a, b) - vector dot product",
+      { case Seq(a, b) => DotProduct(a, b)
+        case _ => arity("dot_product", "(a, b)") }),
+    ("set_jaccard", "set_jaccard(a, b) - Jaccard of two string sets",
+      { case Seq(a, b) => SetJaccard(a, b)
+        case _ => arity("set_jaccard", "(a, b)") }),
+    ("minhash_agg", "minhash_agg(tokens[, k]) - group-level MinHash sketch",
+      { case Seq(c) => MinHashAgg(c, 64).toAggregateExpression()
+        case Seq(c, k) => MinHashAgg(c,
+          k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case _ => arity("minhash_agg", "(tokens[, numHashes])") }),
+    ("simhash_agg", "simhash_agg(tokens) - group-level SimHash signature",
+      { case Seq(c) => SimHashAgg(c).toAggregateExpression()
+        case _ => arity("simhash_agg", "(tokens)") }),
+    ("srp_signature", "srp_signature(vec[, seed]) - sign-projection LSH signature",
+      { case Seq(c) => SrpSignature(c, 42L)
+        case Seq(c, s) => SrpSignature(c, s.eval().asInstanceOf[Number].longValue())
+        case _ => arity("srp_signature", "(vector[, seed])") }),
+    ("vector_sum", "vector_sum(vec) - elementwise sum aggregate",
+      { case Seq(c) => VectorSumAgg(c).toAggregateExpression()
+        case _ => arity("vector_sum", "(vector)") }),
+    ("sig_agreement", "sig_agreement(a, b) - fraction of equal signature components",
+      { case Seq(a, b) => SigAgreement(a, b)
+        case _ => arity("sig_agreement", "(a, b)") }),
+    ("pair_count", "pair_count(v) - per-group count of pairs with v_i < v_j",
+      { case Seq(c) => PairCountAgg(c).toAggregateExpression()
+        case _ => arity("pair_count", "(v)") }))
+
   /** Registers the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash64",
-      args => SimHash64(args.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      args => args match {
-        case Seq(c) => MinHashSig(c, 64)
-        case Seq(c, k) => MinHashSig(c, k.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "minhash_sig expects (tokens[, numHashes])")
-      }, "built-in")
-    reg.createOrReplaceTempFunction("dot_product",
-      args => DotProduct(args(0), args(1)), "built-in")
-    reg.createOrReplaceTempFunction("set_jaccard",
-      args => SetJaccard(args(0), args(1)), "built-in")
-    reg.createOrReplaceTempFunction("minhash_agg",
-      args => (args match {
-        case Seq(c) => MinHashAgg(c, 64)
-        case Seq(c, k) => MinHashAgg(c, k.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "minhash_agg expects (tokens[, numHashes])")
-      }).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("simhash_agg",
-      args => SimHashAgg(args.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("srp_signature",
-      args => args match {
-        case Seq(c) => SrpSignature(c, 42L)
-        case Seq(c, s) => SrpSignature(c, s.eval().asInstanceOf[Number].longValue())
-        case _ => throw new IllegalArgumentException(
-          "srp_signature expects (vector[, seed])")
-      }, "built-in")
-    reg.createOrReplaceTempFunction("vector_sum",
-      args => VectorSumAgg(args.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("sig_agreement",
-      args => SigAgreement(args(0), args(1)), "built-in")
-    reg.createOrReplaceTempFunction("pair_count",
-      args => PairCountAgg(args.head).toAggregateExpression(), "built-in")
+    builders.foreach { case (name, _, build) =>
+      reg.createOrReplaceTempFunction(name, build, "built-in")
+    }
   }
 }

@@ -9,21 +9,35 @@ import org.apache.spark.sql.types._
   * pipeline can keep one canonical document per group of mutual
   * near-dups instead of dropping both ends of every pair.
   *
-  * Algorithm: minimum-label propagation. Every vertex starts labeled
-  * with itself; each round every vertex takes the min of its own label
-  * and its neighbors' labels; fixpoint when no label changes. Rounds
-  * needed = graph diameter. Near-dup graphs are unions of near-cliques
-  * (Jaccard >= 0.9 is close to transitive), so 2–3 rounds suffice in
-  * practice; the `maxIter` bound guards adversarial path graphs, where
-  * the alternating-star variant (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond", SoCC'14) would be the O(log² n) upgrade
-  * with the same per-round plan shape.
+  * Algorithm: minimum-label propagation with pointer jumping. Every
+  * vertex starts labeled with itself; each round every vertex takes the
+  * minimum of (a) its own label, (b) its neighbors' labels, and (c) its
+  * label's label — the path-halving step of classic pointer-jumping
+  * (Shiloach–Vishkin style), realized as one extra self-join of the
+  * label table on `component = id`. Step (c) makes the distance to the
+  * component minimum contract geometrically, so convergence needs
+  * O(log d) rounds on a diameter-d graph rather than the d rounds plain
+  * propagation needs — a 1000-hop chain converges in ~10 rounds (see
+  * ClustersSpec's chain-graph test). Near-dup graphs are unions of
+  * near-cliques (Jaccard >= 0.9 is close to transitive) and converge in
+  * 2–3 rounds either way; the jumping step is what makes adversarial
+  * path-shaped drift chains safe. If the fixpoint is still not reached
+  * within `maxIter` rounds the call THROWS (IllegalStateException)
+  * instead of silently returning a partial labeling — wrong canonical
+  * ids in a dedup pipeline mean wrongly dropped documents, so
+  * non-convergence must be observable.
   *
   * Scale design (100 TB): each round is one shuffle join (edges ⋈
-  * labels on vertex id) followed by one map-side-combinable
+  * labels on vertex id), one label self-join (labels are one row per
+  * vertex — far smaller than the edge set), and one map-side-combinable
   * min-aggregate — no driver-side graph state, no O(n²) stage. Lineage
-  * is truncated every round (`localCheckpoint`), so the plan does not
-  * grow with the iteration count. Convergence is detected from the
+  * is truncated every round (`localCheckpoint`) so the plan does not
+  * grow with iteration count, and the superseded round's blocks are
+  * unpersisted as soon as the next round materializes, keeping cache
+  * footprint at O(1) rounds. (`localCheckpoint` trades fault tolerance
+  * for speed: an executor loss aborts the job. For long production runs
+  * prefer `spark.sparkContext.setCheckpointDir` + reliable `checkpoint`
+  * — same loop, one line swapped.) Convergence is detected from the
   * strictly-decreasing sum of labels: labels only ever decrease, so an
   * unchanged sum means an unchanged labeling — one cheap aggregate per
   * round instead of a join against the previous labeling. The sum is
@@ -36,6 +50,11 @@ object Clusters {
     * Returns one row per vertex that appears in any pair:
     * `(id, component)` with `component` = the minimum vertex id in the
     * component (a deterministic canonical representative).
+    *
+    * @throws IllegalStateException if the labeling has not reached its
+    *         fixpoint after `maxIter` rounds (with pointer jumping this
+    *         needs a component diameter over ~2^maxIter — adversarial
+    *         input, not normal data).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -54,18 +73,31 @@ object Clusters {
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
+      // (b) neighbor propagation: one shuffle join on the edge list
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("component"))
-      val next = labels.union(propagated)
+      // (c) pointer jumping: label(v) := label(label(v)). Labels form a
+      // forest pointing at each vertex's current best-known minimum;
+      // following two hops at once halves pointer chains every round.
+      val jumped = labels.as("l")
+        .join(labels.select(col("id").as("component"),
+          col("component").as("jumped")), Seq("component"))
+        .select(col("id"), col("jumped").as("component"))
+      val next = labels.union(propagated).union(jumped)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
+      labels.unpersist()
       labels = next
       round += 1
     }
+    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "component diameter exceeds 2^rounds — raise maxIter")
     labels
   }
 

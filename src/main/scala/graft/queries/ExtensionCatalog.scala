@@ -570,18 +570,22 @@ object ExtensionCatalog {
 
     // x12 — the composed 100 TB near-dup path: LSH generates candidates
     // (bucketed, never all-pairs), exact Jaccard verifies. Oracle: the
-    // exact all-pairs SQL (same as x5). On this fixture the j >= 0.9
-    // pairs are exact copies (identical token sets → identical MinHash
-    // signatures → every band collides), so LSH recall is exactly 1 and
-    // the composed path returns the same verified pairs as brute force;
-    // equivalence is additionally property-tested in DedupSpec.
+    // exact all-pairs SQL (same as x5). The fixture's j >= 0.9 pairs are
+    // NOT all exact copies (~96% sit in [0.9, 1)), so oracle equality
+    // requires near-certain LSH recall, not the default 16×4 S-curve
+    // (per-pair miss 2e-3 → ~63% chance of at least one miss across the
+    // ~450 fixture pairs). 32 bands × 4 rows puts the per-pair miss at
+    // (1-0.9^4)^32 ≈ 2e-15 — recall 1 for any conceivable fixture size —
+    // while barely widening the candidate set (the S-curve at j≈0.7 was
+    // already near 1 on this adversarial shared-vocab corpus).
+    // DedupSpec asserts candidates ⊇ all true pairs at both gate SFs.
     QueryDef("x12_neardup_pairs",
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             Dedup.tokenSet(col("text")).as("tok"))
         ordered(Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
-          blockCol = col("source")))
+          numHashes = 128, bands = 32, blockCol = col("source")))
       },
       Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
@@ -692,14 +696,15 @@ object ExtensionCatalog {
     // path) closed into connected components, every document assigned
     // the min doc_id of its cluster as canonical id (docs in no pair
     // are their own canonical). Oracle: DuckDB recursive CTE reachability
-    // over the exact all-pairs edge list — same fixture equality as x12.
+    // over the exact all-pairs edge list — same equality as x12, so the
+    // same 32×4 LSH parameters (per-pair miss ≈ 2e-15; see x12).
     QueryDef("x33_dedup_clusters",
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             Dedup.tokenSet(col("text")).as("tok"))
         val pairs = Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
-          blockCol = col("source"))
+          numHashes = 128, bands = 32, blockCol = col("source"))
         ordered(graft.ops.Clusters.assignComponents(
             docs.select(col("doc_id")), "doc_id", pairs, "a_id", "b_id")
           .select(col("doc_id"), col("component")))

@@ -22,6 +22,25 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("pointer jumping: a 200-hop chain converges well under its diameter") {
+    // plain min-label propagation needs ~200 rounds here; the
+    // path-halving step must get there in O(log d) — 12 rounds is
+    // log2(200)≈7.6 plus slack, far under the diameter
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Clusters.connectedComponents(pairs, "a", "b", maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 200L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("non-convergence throws instead of returning partial labels") {
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Clusters.connectedComponents(pairs, "a", "b", maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("edge direction does not matter") {
     val pairs = Seq((5L, 2L), (2L, 9L), (9L, 1L)).toDF("a", "b")
     val got = Clusters.connectedComponents(pairs, "a", "b")

@@ -49,6 +49,47 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(more.getLong(1) === 5L) // C(4,2)=6 minus one tied pair
   }
 
+  test("simhash_agg(group) equals simhash64 of the concatenated group") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    // repartition so groups span partitions: partial aggregation, merge
+    // and serialize/deserialize of the vote buffer all execute
+    val docs = Tables.load(spark, sf0001, "documents").limit(200)
+      .select(col("source").as("g"), split(col("text"), " ", -1).as("tok"))
+      .repartition(8)
+    val viaAgg = docs.groupBy("g")
+      .agg(expr("simhash_agg(tok)").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // documented invariant: votes commute, so the group sketch equals
+    // simhash64 of any concatenation of the group's arrays
+    val viaConcat = docs.groupBy("g")
+      .agg(flatten(collect_list("tok")).as("all_tok"))
+      .selectExpr("g", "simhash64(all_tok) AS s")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaConcat)
+    assert(viaAgg.nonEmpty)
+  }
+
+  test("wrong arity raises IllegalArgumentException, not NoSuchElement") {
+    GraftExtensions.register(spark)
+    def analyzedFailure(sql: String): Throwable = {
+      val t = intercept[Throwable](spark.sql(sql).collect())
+      // walk to the root cause: the analyzer may wrap our exception
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .find(_.isInstanceOf[IllegalArgumentException])
+        .getOrElse(t)
+    }
+    assert(analyzedFailure("SELECT simhash_agg() FROM VALUES (1) t(v)")
+      .getMessage.contains("simhash_agg expects"))
+    assert(analyzedFailure(
+      "SELECT simhash_agg(tok, 16) FROM VALUES (array('a')) t(tok)")
+      .getMessage.contains("simhash_agg expects"))
+    assert(analyzedFailure("SELECT simhash64() ")
+      .getMessage.contains("simhash64 expects"))
+    assert(analyzedFailure("SELECT dot_product(array(1.0D))")
+      .getMessage.contains("dot_product expects"))
+  }
+
   test("SQL simhash64 equals DataFrame-API simhash64") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
