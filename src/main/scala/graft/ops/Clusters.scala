@@ -39,10 +39,12 @@ import org.apache.spark.sql.types._
   * prefer `spark.sparkContext.setCheckpointDir` + reliable `checkpoint`
   * — same loop, one line swapped.) Convergence is detected from the
   * strictly-decreasing sum of labels: labels only ever decrease, so an
-  * unchanged sum means an unchanged labeling — one cheap aggregate per
-  * round instead of a join against the previous labeling. The sum is
-  * accumulated as DECIMAL(38,0) so it cannot overflow at any vertex
-  * count.
+  * unchanged sum means an unchanged labeling — one cheap aggregate
+  * instead of a join against the previous labeling. The checkpoints are
+  * LAZY (`localCheckpoint(eager = false)`), so the sum aggregate is the
+  * action that materializes each round's blocks: one job per round, not
+  * a materialize-job plus an aggregate-job. The sum is accumulated as
+  * DECIMAL(38,0) so it cannot overflow at any vertex count.
   */
 object Clusters {
 
@@ -51,10 +53,15 @@ object Clusters {
     * `(id, component)` with `component` = the minimum vertex id in the
     * component (a deterministic canonical representative).
     *
-    * @throws IllegalStateException if the labeling has not reached its
-    *         fixpoint after `maxIter` rounds (with pointer jumping this
-    *         needs a component diameter over ~2^maxIter — adversarial
-    *         input, not normal data).
+    * @throws IllegalStateException if the fixpoint is not CONFIRMED
+    *         within `maxIter` rounds. The sum-based check needs one
+    *         no-change round past the fixpoint to observe it, so a
+    *         labeling that becomes final exactly on round `maxIter`
+    *         still throws — conservative by design (wrong canonical ids
+    *         silently drop documents; an exception does not). With
+    *         pointer jumping, needing many rounds means a component
+    *         diameter around 2^rounds — adversarial input, not normal
+    *         data.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -62,13 +69,15 @@ object Clusters {
       col(bCol).cast(LongType).as("dst"))
     // symmetric closure; parallel edges collapse so each round's join
     // fan-out is bounded by the true degree
+    // all checkpoints are lazy: the labelSum aggregate right after each
+    // one doubles as the materializing action (one job per round)
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
@@ -86,7 +95,7 @@ object Clusters {
         .select(col("id"), col("jumped").as("component"))
       val next = labels.union(propagated).union(jumped)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -96,8 +105,9 @@ object Clusters {
     }
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds; " +
-        "component diameter exceeds 2^rounds — raise maxIter")
+      s"connectedComponents: fixpoint not confirmed within $maxIter " +
+        "rounds (the sum check needs one unchanged round past the " +
+        "fixpoint) — raise maxIter")
     labels
   }
 

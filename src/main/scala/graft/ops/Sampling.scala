@@ -14,56 +14,80 @@ import org.apache.spark.sql.functions._
   * projections (codegen'd md5 + string compare, no shuffle, no driver
   * state); they compose with pushed-down scans and keep full linear
   * scaling. The md5-prefix trick is the same one x23 uses; thresholds
-  * are 4-hex-digit prefixes, giving 1/65536 rate granularity.
+  * are 4-hex-digit prefixes, so rates round to the nearest 1/65536
+  * (rates under 1/131072 round to an EMPTY sample — pinned by
+  * SamplingSpec). Rates 0 and 1 short-circuit to constant predicates
+  * and never reach the string comparison.
   */
 object Sampling {
 
-  /** 4-digit lowercase hex threshold for a sampling rate in [0, 1]:
-    * a row is kept iff `substr(md5(id), 1, 4) < threshold`. Spark and
-    * DuckDB both emit lowercase hex md5, so the same comparison is
-    * expressible verbatim in oracle SQL.
+  /** 4-digit lowercase hex threshold for a sampling rate strictly
+    * inside (0, 1): a row is kept iff `substr(md5(id), 1, 4) <
+    * threshold`. Spark and DuckDB both emit lowercase hex md5, so the
+    * same comparison is expressible verbatim in oracle SQL. Rates whose
+    * rounded threshold is 0 or 65536 have no 4-hex spelling — use
+    * [[keepPredicate]], which short-circuits them to `false` / `true`.
     */
   def hexThreshold(rate: Double): String = {
-    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    f"${math.min((rate * 65536).round, 65536L)}%04x" match {
-      case t if t.length > 4 => "ffff~" // rate 1.0: above every 4-hex prefix
-      case t => t
-    }
+    val t = (rate * 65536).round
+    require(t >= 1 && t <= 65535,
+      s"rate $rate rounds outside the 4-hex threshold range; " +
+        "rates at/near 0 or 1 are constant predicates, not thresholds")
+    f"$t%04x"
   }
 
   private def prefix(idCol: Column): Column =
     substring(md5(idCol.cast("string")), 1, 4)
 
+  /** Boolean keep-predicate for a deterministic sample at `rate`.
+    * Rate >= 1 (after 1/65536 rounding) is literally `true` and rate
+    * <= 0 literally `false` — the honest spelling of the boundary
+    * cases, rather than a sentinel string that sorts above every hex
+    * prefix.
+    */
+  def keepPredicate(idCol: Column, rate: Double): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val t = (rate * 65536).round
+    if (t >= 65536L) lit(true)
+    else if (t <= 0L) lit(false)
+    else prefix(idCol) < lit(hexThreshold(rate))
+  }
+
   /** Uniform deterministic sample at `rate`. */
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
-    df.filter(prefix(col(idCol)) < lit(hexThreshold(rate)))
+    df.filter(keepPredicate(col(idCol), rate))
 
   /** Stratified deterministic sample: per-stratum rates, `defaultRate`
     * for strata not listed. Classic pipeline use: downsample
     * over-represented sources (e.g. web crawl) while keeping curated
     * sources intact, without materializing per-stratum row numbers.
+    * If a stratum is listed twice the LAST entry wins (later entries
+    * wrap earlier ones in the predicate fold); null strata fall through
+    * to `defaultRate`.
     */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Seq[(String, Double)], defaultRate: Double): DataFrame = {
-    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+    val pred = rates.foldLeft(keepPredicate(col(idCol), defaultRate)) {
       case (acc, (stratum, rate)) =>
-        when(col(strataCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)
+        when(col(strataCol) === stratum, keepPredicate(col(idCol), rate))
+          .otherwise(acc)
     }
-    df.filter(prefix(col(idCol)) < threshold)
+    df.filter(pred)
   }
 
   /** Train/val/test split assignment: adds a `split` column, a pure
     * function of the id hash. `trainRate` + `valRate` must be <= 1; the
     * remainder is `test`. Documents never migrate between splits when
-    * the corpus grows — the property eval-set hygiene depends on.
+    * the corpus grows — the property eval-set hygiene depends on — and
+    * a lower train rate's split is a subset of a higher one's.
     */
   def splitAssign(df: DataFrame, idCol: String,
       trainRate: Double, valRate: Double): DataFrame = {
-    require(trainRate + valRate <= 1.0, "trainRate + valRate must be <= 1")
-    val p = prefix(col(idCol))
+    require(trainRate >= 0.0 && valRate >= 0.0 && trainRate + valRate <= 1.0,
+      "trainRate and valRate must be >= 0 and sum to <= 1")
     df.withColumn("split",
-      when(p < lit(hexThreshold(trainRate)), "train")
-        .when(p < lit(hexThreshold(trainRate + valRate)), "val")
+      when(keepPredicate(col(idCol), trainRate), "train")
+        .when(keepPredicate(col(idCol), trainRate + valRate), "val")
         .otherwise("test"))
   }
 }

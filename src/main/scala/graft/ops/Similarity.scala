@@ -107,83 +107,139 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("cos"), 3).as("sim"))
   }
 
+  // ---- IVF / k-means internals ---------------------------------------
+  //
+  // Centroid sets are SMALL (k rows, bounded by the centroid count,
+  // never by data size), so they are collected to the driver and folded
+  // into the plan as literals. That makes cell assignment a per-row
+  // PROJECTION — zero shuffle — where the round-4 formulation
+  // (crossJoin(broadcast) → groupBy(id) arg-max) shuffled all N vectors
+  // once per assignment (and once per k-means iteration): at 100 TB ×
+  // iters that shuffle was the bill. Beyond a few hundred centroids the
+  // next step is a single codegen kernel over a matrix literal; at the
+  // IVF cell counts used here the k codegen dot products below stay
+  // comfortably inside one whole-stage-codegen span.
+
+  /** Collect `(cell, cv)` centroid rows to the driver, sorted by cell
+    * id for a deterministic literal layout.
+    */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double])] =
+    centroids.select(col("cell").cast(LongType), col("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Unit-normalize centroids once at the driver: arg-max cosine(v, cv)
+    * equals arg-max dot(v, cv/|cv|) (positive per-centroid scaling),
+    * so per-row assignment needs ONE codegen dot per centroid instead
+    * of three (dot + two norms).
+    */
+  private def unitNorm(cents: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] =
+    cents.map { case (cell, cv) =>
+      val n = math.sqrt(dotLocal(cv, cv))
+      (cell, if (n == 0.0) cv else cv.map(_ / n))
+    }
+
+  /** Driver-side dot product — sequential accumulation, bit-identical
+    * to [[graft.functions.VectorKernels.dot]] on the same doubles, so
+    * driver-side probe ranking agrees exactly with the in-plan kernel.
+    */
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Zero-shuffle arg-max cell assignment: k codegen dot products
+    * against unit-centroid array literals, reduced by `array_max` over
+    * `struct(sim, cell)` (lexicographic: max sim, ties to the higher
+    * cell — ties do not occur on real-valued data).
+    */
+  private def bestCellExpr(v: Column,
+      unitCents: Array[(Long, Array[Double])]): Column = {
+    val scored = unitCents.map { case (cell, cvn) =>
+      struct(dot(v, typedLit(cvn.toSeq)).as("sim"), lit(cell).as("cell"))
+    }
+    array_max(array(scored.toIndexedSeq: _*)).getField("cell")
+  }
+
+  /** Shared IVF search: assign every vector to its arg-max cell (pure
+    * projection), probe the query's `nProbe` closest cells (ranked at
+    * the driver over the same k-row centroid set), scan only those
+    * cells. The whole plan is scan → project → filter → top-k: no
+    * exchange anywhere (asserted by SimilaritySpec).
+    */
+  private def ivfSearch(base: DataFrame, cents: Array[(Long, Array[Double])],
+      queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val qv = base.filter(col("id") === queryId).select(col("v"))
+      .head().getSeq[Double](0).toArray
+    val unit = unitNorm(cents)
+    val probeCells = unit.map { case (cell, cvn) => (cell, dotLocal(qv, cvn)) }
+      .sortBy { case (cell, s) => (-s, cell) }
+      .take(nProbe).map(_._1).toSeq
+    base.withColumn("cell", bestCellExpr(col("v"), unit))
+      .filter(col("cell").isin(probeCells: _*) && col("id") =!= queryId)
+      .select(col("id"),
+        round(cosine(col("v"), typedLit(qv.toSeq)), 3).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** IVF-style ANN: seeds are every `seedStride`-th vec_id (deterministic
-    * stand-in for k-means centroids); every vector joins its arg-max
-    * cosine seed; the query searches only its own cell.
+    * stand-in for k-means centroids); every vector is assigned its
+    * arg-max cosine seed per-row (no shuffle); the query searches only
+    * its own cell.
     */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
       seedStride: Int, queryId: Long, k: Int): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     val seeds = base.filter(col("id") % seedStride === 0)
-      .select(col("id").as("seed_id"), col("v").as("seed_v"))
-    val assigned = base.crossJoin(broadcast(seeds))
-      .select(col("id"), col("v"), col("seed_id"),
-        cosine(col("v"), col("seed_v")).as("seed_cos"))
-      .groupBy(col("id"))
-      .agg(max_by(col("seed_id"), col("seed_cos")).as("cell"),
-        first(col("v")).as("v"))
-    val queryCell = assigned.filter(col("id") === queryId)
-      .select(col("cell").as("q_cell"), col("v").as("q_v"))
-    assigned.join(broadcast(queryCell), col("cell") === col("q_cell"))
-      .filter(col("id") =!= queryId)
-      .select(col("id"), round(cosine(col("v"), col("q_v")), 3).as("sim"))
-      .orderBy(col("sim").desc, col("id"))
-      .limit(k)
+      .select(col("id").as("cell"), col("v").as("cv"))
+    ivfSearch(base, collectCentroids(seeds), queryId, k, nProbe = 1)
   }
 
   /** Lloyd k-means on cosine assignment — the "swap in k-means without
     * changing the plan shape" step promised by [[ivfTopK]]'s stride
-    * seeds. Deterministic: stride-seed init, fixed iteration count, and
-    * every step is a plain DataFrame plan (assign = broadcast arg-max
-    * join; recompute = [[graft.functions.VectorSumAgg]] / count — one
-    * map-side-combinable aggregate shuffling k·dim doubles per task).
-    * Returns `(cell, cv)` centroid rows.
+    * seeds. Deterministic: stride-seed init and a fixed iteration
+    * count. Each iteration is ONE job: a zero-shuffle per-row arg-max
+    * assignment (centroids live in the plan as literals) feeding a
+    * map-side-combinable [[graft.functions.VectorSumAgg]]/count
+    * aggregate that moves only k·dim doubles per task; the k-row result
+    * is collected back to the driver for the next round — the same
+    * loop shape Spark MLlib's KMeans uses, with no N-row shuffle
+    * anywhere. Returns `(cell, cv)` mean-centroid rows.
     */
   def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       seedStride: Int, iters: Int): DataFrame = {
+    val sp = vectors.sparkSession
     val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    var centroids = base.filter(col("id") % seedStride === 0)
-      .select(col("id").as("cell"), col("v").as("cv"))
+    var cents = collectCentroids(
+      base.filter(col("id") % seedStride === 0)
+        .select(col("id").as("cell"), col("v").as("cv")))
     for (_ <- 1 to iters) {
-      val assigned = base.crossJoin(broadcast(centroids))
-        .select(col("id"), col("v"), col("cell"),
-          cosine(col("v"), col("cv")).as("c"))
-        .groupBy(col("id"))
-        .agg(max_by(col("cell"), col("c")).as("cell"), first(col("v")).as("v"))
-      centroids = assigned.groupBy(col("cell"))
-        .agg(graft.functions.VectorFunctions.vectorSum(col("v")).as("s"),
-          count(lit(1)).as("n"))
-        .select(col("cell"),
-          transform(col("s"), x => x / col("n")).as("cv"))
+      cents = collectCentroids(
+        base.withColumn("cell", bestCellExpr(col("v"), unitNorm(cents)))
+          .groupBy("cell")
+          .agg(graft.functions.VectorFunctions.vectorSum(col("v")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("cell"),
+            transform(col("s"), x => x / col("n")).as("cv")))
     }
-    centroids
+    import sp.implicits._
+    cents.toSeq.map { case (c, cv) => (c, cv.toSeq) }.toDF("cell", "cv")
   }
 
   /** Multi-probe IVF ANN against precomputed centroids: vectors assign
-    * to their arg-max cell; the query searches its `nProbe` closest
-    * cells instead of one, trading a bounded fan-out for recall.
+    * to their arg-max cell per-row (no shuffle); the query searches its
+    * `nProbe` closest cells instead of one, trading a bounded fan-out
+    * for recall.
     */
   def ivfTopKWith(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queryId: Long, k: Int,
       nProbe: Int = 1): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    val assigned = base.crossJoin(broadcast(centroids))
-      .select(col("id"), col("v"), col("cell"),
-        cosine(col("v"), col("cv")).as("c"))
-      .groupBy(col("id"))
-      .agg(max_by(col("cell"), col("c")).as("cell"), first(col("v")).as("v"))
-    val query = base.filter(col("id") === queryId)
-      .select(col("v").as("q_v"))
-    val probed = centroids.crossJoin(broadcast(query))
-      .select(col("cell").as("q_cell"), col("q_v"),
-        cosine(col("cv"), col("q_v")).as("qc"))
-      .orderBy(col("qc").desc, col("q_cell"))
-      .limit(nProbe)
-      .select(col("q_cell"), col("q_v"))
-    assigned.join(broadcast(probed), col("cell") === col("q_cell"))
-      .filter(col("id") =!= queryId)
-      .select(col("id"), round(cosine(col("v"), col("q_v")), 3).as("sim"))
-      .orderBy(col("sim").desc, col("id"))
-      .limit(k)
+    ivfSearch(base, collectCentroids(centroids), queryId, k, nProbe)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Contamination, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** North-star extension queries (beyond the reference's own surface, per
   * BASELINE.json): dedup family, similarity search, text analysis,
@@ -574,18 +574,20 @@ object ExtensionCatalog {
     // NOT all exact copies (~96% sit in [0.9, 1)), so oracle equality
     // requires near-certain LSH recall, not the default 16×4 S-curve
     // (per-pair miss 2e-3 → ~63% chance of at least one miss across the
-    // ~450 fixture pairs). 32 bands × 4 rows puts the per-pair miss at
-    // (1-0.9^4)^32 ≈ 2e-15 — recall 1 for any conceivable fixture size —
-    // while barely widening the candidate set (the S-curve at j≈0.7 was
-    // already near 1 on this adversarial shared-vocab corpus).
-    // DedupSpec asserts candidates ⊇ all true pairs at both gate SFs.
+    // ~450 fixture pairs). 24 bands × 4 rows puts the per-pair miss at
+    // (1-0.9^4)^24 ≈ 7e-12 — recall-certain for any plausible fixture
+    // size at 25% less hashing/banding work than round 4's 32×4 (the
+    // bench-adjudicated tune; the S-curve at j≈0.7 was already near 1 on
+    // this adversarial shared-vocab corpus, so the narrower config
+    // barely shrinks the candidate set). DedupSpec asserts candidates ⊇
+    // all true pairs at both gate SFs.
     QueryDef("x12_neardup_pairs",
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             Dedup.tokenSet(col("text")).as("tok"))
         ordered(Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
-          numHashes = 128, bands = 32, blockCol = col("source")))
+          numHashes = 96, bands = 24, blockCol = col("source")))
       },
       Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
@@ -697,14 +699,14 @@ object ExtensionCatalog {
     // the min doc_id of its cluster as canonical id (docs in no pair
     // are their own canonical). Oracle: DuckDB recursive CTE reachability
     // over the exact all-pairs edge list — same equality as x12, so the
-    // same 32×4 LSH parameters (per-pair miss ≈ 2e-15; see x12).
+    // same 24×4 LSH parameters (per-pair miss ≈ 7e-12; see x12).
     QueryDef("x33_dedup_clusters",
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             Dedup.tokenSet(col("text")).as("tok"))
         val pairs = Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
-          numHashes = 128, bands = 32, blockCol = col("source"))
+          numHashes = 96, bands = 24, blockCol = col("source"))
         ordered(graft.ops.Clusters.assignComponents(
             docs.select(col("doc_id")), "doc_id", pairs, "a_id", "b_id")
           .select(col("doc_id"), col("component")))
@@ -769,6 +771,149 @@ object ExtensionCatalog {
         WHERE d.source = 'src0'
         """ + orderedSql(Seq("eval_id", "n_shared_shingles", "n_train_docs",
           "contaminated")))),
+
+    // x38 — contamination in the PRODUCTION configuration: hashed join
+    // keys (8-byte xxhash64 instead of ~50-byte shingle strings through
+    // the shuffle) and the boilerplate-skew cap ON (shingles seen in
+    // more than 2 training docs identify nothing and bound every join
+    // bucket). The oracle joins on the shingle STRING with the same
+    // HAVING-count cap — hashed ≡ string grouping absent 2^-64
+    // collisions (property-tested in ContaminationSpec), so this green
+    // row proves the production path, not just the oracle-friendly one.
+    QueryDef("x38_contamination_capped",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        ordered(Contamination.report(
+          train = docs.filter(col("source") =!= "src0"),
+          eval = docs.filter(col("source") === "src0"),
+          idCol = "doc_id", textCol = "text", k = 5,
+          maxShingleDf = Some(2L), hashed = true))
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, source,
+            unnest(list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS s
+          FROM documents),
+        tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+        keep AS (SELECT s FROM tr GROUP BY s HAVING COUNT(DISTINCT doc_id) <= 2),
+        trk AS (SELECT tr.doc_id, tr.s FROM tr JOIN keep USING (s)),
+        hits AS (
+          SELECT ev.doc_id AS eval_id,
+            COUNT(DISTINCT ev.s) AS n_shared,
+            COUNT(DISTINCT trk.doc_id) AS n_train
+          FROM (SELECT doc_id, s FROM sh WHERE source = 'src0') ev
+          JOIN trk ON ev.s = trk.s
+          GROUP BY ev.doc_id)
+        SELECT d.doc_id AS eval_id,
+          CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+          CAST(COALESCE(h.n_train, 0) AS BIGINT) AS n_train_docs,
+          CAST(CASE WHEN h.eval_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.eval_id = d.doc_id
+        WHERE d.source = 'src0'
+        """ + orderedSql(Seq("eval_id", "n_shared_shingles", "n_train_docs",
+          "contaminated")))),
+
+    // x35 — stratified deterministic sampling: per-source rates over
+    // the md5-prefix hash (downsample src0 to 50%, src1 to 10%, the
+    // rest to 25%) — the corpus-mixing primitive of a training-data
+    // pipeline, reproducible in any engine (same CASE over the same
+    // hex thresholds in DuckDB).
+    QueryDef("x35_stratified_sample",
+      (s, dir) => ordered(Sampling.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "source", Seq("src0" -> 0.5, "src1" -> 0.1), 0.25)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))),
+      Some(s"""SELECT source, COUNT(*) AS n_sampled,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE WHEN source = 'src0' THEN '${Sampling.hexThreshold(0.5)}'
+               WHEN source = 'src1' THEN '${Sampling.hexThreshold(0.1)}'
+               ELSE '${Sampling.hexThreshold(0.25)}' END
+        GROUP BY source
+        """ + orderedSql(Seq("source", "n_sampled", "sum_chars")))),
+
+    // x36 — deterministic train/val/test split assignment (80/10/10):
+    // split membership is a pure function of the id hash, so documents
+    // never migrate between splits as the corpus grows — the eval-set
+    // hygiene property. Disjoint + total by construction (asserted per
+    // row in SamplingSpec); here the oracle checks the exact membership
+    // by re-deriving the same CASE in DuckDB.
+    QueryDef("x36_split_assign",
+      (s, dir) => ordered(Sampling.splitAssign(t(s, dir, "documents"),
+          "doc_id", trainRate = 0.8, valRate = 0.1)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))),
+      Some(s"""SELECT CASE
+          WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+            '${Sampling.hexThreshold(0.8)}' THEN 'train'
+          WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+            '${Sampling.hexThreshold(0.8 + 0.1)}' THEN 'val'
+          ELSE 'test' END AS split,
+        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1
+        """ + orderedSql(Seq("split", "n_docs", "sum_chars")))),
+
+    // x37 — the full trained-ANN path, oracle-gated: 2 Lloyd iterations
+    // of cosine k-means from stride-50 seeds, then multi-probe IVF
+    // search of the query's 2 closest cells. Every step is
+    // deterministic (fixed seeds, fixed iteration count, arg-max
+    // assignment) and unrolled verbatim in the DuckDB oracle: assign =
+    // arg_max over cells, recompute = elementwise mean via
+    // unnest/group/list(ORDER BY). Centroid means are double sums whose
+    // accumulation order differs between engines (and runs) in the last
+    // bits; assignments and round-3 cosines sit far from any decision
+    // boundary on this fixture, so the hash comparison is stable —
+    // the same robustness argument CORRECTNESS already relies on for
+    // list_cosine_similarity itself.
+    QueryDef("x37_ann_kmeans",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = Similarity.kmeansCentroids(emb, "vec_id",
+          "embedding", seedStride = 50, iters = 2)
+        ordered(Similarity.ivfTopKWith(emb, "vec_id", "embedding",
+          centroids, queryId = 0L, k = 10, nProbe = 2))
+      },
+      Some("""WITH base AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS (SELECT id AS cell, v AS cv FROM base WHERE id % 50 = 0),
+        a1 AS (
+          SELECT b.id AS id, arg_max(c.cell, list_cosine_similarity(b.v, c.cv)) AS cell
+          FROM base b CROSS JOIN c0 c GROUP BY b.id),
+        e1 AS (
+          SELECT a1.cell AS cell, unnest(generate_series(1, len(base.v))) AS i,
+            base.v AS v
+          FROM a1 JOIN base USING (id)),
+        m1 AS (SELECT cell, i, SUM(v[i]) / COUNT(*) AS m FROM e1 GROUP BY cell, i),
+        c1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM m1 GROUP BY cell),
+        a2 AS (
+          SELECT b.id AS id, arg_max(c.cell, list_cosine_similarity(b.v, c.cv)) AS cell
+          FROM base b CROSS JOIN c1 c GROUP BY b.id),
+        e2 AS (
+          SELECT a2.cell AS cell, unnest(generate_series(1, len(base.v))) AS i,
+            base.v AS v
+          FROM a2 JOIN base USING (id)),
+        m2 AS (SELECT cell, i, SUM(v[i]) / COUNT(*) AS m FROM e2 GROUP BY cell, i),
+        c2 AS (SELECT cell, list(m ORDER BY i) AS cv FROM m2 GROUP BY cell),
+        q AS (SELECT v AS q_v FROM base WHERE id = 0),
+        probe AS (
+          SELECT cell AS q_cell FROM c2 CROSS JOIN q
+          ORDER BY list_cosine_similarity(cv, q_v) DESC, cell LIMIT 2),
+        af AS (
+          SELECT b.id AS id, b.v AS v,
+            arg_max(c.cell, list_cosine_similarity(b.v, c.cv)) AS cell
+          FROM base b CROSS JOIN c2 c GROUP BY b.id, b.v)
+        SELECT * FROM (
+          SELECT af.id AS id,
+            ROUND(list_cosine_similarity(af.v, q.q_v), 3) AS sim
+          FROM af JOIN probe ON af.cell = probe.q_cell CROSS JOIN q
+          WHERE af.id <> 0
+          ORDER BY sim DESC, id LIMIT 10)
+        """ + orderedSql(Seq("id", "sim")))),
 
     // x31 — multimodal resize: per-asset byte budget through the typed
     // mapPartitions pipeline; the stub scaler's stride arithmetic is

@@ -38,7 +38,7 @@ class ClustersSpec extends SparkSpec {
     val ex = intercept[IllegalStateException] {
       Clusters.connectedComponents(pairs, "a", "b", maxIter = 2)
     }
-    assert(ex.getMessage.contains("did not converge"))
+    assert(ex.getMessage.contains("fixpoint not confirmed"))
   }
 
   test("edge direction does not matter") {

@@ -51,24 +51,24 @@ class DedupSpec extends SparkSpec {
   test("x12 configuration recalls EVERY true j >= 0.9 pair at both gate SFs") {
     // x12/x33's oracle equality needs LSH recall of exactly 1. The
     // fixture's 0.9+ pairs are NOT all exact copies (~96% sit in
-    // [0.9, 1)), so this is a property of the 32-band × 4-row
-    // configuration (per-pair miss (1-0.9^4)^32 ≈ 2e-15), and — given
+    // [0.9, 1)), so this is a property of the 24-band × 4-row
+    // configuration (per-pair miss (1-0.9^4)^24 ≈ 7e-12), and — given
     // fixed data and fixed hash seeds — a deterministic one. Assert it
     // at both the unit SF and the driver's sf0.01 gate so a fixture
     // regeneration that breaks recall fails HERE, loudly, instead of as
     // a confusing hash mismatch in CORRECTNESS.
-    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+    for (dir <- Seq(sf0001, sf001)) {
       val d = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           Dedup.tokenSet(col("text")).as("tok"))
       val truth = Dedup.jaccardPairs(d, "doc_id", "tok", "source", 0.9)
         .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
       val candidates = Dedup.lshCandidatePairs(d, "doc_id", "tok",
-          numHashes = 128, bands = 32, blockCol = col("source"))
+          numHashes = 96, bands = 24, blockCol = col("source"))
         .as[(Long, Long)].collect().toSet
       val missed = truth -- candidates
       assert(missed.isEmpty,
-        s"$dir: x12's 32x4 LSH missed ${missed.size} of ${truth.size} " +
+        s"$dir: x12's 24x4 LSH missed ${missed.size} of ${truth.size} " +
           s"true pairs: ${missed.take(5)} — x12/x33 oracle checks will flake")
     }
   }

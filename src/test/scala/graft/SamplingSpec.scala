@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Deterministic-sampling properties the oracle rows (x35/x36) cannot
+  * see: boundary rates, stability under repartitioning, nested samples,
+  * split totality, and duplicate-stratum resolution.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+    .select($"doc_id", $"source", $"n_chars").cache()
+
+  test("rate 1.0 keeps every row; rate 0.0 keeps none") {
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() === docs.count())
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() === 0L)
+  }
+
+  test("rates under the 1/65536 granularity round to an empty sample") {
+    // documented quantization, pinned so it can never become silent
+    assert(Sampling.hashSample(docs, "doc_id", 1e-6).count() === 0L)
+    intercept[IllegalArgumentException] { Sampling.hexThreshold(1e-6) }
+    intercept[IllegalArgumentException] { Sampling.hexThreshold(0.9999999) }
+    assert(Sampling.hexThreshold(0.5) === "8000")
+  }
+
+  test("sampling is deterministic and stable under repartitioning") {
+    val ids = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val again = Sampling.hashSample(docs.repartition(7, $"source"), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    assert(ids === again)
+  }
+
+  test("sample size tracks the rate (4-sigma binomial window)") {
+    val n = docs.count().toDouble
+    val k = Sampling.hashSample(docs, "doc_id", 0.25).count().toDouble
+    assert(math.abs(k - 0.25 * n) <= 4 * math.sqrt(n * 0.25 * 0.75) + 1,
+      s"sampled $k of $n at rate 0.25")
+  }
+
+  test("samples are nested: a lower rate is a subset of a higher rate") {
+    val lo = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val hi = Sampling.hashSample(docs, "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.nonEmpty && lo.subsetOf(hi))
+  }
+
+  test("splitAssign is total, disjoint, and stable as the corpus grows") {
+    val split = Sampling.splitAssign(docs, "doc_id", 0.8, 0.1)
+    assert(split.count() === docs.count()) // total: one row, one split
+    assert(split.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // growing/shrinking the corpus never migrates an id between splits
+    val full = split.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val sub = Sampling.splitAssign(docs.filter($"doc_id" % 3 === 0),
+        "doc_id", 0.8, 0.1)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(sub.nonEmpty)
+    sub.foreach { case (id, sp) => assert(full(id) === sp, s"doc $id migrated") }
+    // boundary: train+val = 1.0 leaves test empty (rate-1 short-circuit)
+    val noTest = Sampling.splitAssign(docs, "doc_id", 0.5, 0.5)
+    assert(noTest.filter($"split" === "test").count() === 0L)
+  }
+
+  test("stratified rates apply per stratum; the last duplicate entry wins") {
+    val totals = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "source",
+        Seq("src0" -> 1.0, "src1" -> 0.0), 0.25)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sampled("src0") === totals("src0")) // rate-1 stratum intact
+    assert(!sampled.contains("src1")) // rate-0 stratum dropped
+    // duplicate stratum: the later entry shadows the earlier one
+    val dup = Sampling.stratifiedSample(docs, "doc_id", "source",
+      Seq("src0" -> 0.0, "src0" -> 1.0), 0.0)
+    assert(dup.count() === totals("src0"))
+  }
+}

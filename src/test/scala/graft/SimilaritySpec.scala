@@ -66,6 +66,17 @@ class SimilaritySpec extends SparkSpec {
       s"missed=${(truth -- got).size} extra=${(got -- truth).size}")
   }
 
+  test("IVF search plans zero exchanges: assignment is a projection") {
+    // the round-4 assign was crossJoin(broadcast)+groupBy arg-max — a
+    // full shuffle of every vector per call; the literal-centroid
+    // arg-max must plan scan → project → filter → top-k with NO
+    // exchange anywhere (top-k is TakeOrderedAndProject, driver-merged)
+    val df = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      seedStride = 251, queryId = 0L, k = 10)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), s"IVF plan shuffles:\n$plan")
+  }
+
   test("IVF top-k sims are bounded by the exact top-1 and non-empty") {
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
         seedStride = 251, queryId = 0L, k = 10)

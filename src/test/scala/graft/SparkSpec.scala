@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sf0001 = "/root/testdata/sf0.001"
+  /** The driver's sf0.01 correctness-gate fixture. */
+  val sf001 = "/root/testdata/sf0.01"
 }
 
 object SparkSpec {

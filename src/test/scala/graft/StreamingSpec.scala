@@ -90,6 +90,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session window + watermark drops an event older than the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-late")
+      .toString + "/in"
+    // 2024-01-01 10:00:00 UTC
+    def ev(id: Long, minute: Int, user: Long) =
+      (id, new java.sql.Timestamp(1704103200000L + minute * 60000L),
+        user, "click", 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    // batch 1: a two-event session for user 7 (10:00, 10:05) plus an
+    // event 2h later that advances the watermark to 11:30 (30-min delay)
+    Seq(ev(1, 0, 7), ev(2, 5, 7), ev(3, 120, 8))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    val q = EventStreams.sessionCounts(EventStreams.readEventStream(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_late").start()
+    try {
+      q.processAllAvailable() // watermark advances after this batch
+      // batch 2: a LATE event at 10:07, far behind the 11:30 watermark —
+      // it must be DROPPED, not merged into (or re-opening) the session
+      Seq(ev(4, 7, 7)).toDF(cols: _*)
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val user7 = spark.table("stream_late").filter($"user_id" === 7L)
+        .select($"n",
+          unix_timestamp($"s_end") - unix_timestamp($"s_start"))
+        .as[(Long, Long)].collect().toSeq
+      // the finalized session counts only the 2 on-time events and spans
+      // [10:00, 10:15) = 900 s (last event + 10-min gap); had the late
+      // event been admitted it would read n=3 over 1020 s
+      assert(user7 === Seq((2L, 900L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join") {
     val dim = Tables.load(spark, sf0001, "events")
       .select($"user_id").distinct()
