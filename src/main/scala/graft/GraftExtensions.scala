@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashAgg, MinHashSig, PairCountAgg, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
+import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, PairCountAgg, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the
@@ -27,6 +27,7 @@ import graft.functions.{DotProduct, MinHashAgg, MinHashSig, PairCountAgg, SetJac
   *   vector_sum(array<double>)            → array<double>  (aggregate)
   *   sig_agreement(array<bigint>, array<bigint>) → double
   *   pair_count(integral)                 → bigint   (aggregate)
+  *   doc_freq(id, cap)                    → struct&lt;df,ids&gt; (aggregate)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -88,7 +89,11 @@ object GraftExtensions {
         case _ => arity("sig_agreement", "(a, b)") }),
     ("pair_count", "pair_count(v) - per-group count of pairs with v_i < v_j",
       { case Seq(c) => PairCountAgg(c).toAggregateExpression()
-        case _ => arity("pair_count", "(v)") }))
+        case _ => arity("pair_count", "(v)") }),
+    ("doc_freq", "doc_freq(id, cap) - per-group struct(df, ids) with ids capped",
+      { case Seq(c, cap) => DocFreqAgg(c,
+          cap.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case _ => arity("doc_freq", "(id, cap)") }))
 
   /** Registers the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -43,14 +43,29 @@ object Contamination {
     }
     val ev = shingleRows(eval, "eval_id")
     val tr = shingleRows(train, "train_id")
-    val trCapped = maxShingleDf match {
+    val joined = maxShingleDf match {
       case Some(cap) =>
-        // rows are unique per (train doc, shingle): count == document freq
-        tr.join(tr.groupBy("sk").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("sk"), "sk")
-      case None => tr
+        // ONE pass over the train shingles: DocFreqAgg folds the
+        // document frequency AND the (≤ cap) carrier-id list into the
+        // same map-side-combinable aggregate, so the cap costs one
+        // shuffle of capped per-shingle rows — not (as the round-5
+        // formulation did) a second full shingle explode plus a
+        // df-count shuffle plus a keep-set join. Rows are unique per
+        // (train doc, shingle), so df == distinct doc count and a
+        // surviving shingle's id list is its complete carrier set.
+        // The eval join's right side is then one compact row per
+        // surviving shingle; the explode fan-out is ≤ cap per hit.
+        val perShingle = tr.groupBy("sk")
+          .agg(graft.functions.DocFreqFunctions.docFreq(col("train_id"), cap)
+            .as("f"))
+          .filter(col("f.df") <= cap)
+          .select(col("sk"), col("f.ids").as("tids"))
+        ev.join(perShingle, "sk")
+          .select(col("eval_id"), col("sk"),
+            explode(col("tids")).as("train_id"))
+      case None => ev.join(tr, "sk")
     }
-    val hits = ev.join(trCapped, "sk")
+    val hits = joined
       .groupBy("eval_id")
       .agg(countDistinct(col("sk")).as("n_shared_shingles"),
         countDistinct(col("train_id")).as("n_train_docs"))

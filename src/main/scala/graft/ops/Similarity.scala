@@ -120,24 +120,49 @@ object Similarity {
   // IVF cell counts used here the k codegen dot products below stay
   // comfortably inside one whole-stage-codegen span.
 
-  /** Collect `(cell, cv)` centroid rows to the driver, sorted by cell
-    * id for a deterministic literal layout.
+  /** Hard bound on centroids folded into the plan as literals. Past a
+    * few hundred literal vectors, whole-stage codegen falls over and
+    * the driver collect stops being "k rows" — so the collect ASSERTS
+    * the bound instead of silently growing with the data. Production
+    * path for big corpora: [[kmeansCentroids]] with a bounded k feeding
+    * [[ivfTopKWith]]; stride-seeded [[ivfTopK]] (whose cell count is
+    * N/seedStride, i.e. data-proportional) is the fixture-scale
+    * correctness baseline only.
     */
-  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double])] =
-    centroids.select(col("cell").cast(LongType), col("cv"))
+  val MaxPlanCentroids = 512
+
+  /** Collect `(cell, cv)` centroid rows to the driver, sorted by cell
+    * id for a deterministic literal layout. Throws if the centroid set
+    * exceeds [[MaxPlanCentroids]] — the caller picked a
+    * data-proportional centroid source (see note above).
+    */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double])] = {
+    val cents = centroids.select(col("cell").cast(LongType), col("cv"))
+      .limit(MaxPlanCentroids + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    require(cents.length <= MaxPlanCentroids,
+      s"centroid set exceeds MaxPlanCentroids=$MaxPlanCentroids; plan-literal " +
+        "assignment needs a bounded centroid count — train kmeansCentroids " +
+        "with bounded k and use ivfTopKWith (stride-seeded ivfTopK grows " +
+        "its cell count with the data and is fixture-scale only)")
+    cents.sortBy(_._1)
+  }
 
   /** Unit-normalize centroids once at the driver: arg-max cosine(v, cv)
     * equals arg-max dot(v, cv/|cv|) (positive per-centroid scaling),
     * so per-row assignment needs ONE codegen dot per centroid instead
-    * of three (dot + two norms).
+    * of three (dot + two norms). Zero-norm centroids are DROPPED: they
+    * have no direction, can never meaningfully win a cosine arg-max,
+    * and engines disagree on cosine-vs-zero (Spark's dot scores 0.0
+    * where DuckDB's list_cosine_similarity divides by zero) — dropping
+    * keeps the assignment oracle-portable if a k-means cell mean ever
+    * collapses to the zero vector.
     */
   private def unitNorm(cents: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] =
-    cents.map { case (cell, cv) =>
+    cents.flatMap { case (cell, cv) =>
       val n = math.sqrt(dotLocal(cv, cv))
-      (cell, if (n == 0.0) cv else cv.map(_ / n))
+      if (n == 0.0) None else Some((cell, cv.map(_ / n)))
     }
 
   /** Driver-side dot product — sequential accumulation, bit-identical
@@ -159,6 +184,11 @@ object Similarity {
     */
   private def bestCellExpr(v: Column,
       unitCents: Array[(Long, Array[Double])]): Column = {
+    // an empty array() of structs would fail analysis inside array_max
+    // with an unhelpful NullType error — fail loudly here instead
+    require(unitCents.nonEmpty,
+      "no usable centroids (empty or all-zero centroid set) — cell " +
+        "assignment needs at least one non-zero centroid")
     val scored = unitCents.map { case (cell, cvn) =>
       struct(dot(v, typedLit(cvn.toSeq)).as("sim"), lit(cell).as("cell"))
     }
@@ -174,7 +204,10 @@ object Similarity {
   private def ivfSearch(base: DataFrame, cents: Array[(Long, Array[Double])],
       queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val qv = base.filter(col("id") === queryId).select(col("v"))
-      .head().getSeq[Double](0).toArray
+      .head(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"query id $queryId not found in the vector input"))
+      .getSeq[Double](0).toArray
     val unit = unitNorm(cents)
     val probeCells = unit.map { case (cell, cvn) => (cell, dotLocal(qv, cvn)) }
       .sortBy { case (cell, s) => (-s, cell) }
@@ -191,6 +224,11 @@ object Similarity {
     * stand-in for k-means centroids); every vector is assigned its
     * arg-max cosine seed per-row (no shuffle); the query searches only
     * its own cell.
+    *
+    * Fixture-scale correctness baseline ONLY: the seed count is
+    * N/seedStride — data-proportional — so [[collectCentroids]] throws
+    * past [[MaxPlanCentroids]]. The production path is
+    * [[kmeansCentroids]] (bounded k) + [[ivfTopKWith]].
     */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
       seedStride: Int, queryId: Long, k: Int): DataFrame = {

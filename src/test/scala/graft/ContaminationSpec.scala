@@ -36,6 +36,35 @@ class ContaminationSpec extends SparkSpec {
     }
   }
 
+  test("one-pass capped report equals the explicit two-pass formulation") {
+    // the production path folds df + carrier ids into ONE DocFreqAgg
+    // pass; this pins it value-equal to the naive shape (df-count
+    // shuffle + keep-set join + row-level eval join)
+    val cap = 3L
+    def shingleRows(df: org.apache.spark.sql.DataFrame, as: String) =
+      df.select(col("doc_id").as(as),
+          explode(graft.ops.Dedup.shingles(col("text"), 5)).as("s"))
+        .select(col(as), xxhash64(col("s")).as("sk"))
+    val ev = shingleRows(eval, "eval_id")
+    val tr = shingleRows(train, "train_id")
+    val keep = tr.groupBy("sk").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("sk")
+    val expected = eval.select(col("doc_id").as("eval_id"))
+      .join(ev.join(tr.join(keep, "sk"), "sk")
+          .groupBy("eval_id")
+          .agg(countDistinct(col("sk")).as("nSh"),
+            countDistinct(col("train_id")).as("nTr")),
+        Seq("eval_id"), "left")
+      .select(col("eval_id"), coalesce(col("nSh"), lit(0L)),
+        coalesce(col("nTr"), lit(0L)))
+      .as[(Long, Long, Long)].collect().sorted
+    val got = Contamination.report(train, eval, "doc_id", "text", k = 5,
+        maxShingleDf = Some(cap), hashed = true)
+      .select(col("eval_id"), col("n_shared_shingles"), col("n_train_docs"))
+      .as[(Long, Long, Long)].collect().sorted
+    assert(got.nonEmpty && got.sameElements(expected))
+  }
+
   test("df cap only removes hits; planted copy is always flagged") {
     // plant an eval doc that is an exact copy of a train doc
     val planted = train.limit(1)

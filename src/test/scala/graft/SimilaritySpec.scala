@@ -124,6 +124,57 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.select("cell").distinct().count() === 4)
   }
 
+  test("IVF failure modes are explicit errors, not analysis mysteries") {
+    val df = (0L until 10L).map { i =>
+      (i, Array.fill(4)(1.0 + i))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("cell", "cv")
+    // missing query id → IllegalArgumentException naming the id
+    val missing = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKWith(df, "vec_id", "embedding", cents,
+        queryId = 999L, k = 3)
+    }
+    assert(missing.getMessage.contains("999"))
+    // empty centroid set → explicit require, not NullType analysis error
+    val empty = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKWith(df, "vec_id", "embedding",
+        cents.filter($"cell" < 0), queryId = 0L, k = 3)
+    }
+    assert(empty.getMessage.contains("centroid"))
+    // all-zero centroids are dropped by unitNorm → same explicit error
+    val zeros = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKWith(df, "vec_id", "embedding",
+        Seq((0L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("cell", "cv"),
+        queryId = 0L, k = 3)
+    }
+    assert(zeros.getMessage.contains("non-zero"))
+  }
+
+  test("zero-norm centroid is dropped, not scored at dot=0") {
+    // one zero centroid + one real one: every vector must land in the
+    // real cell (oracle engines NaN on cosine-vs-zero; we never ask)
+    val df = (0L until 8L).map(i => (i, Array(1.0, 0.5, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((7L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.4, 0.0, 0.0))).toDF("cell", "cv")
+    val got = Similarity.ivfTopKWith(df, "vec_id", "embedding", cents,
+        queryId = 0L, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect()
+    assert(got.length === 7, "all non-query vectors live in the real cell")
+  }
+
+  test("data-proportional centroid sets are rejected at MaxPlanCentroids") {
+    val df = (0L until 4L).map(i => (i, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val tooMany = (0L until (Similarity.MaxPlanCentroids + 1).toLong)
+      .map(i => (i, Seq(1.0, i.toDouble))).toDF("cell", "cv")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKWith(df, "vec_id", "embedding", tooMany,
+        queryId = 0L, k = 3)
+    }
+    assert(err.getMessage.contains("MaxPlanCentroids"))
+  }
+
   test("multi-probe IVF recalls the exact top-k on clustered data") {
     val dirs = (0 until 4).map { c =>
       val v = new Array[Double](16); v(c * 4) = 1.0; v

@@ -49,6 +49,24 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(more.getLong(1) === 5L) // C(4,2)=6 minus one tied pair
   }
 
+  test("doc_freq keeps the exact df while capping the id list") {
+    GraftExtensions.register(spark)
+    // group 'a' has 4 distinct ids but cap=2: df stays exact, ids stop
+    // at 2 entries; group 'b' is under the cap → complete list.
+    // repartition forces partial buffers through merge + serde.
+    val rows = spark.sql(
+      """SELECT g, doc_freq(id, 2) AS f FROM (
+        |  SELECT /*+ REPARTITION(4) */ * FROM VALUES
+        |    (1L,'a'), (2L,'a'), (3L,'a'), (4L,'a'), (5L,'b')
+        |  AS t(id, g)) GROUP BY g ORDER BY g
+        |""".stripMargin).collect()
+    val a = rows(0).getStruct(1)
+    assert(a.getLong(0) === 4L && a.getSeq[Long](1).length === 2)
+    assert(a.getSeq[Long](1).forall(Set(1L, 2L, 3L, 4L)))
+    val b = rows(1).getStruct(1)
+    assert(b.getLong(0) === 1L && b.getSeq[Long](1) === Seq(5L))
+  }
+
   test("simhash_agg(group) equals simhash64 of the concatenated group") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
