@@ -75,6 +75,42 @@ object Sampling {
     df.filter(pred)
   }
 
+  /** Token-budget corpus mixing: deterministically sample each stratum
+    * (source) down to ≈ `budgets(stratum)` tokens (expectation under
+    * the hash predicate; `defaultBudget` for unlisted strata). This is
+    * the data-mixing primitive of a training run — "give me ~20B
+    * tokens of web, ~8B of code" — expressed as per-stratum rates
+    * `min(1, budget / total_tokens)` over the same md5-prefix
+    * predicate as [[stratifiedSample]], so membership stays a pure
+    * function of the id: stable across runs, engines and cluster
+    * sizes, and monotone in the budget (a bigger budget's sample
+    * contains the smaller one's).
+    *
+    * Scale design (100 TB): one map-side-combinable aggregate computes
+    * per-stratum token totals — the ONLY driver-side state, bounded by
+    * the stratum count, never by data size — then membership is a
+    * stateless per-row predicate; no window, no shuffle of the corpus.
+    * Rows with a null stratum are dropped (no budget to charge them
+    * against).
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, strataCol: String,
+      tokenCol: Column, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    val totals = df.groupBy(col(strataCol).as("_s"))
+      .agg(sum(tokenCol.cast("long")).as("_t"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .sortBy(_._1)
+    val pred = totals.foldLeft(lit(false)) {
+      case (acc, (stratum, total)) =>
+        val budget = budgets.getOrElse(stratum, defaultBudget)
+        val rate = math.min(1.0, budget.toDouble / math.max(total, 1L))
+        when(col(strataCol) === stratum, keepPredicate(col(idCol), rate))
+          .otherwise(acc)
+    }
+    df.filter(pred)
+  }
+
   /** Train/val/test split assignment: adds a `split` column, a pure
     * function of the id hash. `trainRate` + `valRate` must be <= 1; the
     * remainder is `test`. Documents never migrate between splits when

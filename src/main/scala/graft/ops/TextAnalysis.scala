@@ -71,6 +71,39 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % lit(2147483648L))
 
+  /** Per-document top-k TF-IDF terms — the classic keyword-extraction /
+    * topic-signal primitive over a training corpus: score(term, doc) =
+    * tf · ln(N / df), ranked per document on the 6-decimal-rounded
+    * score with a term tie-break so the cutoff is deterministic and
+    * engine-portable (same robustness pattern as the rounded cosines).
+    *
+    * Scale design (100 TB): ONE tokenize/explode pass; `df` is derived
+    * from the already-aggregated `tf` rows (tf rows are distinct per
+    * (doc, term), so a per-term row count IS the document frequency) —
+    * no second pass over the corpus. The score join is keyed on the
+    * term (vocab-sized right side, AQE broadcasts it when small) and
+    * the rank window is partitioned by doc_id — per-document state
+    * only, never a global sort.
+    *
+    * Returns `(doc_id, term, tf, df, score, rk)`, `rk <= k`.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(docFreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+  }
+
   /** Per-document quality signals; flag = low-quality heuristic. */
   def withQualitySignals(df: DataFrame, text: Column, nChars: Column): DataFrame = {
     val toks = tokens(text)

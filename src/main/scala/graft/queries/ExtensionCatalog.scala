@@ -936,6 +936,74 @@ object ExtensionCatalog {
         FROM documents WHERE text IS NOT NULL
         """ + orderedSql(Seq("doc_id", "lang", "out_len")))),
 
+    // x39 — per-document top-3 TF-IDF terms: tf·ln(N/df) ranked on the
+    // 6-decimal-rounded score with a term tie-break (deterministic,
+    // engine-portable — the rounded-cosine robustness pattern). One
+    // explode pass: df is a per-term row count over the tf aggregate,
+    // never a second pass over the corpus; the rank window is
+    // partitioned by doc_id.
+    QueryDef("x39_tfidf_topk",
+      (s, dir) => ordered(TextAnalysis.tfIdfTopK(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)),
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+            CAST(dfreq.df AS BIGINT) AS df,
+            ROUND(tf.tf * ln(n.n / dfreq.df), 6) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+          FROM scored)
+        SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 3
+        """ + orderedSql(Seq("doc_id", "term", "tf", "df", "score", "rk")))),
+
+    // x40 — token-budget corpus mixing: sample each source down to
+    // ≈ budget tokens (20k for src0, 8k default) via per-source rates
+    // min(1, budget/total) over the md5-prefix predicate. The rates
+    // derive from one tiny per-source aggregate; membership is a pure
+    // per-row hash predicate — no window, no corpus shuffle — and the
+    // identical rate arithmetic (BIGINT totals → DOUBLE division →
+    // ROUND(rate·65536) → 4-hex threshold) is spelled verbatim in the
+    // oracle, so the sampled sets match exactly.
+    QueryDef("x40_token_budget_mix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        ordered(Sampling.tokenBudgetSample(docs, "doc_id", "source",
+            TextAnalysis.tokenCount(col("text")),
+            budgets = Map("src0" -> 20000L), defaultBudget = 8000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).cast(LongType)
+              .as("sum_tokens")))
+      },
+      Some("""WITH tot AS (
+          SELECT source,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+          FROM documents GROUP BY source),
+        thr AS (
+          SELECT source,
+            CAST(ROUND(LEAST(1.0,
+              CAST(CASE WHEN source = 'src0' THEN 20000 ELSE 8000 END AS DOUBLE)
+                / GREATEST(t, 1)) * 65536) AS BIGINT) AS ti
+          FROM tot),
+        kept AS (
+          SELECT d.source, len(string_split(d.text, ' ')) AS tok
+          FROM documents d JOIN thr ON d.source = thr.source
+          WHERE CASE WHEN thr.ti >= 65536 THEN TRUE
+                     WHEN thr.ti <= 0 THEN FALSE
+                     ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                       < printf('%04x', thr.ti) END)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(tok) AS BIGINT) AS sum_tokens
+        FROM kept GROUP BY source
+        """ + orderedSql(Seq("source", "n_docs", "sum_tokens")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

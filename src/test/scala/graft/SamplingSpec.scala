@@ -69,6 +69,54 @@ class SamplingSpec extends SparkSpec {
     assert(noTest.filter($"split" === "test").count() === 0L)
   }
 
+  test("token-budget mix: generous budgets keep all, tight track budget") {
+    val withTok = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source",
+        graft.ops.TextAnalysis.tokenCount($"text").as("tok")).cache()
+    val totals = withTok.groupBy("source").agg(sum($"tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    // budget >= total → rate-1 short-circuit keeps the stratum intact
+    val generous = Sampling.tokenBudgetSample(withTok, "doc_id", "source",
+      $"tok", budgets = Map.empty, defaultBudget = totals.values.max * 2)
+    assert(generous.count() === withTok.count())
+    // tight budget → membership equals a locally-computed JVM-md5
+    // reference (pins Spark's md5/substr/compare to the spec exactly;
+    // at this fixture size the binomial window around the budget is too
+    // wide to be a meaningful assertion — the oracle row x40 checks the
+    // cross-engine contract instead)
+    val budget = totals.values.min / 3
+    val rows = withTok.select($"doc_id", $"source", $"tok")
+      .as[(Long, String, Long)].collect()
+    def localKeep(id: Long, rate: Double): Boolean = {
+      val t = (rate * 65536).round
+      if (t >= 65536L) true else if (t <= 0L) false else {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 4)
+        hex < f"$t%04x"
+      }
+    }
+    val expectedIds = rows.filter { case (id, src, _) =>
+      localKeep(id, math.min(1.0, budget.toDouble / math.max(totals(src), 1L)))
+    }.map(_._1).toSet
+    val tightIds = Sampling.tokenBudgetSample(withTok, "doc_id", "source",
+        $"tok", budgets = Map.empty, defaultBudget = budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tightIds === expectedIds)
+    assert(tightIds.nonEmpty && tightIds.size < rows.length)
+    // monotone: a smaller budget's sample is contained in a bigger one's
+    val lo = Sampling.tokenBudgetSample(withTok, "doc_id", "source",
+        $"tok", Map.empty, budget).select("doc_id").as[Long].collect().toSet
+    val hi = Sampling.tokenBudgetSample(withTok, "doc_id", "source",
+        $"tok", Map.empty, budget * 2).select("doc_id").as[Long].collect().toSet
+    assert(lo.nonEmpty && lo.subsetOf(hi))
+    // stable under repartitioning (pure function of the id)
+    val again = Sampling.tokenBudgetSample(withTok.repartition(7, $"source"),
+        "doc_id", "source", $"tok", Map.empty, budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === lo)
+  }
+
   test("stratified rates apply per stratum; the last duplicate entry wins") {
     val totals = docs.groupBy("source").count()
       .as[(String, Long)].collect().toMap

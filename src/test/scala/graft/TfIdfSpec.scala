@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** tfIdfTopK against a hand-computed corpus, plus rank-shape invariants
+  * on the fixture.
+  */
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top-k TF-IDF matches hand-computed scores, ranks and tie-breaks") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "c c c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._1, r._6)).toSeq
+    // N=3; df: a→2, b→1, c→2, d→1; ln(3/2)=0.405465, ln(3)=1.098612.
+    // doc 2 is an exact score tie (a and c both 1·ln(3/2)) → term order.
+    val expected = Seq(
+      (1L, "b", 1L, 1L, 1.098612, 1L),
+      (1L, "a", 2L, 2L, 0.81093, 2L),
+      (2L, "a", 1L, 2L, 0.405465, 1L),
+      (2L, "c", 1L, 2L, 0.405465, 2L),
+      (3L, "c", 3L, 2L, 1.216395, 1L),
+      (3L, "d", 1L, 1L, 1.098612, 2L))
+    assert(got === expected)
+  }
+
+  test("fixture ranks are dense from 1, scores non-increasing per doc") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val rows = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 3)
+      .select($"doc_id", $"rk", $"score")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to byRank.length).toSeq,
+        s"doc $id ranks not dense")
+      assert(byRank.length <= 3)
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi._3 >= lo._3, s"doc $id scores increase down the ranking")
+        case _ =>
+      }
+    }
+  }
+}
