@@ -78,12 +78,19 @@ object Dedup {
     * bucket join — ~60× more shuffle bytes and a per-band duplicate of
     * every pair's downstream computation.
     */
-  def lshCandidatePairs(docs: DataFrame, idCol: String, tokenSetCol: String,
+  /** Per-document `(id, block, band_id, band_hash)` bucket keys — the
+    * stateless projection shared by the batch generator below and the
+    * streaming detector (`graft.streaming.DocStreams.nearDupCandidates`):
+    * tokens → MinHash signature → xxhash64 of each band's slice. Being a
+    * pure projection it runs identically on a batch DataFrame and on an
+    * unbounded stream.
+    */
+  def bandedSignatures(docs: DataFrame, idCol: String, tokenSetCol: String,
       numHashes: Int = 64, bands: Int = 16,
       blockCol: Column = lit(0)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val banded = docs.select(col(idCol).as("id"), blockCol.as("block"),
+    docs.select(col(idCol).as("id"), blockCol.as("block"),
         minhashSig(col(tokenSetCol), numHashes).as("sig"))
       .select(col("id"), col("block"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -92,6 +99,13 @@ object Dedup {
               .as("band_hash")))).as("band"))
       .select(col("id"), col("block"),
         col("band.band_id"), col("band.band_hash"))
+  }
+
+  def lshCandidatePairs(docs: DataFrame, idCol: String, tokenSetCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      blockCol: Column = lit(0)): DataFrame = {
+    val banded = bandedSignatures(docs, idCol, tokenSetCol, numHashes,
+      bands, blockCol)
     val a = banded.select(col("block"), col("band_id"), col("band_hash"),
       col("id").as("a_id"))
     val bb = banded.select(col("block"), col("band_id"), col("band_hash"),

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Dedup
+
+/** Candidate near-duplicate pair emitted by the online detector. */
+case class CandidatePair(a_id: Long, b_id: Long)
+
+/** Streaming document-pipeline surface: ONLINE near-duplicate detection.
+  *
+  * A training-data ingest doesn't get to re-run batch dedup over the
+  * full corpus for every new crawl drop; it needs each arriving
+  * document checked against everything already seen. This is the
+  * incremental twin of [[graft.ops.Dedup.lshCandidatePairs]]: the same
+  * stateless banded-MinHash projection ([[Dedup.bandedSignatures]])
+  * keys each document into its LSH buckets, and per-bucket keyed state
+  * (`flatMapGroupsWithState`) holds the ids already seen in that
+  * bucket — a new arrival emits one candidate pair per retained
+  * bucket-mate, exactly once per bucket.
+  *
+  * Scale design (100 TB/day feed): state is partitioned by
+  * (band, band_hash) — the same key the batch generator shuffles on —
+  * and holds ids ONLY (8 bytes per retained doc per band). `maxBucket`
+  * caps the per-bucket member list, bounding total state at
+  * `bands × maxBucket × 8 B` per distinct bucket even when boilerplate
+  * documents pile into one bucket (the streaming analog of
+  * Contamination's df cap — an overfull bucket's members are
+  * near-indistinguishable anyway, the standard bounded-state trade).
+  * New arrivals are still compared against the retained members after
+  * the cap engages, so the cap costs recall only against the overflow
+  * tail. No watermark/TTL is applied: dedup state must live forever by
+  * definition — at cluster scale the state store (RocksDB) spills it.
+  *
+  * Emitted pairs are LSH *candidates* (min-id first); verification —
+  * exact Jaccard via a re-join with token sets — composes downstream,
+  * batch or stream-static, exactly as in the batch x12 path.
+  */
+object DocStreams {
+
+  /** Online LSH candidate pairs over a document stream. Also runs on a
+    * batch DataFrame (state starts empty, one "micro-batch") — the
+    * batch-equivalence tests exploit this: streamed-in-any-batching
+    * output, deduplicated, equals `lshCandidatePairs` on the union.
+    */
+  def nearDupCandidates(docs: DataFrame, idCol: String, tokenSetCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 64): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    Dedup.bandedSignatures(docs, idCol, tokenSetCol, numHashes, bands)
+      .select(col("id"), col("band_id"), col("band_hash"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, hash) => (band, hash) }
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+            state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty[Long]).toBuffer
+          val out = mutable.ArrayBuffer.empty[CandidatePair]
+          rows.foreach { case (id, _, _) =>
+            // re-deliveries and same-batch duplicates of an id emit
+            // nothing new: the bucket already reported its pairs
+            if (!seen.contains(id)) {
+              seen.foreach { s =>
+                out += CandidatePair(math.min(s, id), math.max(s, id))
+              }
+              if (seen.length < maxBucket) seen += id
+            }
+          }
+          state.update(seen.toSeq)
+          out.iterator
+      }
+  }
+}

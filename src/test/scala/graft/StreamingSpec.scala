@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventStreams
+import graft.ops.Dedup
+import graft.streaming.{DocStreams, EventStreams}
 
 /** Streaming batch-equivalence (SURVEY.md §2.3): the streaming tumbling
   * window over a file replay of `events` must equal the Q20 batch form
@@ -182,6 +183,58 @@ class StreamingSpec extends SparkSpec {
         .groupBy($"user_id").count().filter($"count" > 1).count()
       assert(multi > 0, "expected at least one user updated across batches")
     } finally q.stop()
+  }
+
+  test("streaming LSH candidates equal the batch generator, any batching") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").limit(120).cache()
+    val withTok = docs.withColumn("tok", Dedup.tokenSet($"text"))
+    val batchPairs = Dedup.lshCandidatePairs(withTok, "doc_id", "tok")
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty)
+    // batch-mode run of the same stateful function: one empty-state pass
+    val oneShot = DocStreams.nearDupCandidates(withTok, "doc_id", "tok",
+        maxBucket = 1 << 20)
+      .collect().map(p => (p.a_id, p.b_id)).toSet
+    assert(oneShot === batchPairs)
+    // replayed as several micro-batches: the union of incremental
+    // emissions must still be exactly the batch candidate set
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir + "/in")
+      .withColumn("tok", Dedup.tokenSet($"text"))
+    val q = DocStreams.nearDupCandidates(stream, "doc_id", "tok",
+        maxBucket = 1 << 20)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_neardup")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_neardup")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed === batchPairs)
+    } finally q.stop()
+  }
+
+  test("bucket cap bounds state; arrivals still pair with retained members") {
+    // 5 identical docs share every bucket; cap 2 retains two members per
+    // bucket, so the 3 overflow docs each pair with exactly the 2
+    // retained ones: 1 retained-retained pair + 3×2 = 7 pairs, and the
+    // 3 overflow-overflow pairs are the (documented) recall cost
+    val five = (1L to 5L).map(i => (i, "x y z")).toDF("doc_id", "text")
+      .coalesce(1)
+      .withColumn("tok", Dedup.tokenSet($"text"))
+    val pairs = DocStreams.nearDupCandidates(five, "doc_id", "tok",
+        maxBucket = 2)
+      .collect().map(p => (p.a_id, p.b_id)).toSet
+    assert(pairs.size === 7, s"got $pairs")
+    val full = DocStreams.nearDupCandidates(five, "doc_id", "tok")
+      .collect().map(p => (p.a_id, p.b_id)).toSet
+    assert(full.size === 10 && pairs.subsetOf(full))
   }
 
   test("dropDuplicatesWithinWatermark collapses replayed event_ids") {
