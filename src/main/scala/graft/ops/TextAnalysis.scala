@@ -71,6 +71,24 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % lit(2147483648L))
 
+  /** Intra-document repetition ratio — the Gopher-style quality rule
+    * "fraction of n-gram occurrences that are repeats": 1 − distinct
+    * n-grams / total n-grams, 0.0 for documents shorter than n tokens.
+    * High values mark boilerplate/looping text that near-dup passes
+    * (which compare ACROSS documents) cannot see. Pure per-row
+    * projection — zero shuffle, codegen'd list ops.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast(DoubleType) / size(grams))
+  }
+
   /** Per-document top-k TF-IDF terms — the classic keyword-extraction /
     * topic-signal primitive over a training corpus: score(term, doc) =
     * tf · ln(N / df), ranked per document on the 6-decimal-rounded

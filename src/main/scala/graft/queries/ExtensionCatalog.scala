@@ -1004,6 +1004,40 @@ object ExtensionCatalog {
         FROM kept GROUP BY source
         """ + orderedSql(Seq("source", "n_docs", "sum_tokens")))),
 
+    // x41 — intra-document repetition (Gopher-style quality rule):
+    // per-row bigram repeat ratio, aggregated per source. A pure
+    // projection feeding one tiny aggregate — the ratio is per-row IEEE
+    // division (engine-identical); the mean routes through
+    // DECIMAL(18,6) like every cross-engine double sum.
+    QueryDef("x41_repetition",
+      (s, dir) => ordered(t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.repetitionRatio(col("text"), 2).as("rep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rep") > 0.05, 1L).otherwise(0L)).as("n_repetitive"),
+          (sum(col("rep").cast(D18_6)).cast(DoubleType) / count(lit(1)))
+            .as("mean_rep"))),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN rep > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_repetitive,
+          CAST(SUM(CAST(rep AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS mean_rep
+        FROM (
+          SELECT source, CASE WHEN len(g) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) END
+            AS rep
+          FROM (
+            SELECT source,
+              CASE WHEN len(string_split(text, ' ')) >= 2
+                THEN list_transform(
+                  generate_series(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))
+                ELSE [] END AS g
+            FROM documents))
+        GROUP BY source
+        """ + orderedSql(Seq("source", "n_docs", "n_repetitive", "mean_rep")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

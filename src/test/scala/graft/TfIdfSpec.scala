@@ -30,6 +30,18 @@ class TfIdfSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("repetition ratio matches hand-computed bigram repeat fractions") {
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams: ab,ba,ab,ba → 4 total, 2 distinct
+      (2L, "x y z"),     // 2 distinct bigrams, no repeats
+      (3L, "a"),         // shorter than n → 0.0
+      (4L, "")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        TextAnalysis.repetitionRatio($"text", 2).as("rep"))
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 0.5, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+  }
+
   test("fixture ranks are dense from 1, scores non-increasing per doc") {
     val docs = Tables.load(spark, sf0001, "documents")
     val rows = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 3)
