@@ -89,6 +89,36 @@ object TextAnalysis {
         size(array_distinct(grams)).cast(DoubleType) / size(grams))
   }
 
+  /** Split each document into overlapping token windows — the
+    * context-length chunking primitive for training-example prep and
+    * RAG indexing: windows of `chunkSize` tokens starting every
+    * `stride` tokens, the last window clipped to the document end, and
+    * a document shorter than one window yielding exactly one chunk.
+    * Chunk count = 1 + ceil(max(len − chunkSize, 0) / stride), spelled
+    * in integer arithmetic so any engine derives the identical chunk
+    * set. Pure per-row explode: zero shuffle, output rows bounded by
+    * total tokens / stride.
+    *
+    * Returns `(doc_id, chunk_id, n_tokens, chunk)`.
+    */
+  def tokenChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val toks = tokens(col(textCol))
+    val nChunks = lit(1L) + floor(
+      (greatest(size(toks) - chunkSize, lit(0)) + (stride - 1))
+        / lit(stride))
+    docs.select(col(idCol).as("doc_id"), toks.as("_toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("_toks"), (col("chunk_id") * stride + 1).cast(IntegerType),
+          lit(chunkSize)).as("_c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("_c")).cast(LongType).as("n_tokens"),
+        concat_ws(" ", col("_c")).as("chunk"))
+  }
+
   /** Per-document top-k TF-IDF terms — the classic keyword-extraction /
     * topic-signal primitive over a training corpus: score(term, doc) =
     * tf · ln(N / df), ranked per document on the 6-decimal-rounded

@@ -1038,6 +1038,30 @@ object ExtensionCatalog {
         GROUP BY source
         """ + orderedSql(Seq("source", "n_docs", "n_repetitive", "mean_rep")))),
 
+    // x42 — token-window chunking (64-token windows every 48): the
+    // context-length splitting primitive for training-example prep /
+    // RAG indexing. Per-row explode, zero shuffle; the chunk count is
+    // integer arithmetic both engines derive identically.
+    QueryDef("x42_token_chunks",
+      (s, dir) => ordered(TextAnalysis.tokenChunks(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 48)),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        ch AS (
+          SELECT doc_id, toks,
+            unnest(generate_series(0,
+              CAST(1 + floor((greatest(len(toks) - 64, 0) + 47) / 48)
+                AS BIGINT) - 1)) AS chunk_id
+          FROM base)
+        SELECT doc_id, chunk_id,
+          CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+            AS n_tokens,
+          array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+            AS chunk
+        FROM ch
+        """ + orderedSql(Seq("doc_id", "chunk_id", "n_tokens", "chunk")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

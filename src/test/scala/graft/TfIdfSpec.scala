@@ -42,6 +42,30 @@ class TfIdfSpec extends SparkSpec {
     assert(got === Map(1L -> 0.5, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
   }
 
+  test("token chunks: hand-computed windows, clipping, and no-overlap rebuild") {
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenChunks(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // len 10, size 4, stride 3 → 1 + ceil(6/3) = 3 windows at 1, 4, 7
+    assert(got === Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 2L, "a b"),   // shorter than one window → one clipped chunk
+      (3L, 0L, 1L, "")))     // empty text tokenizes to [""]
+    // stride == chunkSize → chunks partition the doc: rebuild equals input
+    val rebuilt = TextAnalysis.tokenChunks(docs, "doc_id", "text", 4, 4)
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct($"chunk_id", $"chunk"))),
+        c => c.getField("chunk"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt === Map(1L -> doc, 2L -> "a b", 3L -> ""))
+  }
+
   test("fixture ranks are dense from 1, scores non-increasing per doc") {
     val docs = Tables.load(spark, sf0001, "documents")
     val rows = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 3)
