@@ -32,14 +32,15 @@ object Dedup {
     array_sort(array_distinct(split(text, " ", -1)))
 
   /** Word k-shingles (k consecutive tokens joined by space), sorted +
-    * distinct like [[tokenSet]].
+    * distinct like [[tokenSet]]; a sub-k document yields its one
+    * clipped shingle. Built on [[TextAnalysis.ngrams]]'s zip_with
+    * chain — the former transform-over-indices formulation re-split
+    * the text per shingle inside the lambda (interpreted HOFs do no
+    * subexpression elimination).
     */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(text, " ", -1)
-    array_sort(array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-  }
+  def shingles(text: Column, k: Int): Column =
+    array_sort(array_distinct(
+      TextAnalysis.ngrams(split(text, " ", -1), k, keepPartial = true)))
 
   /** Exact pairwise n-gram Jaccard within a blocking key. Output columns:
     * a_id, b_id, jaccard (raw double: size ratios divide identically in

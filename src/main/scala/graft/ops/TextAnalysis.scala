@@ -71,6 +71,30 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % lit(2147483648L))
 
+  /** Raw word n-grams via a zip_with chain — each step binds the
+    * previous gram array and a shifted slice ONCE per row, so the token
+    * expression is evaluated a constant number of times. The
+    * transform-over-indices formulation re-evaluates any captured
+    * expression (here: the split) PER ELEMENT inside the lambda —
+    * interpreted higher-order functions do no common-subexpression
+    * elimination — which measured ~10× slower on the fixture. Tail
+    * positions where the shift runs past the end accumulate partial
+    * concatenations (concat_ws skips the null padding); the final slice
+    * cuts them (`keepPartial = false`) or keeps exactly one clipped
+    * gram for sub-n documents (`keepPartial = true`, the shingle
+    * contract of [[graft.ops.Dedup.shingles]]).
+    */
+  def ngrams(toks: Column, n: Int, keepPartial: Boolean): Column = {
+    require(n >= 1, "n must be >= 1")
+    val g = (1 until n).foldLeft(toks) { (acc, j) =>
+      zip_with(acc,
+        slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    slice(g, lit(1),
+      greatest(size(toks) - (n - 1), lit(if (keepPartial) 1 else 0)))
+  }
+
   /** Intra-document repetition ratio — the Gopher-style quality rule
     * "fraction of n-gram occurrences that are repeats": 1 − distinct
     * n-grams / total n-grams, 0.0 for documents shorter than n tokens.
@@ -78,12 +102,14 @@ object TextAnalysis {
     * (which compare ACROSS documents) cannot see. Pure per-row
     * projection — zero shuffle, codegen'd list ops.
     */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
+  def repetitionRatio(text: Column, n: Int, hashed: Boolean = true): Column = {
+    // `hashed` (the default) distincts 8-byte gram hashes instead of
+    // strings, hitting array_distinct's primitive fast path; collisions
+    // are ~grams²/2^64 per document — far below any quality threshold
+    // (same argument as Contamination's hashed keys; hashed ≡ string is
+    // property-tested in TfIdfSpec).
+    val raw = ngrams(tokens(text), n, keepPartial = false)
+    val grams = if (hashed) transform(raw, x => xxhash64(x)) else raw
     when(size(grams) === 0, lit(0.0))
       .otherwise(lit(1.0) -
         size(array_distinct(grams)).cast(DoubleType) / size(grams))

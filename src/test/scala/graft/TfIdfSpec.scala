@@ -36,10 +36,22 @@ class TfIdfSpec extends SparkSpec {
       (2L, "x y z"),     // 2 distinct bigrams, no repeats
       (3L, "a"),         // shorter than n → 0.0
       (4L, "")).toDF("doc_id", "text")
-    val got = docs.select($"doc_id",
-        TextAnalysis.repetitionRatio($"text", 2).as("rep"))
-      .as[(Long, Double)].collect().toMap
-    assert(got === Map(1L -> 0.5, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+    for (hashed <- Seq(true, false)) {
+      val got = docs.select($"doc_id",
+          TextAnalysis.repetitionRatio($"text", 2, hashed).as("rep"))
+        .as[(Long, Double)].collect().toMap
+      assert(got === Map(1L -> 0.5, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0),
+        s"hashed=$hashed")
+    }
+    // hashed ≡ string on the fixture (no collisions at document scale)
+    val fix = Tables.load(spark, sf0001, "documents")
+    val h = fix.select($"doc_id",
+        TextAnalysis.repetitionRatio($"text", 2, hashed = true).as("r"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val s = fix.select($"doc_id",
+        TextAnalysis.repetitionRatio($"text", 2, hashed = false).as("r"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(h.nonEmpty && h.sameElements(s))
   }
 
   test("token chunks: hand-computed windows, clipping, and no-overlap rebuild") {
