@@ -117,6 +117,65 @@ object Dedup {
       .distinct()
   }
 
+  /** Engine-PORTABLE MinHash-LSH pipeline: signature component i is the
+    * lexicographic minimum over tokens of `md5("i|" ++ token)`, bands
+    * are string concatenations of signature components, candidates come
+    * from the same bucket join as [[lshCandidatePairs]], and the
+    * estimate is the fraction of equal components. Every step is
+    * expressible verbatim in any SQL engine (md5 + string min +
+    * concat), so — unlike the xxhash64-based sketch family (x8/x13),
+    * which the driver can only rows-check — the ENTIRE sketch pipeline
+    * (signature → banding → bucket join → estimate) is hash-compared
+    * against DuckDB (x43). Estimator contract is classic MinHash:
+    * P(component equal) = Jaccard of the token sets.
+    *
+    * md5-per-(token, component) costs ~an order of magnitude more than
+    * the one-pass xxhash64 `MinHashSig` kernel — this is the
+    * cross-engine VERIFICATION twin pinning the pipeline's shape, not
+    * the production sketch; the scale path stays [[minhashLshPairs]] /
+    * [[nearDupPairs]]. Same id-only candidate shuffle either way.
+    */
+  def portableLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      minEst: Double, k: Int = 8, bands: Int = 4,
+      blockCol: Column = lit(0)): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val base = docs.select(col(idCol).as("id"), blockCol.as("block"),
+      tokens(col(textCol)).as("toks"))
+    // `toks` below is a materialized attribute, so the per-element
+    // lambda binds it O(1) (see TextAnalysis.ngrams on HOF capture)
+    val sigs = base.select(col("id"), col("block"),
+      array((0 until k).map(i =>
+        array_min(transform(col("toks"),
+          t => md5(concat(lit(s"$i|"), t))))): _*).as("sig"))
+    val banded = sigs.select(col("id"), col("block"),
+        explode(array((0 until bands).map { bnd =>
+          struct(lit(bnd).as("band_id"),
+            concat((bnd * rows until (bnd + 1) * rows)
+              .map(i => col("sig").getItem(i)): _*).as("band_key"))
+        }: _*)).as("b"))
+      .select(col("id"), col("block"), col("b.band_id"), col("b.band_key"))
+    val a = banded.select(col("block"), col("band_id"), col("band_key"),
+      col("id").as("a_id"))
+    val bb = banded.select(col("block"), col("band_id"), col("band_key"),
+      col("id").as("b_id"))
+    val cands = a.join(bb, Seq("block", "band_id", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val est = (0 until k).map(i =>
+        when(col("a_sig").getItem(i) === col("b_sig").getItem(i), 1)
+          .otherwise(0))
+      .reduce(_ + _).cast(DoubleType) / k
+    cands
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .select(col("a_id"), col("b_id"), est.as("est"))
+      .filter(col("est") >= minEst)
+  }
+
+  private def tokens(text: Column): Column = split(text, " ", -1)
+
   def minhashLshPairs(docs: DataFrame, idCol: String, tokenSetCol: String,
       minEstSim: Double, numHashes: Int = 64, bands: Int = 16,
       blockCol: Column = lit(0)): DataFrame = {

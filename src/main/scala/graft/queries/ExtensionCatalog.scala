@@ -1062,6 +1062,51 @@ object ExtensionCatalog {
         FROM ch
         """ + orderedSql(Seq("doc_id", "chunk_id", "n_tokens", "chunk")))),
 
+    // x43 — the PORTABLE MinHash-LSH pipeline, oracle-checked END TO
+    // END: md5-based min-hashing, band concatenation, bucket join,
+    // component-agreement estimate — every step spelled verbatim in
+    // DuckDB, closing the "sketches are rows-only checkable" caveat for
+    // the pipeline SHAPE (the xxhash64 production sketch x8/x12 shares
+    // this exact structure, swapping only the hash). Blocked by source
+    // like the other pair queries; est = 1.0 keeps the all-components-
+    // agree (high-precision) candidates.
+    QueryDef("x43_portable_minhash",
+      (s, dir) => ordered(Dedup.portableLshPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        minEst = 1.0, k = 8, bands = 4, blockCol = col("source"))),
+      Some {
+        val k = 8; val bands = 4; val rows = k / bands
+        val sigList = (0 until k)
+          .map(i => s"list_min(list_transform(toks, t -> md5('$i|' || t)))")
+          .mkString("[", ", ", "]")
+        val bandSel = (0 until bands).map { bnd =>
+          val key = (bnd * rows until (bnd + 1) * rows)
+            .map(i => s"sig[${i + 1}]").mkString(" || ")
+          s"SELECT doc_id, source, $bnd AS band_id, $key AS band_key FROM sig"
+        }.mkString(" UNION ALL ")
+        val estExpr = (1 to k)
+          .map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH base AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents),
+          sig AS (SELECT doc_id, source, $sigList AS sig FROM base),
+          banded AS ($bandSel),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded a JOIN banded b
+              ON a.source = b.source AND a.band_id = b.band_id
+                AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id)
+          SELECT c.a_id, c.b_id,
+            CAST($estExpr AS DOUBLE) / $k AS est
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a_id
+          JOIN sig sb ON sb.doc_id = c.b_id
+          WHERE CAST($estExpr AS DOUBLE) / $k >= 1.0
+          """ + orderedSql(Seq("a_id", "b_id", "est"))
+      }),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

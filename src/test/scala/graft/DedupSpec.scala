@@ -186,6 +186,23 @@ class DedupSpec extends SparkSpec {
     assert(flags.contains(false), "unsorted input must stay on hash kernel")
   }
 
+  test("portable MinHash: copies agree everywhere, disjoint docs don't") {
+    val d3 = Seq(
+      (1L, "a", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "a", "w1 w2 w3 w4 w5 w6 w7 w8"), // exact copy of 1
+      (3L, "a", "z1 z2 z3 z4 z5 z6 z7 z8")) // token-disjoint from both
+      .toDF("doc_id", "source", "text")
+    val pairs = Dedup.portableLshPairs(d3, "doc_id", "text", minEst = 0.0,
+        blockCol = col("source"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) === 1.0, "exact copy must agree on all components")
+    // a disjoint pair only surfaces via a bucket coincidence; if it
+    // does, its agreement must stay far from the near-dup regime
+    pairs.get((1L, 3L)).foreach(e => assert(e <= 0.5, s"disjoint est $e"))
+    pairs.get((2L, 3L)).foreach(e => assert(e <= 0.5, s"disjoint est $e"))
+  }
+
   test("exact dedup drops duplicated rows") {
     val d = docs.select($"doc_id", concat_ws(" ", $"tok").as("text"))
     val doubled = d.union(d)
