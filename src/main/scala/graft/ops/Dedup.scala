@@ -176,6 +176,49 @@ object Dedup {
 
   private def tokens(text: Column): Column = split(text, " ", -1)
 
+  /** Incremental exact-KEY dedup of an arriving batch against an
+    * already-ingested corpus, Bloom-pruned — the "drop re-crawled
+    * documents at ingest" primitive. Three stages, none of which
+    * shuffles either corpus:
+    *
+    *  1. the seen corpus folds into ONE Bloom filter via a map-side-
+    *     combinable aggregate (`BloomFilterAggregate`, the expression
+    *     behind Spark's own runtime row-group filtering) — the only
+    *     driver-side state, sized by `expectedSeen` (~9 bits/key at the
+    *     default 3% fpp), independent of the arriving batch;
+    *  2. arriving rows test membership with a stateless `might_contain`
+    *     projection against the filter re-embedded as a literal (the
+    *     expression requires a constant/scalar-subquery bloom side);
+    *  3. only the maybe-duplicates (true dups + fpp false positives)
+    *     are exactly verified: seen is scanned once against the
+    *     BROADCAST maybe-key set, and the confirmed duplicate keys —
+    *     a small set — broadcast back as an anti-join.
+    *
+    * The result is EXACT: false positives die in step 3, and Bloom
+    * filters have no false negatives (any key present in seen tests
+    * `maybe`, so no duplicate can bypass the verify).
+    */
+  def bloomFreshRows(newDocs: DataFrame, seen: DataFrame,
+      newKey: Column, seenKey: Column, expectedSeen: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bf = seen.select(xxhash64(seenKey).as("_h"))
+      .agg(ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(col("_h")), expectedSeen)
+          .toAggregateExpression()).as("_bf"))
+      .head().getAs[Array[Byte]](0)
+    val maybe = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bf)),
+      ColumnBridge.expression(xxhash64(newKey))))
+    val maybeKeys = newDocs.filter(maybe).select(newKey.as("_k")).distinct()
+    val dupKeys = seen.select(seenKey.as("_k"))
+      .join(broadcast(maybeKeys), Seq("_k"), "left_semi")
+      .distinct()
+    newDocs.join(broadcast(dupKeys), newKey === col("_k"), "left_anti")
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, tokenSetCol: String,
       minEstSim: Double, numHashes: Int = 64, bands: Int = 16,
       blockCol: Column = lit(0)): DataFrame = {

@@ -1107,6 +1107,30 @@ object ExtensionCatalog {
           """ + orderedSql(Seq("a_id", "b_id", "est"))
       }),
 
+    // x44 — Bloom-pruned incremental exact-key dedup: src0 is the
+    // arriving batch, every other source the ingested corpus, key =
+    // (lang, n_chars). The bloom prunes the verify join to the
+    // maybe-set; the result is exact anti-join semantics, which is
+    // precisely what the oracle's NOT EXISTS checks — so the green row
+    // proves the pruned path returns the unpruned answer.
+    QueryDef("x44_bloom_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val key = concat_ws("|", col("lang"), col("n_chars"))
+        ordered(Dedup.bloomFreshRows(
+            newDocs = docs.filter(col("source") === "src0"),
+            seen = docs.filter(col("source") =!= "src0"),
+            newKey = key, seenKey = key, expectedSeen = 100000L)
+          .select(col("doc_id"), col("lang"), col("n_chars")))
+      },
+      Some("""SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        WHERE d.source = 'src0' AND NOT EXISTS (
+          SELECT 1 FROM documents o
+          WHERE o.source <> 'src0' AND o.lang = d.lang
+            AND o.n_chars = d.n_chars)
+        """ + orderedSql(Seq("doc_id", "lang", "n_chars")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

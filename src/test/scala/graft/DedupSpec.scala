@@ -203,6 +203,28 @@ class DedupSpec extends SparkSpec {
     pairs.get((2L, 3L)).foreach(e => assert(e <= 0.5, s"disjoint est $e"))
   }
 
+  test("bloom-pruned fresh rows equal the plain anti-join, planted dups die") {
+    val seen = Seq((10L, "k1"), (11L, "k2"), (12L, "k3"))
+      .toDF("doc_id", "key")
+    val arriving = Seq((1L, "k2"), (2L, "k9"), (3L, "k3"), (4L, "ka"))
+      .toDF("doc_id", "key")
+    val fresh = Dedup.bloomFreshRows(arriving, seen,
+        col("key"), col("key"), expectedSeen = 1000L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(fresh === Set(2L, 4L))
+    // fixture-scale: pruned path ≡ unpruned anti-join on a real key
+    val d = docs.sparkSession.read.parquet(s"$sf0001/documents.parquet")
+    val key = concat_ws("|", col("lang"), col("n_chars"))
+    val newB = d.filter($"source" === "src0")
+    val old = d.filter($"source" =!= "src0")
+    val got = Dedup.bloomFreshRows(newB, old, key, key, 1000L)
+      .select($"doc_id").as[Long].collect().toSet
+    val want = newB.join(old.select(key.as("_k")).distinct(),
+        key === col("_k"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === want && got.size < newB.count())
+  }
+
   test("exact dedup drops duplicated rows") {
     val d = docs.select($"doc_id", concat_ws(" ", $"tok").as("text"))
     val doubled = d.union(d)
