@@ -100,7 +100,7 @@ object TextAnalysis {
     * n-grams / total n-grams, 0.0 for documents shorter than n tokens.
     * High values mark boilerplate/looping text that near-dup passes
     * (which compare ACROSS documents) cannot see. Pure per-row
-    * projection — zero shuffle, codegen'd list ops.
+    * projection — zero shuffle, stateless list ops.
     */
   def repetitionRatio(text: Column, n: Int, hashed: Boolean = true): Column = {
     // `hashed` (the default) distincts 8-byte gram hashes instead of
