@@ -176,6 +176,53 @@ object Dedup {
 
   private def tokens(text: Column): Column = split(text, " ", -1)
 
+  /** Corpus-global repeated-chunk removal — the RefinedWeb/CCNet
+    * "line-level dedup" shape generalized to deterministic token
+    * windows (the fixture has no newlines): split every document into
+    * non-overlapping `chunkSize`-token chunks, count each chunk text's
+    * DOCUMENT frequency corpus-wide, drop chunks appearing in >=
+    * `maxDocFreq` distinct documents from every document, and
+    * reassemble the survivors in order. Removes boilerplate
+    * (headers, navigation, license blocks) that whole-document dedup
+    * cannot see because the surrounding text differs.
+    *
+    * Scale design (100 TB): three key-balanced shuffles, no driver
+    * state — (1) document-frequency aggregation on the 16-byte md5
+    * chunk key (partial-agg combines map-side); (2) the chunks⋈freq
+    * join on the same hashed key (uniformly distributed by
+    * construction; a boilerplate chunk repeated millions of times is
+    * ONE row on the freq side, so no skew); (3) per-document
+    * reassembly, state bounded by tokens-per-document. md5 rather
+    * than xxhash64 keeps the whole pipeline engine-portable (the
+    * oracle spells it verbatim) at identical shuffle width.
+    *
+    * Returns one row PER INPUT DOCUMENT:
+    * `(doc_id, n_chunks, n_dropped, kept_text)` — `kept_text` is ""
+    * when every chunk was boilerplate.
+    */
+  def dropRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, maxDocFreq: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be > 0")
+    require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every chunk")
+    val chunks = TextAnalysis.tokenChunks(docs, idCol, textCol,
+        chunkSize = chunkSize, stride = chunkSize)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        md5(col("chunk")).as("_k"))
+    val freq = chunks.groupBy("_k")
+      .agg(countDistinct(col("doc_id")).as("_df"))
+    chunks.join(freq, "_k")
+      .withColumn("_keep", col("_df") < maxDocFreq)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"),
+        // when(!keep) -> null rows vanish from collect_list; chunk_id is
+        // unique per document so the struct sort is deterministic
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_keep"), struct(col("chunk_id"), col("chunk"))))),
+          s => s.getField("chunk"))).as("kept_text"))
+  }
+
   /** Incremental exact-KEY dedup of an arriving batch against an
     * already-ingested corpus, Bloom-pruned — the "drop re-crawled
     * documents at ingest" primitive. Three stages, none of which

@@ -1131,6 +1131,43 @@ object ExtensionCatalog {
             AND o.n_chars = d.n_chars)
         """ + orderedSql(Seq("doc_id", "lang", "n_chars")))),
 
+    // x45 — corpus-global repeated-chunk removal (RefinedWeb-style
+    // line dedup over deterministic 5-token windows): chunks whose
+    // text occurs in >= 2 distinct documents are dropped from EVERY
+    // document and the survivors reassembled in order. The fixture
+    // has real chunk-level duplication (~250 chunk texts shared
+    // across documents), so the op exercises both drop and reassembly.
+    QueryDef("x45_chunk_dedup",
+      (s, dir) => ordered(Dedup.dropRepeatedChunks(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 5, maxDocFreq = 2)),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        ch AS (
+          SELECT doc_id, toks,
+            unnest(generate_series(0,
+              CAST(1 + floor((greatest(len(toks) - 5, 0) + 4) / 5)
+                AS BIGINT) - 1)) AS chunk_id
+          FROM base),
+        chunks AS (
+          SELECT doc_id, chunk_id,
+            array_to_string(toks[chunk_id * 5 + 1 : chunk_id * 5 + 5], ' ')
+              AS chunk
+          FROM ch),
+        freq AS (
+          SELECT md5(chunk) AS k, COUNT(DISTINCT doc_id) AS df
+          FROM chunks GROUP BY 1)
+        SELECT c.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped,
+          COALESCE(string_agg(CASE WHEN f.df < 2 THEN c.chunk END, ' '
+            ORDER BY c.chunk_id), '') AS kept_text
+        FROM chunks c JOIN freq f ON md5(c.chunk) = f.k
+        GROUP BY c.doc_id
+        """ + orderedSql(Seq("doc_id", "n_chunks", "n_dropped",
+          "kept_text")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

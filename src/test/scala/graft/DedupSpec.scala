@@ -231,4 +231,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropExactDuplicates(doubled, Seq("text")).count() ===
       d.select($"text").distinct().count())
   }
+
+  test("repeated-chunk removal drops corpus-wide boilerplate, keeps order") {
+    // chunkSize=2: docs 1 and 2 share the boilerplate chunk "b1 b2";
+    // every other chunk is unique to its document
+    val d = Seq(
+      (1L, "b1 b2 u1 u2 u3 u4"),
+      (2L, "v1 v2 b1 b2 v3"),
+      (3L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedChunks(d, "doc_id", "text",
+        chunkSize = 2, maxDocFreq = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === ((3L, 1L, "u1 u2 u3 u4")))
+    assert(out(2L) === ((3L, 1L, "v1 v2 v3")), "clipped tail chunk kept")
+    assert(out(3L) === ((2L, 0L, "w1 w2 w3 w4")), "untouched doc intact")
+  }
+
+  test("repeated-chunk removal: every doc survives; all-dropped doc is empty") {
+    val d = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "p q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedChunks(d, "doc_id", "text",
+        chunkSize = 2, maxDocFreq = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L), "one row per input doc")
+    assert(out(1L) === ((1L, 1L, "")), "fully-boilerplate doc -> empty text")
+    assert(out(4L) === ((1L, 0L, "p q")))
+  }
 }
