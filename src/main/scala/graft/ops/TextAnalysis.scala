@@ -178,6 +178,32 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** PII patterns restricted to the syntax subset on which Java regex
+    * (Spark) and RE2 (DuckDB/Go engines) agree on both syntax AND match
+    * semantics: greedy character-class quantifiers with no alternation
+    * overlap, where leftmost-first (Java) and leftmost-longest (RE2)
+    * pick identical spans. `\b` is the ASCII word boundary in both.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern)).cast(LongType)
+
+  def ipv4Count(text: Column): Column =
+    regexp_count(text, lit(ipv4Pattern)).cast(LongType)
+
+  /** Redact every email, then every IPv4 literal — the pre-training
+    * scrub pass. Order matters and is part of the contract: the email
+    * pass runs first so a digits-only local part can't be half-eaten
+    * by the IP pass. Pure per-row codegen projection — zero shuffle,
+    * scales linearly.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
+      lit(ipv4Pattern), lit("<IP>"))
+
   /** Per-document quality signals; flag = low-quality heuristic. */
   def withQualitySignals(df: DataFrame, text: Column, nChars: Column): DataFrame = {
     val toks = tokens(text)

@@ -1168,6 +1168,43 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "n_chunks", "n_dropped",
           "kept_text")))),
 
+    // x46 — PII detection + redaction (emails, IPv4): the pre-training
+    // scrub pass. The fixture text is PII-free word soup, so each doc
+    // is seeded with a deterministic email + IP derived from its own
+    // columns — the oracle builds the identical string, so the green
+    // row checks detection counts AND the full redacted text.
+    QueryDef("x46_pii_scrub",
+      (s, dir) => {
+        val raw = concat(col("text"), lit(" contact "), col("source"),
+          lit("@example.com via 10."),
+          (col("doc_id") % 200).cast(StringType), lit(".0."),
+          (col("doc_id") % 250).cast(StringType))
+        ordered(t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("_raw"))
+          .select(col("doc_id"),
+            TextAnalysis.emailCount(col("_raw")).as("n_emails"),
+            TextAnalysis.ipv4Count(col("_raw")).as("n_ips"),
+            TextAnalysis.piiRedact(col("_raw")).as("redacted")))
+      },
+      Some("""WITH seeded AS (
+          SELECT doc_id,
+            text || ' contact ' || source || '@example.com via 10.' ||
+              CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+              CAST(doc_id % 250 AS VARCHAR) AS raw
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(raw,
+            '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
+          regexp_replace(regexp_replace(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+            'g'), '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')
+            AS redacted
+        FROM seeded
+        """ + orderedSql(Seq("doc_id", "n_emails", "n_ips", "redacted")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

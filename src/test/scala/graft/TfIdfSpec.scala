@@ -10,6 +10,29 @@ import graft.ops.TextAnalysis
 class TfIdfSpec extends SparkSpec {
   import spark.implicits._
 
+  test("PII scrub: counts and redaction on crafted edge cases") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@sub.example.org then 192.168.1.254 end"),
+      (2L, "double a@b.co c@d.io ips 10.0.0.1 10.0.0.2"),
+      (3L, "digits-only local 12345@nums.net stays an email"),
+      (4L, "not an ip 1.2.3 nor 1.2.3.4.5 is two matches? no words"),
+      (5L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val got = d.select($"doc_id",
+        TextAnalysis.emailCount($"text").as("e"),
+        TextAnalysis.ipv4Count($"text").as("i"),
+        TextAnalysis.piiRedact($"text").as("r"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) === ((1L, 1L, "mail <EMAIL> then <IP> end")))
+    assert(got(2L) === ((2L, 2L, "double <EMAIL> <EMAIL> ips <IP> <IP>")))
+    // email pass runs first, so the digit local part is redacted as an
+    // email, not half-eaten by the IP pass
+    assert(got(3L) === ((1L, 0L, "digits-only local <EMAIL> stays an email")))
+    // 1.2.3 is not an IP; 1.2.3.4.5 contains one greedy 4-octet match
+    assert(got(4L)._2 === 1L)
+    assert(got(5L) === ((0L, 0L, "clean text with no pii at all")))
+  }
+
   test("top-k TF-IDF matches hand-computed scores, ranks and tie-breaks") {
     val docs = Seq(
       (1L, "a a b"),
