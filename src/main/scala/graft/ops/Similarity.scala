@@ -136,6 +136,45 @@ object Similarity {
     * exceeds [[MaxPlanCentroids]] — the caller picked a
     * data-proportional centroid source (see note above).
     */
+  /** Per-label int8 symmetric-quantization error report — the
+    * "can we ship these embeddings at 4× less storage/bandwidth?"
+    * check run before quantizing a 100 TB vector corpus. Per vector:
+    * scale = 127 / max|x|, q_j = floor(x_j·scale + 0.5) (spelled as
+    * floor(+0.5), NOT round(), because Java round-HALF_UP-on-decimal-
+    * repr and C round-half-away-on-binary disagree on .5 boundaries
+    * while floor is pure IEEE in every engine), reconstruction error
+    * e_j = |x_j − q_j/scale|. Per-row math is bit-deterministic
+    * cross-engine; the group mean routes through DECIMAL(18,12) like
+    * every other cross-engine aggregate. Zero-vector rows would make
+    * scale infinite and are counted separately (error defined 0).
+    *
+    * Pure projection + one partial-aggregated groupBy — no joins, no
+    * driver state; scales to any corpus the groupBy keys fit.
+    *
+    * Returns `(label, n_vecs, n_zero, avg_mae, max_err)`.
+    */
+  def quantizationReport(vectors: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val vd = toDouble(col(vecCol))
+    val m = array_max(transform(vd, x => abs(x)))
+    val scale = lit(127.0) / m
+    val err = transform(vd,
+      x => abs(x - floor(x * scale + lit(0.5)) / scale))
+    // 0.0 + e1 is exact for e1 >= 0, so the left fold from a 0.0 init
+    // equals DuckDB's list_reduce fold seeded with the first element
+    val mae = when(m === 0.0, lit(0.0)).otherwise(
+      aggregate(err, lit(0.0), (acc, e) => acc + e) / size(vd))
+    val mx = when(m === 0.0, lit(0.0)).otherwise(array_max(err))
+    vectors.select(col(labelCol).as("label"), mae.as("_mae"), mx.as("_mx"),
+        (m === 0.0).as("_zero"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("_zero"), 1L).otherwise(0L)).as("n_zero"),
+        (sum(col("_mae").cast(DecimalType(18, 12))).cast(DoubleType) /
+          count(lit(1))).as("avg_mae"),
+        max(col("_mx")).as("max_err"))
+  }
+
   private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double])] = {
     val cents = centroids.select(col("cell").cast(LongType), col("cv"))
       .limit(MaxPlanCentroids + 1)

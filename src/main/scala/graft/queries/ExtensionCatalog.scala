@@ -1205,6 +1205,40 @@ object ExtensionCatalog {
         FROM seeded
         """ + orderedSql(Seq("doc_id", "n_emails", "n_ips", "redacted")))),
 
+    // x47 — int8 embedding-quantization error report: per-vector
+    // symmetric scale (127/max|x|), floor(+0.5) rounding (pure IEEE —
+    // engine-portable where round() is not), reconstruction MAE/max
+    // per label. The storage-sizing check before quantizing a vector
+    // corpus; pure projection + one partial-agg groupBy.
+    QueryDef("x47_quantization",
+      (s, dir) => ordered(Similarity.quantizationReport(
+        t(s, dir, "embeddings"), "embedding", "label")),
+      Some("""WITH per AS (
+          SELECT label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) AS m
+          FROM embeddings),
+        scored AS (
+          SELECT label, m,
+            CASE WHEN m = 0 THEN 0.0 ELSE
+              list_reduce(list_transform(vd,
+                x -> abs(x - floor(x * (127.0 / m) + 0.5) / (127.0 / m))),
+                (a, b) -> a + b) / len(vd) END AS mae,
+            CASE WHEN m = 0 THEN 0.0 ELSE
+              list_max(list_transform(vd,
+                x -> abs(x - floor(x * (127.0 / m) + 0.5) / (127.0 / m))))
+              END AS mx
+          FROM per)
+        SELECT label, COUNT(*) AS n_vecs,
+          CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          CAST(SUM(CAST(mae AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+            AS avg_mae,
+          MAX(mx) AS max_err
+        FROM scored GROUP BY label
+        """ + orderedSql(Seq("label", "n_vecs", "n_zero", "avg_mae",
+          "max_err")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

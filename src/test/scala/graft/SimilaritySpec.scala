@@ -199,4 +199,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf2.toSet === brute.toSet,
       s"ivf=$ivf2 vs brute=$brute")
   }
+
+  test("int8 quantization: error bounded by half a step, zero vecs counted") {
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Array(-2.0f, 1.99f, 0.001f, -1.0f), 1)).toDF(
+      "vec_id", "embedding", "label")
+    val got = Similarity.quantizationReport(d, "embedding", "label")
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(0)._1 === 2L)
+    assert(got(0)._2 === 1L, "zero vector counted, not NaN/Inf")
+    assert(got(1)._2 === 0L)
+    // symmetric int8: reconstruction error <= (m/127)/2 per element
+    assert(got(0)._4 <= 1.0 / 254 + 1e-12)
+    assert(got(1)._4 <= 2.0 / 254 + 1e-12)
+    assert(got(0)._3 >= 0.0 && got(1)._3 > 0.0, "real error, not zero")
+    // fixture-wide: every label's max_err respects the half-step bound
+    // for the largest component magnitude in the corpus
+    val embs = Tables.load(spark, sf0001, "embeddings")
+    val mGlobal = embs.select(
+        max(array_max(transform(Similarity.toDouble($"embedding"),
+          x => abs(x))))).as[Double].head()
+    val worst = Similarity.quantizationReport(embs, "embedding", "label")
+      .select(max($"max_err")).as[Double].head()
+    assert(worst <= mGlobal / 254 + 1e-12,
+      s"max_err $worst exceeds half-step bound ${mGlobal / 254}")
+  }
 }
