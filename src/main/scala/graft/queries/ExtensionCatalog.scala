@@ -1239,6 +1239,57 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("label", "n_vecs", "n_zero", "avg_mae",
           "max_err")))),
 
+    // x48 — end-to-end dedup RATE: the complete pairs → clusters →
+    // survivors path applied, reported per source — the number a
+    // training-corpus curation run actually publishes. The component
+    // label IS the cluster's min doc_id (min-label propagation), so
+    // "survivor" is the stateless predicate doc_id = component; no
+    // representative join is needed.
+    QueryDef("x48_dedup_rate",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+        val docs = base.select(col("doc_id"), col("source"),
+          Dedup.tokenSet(col("text")).as("tok"))
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
+          numHashes = 96, bands = 24, blockCol = col("source"))
+        val comp = graft.ops.Clusters.assignComponents(
+          docs.select(col("doc_id"), col("source")), "doc_id",
+          pairs, "a_id", "b_id")
+        ordered(comp.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("component"), 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when(col("doc_id") === col("component"), 0L).otherwise(1L))
+              .as("n_dropped")))
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM toks a JOIN toks b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+        reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+        SELECT d.source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN COALESCE(l.comp, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN COALESCE(l.comp, d.doc_id) = d.doc_id
+            THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+        GROUP BY d.source
+        """ + orderedSql(Seq("source", "n_docs", "n_kept", "n_dropped")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).
