@@ -204,6 +204,44 @@ object TextAnalysis {
       regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
       lit(ipv4Pattern), lit("<IP>"))
 
+  /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): hash every k-token gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's MINIMUM, distinct the
+    * selections. Guarantee: two documents sharing any run of at least
+    * w+k−1 tokens share at least one fingerprint — the detection
+    * contract plagiarism/overlap scanners are built on — while storing
+    * only ~2/(w+1) of the gram hashes. md5 gram hashes keep the whole
+    * computation engine-portable (lexicographic min over hex digests),
+    * and string min is collation-free binary comparison in both Spark
+    * and DuckDB.
+    *
+    * The sliding min reuses the [[ngrams]] zip_with-chain shape (w−1
+    * passes binding materialized attributes once per row — never a
+    * transform-over-indices lambda re-evaluating its capture per
+    * element). Pure per-row projection + explode: zero shuffle;
+    * dedup/overlap joins downstream shuffle only the selected
+    * fingerprints. Documents shorter than w+k−1 tokens yield no rows.
+    *
+    * Returns `(doc_id, fp)` — one row per distinct fingerprint.
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val base = docs.select(col(idCol).as("doc_id"),
+      transform(ngrams(tokens(col(textCol)), k, keepPartial = false),
+        g => md5(g)).as("_hs"))
+    // least() skips nulls, so zip_with's null tail-padding cannot win a
+    // window; the final slice cuts the partial windows regardless
+    val mins = (1 until w).foldLeft(col("_hs")) { (acc, j) =>
+      zip_with(acc,
+        slice(col("_hs"), lit(j + 1), greatest(size(col("_hs")) - j, lit(0))),
+        (a, b) => least(a, b))
+    }
+    base.select(col("doc_id"),
+        explode(array_distinct(slice(mins, lit(1),
+          greatest(size(col("_hs")) - (w - 1), lit(0))))).as("fp"))
+  }
+
   /** Per-document quality signals; flag = low-quality heuristic. */
   def withQualitySignals(df: DataFrame, text: Column, nChars: Column): DataFrame = {
     val toks = tokens(text)

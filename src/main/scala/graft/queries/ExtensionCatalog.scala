@@ -1290,6 +1290,28 @@ object ExtensionCatalog {
         GROUP BY d.source
         """ + orderedSql(Seq("source", "n_docs", "n_kept", "n_dropped")))),
 
+    // x49 — winnowing fingerprints (4-gram hashes, window 8): the
+    // guaranteed-detection document-fingerprint set, one row per
+    // selected hash. The oracle spells the identical gram-hash /
+    // sliding-min / distinct pipeline in DuckDB list ops.
+    QueryDef("x49_winnowing",
+      (s, dir) => ordered(TextAnalysis.winnowingFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 4, w = 8)),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+            list_transform(range(len(toks) - 3),
+              i -> md5(array_to_string(toks[i + 1 : i + 4], ' '))) AS hs
+          FROM base),
+        w AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(len(hs) - 7),
+              j -> list_min(hs[j + 1 : j + 8]))) AS fps
+          FROM g WHERE len(hs) >= 8)
+        SELECT doc_id, unnest(fps) AS fp FROM w
+        """ + orderedSql(Seq("doc_id", "fp")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

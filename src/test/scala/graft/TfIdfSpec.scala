@@ -33,6 +33,28 @@ class TfIdfSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, "clean text with no pii at all")))
   }
 
+  test("winnowing: shared >= w+k-1 token run guarantees a shared fingerprint") {
+    val shared = (1 to 11).map(i => s"s$i").mkString(" ") // w+k-1 = 11
+    val d = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $shared a6 a7 a8"),
+      (2L, s"b1 b2 $shared b3 b4 b5 b6 b7 b8 b9"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(d, "doc_id", "text",
+        k = 4, w = 8)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "planted 11-token overlap must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint doc shares nothing")
+    assert(!fps.contains(4L), "doc shorter than w+k-1 yields no rows")
+    // density: winnowing stores far fewer than all gram hashes but at
+    // least one per window-aligned stretch (>= ngrams/w selections)
+    val nGrams3 = 14 - 4 + 1
+    assert(fps(3L).size < nGrams3 && fps(3L).size >= nGrams3 / 8)
+  }
+
   test("top-k TF-IDF matches hand-computed scores, ranks and tie-breaks") {
     val docs = Seq(
       (1L, "a a b"),
