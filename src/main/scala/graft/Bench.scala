@@ -27,7 +27,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query names to bench (dev iteration); driver
+    // passes none and gets the full inventory
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => args.isEmpty || args.contains(name) }
+    val results = wanted.map { case (name, fn) =>
       val sec =
         try {
           run(fn) // cold run, discarded

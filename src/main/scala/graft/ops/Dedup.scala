@@ -192,9 +192,13 @@ object Dedup {
     * join on the same hashed key (uniformly distributed by
     * construction; a boilerplate chunk repeated millions of times is
     * ONE row on the freq side, so no skew); (3) per-document
-    * reassembly, state bounded by tokens-per-document. md5 rather
-    * than xxhash64 keeps the whole pipeline engine-portable (the
-    * oracle spells it verbatim) at identical shuffle width.
+    * reassembly, state bounded by tokens-per-document. The chunk key
+    * is INTERNAL (the output is per-document text, never the key), so
+    * the production path uses 8-byte xxhash64 keys — 4× narrower
+    * through the shuffle and far cheaper than md5 — while an oracle
+    * keying the same pipeline on md5 gets identical output (collision
+    * odds ~chunks²/2^64, the standing hashed-key argument of
+    * Contamination/repetitionRatio).
     *
     * Returns one row PER INPUT DOCUMENT:
     * `(doc_id, n_chunks, n_dropped, kept_text)` — `kept_text` is ""
@@ -204,14 +208,25 @@ object Dedup {
       chunkSize: Int, maxDocFreq: Int): DataFrame = {
     require(chunkSize > 0, "chunkSize must be > 0")
     require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every chunk")
+    require(maxDocFreq == 2,
+      "this implementation detects repetition as min(doc)<max(doc); " +
+        "general thresholds need a countDistinct (HLL at scale)")
     val chunks = TextAnalysis.tokenChunks(docs, idCol, textCol,
         chunkSize = chunkSize, stride = chunkSize)
       .select(col("doc_id"), col("chunk_id"), col("chunk"),
-        md5(col("chunk")).as("_k"))
-    val freq = chunks.groupBy("_k")
-      .agg(countDistinct(col("doc_id")).as("_df"))
-    chunks.join(freq, "_k")
-      .withColumn("_keep", col("_df") < maxDocFreq)
+        xxhash64(col("chunk")).as("_k"))
+    // ">= 2 distinct docs" is exactly min(doc) < max(doc): plain
+    // partial-aggregating min/max, no countDistinct expand. Joining
+    // LEFT against only the hot keys keeps the right side at
+    // |repeated chunks| — AQE broadcasts it when small, and it stays
+    // a balanced one-row-per-key shuffle join when boilerplate is
+    // corpus-proportional.
+    val hot = chunks.groupBy("_k")
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mn") < col("_mx"))
+      .select(col("_k"), lit(true).as("_hot"))
+    chunks.join(hot, Seq("_k"), "left")
+      .withColumn("_keep", col("_hot").isNull)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"),

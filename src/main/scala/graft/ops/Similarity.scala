@@ -155,18 +155,31 @@ object Similarity {
     */
   def quantizationReport(vectors: DataFrame, vecCol: String,
       labelCol: String): DataFrame = {
-    val vd = toDouble(col(vecCol))
-    val m = array_max(transform(vd, x => abs(x)))
-    val scale = lit(127.0) / m
-    val err = transform(vd,
-      x => abs(x - floor(x * scale + lit(0.5)) / scale))
+    // every lambda below captures only materialized ATTRIBUTES (_vd,
+    // _s, _err): an interpreted HOF re-evaluates a captured EXPRESSION
+    // per element (no CSE), which would make the scale's array_max
+    // O(dim) per element — O(dim²) per row (see TextAnalysis.ngrams)
+    val withScale = vectors
+      .select(col(labelCol).as("label"), toDouble(col(vecCol)).as("_vd"))
+      .select(col("label"), col("_vd"),
+        array_max(transform(col("_vd"), x => abs(x))).as("_m"))
+      .select(col("label"), col("_vd"), col("_m"),
+        // dummy scale 1.0 for zero vectors (ANSI divide-by-zero would
+        // throw eagerly here); their mae/mx are overridden to 0 below
+        when(col("_m") === 0.0, lit(1.0))
+          .otherwise(lit(127.0) / col("_m")).as("_s"))
+    val withErr = withScale.select(col("label"), col("_vd"), col("_m"),
+      transform(col("_vd"), x =>
+        abs(x - floor(x * col("_s") + lit(0.5)) / col("_s"))).as("_err"))
     // 0.0 + e1 is exact for e1 >= 0, so the left fold from a 0.0 init
     // equals DuckDB's list_reduce fold seeded with the first element
-    val mae = when(m === 0.0, lit(0.0)).otherwise(
-      aggregate(err, lit(0.0), (acc, e) => acc + e) / size(vd))
-    val mx = when(m === 0.0, lit(0.0)).otherwise(array_max(err))
-    vectors.select(col(labelCol).as("label"), mae.as("_mae"), mx.as("_mx"),
-        (m === 0.0).as("_zero"))
+    val mae = when(col("_m") === 0.0, lit(0.0)).otherwise(
+      aggregate(col("_err"), lit(0.0), (acc, e) => acc + e) /
+        size(col("_vd")))
+    val mx = when(col("_m") === 0.0, lit(0.0))
+      .otherwise(array_max(col("_err")))
+    withErr.select(col("label"), mae.as("_mae"), mx.as("_mx"),
+        (col("_m") === 0.0).as("_zero"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("_zero"), 1L).otherwise(0L)).as("n_zero"),
