@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, PairCountAgg, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
+import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, NGramHashes, PairCountAgg, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the
@@ -28,6 +28,7 @@ import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, PairCoun
   *   sig_agreement(array<bigint>, array<bigint>) → double
   *   pair_count(integral)                 → bigint   (aggregate)
   *   doc_freq(id, cap)                    → struct&lt;df,ids&gt; (aggregate)
+  *   ngram_hashes(array<string>, n[, keepPartial]) → array<bigint>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -93,7 +94,15 @@ object GraftExtensions {
     ("doc_freq", "doc_freq(id, cap) - per-group struct(df, ids) with ids capped",
       { case Seq(c, cap) => DocFreqAgg(c,
           cap.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
-        case _ => arity("doc_freq", "(id, cap)") }))
+        case _ => arity("doc_freq", "(id, cap)") }),
+    ("ngram_hashes",
+      "ngram_hashes(tokens, n[, keepPartial]) - one-pass hashed k-grams",
+      { case Seq(c, n) => NGramHashes(c,
+          n.eval().asInstanceOf[Number].intValue(), keepPartial = false)
+        case Seq(c, n, kp) => NGramHashes(c,
+          n.eval().asInstanceOf[Number].intValue(),
+          kp.eval().asInstanceOf[Boolean])
+        case _ => arity("ngram_hashes", "(tokens, n[, keepPartial])") }))
 
   /** Registers the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

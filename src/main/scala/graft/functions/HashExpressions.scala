@@ -87,6 +87,45 @@ object SketchKernels {
     }
   }
 
+  /** One-pass k-gram hashing: each token is xxhash64'd ONCE, then each
+    * gram hash is a boost-style hash_combine fold over its window of
+    * token hashes — O(tokens·k) mixing with zero string allocation,
+    * where the higher-order-function spelling allocates every gram
+    * string (k concats each) and re-hashes ~k·len bytes per gram.
+    * Same keepPartial contract as [[graft.ops.TextAnalysis.ngrams]]:
+    * a sub-k array yields its one clipped gram (keepPartial) or
+    * nothing. The derivation differs from xxhash64-of-the-gram-string
+    * by design — gram keys are internal identifiers; all that matters
+    * is injectivity w.h.p. (collision odds ~grams²/2^64), and equal
+    * token windows always produce equal hashes.
+    */
+  def ngramHashes(arr: ArrayData, n: Int, keepPartial: Boolean): ArrayData = {
+    val cnt = arr.numElements()
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      th(i) =
+        if (arr.isNullAt(i)) 0x27d4eb2f165667c5L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val outLen = math.max(cnt - n + 1, if (keepPartial && cnt > 0) 1 else 0)
+    val out = new Array[Long](outLen)
+    var j = 0
+    while (j < outLen) {
+      var h = 0x9E3779B97F4A7C15L
+      var t = j
+      val end = math.min(j + n, cnt)
+      while (t < end) {
+        h = h ^ (th(t) + 0x9E3779B97F4A7C15L + (h << 6) + (h >>> 2))
+        t += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature via the double-hashing construction (Kirsch &
     * Mitzenmacher 2006): h_i(x) = h1(x) + i*h2(x) over two xxhash64
     * seeds; signature[i] = min over tokens (Broder 1997 estimator).
@@ -141,6 +180,33 @@ case class MinHashSig(child: Expression, numHashes: Int)
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.SketchKernels.minhash($a, $numHashes);")
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** One-pass hashed k-grams over an array<string> of tokens; see
+  * [[SketchKernels.ngramHashes]]. The production key path for shingle
+  * joins (contamination) and per-row gram statistics (repetition): the
+  * string-gram spelling exists for oracles; pipelines that only need
+  * gram IDENTITY use this.
+  */
+case class NGramHashes(child: Expression, n: Int, keepPartial: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_hashes requires array<string>, got ${other.catalogString}")
+    }
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.ngramHashes(input.asInstanceOf[ArrayData], n, keepPartial)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.ngramHashes(" +
+        s"$a, $n, $keepPartial);")
+  override protected def withNewChildInternal(newChild: Expression): NGramHashes =
     copy(child = newChild)
 }
 
@@ -275,6 +341,10 @@ object HashFunctions {
   def minhashSig(tokens: Column, numHashes: Int = 64): Column =
     ColumnBridge.column(
       MinHashSig(ColumnBridge.expression(tokens), numHashes))
+  def ngramHashes(tokens: Column, n: Int,
+      keepPartial: Boolean = false): Column =
+    ColumnBridge.column(
+      NGramHashes(ColumnBridge.expression(tokens), n, keepPartial))
   /** Aggregating form: one signature per group = sketch of the union of
     * the group's token sets.
     */

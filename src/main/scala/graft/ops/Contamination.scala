@@ -34,12 +34,16 @@ object Contamination {
       textCol: String, k: Int = 5, maxShingleDf: Option[Long] = None,
       hashed: Boolean = true): DataFrame = {
     def shingleRows(df: DataFrame, as: String): DataFrame = {
-      // Dedup.shingles is distinct per doc, so exploded rows are already
-      // unique per (doc, shingle) — no re-distinct needed
-      val rows = df.select(col(idCol).as(as),
-        explode(Dedup.shingles(col(textCol), k)).as("sh"))
-      val key: Column = if (hashed) xxhash64(col("sh")) else col("sh")
-      rows.select(col(as), key.as("sk"))
+      // both paths explode per-doc-distinct grams, so rows are unique
+      // per (doc, shingle). The hashed path never materializes gram
+      // strings at all: the one-pass NGramHashes kernel hashes each
+      // token once and mixes windows (vs build-string-then-xxhash64,
+      // which allocates k concats and re-hashes ~k·len bytes per gram).
+      val grams: Column =
+        if (hashed) array_distinct(graft.functions.HashFunctions
+          .ngramHashes(split(col(textCol), " ", -1), k, keepPartial = true))
+        else Dedup.shingles(col(textCol), k)
+      df.select(col(idCol).as(as), explode(grams).as("sk"))
     }
     val ev = shingleRows(eval, "eval_id")
     val tr = shingleRows(train, "train_id")

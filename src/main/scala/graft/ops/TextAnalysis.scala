@@ -104,12 +104,16 @@ object TextAnalysis {
     */
   def repetitionRatio(text: Column, n: Int, hashed: Boolean = true): Column = {
     // `hashed` (the default) distincts 8-byte gram hashes instead of
-    // strings, hitting array_distinct's primitive fast path; collisions
+    // strings, hitting array_distinct's primitive fast path — and since
+    // only gram IDENTITY matters, the one-pass codegen NGramHashes
+    // kernel computes them with zero gram-string allocation. Collisions
     // are ~grams²/2^64 per document — far below any quality threshold
     // (same argument as Contamination's hashed keys; hashed ≡ string is
     // property-tested in TfIdfSpec).
-    val raw = ngrams(tokens(text), n, keepPartial = false)
-    val grams = if (hashed) transform(raw, x => xxhash64(x)) else raw
+    val grams =
+      if (hashed) graft.functions.HashFunctions
+        .ngramHashes(tokens(text), n, keepPartial = false)
+      else ngrams(tokens(text), n, keepPartial = false)
     when(size(grams) === 0, lit(0.0))
       .otherwise(lit(1.0) -
         size(array_distinct(grams)).cast(DoubleType) / size(grams))

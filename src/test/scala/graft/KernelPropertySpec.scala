@@ -34,6 +34,39 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("ngramHashes: window identity, cardinality vs string grams, clipping") {
+    (1 to 200).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(6)
+      val cnt = rnd.nextInt(20)
+      // small vocab to force repeated windows
+      val toks = List.fill(cnt)("w" + rnd.nextInt(4))
+      val hs = SketchKernels.ngramHashes(arr(toks), n, keepPartial = false)
+        .toLongArray().toSeq
+      val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" "))
+        .toSeq
+      assert(hs.size === grams.size, s"seed=$seed")
+      // equal token windows hash equal; distinct cardinality matches the
+      // string grams exactly (no collisions at this scale) — the
+      // property every hashed-key pipeline (contamination, repetition)
+      // rests on
+      val byGram = grams.zip(hs).groupBy(_._1).view.mapValues(
+        _.map(_._2).distinct).toMap
+      assert(byGram.values.forall(_.size == 1), s"seed=$seed same-gram hash")
+      assert(hs.distinct.size === grams.distinct.size, s"seed=$seed card")
+      // keepPartial: sub-n arrays yield exactly one clipped gram that
+      // equals the hash of the whole (clipped) window
+      if (cnt > 0 && cnt < n) {
+        val kp = SketchKernels.ngramHashes(arr(toks), n, keepPartial = true)
+          .toLongArray().toSeq
+        assert(kp.size === 1, s"seed=$seed")
+        assert(kp.head === SketchKernels.ngramHashes(
+          arr(toks), cnt, keepPartial = false).toLongArray().head,
+          s"seed=$seed clipped gram = n=cnt gram")
+      }
+    }
+  }
+
   test("sigAgreement matches elementwise comparison on generated signatures") {
     (1 to 200).foreach { seed =>
       val rnd = new scala.util.Random(seed)
