@@ -32,7 +32,8 @@ object DataPipeline {
     * whole pipeline is a pure function of its input.
     */
   def curate(docs: DataFrame, minTokens: Int = 40,
-      minJaccard: Double = 0.9, blockCol: Column = lit(0)): DataFrame = {
+      minJaccard: Double = 0.9, blockCol: Column = lit(0),
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val gated = docs
       .filter(col("text").isNotNull)
       .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
@@ -42,7 +43,7 @@ object DataPipeline {
     val withTok = exact.withColumn("_tok", Dedup.tokenSet(col("text")))
     val victims = nearDupVictims(
       Dedup.nearDupPairs(withTok, "doc_id", "_tok", minJaccard,
-        blockCol = blockCol))
+        numHashes = numHashes, bands = bands, blockCol = blockCol))
     withTok.join(victims, Seq("doc_id"), "left_anti").drop("_tok")
   }
 }

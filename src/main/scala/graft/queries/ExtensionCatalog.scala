@@ -1312,6 +1312,40 @@ object ExtensionCatalog {
         SELECT doc_id, unnest(fps) AS fp FROM w
         """ + orderedSql(Seq("doc_id", "fp")))),
 
+    // x50 — the COMPOSED curation pipeline applied end to end (quality
+    // gate → exact dedup keep-min-id → LSH near-dup sweep): the reason
+    // the stages exist as separable operators. 96/24 banding is the
+    // recall-certain config the oracle gate rests on (DedupSpec pins
+    // recall 1.0 vs ground truth at both gate SFs); the oracle is the
+    // literal all-pairs spelling of the same three stages.
+    QueryDef("x50_curate",
+      (s, dir) => ordered(graft.ops.DataPipeline.curate(
+        t(s, dir, "documents"), minTokens = 40, minJaccard = 0.9,
+        blockCol = col("source"), numHashes = 96, bands = 24)),
+      Some("""WITH gated AS (
+          SELECT * FROM documents
+          WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 40),
+        keepx AS (
+          SELECT text, MIN(doc_id) AS doc_id FROM gated GROUP BY text),
+        exact AS (
+          SELECT g.* FROM gated g
+          JOIN keepx k ON g.doc_id = k.doc_id AND g.text = k.text),
+        toks AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM exact),
+        victims AS (
+          SELECT DISTINCT b.doc_id AS doc_id
+          FROM toks a JOIN toks b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9)
+        SELECT e.doc_id, e.text, e.lang, e.source, e.n_chars
+        FROM exact e
+        WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = e.doc_id)
+        """ + orderedSql(Seq("doc_id", "text", "lang", "source",
+          "n_chars")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).
