@@ -118,36 +118,51 @@ object Dedup {
   }
 
   /** Engine-PORTABLE MinHash-LSH pipeline: signature component i is the
-    * lexicographic minimum over tokens of `md5("i|" ++ token)`, bands
-    * are string concatenations of signature components, candidates come
-    * from the same bucket join as [[lshCandidatePairs]], and the
-    * estimate is the fraction of equal components. Every step is
-    * expressible verbatim in any SQL engine (md5 + string min +
+    * lexicographic minimum over tokens of an 8-hex-char slice of
+    * `md5("s|" ++ token)` (component i = slice i%4 of md5 seed i/4 —
+    * four 32-bit components per digest, so k=8 costs TWO md5 evals per
+    * token, not eight; each slice is an independent uniform hash, so
+    * the Broder estimator is untouched). Bands are string
+    * concatenations of signature components, candidates come from the
+    * same bucket join as [[lshCandidatePairs]], and the estimate is
+    * the fraction of equal components. Every step is expressible
+    * verbatim in any SQL engine (md5 + substring + string min +
     * concat), so — unlike the xxhash64-based sketch family (x8/x13),
     * which the driver can only rows-check — the ENTIRE sketch pipeline
     * (signature → banding → bucket join → estimate) is hash-compared
     * against DuckDB (x43). Estimator contract is classic MinHash:
-    * P(component equal) = Jaccard of the token sets.
+    * P(component equal) = Jaccard of the token sets (32-bit slice
+    * collisions perturb it at ~tokens²/2^33 per component — orders
+    * below the estimator's own k-sample variance).
     *
-    * md5-per-(token, component) costs ~an order of magnitude more than
-    * the one-pass xxhash64 `MinHashSig` kernel — this is the
-    * cross-engine VERIFICATION twin pinning the pipeline's shape, not
-    * the production sketch; the scale path stays [[minhashLshPairs]] /
+    * Interpreted md5-per-(token, digest) still costs several times the
+    * one-pass xxhash64 `MinHashSig` kernel — this is the cross-engine
+    * VERIFICATION twin pinning the pipeline's shape, not the
+    * production sketch; the scale path stays [[minhashLshPairs]] /
     * [[nearDupPairs]]. Same id-only candidate shuffle either way.
     */
   def portableLshPairs(docs: DataFrame, idCol: String, textCol: String,
       minEst: Double, k: Int = 8, bands: Int = 4,
       blockCol: Column = lit(0)): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per digest)")
     val rows = k / bands
+    // distinct first: MinHash is a set sketch and min is idempotent
+    // over duplicates, so hashing each DISTINCT token once gives the
+    // identical signature at a fraction of the md5 evals
     val base = docs.select(col(idCol).as("id"), blockCol.as("block"),
-      tokens(col(textCol)).as("toks"))
-    // `toks` below is a materialized attribute, so the per-element
-    // lambda binds it O(1) (see TextAnalysis.ngrams on HOF capture)
-    val sigs = base.select(col("id"), col("block"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    // one md5 column per DIGEST (k/4 of them), materialized as
+    // attributes so the per-element lambdas bind them O(1) (see
+    // TextAnalysis.ngrams on HOF capture)
+    val digested = base.select(col("id"), col("block"),
+      array((0 until k / 4).map(s =>
+        transform(col("toks"), t => md5(concat(lit(s"$s|"), t)))): _*)
+        .as("digs"))
+    val sigs = digested.select(col("id"), col("block"),
       array((0 until k).map(i =>
-        array_min(transform(col("toks"),
-          t => md5(concat(lit(s"$i|"), t))))): _*).as("sig"))
+        array_min(transform(col("digs").getItem(i / 4),
+          d => substring(d, (i % 4) * 8 + 1, 8)))): _*).as("sig"))
     val banded = sigs.select(col("id"), col("block"),
         explode(array((0 until bands).map { bnd =>
           struct(lit(bnd).as("band_id"),

@@ -1076,8 +1076,12 @@ object ExtensionCatalog {
         minEst = 1.0, k = 8, bands = 4, blockCol = col("source"))),
       Some {
         val k = 8; val bands = 4; val rows = k / bands
+        val digsList = (0 until k / 4)
+          .map(s => s"list_transform(toks, t -> md5('$s|' || t))")
+          .mkString("[", ", ", "]")
         val sigList = (0 until k)
-          .map(i => s"list_min(list_transform(toks, t -> md5('$i|' || t)))")
+          .map(i => s"list_min(list_transform(digs[${i / 4 + 1}], " +
+            s"d -> substr(d, ${(i % 4) * 8 + 1}, 8)))")
           .mkString("[", ", ", "]")
         val bandSel = (0 until bands).map { bnd =>
           val key = (bnd * rows until (bnd + 1) * rows)
@@ -1088,9 +1092,11 @@ object ExtensionCatalog {
           .map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END")
           .mkString(" + ")
         s"""WITH base AS (
-            SELECT doc_id, source, string_split(text, ' ') AS toks
+            SELECT doc_id, source,
+              list_distinct(string_split(text, ' ')) AS toks
             FROM documents),
-          sig AS (SELECT doc_id, source, $sigList AS sig FROM base),
+          digs AS (SELECT doc_id, source, $digsList AS digs FROM base),
+          sig AS (SELECT doc_id, source, $sigList AS sig FROM digs),
           banded AS ($bandSel),
           cand AS (
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
