@@ -11,6 +11,12 @@ import graft.ops.Dedup
 /** Candidate near-duplicate pair emitted by the online detector. */
 case class CandidatePair(a_id: Long, b_id: Long)
 
+/** A chunk instance flagged as corpus-boilerplate by the online
+  * detector: `first_id` is the earlier document that already carried
+  * the same chunk.
+  */
+case class ChunkRepeat(doc_id: Long, chunk_id: Long, first_id: Long)
+
 /** Streaming document-pipeline surface: ONLINE near-duplicate detection.
   *
   * A training-data ingest doesn't get to re-run batch dedup over the
@@ -72,6 +78,51 @@ object DocStreams {
             }
           }
           state.update(seen.toSeq)
+          out.iterator
+      }
+  }
+
+  /** Online repeated-chunk (boilerplate) detection — the streaming twin
+    * of [[graft.ops.Dedup.dropRepeatedChunks]]: each arriving document
+    * splits into non-overlapping `chunkSize`-token chunks (the same
+    * stateless [[graft.ops.TextAnalysis.tokenChunks]] projection), and
+    * per-chunk-key state holds ONE long — the smallest document id seen
+    * carrying that chunk. An arrival whose chunk was already seen in an
+    * earlier (smaller-id) document emits a [[ChunkRepeat]] flag;
+    * downstream drops the flagged chunk instances and reassembles, or
+    * routes flagged docs to quarantine.
+    *
+    * State is strictly bounded: 8 bytes per DISTINCT chunk ever seen,
+    * regardless of how often boilerplate repeats — the first-seen id is
+    * the entire state (vs the batch operator's one-row-per-hot-key freq
+    * side). Same-document repetition is never flagged (matching the
+    * batch operator's min(doc)<max(doc) contract). Within a micro-batch
+    * the group is processed in (doc_id, chunk_id) order, so emissions
+    * are deterministic under any batching of an id-ordered feed; an
+    * out-of-order smaller id simply becomes the new first and is itself
+    * never flagged — the inherent online-vs-batch attribution gap.
+    */
+  def repeatedChunkFlags(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): Dataset[ChunkRepeat] = {
+    import docs.sparkSession.implicits._
+    graft.ops.TextAnalysis.tokenChunks(docs, idCol, textCol,
+        chunkSize = chunkSize, stride = chunkSize)
+      .select(col("doc_id"), col("chunk_id"),
+        xxhash64(col("chunk")).as("k"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._1, r._2))
+          val out = mutable.ArrayBuffer.empty[ChunkRepeat]
+          var first = state.getOption.getOrElse(Long.MaxValue)
+          sorted.foreach { case (doc, cid, _) =>
+            if (first < doc) out += ChunkRepeat(doc, cid, first)
+            else if (doc < first) first = doc
+          }
+          state.update(first)
           out.iterator
       }
   }

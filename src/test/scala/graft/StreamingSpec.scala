@@ -254,4 +254,42 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("stream_dedup").count() === ev.count())
     } finally q.stop()
   }
+
+  test("online repeated-chunk flags equal the batch min-doc predicate") {
+    // chunkSize=2: "b1 b2" is boilerplate carried by docs 1, 3 and 5;
+    // "c1 c2" repeats WITHIN doc 2 only (never flagged); doc 4 is clean
+    val docs = Seq(
+      (1L, "b1 b2 u1 u2"),
+      (2L, "c1 c2 c1 c2"),
+      (3L, "v1 v2 b1 b2"),
+      (4L, "w1 w2 w3 w4"),
+      (5L, "b1 b2 x1 x2")).toDF("doc_id", "text")
+    // batch truth: an instance is boilerplate iff its chunk's min doc id
+    // is smaller than its own doc id
+    val expected = Set((3L, 1L, 1L), (5L, 0L, 1L))
+    val oneShot = DocStreams.repeatedChunkFlags(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.doc_id, r.chunk_id, r.first_id)).toSet
+    assert(oneShot === expected)
+    // replayed as id-ordered micro-batches: same flags, incrementally
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = DocStreams.repeatedChunkFlags(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 2)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_chunks")
+      .start()
+    try {
+      ms.addData((1L, "b1 b2 u1 u2"), (2L, "c1 c2 c1 c2"))
+      q.processAllAvailable()
+      ms.addData((3L, "v1 v2 b1 b2"), (4L, "w1 w2 w3 w4"))
+      q.processAllAvailable()
+      ms.addData((5L, "b1 b2 x1 x2"))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_chunks")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
 }
