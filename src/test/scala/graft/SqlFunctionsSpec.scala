@@ -106,6 +106,27 @@ class SqlFunctionsSpec extends SparkSpec {
       .getMessage.contains("simhash64 expects"))
     assert(analyzedFailure("SELECT dot_product(array(1.0D))")
       .getMessage.contains("dot_product expects"))
+    assert(analyzedFailure("SELECT ngram_hashes(array('a'))")
+      .getMessage.contains("ngram_hashes expects"))
+  }
+
+  test("SQL ngram_hashes equals DataFrame-API ngramHashes") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sf0001, "documents").limit(50)
+      .select(split(col("text"), " ", -1).as("tok"))
+    val viaSql = df.selectExpr("ngram_hashes(tok, 3) AS h")
+      .collect().map(_.getSeq[Long](0))
+    val viaApi = df.select(
+        graft.functions.HashFunctions.ngramHashes(col("tok"), 3).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    assert(viaSql.exists(_.nonEmpty))
+    // keepPartial third arg: sub-n docs yield exactly one clipped gram
+    val kp = spark.sql(
+      "SELECT ngram_hashes(array('a','b'), 5, true) AS h")
+      .collect().head.getSeq[Long](0)
+    assert(kp.length === 1)
   }
 
   test("SQL simhash64 equals DataFrame-API simhash64") {
