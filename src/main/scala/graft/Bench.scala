@@ -31,6 +31,8 @@ object Bench {
     // passes none and gets the full inventory
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
+    args.filterNot(SparkEntry.queries.contains).foreach(a =>
+      System.err.println(s"[bench] unknown query name: $a"))
     val results = wanted.map { case (name, fn) =>
       val sec =
         try {

@@ -51,6 +51,38 @@ object GraftExtensions {
   private def arity(name: String, signature: String): Nothing =
     throw new IllegalArgumentException(s"$name expects $signature")
 
+  /** Literal scalar parameters (hash counts, caps, flags) must be
+    * foldable non-null — a column or NULL argument would otherwise
+    * surface as an NPE/ClassCast from the eager eval() instead of a
+    * clean analysis error.
+    */
+  private def litValue(name: String, what: String, e: Expression): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$name: $what must be a literal, got ${e.sql}")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(
+      s"$name: $what must not be NULL")
+    v
+  }
+  private def litInt(name: String, what: String, e: Expression): Int =
+    litValue(name, what, e) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: $what must be an integer literal, got $other")
+    }
+  private def litLong(name: String, what: String, e: Expression): Long =
+    litValue(name, what, e) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: $what must be an integer literal, got $other")
+    }
+  private def litBool(name: String, what: String, e: Expression): Boolean =
+    litValue(name, what, e) match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$name: $what must be a boolean literal, got $other")
+    }
+
   /** One builder per SQL function, shared by the extension injection and
     * the temp-function registration so the two surfaces cannot drift.
     * Every builder pattern-matches arity and rejects mismatches with
@@ -62,7 +94,7 @@ object GraftExtensions {
         case _ => arity("simhash64", "(tokens)") }),
     ("minhash_sig", "minhash_sig(tokens[, k]) - MinHash signature",
       { case Seq(c) => MinHashSig(c, 64)
-        case Seq(c, k) => MinHashSig(c, k.eval().asInstanceOf[Number].intValue())
+        case Seq(c, k) => MinHashSig(c, litInt("minhash_sig", "numHashes", k))
         case _ => arity("minhash_sig", "(tokens[, numHashes])") }),
     ("dot_product", "dot_product(a, b) - vector dot product",
       { case Seq(a, b) => DotProduct(a, b)
@@ -73,14 +105,14 @@ object GraftExtensions {
     ("minhash_agg", "minhash_agg(tokens[, k]) - group-level MinHash sketch",
       { case Seq(c) => MinHashAgg(c, 64).toAggregateExpression()
         case Seq(c, k) => MinHashAgg(c,
-          k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+          litInt("minhash_agg", "numHashes", k)).toAggregateExpression()
         case _ => arity("minhash_agg", "(tokens[, numHashes])") }),
     ("simhash_agg", "simhash_agg(tokens) - group-level SimHash signature",
       { case Seq(c) => SimHashAgg(c).toAggregateExpression()
         case _ => arity("simhash_agg", "(tokens)") }),
     ("srp_signature", "srp_signature(vec[, seed]) - sign-projection LSH signature",
       { case Seq(c) => SrpSignature(c, 42L)
-        case Seq(c, s) => SrpSignature(c, s.eval().asInstanceOf[Number].longValue())
+        case Seq(c, s) => SrpSignature(c, litLong("srp_signature", "seed", s))
         case _ => arity("srp_signature", "(vector[, seed])") }),
     ("vector_sum", "vector_sum(vec) - elementwise sum aggregate",
       { case Seq(c) => VectorSumAgg(c).toAggregateExpression()
@@ -93,15 +125,15 @@ object GraftExtensions {
         case _ => arity("pair_count", "(v)") }),
     ("doc_freq", "doc_freq(id, cap) - per-group struct(df, ids) with ids capped",
       { case Seq(c, cap) => DocFreqAgg(c,
-          cap.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+          litInt("doc_freq", "cap", cap)).toAggregateExpression()
         case _ => arity("doc_freq", "(id, cap)") }),
     ("ngram_hashes",
       "ngram_hashes(tokens, n[, keepPartial]) - one-pass hashed k-grams",
       { case Seq(c, n) => NGramHashes(c,
-          n.eval().asInstanceOf[Number].intValue(), keepPartial = false)
+          litInt("ngram_hashes", "n", n), keepPartial = false)
         case Seq(c, n, kp) => NGramHashes(c,
-          n.eval().asInstanceOf[Number].intValue(),
-          kp.eval().asInstanceOf[Boolean])
+          litInt("ngram_hashes", "n", n),
+          litBool("ngram_hashes", "keepPartial", kp))
         case _ => arity("ngram_hashes", "(tokens, n[, keepPartial])") }))
 
   /** Registers the same functions on an already-built session. */

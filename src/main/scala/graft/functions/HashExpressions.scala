@@ -94,19 +94,23 @@ object SketchKernels {
     * string (k concats each) and re-hashes ~k·len bytes per gram.
     * Same keepPartial contract as [[graft.ops.TextAnalysis.ngrams]]:
     * a sub-k array yields its one clipped gram (keepPartial) or
-    * nothing. The derivation differs from xxhash64-of-the-gram-string
-    * by design — gram keys are internal identifiers; all that matters
-    * is injectivity w.h.p. (collision odds ~grams²/2^64), and equal
-    * token windows always produce equal hashes.
+    * nothing, and a null element vanishes from its windows' folds —
+    * matching concat_ws, which drops nulls, so gram-string equality ⟺
+    * gram-hash equality even on null-bearing arrays. The derivation
+    * differs from xxhash64-of-the-gram-string by design — gram keys
+    * are internal identifiers; all that matters is injectivity w.h.p.
+    * (collision odds ~grams²/2^64), and equal token windows always
+    * produce equal hashes.
     */
   def ngramHashes(arr: ArrayData, n: Int, keepPartial: Boolean): ArrayData = {
     val cnt = arr.numElements()
     val th = new Array[Long](cnt)
+    val isNull = new Array[Boolean](cnt)
     var i = 0
     while (i < cnt) {
-      th(i) =
-        if (arr.isNullAt(i)) 0x27d4eb2f165667c5L
-        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      isNull(i) = arr.isNullAt(i)
+      if (!isNull(i))
+        th(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       i += 1
     }
     val outLen = math.max(cnt - n + 1, if (keepPartial && cnt > 0) 1 else 0)
@@ -117,7 +121,8 @@ object SketchKernels {
       var t = j
       val end = math.min(j + n, cnt)
       while (t < end) {
-        h = h ^ (th(t) + 0x9E3779B97F4A7C15L + (h << 6) + (h >>> 2))
+        if (!isNull(t))
+          h = h ^ (th(t) + 0x9E3779B97F4A7C15L + (h << 6) + (h >>> 2))
         t += 1
       }
       out(j) = h

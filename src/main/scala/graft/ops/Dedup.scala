@@ -222,10 +222,10 @@ object Dedup {
   def dropRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, maxDocFreq: Int): DataFrame = {
     require(chunkSize > 0, "chunkSize must be > 0")
-    require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every chunk")
     require(maxDocFreq == 2,
-      "this implementation detects repetition as min(doc)<max(doc); " +
-        "general thresholds need a countDistinct (HLL at scale)")
+      "maxDocFreq < 2 would drop every chunk; this implementation " +
+        "detects >= 2 distinct docs as min(doc)<max(doc), so higher " +
+        "thresholds need a countDistinct (HLL at scale)")
     val chunks = TextAnalysis.tokenChunks(docs, idCol, textCol,
         chunkSize = chunkSize, stride = chunkSize)
       .select(col("doc_id"), col("chunk_id"), col("chunk"),

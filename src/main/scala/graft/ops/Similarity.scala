@@ -164,22 +164,23 @@ object Similarity {
       .select(col("label"), col("_vd"),
         array_max(transform(col("_vd"), x => abs(x))).as("_m"))
       .select(col("label"), col("_vd"), col("_m"),
-        // dummy scale 1.0 for zero vectors (ANSI divide-by-zero would
-        // throw eagerly here); their mae/mx are overridden to 0 below
-        when(col("_m") === 0.0, lit(1.0))
+        // dummy scale 1.0 for zero/EMPTY vectors (array_max of an empty
+        // array is NULL; ANSI divide-by-zero would throw eagerly here);
+        // their mae/mx are overridden to 0 below
+        when(col("_m").isNull || col("_m") === 0.0, lit(1.0))
           .otherwise(lit(127.0) / col("_m")).as("_s"))
     val withErr = withScale.select(col("label"), col("_vd"), col("_m"),
       transform(col("_vd"), x =>
         abs(x - floor(x * col("_s") + lit(0.5)) / col("_s"))).as("_err"))
     // 0.0 + e1 is exact for e1 >= 0, so the left fold from a 0.0 init
     // equals DuckDB's list_reduce fold seeded with the first element
-    val mae = when(col("_m") === 0.0, lit(0.0)).otherwise(
+    val degenerate = col("_m").isNull || col("_m") === 0.0
+    val mae = when(degenerate, lit(0.0)).otherwise(
       aggregate(col("_err"), lit(0.0), (acc, e) => acc + e) /
         size(col("_vd")))
-    val mx = when(col("_m") === 0.0, lit(0.0))
-      .otherwise(array_max(col("_err")))
+    val mx = when(degenerate, lit(0.0)).otherwise(array_max(col("_err")))
     withErr.select(col("label"), mae.as("_mae"), mx.as("_mx"),
-        (col("_m") === 0.0).as("_zero"))
+        degenerate.as("_zero"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("_zero"), 1L).otherwise(0L)).as("n_zero"),

@@ -204,13 +204,15 @@ class SimilaritySpec extends SparkSpec {
     val d = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0),
       (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0),
-      (3L, Array(-2.0f, 1.99f, 0.001f, -1.0f), 1)).toDF(
+      (3L, Array(-2.0f, 1.99f, 0.001f, -1.0f), 1),
+      (4L, Array.empty[Float], 0)).toDF(
       "vec_id", "embedding", "label")
     val got = Similarity.quantizationReport(d, "embedding", "label")
       .as[(Int, Long, Long, Double, Double)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
-    assert(got(0)._1 === 2L)
-    assert(got(0)._2 === 1L, "zero vector counted, not NaN/Inf")
+    assert(got(0)._1 === 3L)
+    assert(got(0)._2 === 2L,
+      "zero AND empty vectors counted degenerate, not NaN/Inf/crash")
     assert(got(1)._2 === 0L)
     // symmetric int8: reconstruction error <= (m/127)/2 per element
     assert(got(0)._4 <= 1.0 / 254 + 1e-12)

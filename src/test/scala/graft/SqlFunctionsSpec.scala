@@ -108,6 +108,16 @@ class SqlFunctionsSpec extends SparkSpec {
       .getMessage.contains("dot_product expects"))
     assert(analyzedFailure("SELECT ngram_hashes(array('a'))")
       .getMessage.contains("ngram_hashes expects"))
+    // literal scalar params: a column or NULL argument must die as a
+    // clean analysis error, not an NPE/ClassCast from the eager eval
+    assert(analyzedFailure(
+      "SELECT ngram_hashes(array('a'), v) FROM VALUES (1) t(v)")
+      .getMessage.contains("must be a literal"))
+    assert(analyzedFailure("SELECT ngram_hashes(array('a'), 2, NULL)")
+      .getMessage.contains("must not be NULL"))
+    assert(analyzedFailure(
+      "SELECT minhash_sig(array('a'), v) FROM VALUES (1) t(v)")
+      .getMessage.contains("must be a literal"))
   }
 
   test("SQL ngram_hashes equals DataFrame-API ngramHashes") {
