@@ -246,6 +246,26 @@ object TextAnalysis {
           greatest(size(col("_hs")) - (w - 1), lit(0))))).as("fp"))
   }
 
+  /** Hashing-trick (feature-hashing) sparse vectorizer — the classic
+    * fixed-width text featurization (Weinberger et al., ICML'09): each
+    * token maps to bucket = rollingHash(token) mod dim and the document
+    * becomes its bucket-count vector, emitted SPARSE as one
+    * `(doc_id, bucket, tf)` row per non-zero bucket. No vocabulary
+    * pass, no dictionary state — the property that lets it run over an
+    * unbounded corpus in one projection + one partial-agg groupBy. Uses
+    * the same engine-portable rolling hash as [[fingerprint]], so an
+    * oracle spells the identical bucketing.
+    */
+  def hashedTf(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, "dim must be > 0")
+    docs.select(col(idCol).as("doc_id"),
+        explode(transform(tokens(col(textCol)),
+          t => pmod(fingerprint(t), lit(dim.toLong)))).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Per-document quality signals; flag = low-quality heuristic. */
   def withQualitySignals(df: DataFrame, text: Column, nChars: Column): DataFrame = {
     val toks = tokens(text)

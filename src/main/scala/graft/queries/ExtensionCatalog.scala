@@ -1352,6 +1352,26 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "text", "lang", "source",
           "n_chars")))),
 
+    // x51 — feature-hashing sparse vectorizer (hashing trick, dim 16):
+    // fixed-width text featurization with no vocabulary state — one
+    // projection + one partial-agg groupBy at any corpus size. The
+    // rolling-hash bucketing is the same engine-portable fold as x4's
+    // fingerprint, spelled verbatim in the oracle.
+    QueryDef("x51_feature_hash",
+      (s, dir) => ordered(TextAnalysis.hashedTf(
+        t(s, dir, "documents"), "doc_id", "text", dim = 16)),
+      Some("""WITH tk AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents)
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t, ''),
+              c -> CAST(ord(c) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 2147483648) % 16 AS bucket,
+          COUNT(*) AS tf
+        FROM tk GROUP BY 1, 2
+        """ + orderedSql(Seq("doc_id", "bucket", "tf")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).
