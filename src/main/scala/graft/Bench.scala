@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (BASELINE.md protocol): per query, 1 discarded cold run
-  * then median of 3 warm runs, wall-clock, against
+  * then median of 5 warm runs, wall-clock, against
   * `sys.env("SPARK_GRAFT_SF_DIR")`. Results execute fully into a noop sink
   * so no projection is pruned by a count-only action. Prints ONE JSON line.
   */
@@ -37,7 +37,7 @@ object Bench {
       val sec =
         try {
           run(fn) // cold run, discarded
-          val warm = (1 to 3).map(_ => run(fn)).sorted
+          val warm = (1 to 5).map(_ => run(fn)).sorted
           warm(warm.size / 2)
         } catch { case _: Throwable => -1.0 }
       name -> sec
