@@ -1372,6 +1372,24 @@ object ExtensionCatalog {
         FROM tk GROUP BY 1, 2
         """ + orderedSql(Seq("doc_id", "bucket", "tf")))),
 
+    // x52 — approximate quantiles via Spark's mergeable GK sketch
+    // (percentile_approx, accuracy 100): the 100 TB path where q28's
+    // exact percentile would buffer every group's values. Rows-only
+    // like the other sketches (DuckDB's approx_quantile is t-digest —
+    // a different sketch); the rank-error bound |rank(approx) − target|
+    // ≤ n/accuracy is property-tested against the exact quantiles in
+    // ApproxDistinctSpec.
+    QueryDef("x52_approx_quantiles",
+      (s, dir) => ordered(t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(100))
+            .as("approx_med"),
+          percentile_approx(col("value"), lit(0.9), lit(100))
+            .as("approx_p90"),
+          count(lit(1)).as("n"))),
+      None),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

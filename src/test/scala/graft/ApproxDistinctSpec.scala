@@ -22,4 +22,25 @@ class ApproxDistinctSpec extends SparkSpec {
         s"$tpe: approx=$approx exact=$exact relErr=$relErr")
     }
   }
+
+  test("percentile_approx rank error bounded by n/accuracy (x52's engine)") {
+    val e = Tables.load(spark, sf0001, "events")
+    val acc = 100
+    Seq(0.5, 0.9).foreach { p =>
+      val rows = e.groupBy($"event_type")
+        .agg(percentile_approx($"value", lit(p), lit(acc)).as("approx"),
+          sort_array(collect_list($"value")).as("all"))
+        .as[(String, Double, Seq[Double])].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (tpe, approx, all) =>
+        val n = all.size
+        // rank of the returned value vs the target rank: the GK sketch
+        // contract is |rank - p*n| <= n/accuracy (± discretization)
+        val rank = all.count(_ <= approx)
+        val bound = n.toDouble / acc + 1
+        assert(math.abs(rank - p * n) <= bound,
+          s"$tpe p=$p: rank=$rank target=${p * n} n=$n approx=$approx")
+      }
+    }
+  }
 }

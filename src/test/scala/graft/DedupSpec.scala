@@ -248,6 +248,23 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((2L, 0L, "w1 w2 w3 w4")), "untouched doc intact")
   }
 
+  test("repeated-chunk removal: AQE broadcasts the small hot-key side") {
+    // the freq side is one row per REPEATED chunk — small at any
+    // boilerplate rate — so the rejoin must come out a broadcast join
+    // at fixture scale (the scale claim the operator documents)
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = Dedup.dropRepeatedChunks(d, "doc_id", "text",
+      chunkSize = 5, maxDocFreq = 2)
+    // derive through a joined-side column — a bare row count lets the
+    // optimizer ELIMINATE the left join outright (unique-key left
+    // joins preserve cardinality), which hides the join from the plan
+    val derived = out.agg(sum($"n_dropped"))
+    derived.collect()
+    val plan = derived.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected AQE to broadcast the hot-key side:\n$plan")
+  }
+
   test("repeated-chunk removal: every doc survives; all-dropped doc is empty") {
     val d = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "p q"))
       .toDF("doc_id", "text")
