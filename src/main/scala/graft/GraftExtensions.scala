@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, NGramHashes, PairCountAgg, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
+import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, NGramHashes, PairCountAgg, RollingFingerprint, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the
@@ -29,6 +29,7 @@ import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, NGramHas
   *   pair_count(integral)                 → bigint   (aggregate)
   *   doc_freq(id, cap)                    → struct&lt;df,ids&gt; (aggregate)
   *   ngram_hashes(array<string>, n[, keepPartial]) → array<bigint>
+  *   rolling_fingerprint(string)          → bigint
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -134,7 +135,11 @@ object GraftExtensions {
         case Seq(c, n, kp) => NGramHashes(c,
           litInt("ngram_hashes", "n", n),
           litBool("ngram_hashes", "keepPartial", kp))
-        case _ => arity("ngram_hashes", "(tokens, n[, keepPartial])") }))
+        case _ => arity("ngram_hashes", "(tokens, n[, keepPartial])") }),
+    ("rolling_fingerprint",
+      "rolling_fingerprint(s) - portable rolling-hash fingerprint",
+      { case Seq(c) => RollingFingerprint(c)
+        case _ => arity("rolling_fingerprint", "(s)") }))
 
   /** Registers the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

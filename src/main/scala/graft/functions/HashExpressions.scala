@@ -131,6 +131,25 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** The engine's portable rolling fingerprint — byte-for-byte the
+    * arithmetic of [[graft.ops.TextAnalysis.fingerprint]]'s documented
+    * fold (acc·31 + codepoint, mod 2³¹ — codePointAt matches both
+    * Spark's split("")/ascii() pair, whose regex split is code-point
+    * aware, and the oracle's string_split/ord) as one flat JVM loop
+    * instead of a per-character interpreted aggregate lambda.
+    */
+  def rollingFingerprint(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 2147483648L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** MinHash signature via the double-hashing construction (Kirsch &
     * Mitzenmacher 2006): h_i(x) = h1(x) + i*h2(x) over two xxhash64
     * seeds; signature[i] = min over tokens (Broder 1997 estimator).
@@ -213,6 +232,28 @@ case class NGramHashes(child: Expression, n: Int, keepPartial: Boolean)
         s"$a, $n, $keepPartial);")
   override protected def withNewChildInternal(newChild: Expression): NGramHashes =
     copy(child = newChild)
+}
+
+/** Rolling fingerprint of a string; see
+  * [[SketchKernels.rollingFingerprint]]. Null string → null.
+  */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rolling_fingerprint requires string, got ${other.catalogString}")
+    }
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.rollingFingerprint(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.rollingFingerprint($a);")
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingFingerprint = copy(child = newChild)
 }
 
 /** Group-level MinHash sketch (the UDAF declared in SURVEY.md §2.2): a
@@ -350,6 +391,8 @@ object HashFunctions {
       keepPartial: Boolean = false): Column =
     ColumnBridge.column(
       NGramHashes(ColumnBridge.expression(tokens), n, keepPartial))
+  def rollingFingerprint(s: Column): Column =
+    ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(s)))
   /** Aggregating form: one signature per group = sketch of the union of
     * the group's token sets.
     */

@@ -63,9 +63,18 @@ object TextAnalysis {
   /** Deterministic rolling-hash document fingerprint:
     * fold over characters, acc*31 + codepoint, mod 2^31 (stays exact in
     * a 64-bit long; identical arithmetic is expressible in DuckDB
-    * `list_reduce` for the oracle).
+    * `list_reduce` for the oracle). Computed by the codegen
+    * `RollingFingerprint` kernel — one flat loop per string, not a
+    * per-character interpreted aggregate; kernel ≡ the HOF spelling is
+    * property-tested on generated (incl. non-ASCII) strings.
     */
   def fingerprint(text: Column): Column =
+    graft.functions.HashFunctions.rollingFingerprint(text)
+
+  /** The interpreted HOF spelling of [[fingerprint]] — kept as the
+    * executable specification the kernel is property-tested against.
+    */
+  def fingerprintSpec(text: Column): Column =
     aggregate(
       filter(split(text, "", -1), c => c =!= lit("")),
       lit(0L),

@@ -67,6 +67,28 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("rollingFingerprint kernel equals the interpreted HOF spelling") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    val spark2 = spark
+    import spark2.implicits._
+    val strs = (1 to 60).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      // whole code points (incl. a surrogate-pair emoji), never lone
+      // UTF-16 units
+      val pool = Seq("a", "b", "z", " ", "0", "9", "é", "λ", "漢", "😀")
+      (0 until rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString
+    } :+ "" :+ "plain ascii words"
+    val rows = strs.toDF("s")
+      .select(TextAnalysis.fingerprint($"s").as("kernel"),
+        TextAnalysis.fingerprintSpec($"s").as("spec"))
+      .as[(Long, Long)].collect()
+    rows.zip(strs).foreach { case ((k, sp), s) =>
+      assert(k === sp, s"fingerprint mismatch on ${s.take(40).toList}")
+    }
+  }
+
   test("sigAgreement matches elementwise comparison on generated signatures") {
     (1 to 200).foreach { seed =>
       val rnd = new scala.util.Random(seed)
