@@ -30,6 +30,16 @@ object ExtensionCatalog {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The engine-portable rolling-hash fold (TextAnalysis.fingerprint's
+    * arithmetic) in DuckDB SQL — x4 and x51 share ONE spelling so the
+    * two oracles cannot drift from each other or the kernel.
+    */
+  private def rollingFoldSql(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), " +
+      s"c -> CAST(ord(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % 2147483648)"
+
   val all: Seq[QueryDef] = Seq(
 
     // x1 — token statistics per source (text analysis: token counting).
@@ -106,11 +116,8 @@ object ExtensionCatalog {
         .agg(count(lit(1)).as("total"),
           countDistinct(col("fp")).as("uniq_fp"),
           countDistinct(col("text")).as("uniq_text"))),
-      Some("""SELECT COUNT(*) AS total,
-        COUNT(DISTINCT list_reduce(
-          list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''),
-            c -> CAST(ord(c) AS BIGINT))),
-          (acc, c) -> (acc * 31 + c) % 2147483648)) AS uniq_fp,
+      Some(s"""SELECT COUNT(*) AS total,
+        COUNT(DISTINCT ${rollingFoldSql("text")}) AS uniq_fp,
         COUNT(DISTINCT text) AS uniq_text
         FROM documents
         """ + orderedSql(Seq("total", "uniq_fp", "uniq_text")))),
@@ -1360,14 +1367,11 @@ object ExtensionCatalog {
     QueryDef("x51_feature_hash",
       (s, dir) => ordered(TextAnalysis.hashedTf(
         t(s, dir, "documents"), "doc_id", "text", dim = 16)),
-      Some("""WITH tk AS (
+      Some(s"""WITH tk AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS t
           FROM documents)
         SELECT doc_id,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(string_split(t, ''),
-              c -> CAST(ord(c) AS BIGINT))),
-            (acc, c) -> (acc * 31 + c) % 2147483648) % 16 AS bucket,
+          ${rollingFoldSql("t")} % 16 AS bucket,
           COUNT(*) AS tf
         FROM tk GROUP BY 1, 2
         """ + orderedSql(Seq("doc_id", "bucket", "tf")))),

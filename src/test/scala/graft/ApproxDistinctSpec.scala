@@ -34,12 +34,17 @@ class ApproxDistinctSpec extends SparkSpec {
       assert(rows.nonEmpty)
       rows.foreach { case (tpe, approx, all) =>
         val n = all.size
-        // rank of the returned value vs the target rank: the GK sketch
-        // contract is |rank - p*n| <= n/accuracy (± discretization)
-        val rank = all.count(_ <= approx)
+        // GK contract: the returned value has SOME 1-based rank r in its
+        // tie interval [count(<)+1, count(<=)] with |r − p·n| ≤
+        // n/accuracy (+1 discretization). Testing against the interval,
+        // not count(<=) alone, keeps duplicate values from inflating
+        // the measured error past the sketch's actual guarantee.
+        val rMin = all.count(_ < approx) + 1
+        val rMax = all.count(_ <= approx)
         val bound = n.toDouble / acc + 1
-        assert(math.abs(rank - p * n) <= bound,
-          s"$tpe p=$p: rank=$rank target=${p * n} n=$n approx=$approx")
+        assert(p * n >= rMin - bound && p * n <= rMax + bound,
+          s"$tpe p=$p: rank interval [$rMin,$rMax] target=${p * n} " +
+            s"n=$n approx=$approx")
       }
     }
   }
