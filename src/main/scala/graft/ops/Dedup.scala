@@ -222,23 +222,27 @@ object Dedup {
   def dropRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, maxDocFreq: Int): DataFrame = {
     require(chunkSize > 0, "chunkSize must be > 0")
-    require(maxDocFreq == 2,
-      "maxDocFreq < 2 would drop every chunk; this implementation " +
-        "detects >= 2 distinct docs as min(doc)<max(doc), so higher " +
-        "thresholds need a countDistinct (HLL at scale)")
+    require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every chunk")
     val chunks = TextAnalysis.tokenChunks(docs, idCol, textCol,
         chunkSize = chunkSize, stride = chunkSize)
       .select(col("doc_id"), col("chunk_id"), col("chunk"),
         xxhash64(col("chunk")).as("_k"))
-    // ">= 2 distinct docs" is exactly min(doc) < max(doc): plain
-    // partial-aggregating min/max, no countDistinct expand. Joining
-    // LEFT against only the hot keys keeps the right side at
-    // |repeated chunks| — AQE broadcasts it when small, and it stays
-    // a balanced one-row-per-key shuffle join when boilerplate is
+    // At the canonical threshold 2, ">= 2 distinct docs" is exactly
+    // min(doc) < max(doc): plain partial-aggregating min/max, no
+    // countDistinct expand. Higher thresholds take the exact
+    // countDistinct path. Either way the rejoin goes LEFT against only
+    // the hot keys, so the right side is |repeated chunks| — AQE
+    // broadcasts it when small, and it stays a balanced
+    // one-row-per-key shuffle join when boilerplate is
     // corpus-proportional.
-    val hot = chunks.groupBy("_k")
-      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
-      .filter(col("_mn") < col("_mx"))
+    val hot = (if (maxDocFreq == 2)
+        chunks.groupBy("_k")
+          .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+          .filter(col("_mn") < col("_mx"))
+      else
+        chunks.groupBy("_k")
+          .agg(countDistinct(col("doc_id")).as("_df"))
+          .filter(col("_df") >= maxDocFreq))
       .select(col("_k"), lit(true).as("_hot"))
     chunks.join(hot, Seq("_k"), "left")
       .withColumn("_keep", col("_hot").isNull)

@@ -275,5 +275,17 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet === Set(1L, 2L, 3L, 4L), "one row per input doc")
     assert(out(1L) === ((1L, 1L, "")), "fully-boilerplate doc -> empty text")
     assert(out(4L) === ((1L, 0L, "p q")))
+    // general threshold (countDistinct path): "x y" spans 3 docs, so
+    // it survives maxDocFreq=4 but dies at maxDocFreq=3
+    val at4 = Dedup.dropRepeatedChunks(d, "doc_id", "text",
+        chunkSize = 2, maxDocFreq = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(at4(1L) === "x y" && at4(4L) === "p q")
+    val at3 = Dedup.dropRepeatedChunks(d, "doc_id", "text",
+        chunkSize = 2, maxDocFreq = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(at3(1L) === "" && at3(4L) === "p q")
   }
 }
