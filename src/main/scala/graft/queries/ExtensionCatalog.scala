@@ -1394,6 +1394,34 @@ object ExtensionCatalog {
           count(lit(1)).as("n"))),
       None),
 
+    // x53 — latest-snapshot dedup via a SINGLE argmax aggregate
+    // (max over struct(ts, event_id) — constant state per key,
+    // map-side combinable), where the row_number-window spelling sorts
+    // every partition. The oracle IS that window spelling, so the
+    // green row proves the one-aggregate plan returns the window
+    // plan's answer; the unique event_id tiebreak makes both
+    // deterministic under ts ties.
+    QueryDef("x53_latest_snapshot",
+      (s, dir) => ordered(t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"))).as("_m"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("_m.ts").as("last_ts"),
+          col("_m.event_id").as("last_event"), col("n_events"))),
+      Some("""WITH ranked AS (
+          SELECT user_id, ts, event_id,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events),
+        cnt AS (
+          SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+        SELECT r.user_id, r.ts AS last_ts, r.event_id AS last_event,
+          c.n_events
+        FROM ranked r JOIN cnt c USING (user_id)
+        WHERE r.rn = 1
+        """ + orderedSql(Seq("user_id", "last_ts", "last_event",
+          "n_events")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).
