@@ -46,4 +46,30 @@ object DataPipeline {
         numHashes = numHashes, bands = bands, blockCol = blockCol))
     withTok.join(victims, Seq("doc_id"), "left_anti").drop("_tok")
   }
+
+  /** Leakage-safe train/val/test split: the split is a hash of the
+    * near-dup CLUSTER id, not the document id, so two near-duplicate
+    * documents can never land in different splits — the failure mode
+    * that silently inflates eval numbers when a test document's twin
+    * sits in train. Documents in no near-dup pair are their own
+    * cluster (component = own id) and split exactly as
+    * [[Sampling.splitAssign]] would have split them.
+    *
+    * Same split-stability contract as splitAssign: membership is a
+    * pure function of the cluster's canonical (minimum) id, so a
+    * cluster never migrates between splits as the corpus grows UNLESS
+    * new data joins two clusters — in which case merging their splits
+    * is the correct behavior, not a bug.
+    *
+    * Scale: adds one CC run (O(log d) bounded shuffle rounds over the
+    * PAIR list, which near-dup pruning keeps far smaller than the
+    * corpus) and one broadcast-or-shuffle join of labels back onto
+    * docs; the split predicate itself stays per-row stateless.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      trainRate: Double, valRate: Double): DataFrame =
+    Sampling.splitAssign(
+      Clusters.assignComponents(docs, idCol, pairs, aCol, bCol),
+      "component", trainRate, valRate)
 }

@@ -126,4 +126,58 @@ object Sampling {
         .when(keepPredicate(col(idCol), trainRate + valRate), "val")
         .otherwise("test"))
   }
+
+  /** Deterministic global shuffle into `numShards` write shards — the
+    * "repack the corpus for training" step: every row gets a `(shard,
+    * pos)` address that is a pure function of its id, so the packed
+    * layout is reproducible bit-for-bit across runs, engines and
+    * cluster sizes (a `rand()`-keyed shuffle is none of those). Shard =
+    * portable rolling fingerprint of the id's md5, mod `numShards`
+    * (the md5 decorrelates adjacent ids; the fold is the same
+    * engine-portable arithmetic as TextAnalysis.fingerprint); position
+    * = dense 1-based rank of the md5 digest within the shard (digest
+    * order ≈ uniform random order, the shuffle a training loader
+    * wants), id as the collision tie-break.
+    *
+    * Scale design (100 TB): one projection plus one rank window
+    * PARTITIONED BY shard — Spark plans exactly the
+    * repartition-and-sort-within-shard a sharded writer needs anyway,
+    * and shard sizes are balanced by construction (uniform hash), so
+    * no partition outgrows its task. No driver state, no global sort.
+    */
+  def shardRepack(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val dig = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_dig").asc, col(idCol).asc)
+    df.select(col(idCol), dig.as("_dig"))
+      .withColumn("shard",
+        graft.functions.HashFunctions.rollingFingerprint(col("_dig"))
+          % numShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_dig")
+  }
+
+  /** Per-stratum cap: keep at most `cap` rows per stratum, best-first
+    * under `orderCols` (C4-style per-domain caps: no single domain may
+    * dominate the corpus). `orderCols` must be a total order within a
+    * stratum (include the id as final tie-break) or the kept set is
+    * nondeterministic.
+    *
+    * One rank window partitioned by the stratum — at 100 TB the skew
+    * ceiling is the largest stratum, which is exactly the thing the cap
+    * exists to bound; a stratum too large to sort in one task is the
+    * signal to cap earlier (pre-aggregate or sample) — not to drop the
+    * determinism.
+    */
+  def capPerStratum(df: DataFrame, strataCol: String,
+      orderCols: Seq[Column], cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(orderCols: _*)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+  }
 }

@@ -191,6 +191,41 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Vocabulary coverage / OOV-rate scoring — the "will my tokenizer
+    * cover this corpus?" check run before committing a vocabulary:
+    * build the top-`k` corpus vocabulary (by occurrence count, token
+    * string as the deterministic tie-break), then score every document
+    * by how many of its token OCCURRENCES fall outside it. High OOV
+    * rate is a quality signal in its own right (CCNet-style: gibberish
+    * and wrong-language text score high) and an input to vocab sizing.
+    *
+    * Returns `(doc_id, n_tokens, n_oov, oov_rate)`; `oov_rate` is one
+    * IEEE division of two exact longs — bit-deterministic across
+    * engines, no DECIMAL routing needed.
+    *
+    * Scale design (100 TB): one tokenize+count aggregate for the vocab
+    * (map-side combinable; the top-k is a bounded TakeOrdered, never a
+    * global sort), the vocab side is k rows → BROADCAST join against
+    * the exploded tokens (map-side, no shuffle), then one partial-agg
+    * groupBy doc_id. No driver-side vocabulary state in the plan path.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"vocabulary size k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("tok").asc)
+      .limit(k)
+      .select(col("tok"), lit(1).as("_inv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast(DoubleType) / col("n_tokens"))
+  }
+
   /** PII patterns restricted to the syntax subset on which Java regex
     * (Spark) and RE2 (DuckDB/Go engines) agree on both syntax AND match
     * semantics: greedy character-class quantifiers with no alternation

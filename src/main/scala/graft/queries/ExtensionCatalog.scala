@@ -1422,6 +1422,178 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("user_id", "last_ts", "last_event",
           "n_events")))),
 
+    // x54 — leakage-safe train/val/test split: split keyed on the
+    // near-dup CLUSTER id (x12 pairs → x33 components → x36 split), so
+    // near-duplicates can never straddle train/test. The oracle re-
+    // derives the components with the recursive-CTE reachability used
+    // by x33/x48 and applies the identical md5-threshold split to the
+    // canonical id. 96/24 banding = the recall-certain config the x48
+    // oracle gate rests on.
+    QueryDef("x54_leakage_split",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+        val docs = base.select(col("doc_id"), col("source"),
+          Dedup.tokenSet(col("text")).as("tok"))
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
+          numHashes = 96, bands = 24, blockCol = col("source"))
+        val split = graft.ops.DataPipeline.leakageSafeSplit(
+          docs.select(col("doc_id")), "doc_id", pairs, "a_id", "b_id",
+          trainRate = 0.8, valRate = 0.1)
+        ordered(split.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("component")).as("n_clusters")))
+      },
+      Some {
+        val tTrain = Sampling.hexThreshold(0.8)
+        val tVal = Sampling.hexThreshold(0.9)
+        s"""WITH RECURSIVE toks AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM toks a JOIN toks b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+        reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+        assigned AS (
+          SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS component
+          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+        sp AS (
+          SELECT component,
+            CASE
+              WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < '$tTrain'
+                THEN 'train'
+              WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < '$tVal'
+                THEN 'val'
+              ELSE 'test' END AS split
+          FROM assigned)
+        SELECT split, COUNT(*) AS n_docs,
+          COUNT(DISTINCT component) AS n_clusters
+        FROM sp GROUP BY split
+        """ + orderedSql(Seq("split", "n_docs", "n_clusters"))
+      }),
+
+    // x55 — vocabulary coverage / OOV rate against the top-256 corpus
+    // vocabulary: the tokenizer-coverage check run before committing a
+    // vocab, and a CCNet-style quality signal per document. The oracle
+    // spells the identical count-then-top-k-then-left-join pipeline;
+    // oov_rate is one IEEE division of two exact longs.
+    QueryDef("x55_vocab_coverage",
+      (s, dir) => ordered(TextAnalysis.vocabCoverage(
+        t(s, dir, "documents"), "doc_id", "text", k = 256)),
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok FROM toks GROUP BY tok
+          ORDER BY COUNT(*) DESC, tok LIMIT 256)
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov,
+          CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        GROUP BY t.doc_id
+        """ + orderedSql(Seq("doc_id", "n_tokens", "n_oov", "oov_rate")))),
+
+    // x56 — deterministic shard repack for training output: every row
+    // gets a (shard, pos) address that is a pure function of its id —
+    // a reproducible global shuffle (md5-digest order within uniform
+    // hash shards), vs rand()-keyed shuffles that flap across runs and
+    // partitionings. The oracle spells the same fingerprint fold
+    // (shared rollingFoldSql spelling with x4/x51) and rank window.
+    QueryDef("x56_shard_repack",
+      (s, dir) => ordered(Sampling.shardRepack(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        numShards = 8)),
+      Some {
+        val fold = rollingFoldSql("dig")
+        s"""WITH h AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS dig
+          FROM documents),
+        sh AS (SELECT doc_id, dig, $fold % 8 AS shard FROM h)
+        SELECT doc_id, shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY shard
+            ORDER BY dig, doc_id) AS BIGINT) AS pos
+        FROM sh
+        """ + orderedSql(Seq("doc_id", "shard", "pos"))
+      }),
+
+    // x57 — per-source cap (C4-style per-domain cap): keep at most 100
+    // docs per source, longest-first with id tie-break, so no single
+    // source can dominate the mix. One rank window partitioned by the
+    // stratum the cap itself bounds.
+    QueryDef("x57_source_cap",
+      (s, dir) => ordered(Sampling.capPerStratum(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", Seq(col("n_chars").desc, col("doc_id").asc), cap = 100)),
+      Some("""SELECT doc_id, source, n_chars
+        FROM (SELECT doc_id, source, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 100
+        """ + orderedSql(Seq("doc_id", "source", "n_chars")))),
+
+    // x58 — embedding-side dedup rate: x6's blocked cosine pairs →
+    // connected components → survivors per label (the vector twin of
+    // x48's text-side pipeline). Blocks and threshold are exactly
+    // x6's, so the pair set is the one x6's green row already proves
+    // portable; the oracle adds the same recursive-CTE reachability.
+    QueryDef("x58_embed_dedup_rate",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val pairs = Similarity.cosinePairs(e, "vec_id", "embedding",
+          struct(col("label"), (col("vec_id") / 500).cast(LongType)),
+          0.35)
+        val comp = graft.ops.Clusters.assignComponents(
+          e.select(col("vec_id"), col("label")), "vec_id",
+          pairs, "a_id", "b_id")
+        ordered(comp.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("vec_id") === col("component"), 1L)
+              .otherwise(0L)).as("n_kept"),
+            sum(when(col("vec_id") === col("component"), 0L)
+              .otherwise(1L)).as("n_dropped")))
+      },
+      Some("""WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label
+           AND CAST(FLOOR(a.vec_id / 500) AS BIGINT) =
+               CAST(FLOOR(b.vec_id / 500) AS BIGINT)
+           AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])) >= 0.35),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+        reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+        SELECT v.label, COUNT(*) AS n_vecs,
+          CAST(SUM(CASE WHEN COALESCE(l.comp, v.vec_id) = v.vec_id
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN COALESCE(l.comp, v.vec_id) = v.vec_id
+            THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
+        GROUP BY v.label
+        """ + orderedSql(Seq("label", "n_vecs", "n_kept", "n_dropped")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

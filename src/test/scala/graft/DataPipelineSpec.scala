@@ -42,4 +42,41 @@ class DataPipelineSpec extends SparkSpec {
     assert(ids.subsetOf(
       docs.select($"doc_id").as[Long].collect().toSet))
   }
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits") {
+    val base = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text")
+    val docs = base.withColumn("tok", Dedup.tokenSet($"text"))
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
+      numHashes = 96, bands = 24, blockCol = $"source")
+    assert(pairs.count() > 0L, "fixture must contain near-dup pairs")
+    val split = DataPipeline.leakageSafeSplit(
+      docs.select($"doc_id"), "doc_id", pairs, "a_id", "b_id",
+      trainRate = 0.8, valRate = 0.1).cache()
+
+    // total: every doc gets exactly one split
+    assert(split.count() === base.count())
+    // THE invariant: a component maps to exactly one split — in
+    // particular both ends of every verified near-dup pair
+    val straddling = split.groupBy("component")
+      .agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1)
+    assert(straddling.count() === 0L, "a cluster straddles splits")
+    // singleton docs (no pair) split exactly as plain splitAssign
+    // would have split them: component = own id ⇒ same hash input
+    val paired = pairs.select($"a_id".as("doc_id"))
+      .union(pairs.select($"b_id".as("doc_id")))
+      .distinct().as[Long].collect().toSet
+    val plain = graft.ops.Sampling
+      .splitAssign(docs.select($"doc_id"), "doc_id", 0.8, 0.1)
+      .as[(Long, String)].collect().toMap
+    val leaky = split.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val singletons = plain.keySet -- paired
+    assert(singletons.nonEmpty)
+    singletons.foreach { id =>
+      assert(leaky(id) === plain(id), s"singleton $id moved splits")
+    }
+    split.unpersist()
+  }
 }

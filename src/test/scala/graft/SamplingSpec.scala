@@ -130,4 +130,56 @@ class SamplingSpec extends SparkSpec {
       Seq("src0" -> 0.0, "src0" -> 1.0), 0.0)
     assert(dup.count() === totals("src0"))
   }
+
+  test("shardRepack: total, dense 1-based positions, repartition-stable") {
+    val packed = Sampling.shardRepack(docs, "doc_id", numShards = 8).cache()
+    // total: every row gets exactly one (shard, pos) address
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    // shards within range, positions dense 1..count(shard)
+    assert(packed.filter($"shard" < 0 || $"shard" >= 8).count() === 0L)
+    packed.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min($"pos").as("lo"), max($"pos").as("hi"),
+        countDistinct($"pos").as("d"))
+      .as[(Long, Long, Long, Long, Long)].collect().foreach {
+        case (shard, n, lo, hi, d) =>
+          assert(lo === 1L && hi === n && d === n,
+            s"shard $shard positions not dense: n=$n lo=$lo hi=$hi d=$d")
+      }
+    // a pure function of the id: stable under repartitioning
+    val again = Sampling.shardRepack(docs.repartition(7, $"source"),
+        "doc_id", 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again === packed.as[(Long, Long, Long)].collect().toSet)
+    // uniform-ish: no shard holds more than 2× the fair share (md5 is
+    // well-mixed; at n=500 the binomial tail past 2× is negligible)
+    val maxShare = packed.groupBy("shard").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxShare <= 2L * docs.count() / 8,
+      s"worst shard holds $maxShare of ${docs.count()}")
+    packed.unpersist()
+  }
+
+  test("capPerStratum keeps the best `cap` rows per stratum, deterministically") {
+    val cap = 25
+    val kept = Sampling.capPerStratum(docs, "source",
+      Seq($"n_chars".desc, $"doc_id".asc), cap).cache()
+    val perSource = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    totals.foreach { case (src, n) =>
+      assert(perSource.getOrElse(src, 0L) === math.min(n, cap.toLong),
+        s"source $src kept ${perSource.getOrElse(src, 0L)} of $n")
+    }
+    // best-first: every kept row beats every dropped row of its stratum
+    // under the (n_chars desc, doc_id asc) order
+    val dropped = docs.join(kept, Seq("doc_id"), "left_anti")
+    val worstKept = kept.groupBy(kept("source").as("src"))
+      .agg(max(struct(-$"n_chars", $"doc_id")).as("wk"))
+    val beats = dropped.join(worstKept, dropped("source") === $"src")
+      .filter(struct(-dropped("n_chars"), dropped("doc_id")) < $"wk")
+    assert(beats.count() === 0L, "a dropped row outranks a kept row")
+    kept.unpersist()
+  }
 }

@@ -55,6 +55,37 @@ class TfIdfSpec extends SparkSpec {
     assert(fps(3L).size < nGrams3 && fps(3L).size >= nGrams3 / 8)
   }
 
+  test("vocabCoverage: hand-computed OOV counts, tie-break, boundary k") {
+    // corpus counts: a×4, b×3, c×2, d×1, e×1 — top-2 vocab = {a, b};
+    // at the k=4 boundary the d/e tie breaks on token asc → d in, e out
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "a b d"),
+      (3L, "a b c e")).toDF("doc_id", "text")
+    def cov(k: Int): Map[Long, (Long, Long, Double)] =
+      TextAnalysis.vocabCoverage(docs, "doc_id", "text", k)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val k2 = cov(2)
+    assert(k2(1L) === ((4L, 1L, 0.25))) // c OOV
+    assert(k2(2L) === ((3L, 1L, 1.0 / 3.0))) // d OOV
+    assert(k2(3L) === ((4L, 2L, 0.5))) // c, e OOV
+    val k4 = cov(4) // vocab {a,b,c,d}: e is the only OOV occurrence
+    assert(k4(1L)._2 === 0L)
+    assert(k4(2L)._2 === 0L)
+    assert(k4(3L) === ((4L, 1L, 0.25)))
+    // k >= distinct vocabulary ⇒ full coverage everywhere
+    val k5 = cov(64)
+    assert(k5.values.forall(_._2 === 0L))
+    // fixture smoke: rates in [0,1], n_oov <= n_tokens, one row per doc
+    val fx = TextAnalysis.vocabCoverage(
+      Tables.load(spark, sf0001, "documents"), "doc_id", "text", 256)
+    assert(fx.count() ===
+      Tables.load(spark, sf0001, "documents").count())
+    assert(fx.filter($"n_oov" > $"n_tokens" || $"oov_rate" < 0.0 ||
+      $"oov_rate" > 1.0).count() === 0L)
+  }
+
   test("top-k TF-IDF matches hand-computed scores, ranks and tie-breaks") {
     val docs = Seq(
       (1L, "a a b"),
