@@ -345,6 +345,52 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental near-dup: verified pairs between an ARRIVING batch and
+    * the INGESTED corpus — the production shape of continuous crawl
+    * ingestion, where the corpus was already deduped on ingest and
+    * re-pairing it against itself every batch would be pure waste (the
+    * LSH twin of [[bloomFreshRows]]'s exact-key contract). Candidates
+    * come from the same band-bucket join as [[lshCandidatePairs]] but
+    * joined new×seen only: the shuffle carries each side's id+band keys
+    * once, quadratic work is confined to cross-side bucket collisions,
+    * and the already-clean corpus never pairs with itself. Batch-side
+    * internal duplicates are the caller's [[nearDupPairs]] over the
+    * (small) batch.
+    *
+    * Recall is identical to the batch generator's: a qualifying pair
+    * collides in some band with P = 1−(1−j^rows)^bands regardless of
+    * which side each document sits on.
+    *
+    * Returns `(new_id, seen_id, jaccard)` with `jaccard >= minJaccard`
+    * exactly verified.
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, seen: DataFrame,
+      idCol: String, tokenSetCol: String, minJaccard: Double,
+      numHashes: Int = 64, bands: Int = 16,
+      blockCol: Column = lit(0)): DataFrame = {
+    val nb = bandedSignatures(newDocs, idCol, tokenSetCol, numHashes,
+      bands, blockCol)
+    val sb = bandedSignatures(seen, idCol, tokenSetCol, numHashes,
+      bands, blockCol)
+    val candidates = nb
+      .select(col("block"), col("band_id"), col("band_hash"),
+        col("id").as("new_id"))
+      .join(sb.select(col("block"), col("band_id"), col("band_hash"),
+        col("id").as("seen_id")),
+        Seq("block", "band_id", "band_hash"))
+      .select(col("new_id"), col("seen_id"))
+      .distinct()
+    candidates
+      .join(newDocs.select(col(idCol).as("new_id"),
+        col(tokenSetCol).as("_na")), "new_id")
+      .join(seen.select(col(idCol).as("seen_id"),
+        col(tokenSetCol).as("_sa")), "seen_id")
+      .select(col("new_id"), col("seen_id"),
+        graft.functions.VectorFunctions.setJaccardSorted(
+          col("_na"), col("_sa")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-dedup: 64-bit signature per document; candidates share
     * at least one of `numChunks` equal-width bit chunks, then are
     * verified by exact Hamming distance.

@@ -310,6 +310,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Linear-classifier INFERENCE over hashed features — the fastText-
+    * style quality-filter pass (score every document with an
+    * offline-trained linear model, keep those above threshold) run as
+    * a pure per-row projection. Feature j of a document is the count
+    * of tokens hashing to bucket j ([[hashedTf]]'s features); the
+    * score is their dot product with `weights` plus `bias`, computed
+    * as one left fold over the token list (weight lookup per token —
+    * never materializing the dense vector), so the additions happen in
+    * document order: the same IEEE sequence any engine's list fold
+    * produces, bit-deterministic cross-engine like [[fingerprint]]'s
+    * fold. Raw margin, not a sigmoid: exp() is not bit-portable and a
+    * threshold decision never needs it.
+    *
+    * Scale: zero shuffle, no vocabulary or model state beyond the
+    * weight literal (bounded by `weights.length`, a model
+    * hyperparameter — never data-sized).
+    *
+    * Returns `(doc_id, score, keep)`.
+    */
+  def hashClassifierScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Double], bias: Double,
+      threshold: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val dim = weights.length
+    val w = typedLit(weights)
+    docs.select(col(idCol).as("doc_id"),
+        (aggregate(
+          transform(tokens(col(textCol)),
+            t => element_at(w,
+              (pmod(fingerprint(t), lit(dim.toLong)) + 1L)
+                .cast(IntegerType))),
+          lit(0.0), (acc, x) => acc + x) + lit(bias)).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
   /** Per-document quality signals; flag = low-quality heuristic. */
   def withQualitySignals(df: DataFrame, text: Column, nChars: Column): DataFrame = {
     val toks = tokens(text)

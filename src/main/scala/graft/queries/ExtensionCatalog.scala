@@ -40,6 +40,12 @@ object ExtensionCatalog {
       s"c -> CAST(ord(c) AS BIGINT))), " +
       s"(acc, c) -> (acc * 31 + c) % 2147483648)"
 
+  /** x60's offline-trained stand-in weight vector (dim 16, exact binary
+    * fractions so the SQL literal parses to the identical doubles).
+    */
+  private val classifierWeights: Seq[Double] =
+    Seq.tabulate(16)(i => (i - 8) / 8.0)
+
   val all: Seq[QueryDef] = Seq(
 
     // x1 — token statistics per source (text analysis: token counting).
@@ -1593,6 +1599,66 @@ object ExtensionCatalog {
         FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
         GROUP BY v.label
         """ + orderedSql(Seq("label", "n_vecs", "n_kept", "n_dropped")))),
+
+    // x59 — incremental near-dup: the arriving batch (doc_id%40 >= 20
+    // — the fixture's near-dup families span id blocks of 20, so this
+    // interleaved-snapshot split actually crosses them; a parity split
+    // would not) LSH-paired against the ingested corpus ONLY — never
+    // corpus×corpus. 96/24 banding keeps the oracle gate
+    // recall-certain (DedupSpec pins recall 1.0 on all same-source
+    // >= 0.9 pairs at both gate SFs; batch/corpus membership doesn't
+    // change a pair's collision probability). The oracle is the
+    // literal cross-side all-pairs spelling.
+    QueryDef("x59_incremental_neardup",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"),
+          col("source"), Dedup.tokenSet(col("text")).as("tok"))
+        ordered(Dedup.incrementalNearDupPairs(
+          newDocs = base.filter(col("doc_id") % 40 >= 20),
+          seen = base.filter(col("doc_id") % 40 < 20),
+          "doc_id", "tok", 0.9, numHashes = 96, bands = 24,
+          blockCol = col("source")))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM documents)
+        SELECT n.doc_id AS new_id, o.doc_id AS seen_id,
+          CAST(len(list_intersect(n.tok, o.tok)) AS DOUBLE) /
+            len(list_distinct(list_concat(n.tok, o.tok))) AS jaccard
+        FROM toks n JOIN toks o
+          ON n.source = o.source
+         AND n.doc_id % 40 >= 20 AND o.doc_id % 40 < 20
+        WHERE CAST(len(list_intersect(n.tok, o.tok)) AS DOUBLE) /
+            len(list_distinct(list_concat(n.tok, o.tok))) >= 0.9
+        """ + orderedSql(Seq("new_id", "seen_id", "jaccard")))),
+
+    // x60 — linear quality-classifier inference over hashed features
+    // (fastText-style filter pass): score = left fold of per-token
+    // weight lookups (same rolling-hash bucketing as x51, same
+    // list-fold determinism argument as x47), keep = score >= 0. The
+    // oracle spells the identical weight-literal fold.
+    QueryDef("x60_quality_classifier",
+      (s, dir) => ordered(TextAnalysis.hashClassifierScore(
+        t(s, dir, "documents"), "doc_id", "text",
+        weights = classifierWeights, bias = 0.25)),
+      Some {
+        val wList = classifierWeights
+          .mkString("[", ", ", "]::DOUBLE[]")
+        s"""SELECT doc_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(string_split(text, ' '),
+              t -> ($wList)[CAST(${rollingFoldSql("t")} % 16 AS INTEGER)
+                + 1])),
+            (acc, x) -> acc + x) + 0.25 AS score,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(string_split(text, ' '),
+              t -> ($wList)[CAST(${rollingFoldSql("t")} % 16 AS INTEGER)
+                + 1])),
+            (acc, x) -> acc + x) + 0.25 >= 0.0 AS keep
+        FROM documents
+        """ + orderedSql(Seq("doc_id", "score", "keep"))
+      }),
 
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked

@@ -73,6 +73,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup equals the batch pairs restricted to cross-side") {
+    // split the fixture into "corpus" and "arriving batch"; the
+    // incremental generator must return exactly the batch generator's
+    // verified pairs that cross the split (no corpus×corpus or
+    // batch×batch row can appear, no cross pair may be lost)
+    val seen = docs.filter($"doc_id" % 40 < 20)
+    val batch = docs.filter($"doc_id" % 40 >= 20)
+    val inc = Dedup.incrementalNearDupPairs(batch, seen, "doc_id", "tok",
+        0.9, numHashes = 96, bands = 24, blockCol = $"source")
+      .select($"new_id", $"seen_id").as[(Long, Long)].collect().toSet
+    assert(inc.nonEmpty, "split must cross near-dup families")
+    val full = Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
+        numHashes = 96, bands = 24, blockCol = $"source")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val expected = full.collect {
+      case (a, b) if batchIds(a) && !batchIds(b) => (a, b)
+      case (a, b) if batchIds(b) && !batchIds(a) => (b, a)
+    }
+    assert(inc === expected)
+  }
+
   test("identical token sets get identical simhash and hamming 0") {
     val sig = docs.limit(1).select(simhash64($"tok").as("s")).head().getLong(0)
     val again = docs.limit(1).select(simhash64($"tok").as("s")).head().getLong(0)

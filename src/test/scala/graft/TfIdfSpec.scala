@@ -86,6 +86,41 @@ class TfIdfSpec extends SparkSpec {
       $"oov_rate" > 1.0).count() === 0L)
   }
 
+  test("hashClassifierScore matches a local-JVM fold; keep respects threshold") {
+    val weights = Seq.tabulate(16)(i => (i - 8) / 8.0)
+    def localFp(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % 2147483648L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    def localScore(text: String, bias: Double): Double =
+      text.split(" ", -1).foldLeft(0.0) { (acc, t) =>
+        acc + weights((localFp(t) % 16).toInt)
+      } + bias
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "a a a a a a"), // repeated token: tf weighting, not presence
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashClassifierScore(docs, "doc_id", "text",
+        weights, bias = 0.25)
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq(1L -> "the quick brown fox", 2L -> "a a a a a a", 3L -> "")
+      .foreach { case (id, text) =>
+        val want = localScore(text, 0.25)
+        assert(got(id)._1 === want, s"doc $id")
+        assert(got(id)._2 === (want >= 0.0), s"doc $id keep flag")
+      }
+    // repeated-token doc scores 6× the single token's weight + bias
+    val single = weights((localFp("a") % 16).toInt)
+    assert(got(2L)._1 === 6 * single + 0.25 ||
+      math.abs(got(2L)._1 - (6 * single + 0.25)) < 1e-12)
+  }
+
   test("top-k TF-IDF matches hand-computed scores, ranks and tie-breaks") {
     val docs = Seq(
       (1L, "a a b"),
