@@ -17,6 +17,11 @@ case class CandidatePair(a_id: Long, b_id: Long)
   */
 case class ChunkRepeat(doc_id: Long, chunk_id: Long, first_id: Long)
 
+/** An arriving train document sharing `n_shared` distinct k-shingles
+  * with eval document `eval_id` — the online contamination flag.
+  */
+case class ContaminationHit(train_id: Long, eval_id: Long, n_shared: Long)
+
 /** Streaming document-pipeline surface: ONLINE near-duplicate detection.
   *
   * A training-data ingest doesn't get to re-run batch dedup over the
@@ -102,6 +107,59 @@ object DocStreams {
     * out-of-order smaller id simply becomes the new first and is itself
     * never flagged — the inherent online-vs-batch attribution gap.
     */
+  /** ONLINE train/eval contamination guard — the streaming twin of
+    * [[graft.ops.Contamination.report]], in the production direction:
+    * the eval/benchmark set is FIXED and bounded, the training corpus
+    * is the unbounded side, and every arriving train document must be
+    * checked for eval overlap before it is allowed into the corpus.
+    *
+    * Shape: the eval side is a static `(eval_id, shingle-hash)` frame
+    * (distinct hashed k-shingles per eval doc — same one-pass
+    * `NGramHashes` kernel as the batch operator), explicitly
+    * `broadcast` so the stream-static join is stateless and map-side;
+    * arriving documents explode to their distinct shingle hashes,
+    * join, and aggregate per (train, eval) pair via one-boolean keyed
+    * state that also makes re-delivered documents emit nothing new.
+    * State is one boolean per CONTAMINATED pair — proportional to the
+    * contamination found (rare by construction), never to the corpus.
+    *
+    * Emits each hit exactly once, in the arrival micro-batch, with the
+    * exact distinct-shingle overlap count — same numbers the batch
+    * report would compute for that (train, eval) pair.
+    */
+  def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
+      k: Int = 5): Dataset[ContaminationHit] = {
+    import docs.sparkSession.implicits._
+    def shingleRows(df: DataFrame, id: String, text: String,
+        as: String): DataFrame =
+      df.select(col(id).as(as),
+        explode(array_distinct(graft.functions.HashFunctions.ngramHashes(
+          split(col(text), " ", -1), k, keepPartial = true))).as("sk"))
+    val ev = broadcast(shingleRows(evalDocs, evalIdCol, evalTextCol,
+      "eval_id"))
+    shingleRows(docs, idCol, textCol, "train_id")
+      .join(ev, "sk")
+      .select(col("train_id"), col("eval_id"))
+      .as[(Long, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (pair: (Long, Long), rows: Iterator[(Long, Long)],
+            state: GroupState[Boolean]) =>
+          // a document's shingle rows all arrive in its own micro-batch
+          // (whole documents enter the stream atomically), so the first
+          // group invocation sees the pair's complete overlap; the
+          // boolean guards against re-delivered documents
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(
+              ContaminationHit(pair._1, pair._2, rows.size.toLong))
+          }
+      }
+  }
+
   def repeatedChunkFlags(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int): Dataset[ChunkRepeat] = {
     import docs.sparkSession.implicits._

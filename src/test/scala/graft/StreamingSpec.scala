@@ -292,4 +292,61 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === expected)
     } finally q.stop()
   }
+
+  test("online contamination hits equal the batch shingle join, any batching") {
+    // train corpus from the fixture; eval set = verbatim spans lifted
+    // from two train docs (guaranteed 5-gram overlap) + one clean doc
+    val train = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").limit(150).cache()
+    val lifted = train.filter($"doc_id".isin(3L, 7L))
+      .as[(Long, String)].collect().toMap
+    def span(s: String): String = s.split(" ").take(12).mkString(" ")
+    val evalDocs = Seq(
+      (9001L, span(lifted(3L))),
+      (9002L, span(lifted(7L))),
+      (9003L, "no overlap with anything in the corpus qqq zzz www vvv uuu ttt")
+    ).toDF("eval_id", "etext").cache()
+    // batch truth: distinct-shingle hash join, counted per (train, eval)
+    def sh(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+        as: String) =
+      df.select(col(id).as(as),
+        explode(array_distinct(graft.functions.HashFunctions.ngramHashes(
+          split(col(text), " ", -1), 5, keepPartial = true))).as("sk"))
+    val expected = sh(train, "doc_id", "text", "train_id")
+      .join(sh(evalDocs, "eval_id", "etext", "eval_id"), "sk")
+      .groupBy($"train_id", $"eval_id")
+      .agg(countDistinct($"sk").as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    // the lifted spans must be found against their source docs
+    assert(expected.exists(h => h._1 === 3L && h._2 === 9001L))
+    assert(expected.exists(h => h._1 === 7L && h._2 === 9002L))
+    assert(!expected.exists(_._2 === 9003L), "clean doc must not hit")
+    // one-shot batch-mode run of the stateful function
+    val oneShot = DocStreams.contaminationHits(train, "doc_id", "text",
+        evalDocs, "eval_id", "etext")
+      .collect().map(h => (h.train_id, h.eval_id, h.n_shared)).toSet
+    assert(oneShot === expected)
+    // replayed as micro-batches (+ a re-delivery, which must emit nothing)
+    val dir = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    train.repartition(4).write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir + "/in")
+    val q = DocStreams.contaminationHits(stream, "doc_id", "text",
+        evalDocs, "eval_id", "etext")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_contam")
+      .start()
+    try {
+      q.processAllAvailable()
+      // re-deliver the whole corpus: the boolean state must swallow it
+      train.repartition(2).write.mode("append").parquet(dir + "/in")
+      q.processAllAvailable()
+      val streamed = spark.table("stream_contam")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
 }
