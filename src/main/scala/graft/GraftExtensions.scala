@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, NGramHashes, PairCountAgg, RollingFingerprint, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
+import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, MinIdsAgg, NGramHashes, PairCountAgg, RollingFingerprint, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the
@@ -28,6 +28,7 @@ import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, NGramHas
   *   sig_agreement(array<bigint>, array<bigint>) → double
   *   pair_count(integral)                 → bigint   (aggregate)
   *   doc_freq(id, cap)                    → struct&lt;df,ids&gt; (aggregate)
+  *   min_ids(id, n)                       → struct&lt;df,ids&gt; (aggregate; n smallest, sorted)
   *   ngram_hashes(array<string>, n[, keepPartial]) → array<bigint>
   *   rolling_fingerprint(string)          → bigint
   */
@@ -128,6 +129,10 @@ object GraftExtensions {
       { case Seq(c, cap) => DocFreqAgg(c,
           litInt("doc_freq", "cap", cap)).toAggregateExpression()
         case _ => arity("doc_freq", "(id, cap)") }),
+    ("min_ids", "min_ids(id, n) - per-group struct(df, ids): n smallest ids, sorted",
+      { case Seq(c, n) => MinIdsAgg(c,
+          litInt("min_ids", "n", n)).toAggregateExpression()
+        case _ => arity("min_ids", "(id, n)") }),
     ("ngram_hashes",
       "ngram_hashes(tokens, n[, keepPartial]) - one-pass hashed k-grams",
       { case Seq(c, n) => NGramHashes(c,

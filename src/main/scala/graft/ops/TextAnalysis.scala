@@ -310,6 +310,60 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Per-document novelty score — the inverse of boilerplate-ness: the
+    * fraction of a document's distinct k-shingles that occur in NO
+    * other document (corpus document-frequency 1). Curation pipelines
+    * use it to upweight genuinely novel content and as a memorization-
+    * risk proxy (a doc of df-1 shingles is the only source of those
+    * spans). Returns `(doc_id, n_shingles, n_unique, novelty)`;
+    * `novelty` is one IEEE division of exact longs.
+    *
+    * Scale design (100 TB): (doc, shingle) rows meet in ONE shuffle on
+    * the shingle key; a df-1 shingle's owner is recovered from the same
+    * aggregate (`min(doc)` of a size-1 group IS the group), so no
+    * second join of the corpus against the shingle table — just a
+    * per-doc count of owned-unique shingles joined back to the per-doc
+    * totals. Boilerplate shingles skew nothing: groups only COUNT.
+    */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val rows = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), k)).as("sk"))
+    val totals = rows.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val unique = rows.groupBy("sk")
+      .agg(count(lit(1)).as("_df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("_df") === 1L)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_unique"))
+    totals.join(unique, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast(DoubleType) / col("n_shingles"))
+  }
+
+  /** Bounded inverted index — the retrieval-side artifact a training
+    * pipeline ships next to the corpus: per token, the exact document
+    * frequency and the `maxPostings` SMALLEST doc ids (a deterministic
+    * truncated posting list). Built on [[graft.functions.MinIdsAgg]]:
+    * one explode + one map-side-combinable aggregate whose state is
+    * `maxPostings` longs per token NO MATTER how hot the token —
+    * `collect_list`-then-sort would buffer a stopword's entire corpus-
+    * wide posting list before truncating.
+    *
+    * Returns `(token, df, postings)`, `df` = distinct carrying docs.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(graft.functions.DocFreqFunctions
+        .minIds(col("doc_id"), maxPostings).as("_m"))
+      .select(col("token"), col("_m.df").as("df"),
+        col("_m.ids").as("postings"))
+
   /** Linear-classifier INFERENCE over hashed features — the fastText-
     * style quality-filter pass (score every document with an
     * offline-trained linear model, keep those above threshold) run as

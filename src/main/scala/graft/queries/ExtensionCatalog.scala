@@ -1660,6 +1660,53 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "score", "keep"))
       }),
 
+    // x61 — per-document novelty (fraction of its distinct 5-shingles
+    // with corpus df 1): one shuffle on the shingle key; a df-1
+    // shingle's owner comes out of the same aggregate (min of a size-1
+    // group), no second corpus join. Shingle spelling shared with x34.
+    QueryDef("x61_novelty",
+      (s, dir) => ordered(TextAnalysis.noveltyScore(
+        t(s, dir, "documents"), "doc_id", "text", k = 5)),
+      Some("""WITH sh AS (
+          SELECT doc_id,
+            unnest(list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))))
+              AS sk
+          FROM documents),
+        tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+        uniq AS (
+          SELECT doc_id, COUNT(*) AS n_unique FROM (
+            SELECT MIN(doc_id) AS doc_id FROM sh
+            GROUP BY sk HAVING COUNT(*) = 1)
+          GROUP BY doc_id)
+        SELECT t.doc_id, t.n_shingles,
+          CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
+          CAST(COALESCE(u.n_unique, 0) AS DOUBLE) / t.n_shingles AS novelty
+        FROM tot t LEFT JOIN uniq u USING (doc_id)
+        """ + orderedSql(Seq("doc_id", "n_shingles", "n_unique",
+          "novelty")))),
+
+    // x62 — bounded inverted index: per token, exact df + the 8
+    // smallest doc ids via the MinIdsAgg bounded aggregate (state = 8
+    // longs per token even for stopwords, where collect_list-then-sort
+    // buffers the whole posting list). Postings stringified for the
+    // cell compare; the oracle truncates an explicit list_sort.
+    QueryDef("x62_inverted_index",
+      (s, dir) => ordered(TextAnalysis.invertedIndex(
+          t(s, dir, "documents"), "doc_id", "text", maxPostings = 8)
+        .select(col("token"), col("df"),
+          concat_ws(",", transform(col("postings"), x => x.cast("string")))
+            .as("postings"))),
+      Some("""WITH tk AS (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents))
+        SELECT token, COUNT(*) AS df,
+          array_to_string((list_sort(list(doc_id)))[1:8], ',') AS postings
+        FROM tk GROUP BY token
+        """ + orderedSql(Seq("token", "df", "postings")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -67,6 +67,42 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(b.getLong(0) === 1L && b.getSeq[Long](1) === Seq(5L))
   }
 
+  test("min_ids returns the n smallest ids sorted, under any partitioning") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    // fixture-driven reference: min_ids(doc_id, 3) per source must equal
+    // the sorted-ascending prefix of each source's full id list, and df
+    // the exact count — across partitionings (merge + serde paths)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("source"), col("doc_id"))
+    val expected = docs.collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        val ids = rs.map(_.getLong(1)).sorted
+        s -> ((ids.length.toLong, ids.take(3).toSeq))
+      }
+    for (parts <- Seq(1, 7)) {
+      val got = docs.repartition(parts)
+        .groupBy("source")
+        .agg(graft.functions.DocFreqFunctions.minIds(col("doc_id"), 3)
+          .as("m"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getStruct(1).getLong(0), r.getStruct(1).getSeq[Long](1))))
+        .toMap
+      assert(got === expected, s"parts=$parts")
+    }
+    // SQL surface + arity error
+    val viaSql = spark.sql(
+      """SELECT min_ids(id, 2) AS m FROM VALUES
+        |  (9L), (1L), (5L), (3L) AS t(id)
+        |""".stripMargin).head().getStruct(0)
+    assert(viaSql.getLong(0) === 4L)
+    assert(viaSql.getSeq[Long](1) === Seq(1L, 3L))
+    val err = intercept[Exception] { spark.sql("SELECT min_ids(1)") }
+    assert(err.getMessage.contains("min_ids"))
+  }
+
   test("simhash_agg(group) equals simhash64 of the concatenated group") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._

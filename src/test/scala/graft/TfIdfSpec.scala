@@ -121,6 +121,39 @@ class TfIdfSpec extends SparkSpec {
       math.abs(got(2L)._1 - (6 * single + 0.25)) < 1e-12)
   }
 
+  test("noveltyScore: hand-computed df-1 fractions") {
+    // k=2 shingles: "a b" in docs 1+2 (df 2); "b c" / "b x" / "z z"
+    // unique; doc 3's repeated shingle dedupes to one
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b x"),
+      (3L, "z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScore(docs, "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((1L, 1L, 1.0)))
+    // all-duplicate corpus: every shingle df >= 2 → novelty 0 everywhere
+    val dup = Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text")
+    assert(TextAnalysis.noveltyScore(dup, "doc_id", "text", 2)
+      .filter($"novelty" =!= 0.0 || $"n_unique" =!= 0L).count() === 0L)
+  }
+
+  test("invertedIndex: bounded sorted postings with exact df") {
+    val docs = Seq(
+      (3L, "a"), (1L, "a b"), (2L, "a c a")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 2)
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") === ((3L, Seq(1L, 2L)))) // df exact, 2 smallest kept
+    assert(got("b") === ((1L, Seq(1L))))
+    assert(got("c") === ((1L, Seq(2L))))
+    // repeated token within a doc counts once (distinct per doc)
+    assert(got("a")._1 === 3L)
+  }
+
   test("top-k TF-IDF matches hand-computed scores, ranks and tie-breaks") {
     val docs = Seq(
       (1L, "a a b"),
