@@ -343,6 +343,51 @@ object TextAnalysis {
         col("n_unique").cast(DoubleType) / col("n_shingles"))
   }
 
+  /** Top-k PMI collocations — corpus-level analytics for tokenizer and
+    * quality work: which adjacent token pairs co-occur far more than
+    * chance (merge candidates, boilerplate phrases, multi-word
+    * entities). PMI(a,b) = ln(P(ab) / (P(a)·P(b))) over adjacent-bigram
+    * and unigram OCCURRENCE counts, rounded to 6 dp (the x39 log
+    * precedent: ln on identical doubles is portable at 6 dp) and
+    * ranked on the ROUNDED value with a (w1, w2) tie-break so the
+    * cutoff is deterministic. `minPairCount` drops rare-pair noise
+    * (classic PMI failure mode: hapax pairs score highest).
+    *
+    * Scale design (100 TB): two explode+count aggregates (map-side
+    * combinable), corpus totals via one-row broadcast cross joins (no
+    * driver collect), two token-keyed joins of the bigram table
+    * against the unigram counts, one bounded TakeOrdered. Nothing
+    * holds per-group state beyond a count.
+    */
+  def pmiTopK(docs: DataFrame, textCol: String, minPairCount: Long,
+      k: Int): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("_t"))
+    val uni = toks.select(explode(col("_t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(explode(zip_with(
+        slice(col("_t"), lit(1), greatest(size(col("_t")) - 1, lit(0))),
+        slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minPairCount)
+    val nTok = uni.agg(sum(col("c")).cast(DoubleType).as("n_tok"))
+    val nBi = bi.agg(sum(col("c2")).cast(DoubleType).as("n_bi"))
+    // the unigram side is vocabulary-sized (data-dependent): no explicit
+    // broadcast — AQE broadcasts it at fixture scale and degrades to a
+    // shuffle join when a corpus's vocabulary outgrows the threshold
+    bi.join(uni.select(col("w").as("w1"), col("c").as("_ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("_cb")), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c2").as("pair_count"),
+        round(log(col("c2").cast(DoubleType) * col("n_tok") * col("n_tok") /
+          (col("n_bi") * col("_ca") * col("_cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Bounded inverted index — the retrieval-side artifact a training
     * pipeline ships next to the corpus: per token, the exact document
     * frequency and the `maxPostings` SMALLEST doc ids (a deterministic

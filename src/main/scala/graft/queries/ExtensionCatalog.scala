@@ -1707,6 +1707,84 @@ object ExtensionCatalog {
         FROM tk GROUP BY token
         """ + orderedSql(Seq("token", "df", "postings")))),
 
+    // x63 — top-30 PMI collocations (adjacent bigrams, pair count >= 5):
+    // merge-candidate / boilerplate-phrase analytics. ln at 6 dp is the
+    // x39 log-portability precedent; ranking is on the ROUNDED value
+    // with a (w1, w2) tie-break so the cutoff is deterministic.
+    QueryDef("x63_pmi_collocations",
+      (s, dir) => ordered(TextAnalysis.pmiTopK(
+        t(s, dir, "documents"), "text", minPairCount = 5L, k = 30)),
+      Some("""WITH toks AS (
+          SELECT string_split(text, ' ') AS t FROM documents),
+        uc AS (
+          SELECT w, COUNT(*) AS c FROM (
+            SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        bc AS (
+          SELECT bg, COUNT(*) AS c2 FROM (
+            SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i + 1])) AS bg
+            FROM toks) GROUP BY bg HAVING COUNT(*) >= 5),
+        ntok AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_tok FROM uc),
+        nbi AS (SELECT CAST(SUM(c2) AS DOUBLE) AS n_bi FROM bc),
+        scored AS (
+          SELECT string_split(bg, ' ')[1] AS w1,
+            string_split(bg, ' ')[2] AS w2,
+            c2 AS pair_count,
+            ROUND(ln(CAST(c2 AS DOUBLE) * n_tok * n_tok /
+              (n_bi * a.c * b.c)), 6) AS pmi
+          FROM bc CROSS JOIN ntok CROSS JOIN nbi
+          JOIN uc a ON a.w = string_split(bg, ' ')[1]
+          JOIN uc b ON b.w = string_split(bg, ' ')[2])
+        SELECT * FROM (
+          SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 30)
+        """ + orderedSql(Seq("w1", "w2", "pair_count", "pmi")))),
+
+    // x64 — cross-source near-dup overlap matrix ("which crawls
+    // duplicate which"): UNBLOCKED 96/24 LSH pairs (cross-source
+    // near-dups dominate the fixture 19:1) rolled up per unordered
+    // source pair. Recall-certainty of the unblocked config is pinned
+    // by DedupSpec at both gate SFs; the mean jaccard routes through
+    // DECIMAL(18,12) like every cross-engine double aggregate.
+    QueryDef("x64_source_overlap",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+        val docs = base.select(col("doc_id"), col("source"),
+          Dedup.tokenSet(col("text")).as("tok"))
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
+          numHashes = 96, bands = 24)
+        val src = docs.select(col("doc_id"), col("source"))
+        ordered(pairs
+          .join(src.select(col("doc_id").as("a_id"),
+            col("source").as("_sa")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"),
+            col("source").as("_sb")), "b_id")
+          .select(least(col("_sa"), col("_sb")).as("source_a"),
+            greatest(col("_sa"), col("_sb")).as("source_b"),
+            col("jaccard"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            (sum(col("jaccard").cast(DecimalType(18, 12)))
+              .cast(DoubleType) / count(lit(1))).as("avg_jaccard")))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM documents),
+        pairs AS (
+          SELECT least(a.source, b.source) AS source_a,
+            greatest(a.source, b.source) AS source_b,
+            CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tok, b.tok))) AS j
+          FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9)
+        SELECT source_a, source_b, COUNT(*) AS n_pairs,
+          CAST(SUM(CAST(j AS DECIMAL(18, 12))) AS DOUBLE) / COUNT(*)
+            AS avg_jaccard
+        FROM pairs GROUP BY source_a, source_b
+        """ + orderedSql(Seq("source_a", "source_b", "n_pairs",
+          "avg_jaccard")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -73,6 +73,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("UNBLOCKED 96x24 LSH recalls every true j >= 0.9 pair at both gate SFs") {
+    // x64 rolls up UNBLOCKED pairs (cross-source near-dups dominate the
+    // fixture 19:1), so its oracle equality needs recall 1 without the
+    // source block too — same per-pair miss bound (~7e-12), asserted
+    // against unblocked all-pairs ground truth
+    for (dir <- Seq(sf0001, sf001)) {
+      val d = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), lit(0).as("blk"),
+          Dedup.tokenSet(col("text")).as("tok"))
+      val truth = Dedup.jaccardPairs(d, "doc_id", "tok", "blk", 0.9)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      val candidates = Dedup.lshCandidatePairs(d, "doc_id", "tok",
+          numHashes = 96, bands = 24)
+        .as[(Long, Long)].collect().toSet
+      val missed = truth -- candidates
+      assert(truth.size > 1000, s"$dir: fixture lost its near-dup families")
+      assert(missed.isEmpty,
+        s"$dir: unblocked 24x4 LSH missed ${missed.size} of ${truth.size} " +
+          s"true pairs: ${missed.take(5)} — x64's oracle check will flake")
+    }
+  }
+
   test("incremental near-dup equals the batch pairs restricted to cross-side") {
     // split the fixture into "corpus" and "arriving batch"; the
     // incremental generator must return exactly the batch generator's

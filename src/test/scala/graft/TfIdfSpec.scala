@@ -154,6 +154,30 @@ class TfIdfSpec extends SparkSpec {
     assert(got("a")._1 === 3L)
   }
 
+  test("pmiTopK matches hand-computed PMI on a tiny corpus") {
+    // corpus: "a b" ×3, "a c", "b b" → unigrams: a=4, b=5, c=1,
+    // N_tok=10; bigrams: (a,b)=3, (a,c)=1, (b,b)=1, N_bi=5
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "b b")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.pmiTopK(docs, "text",
+        minPairCount = 1L, k = 10)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def pmi(cab: Long, ca: Long, cb: Long): Double =
+      BigDecimal(math.log(cab.toDouble * 10.0 * 10.0 / (5.0 * ca * cb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("a", "b")) === ((3L, pmi(3, 4, 5))))
+    assert(got(("a", "c")) === ((1L, pmi(1, 4, 1))))
+    assert(got(("b", "b")) === ((1L, pmi(1, 5, 5))))
+    // min count filter drops the hapax pairs
+    assert(graft.ops.TextAnalysis.pmiTopK(docs, "text", 2L, 10)
+      .count() === 1L)
+    // the rare informative pair outranks the frequent one; the
+    // anti-collocation (b,b) scores negative: classic PMI shape
+    assert(got(("a", "c"))._2 > got(("a", "b"))._2)
+    assert(got(("b", "b"))._2 < 0.0)
+  }
+
   test("top-k TF-IDF matches hand-computed scores, ranks and tie-breaks") {
     val docs = Seq(
       (1L, "a a b"),
