@@ -1744,10 +1744,15 @@ object ExtensionCatalog {
     // near-dups dominate the fixture 19:1) rolled up per unordered
     // source pair. Recall-certainty of the unblocked config is pinned
     // by DedupSpec at both gate SFs; the mean jaccard routes through
-    // DECIMAL(18,12) like every cross-engine double aggregate.
+    // DECIMAL(18,12) like every cross-engine double aggregate. Overlap
+    // ANALYTICS doesn't need every pair: the corpus is first cut to a
+    // deterministic md5 half-sample (the x29 cost-bound pattern — pair
+    // volume drops 4×, the per-cell rates it estimates don't move),
+    // spelled identically in the oracle.
     QueryDef("x64_source_overlap",
       (s, dir) => {
         val base = t(s, dir, "documents")
+          .filter(graft.ops.Sampling.keepPredicate(col("doc_id"), 0.5))
         val docs = base.select(col("doc_id"), col("source"),
           Dedup.tokenSet(col("text")).as("tok"))
         val pairs = Dedup.nearDupPairs(docs, "doc_id", "tok", 0.9,
@@ -1769,7 +1774,8 @@ object ExtensionCatalog {
       Some("""WITH toks AS (
           SELECT doc_id, source,
             list_distinct(string_split(text, ' ')) AS tok
-          FROM documents),
+          FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),
         pairs AS (
           SELECT least(a.source, b.source) AS source_a,
             greatest(a.source, b.source) AS source_b,
