@@ -364,16 +364,18 @@ object TextAnalysis {
     val toks = docs.select(tokens(col(textCol)).as("_t"))
     val uni = toks.select(explode(col("_t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val bi = toks
+    val biAll = toks
       .select(explode(zip_with(
         slice(col("_t"), lit(1), greatest(size(col("_t")) - 1, lit(0))),
         slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= minPairCount)
+    val bi = biAll.filter(col("c2") >= minPairCount)
     val nTok = uni.agg(sum(col("c")).cast(DoubleType).as("n_tok"))
-    val nBi = bi.agg(sum(col("c2")).cast(DoubleType).as("n_bi"))
+    // P(ab) is over ALL adjacent bigrams: the total is taken before the
+    // min-count filter, which only prunes which pairs get REPORTED
+    val nBi = biAll.agg(sum(col("c2")).cast(DoubleType).as("n_bi"))
     // the unigram side is vocabulary-sized (data-dependent): no explicit
     // broadcast — AQE broadcasts it at fixture scale and degrades to a
     // shuffle join when a corpus's vocabulary outgrows the threshold

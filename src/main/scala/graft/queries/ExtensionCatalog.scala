@@ -1719,13 +1719,14 @@ object ExtensionCatalog {
         uc AS (
           SELECT w, COUNT(*) AS c FROM (
             SELECT unnest(t) AS w FROM toks) GROUP BY w),
-        bc AS (
+        bc_all AS (
           SELECT bg, COUNT(*) AS c2 FROM (
             SELECT unnest(list_transform(generate_series(1, len(t) - 1),
               i -> t[i] || ' ' || t[i + 1])) AS bg
-            FROM toks) GROUP BY bg HAVING COUNT(*) >= 5),
+            FROM toks) GROUP BY bg),
+        bc AS (SELECT * FROM bc_all WHERE c2 >= 5),
         ntok AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_tok FROM uc),
-        nbi AS (SELECT CAST(SUM(c2) AS DOUBLE) AS n_bi FROM bc),
+        nbi AS (SELECT CAST(SUM(c2) AS DOUBLE) AS n_bi FROM bc_all),
         scored AS (
           SELECT string_split(bg, ' ')[1] AS w1,
             string_split(bg, ' ')[2] AS w2,
