@@ -322,6 +322,32 @@ object Similarity {
     cents.toSeq.map { case (c, cv) => (c, cv.toSeq) }.toDF("cell", "cv")
   }
 
+  /** Nearest-centroid label-coherence report — "are my embedding
+    * labels separable?", the sanity check run on an embedding corpus
+    * before trusting it for retrieval or clustering: compute each
+    * label's mean centroid (one map-side-combinable
+    * [[graft.functions.VectorSumAgg]] pass, state = labels × dim —
+    * bounded by the LABEL count, so [[collectCentroids]]' plan-literal
+    * contract holds by construction), assign every vector to its
+    * arg-max-cosine label centroid as a zero-shuffle per-row projection
+    * ([[bestCellExpr]]), and roll up the confusion matrix
+    * `(label, pred, n)`. Off-diagonal mass = incoherent labels.
+    */
+  def centroidConfusion(vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val base = vectors.select(col(labelCol).cast(LongType).as("cell"),
+      toDouble(col(vecCol)).as("v"))
+    val cents = collectCentroids(
+      base.groupBy("cell")
+        .agg(graft.functions.VectorFunctions.vectorSum(col("v")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell"),
+          transform(col("s"), x => x / col("n")).as("cv")))
+    base.withColumn("pred", bestCellExpr(col("v"), unitNorm(cents)))
+      .groupBy(col("cell").as("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Multi-probe IVF ANN against precomputed centroids: vectors assign
     * to their arg-max cell per-row (no shuffle); the query searches its
     * `nProbe` closest cells instead of one, trading a bounded fan-out

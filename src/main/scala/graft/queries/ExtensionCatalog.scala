@@ -1792,6 +1792,32 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("source_a", "source_b", "n_pairs",
           "avg_jaccard")))),
 
+    // x65 — nearest-centroid label-coherence report (confusion matrix
+    // of true label vs arg-max-cosine label centroid): label means via
+    // one VectorSumAgg pass (bounded by the label count), zero-shuffle
+    // plan-literal assignment. Oracle = the x37-style per-dimension
+    // mean + arg_max spelling.
+    QueryDef("x65_centroid_confusion",
+      (s, dir) => ordered(Similarity.centroidConfusion(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")),
+      Some("""WITH base AS (
+          SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+            CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        e AS (
+          SELECT label, unnest(generate_series(1, len(v))) AS i, v
+          FROM base),
+        m AS (
+          SELECT label AS cell, i, SUM(v[i]) / COUNT(*) AS m
+          FROM e GROUP BY label, i),
+        c AS (SELECT cell, list(m ORDER BY i) AS cv FROM m GROUP BY cell),
+        a AS (
+          SELECT b.id, b.label,
+            arg_max(c.cell, list_cosine_similarity(b.v, c.cv)) AS pred
+          FROM base b CROSS JOIN c GROUP BY b.id, b.label)
+        SELECT label, pred, COUNT(*) AS n FROM a GROUP BY label, pred
+        """ + orderedSql(Seq("label", "pred", "n")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -229,4 +229,31 @@ class SimilaritySpec extends SparkSpec {
     assert(worst <= mGlobal / 254 + 1e-12,
       s"max_err $worst exceeds half-step bound ${mGlobal / 254}")
   }
+
+  test("centroid confusion: totals preserved, planted clusters fully diagonal") {
+    // planted: three tight clusters, labels match the clusters → the
+    // confusion matrix must be exactly diagonal with the cluster sizes
+    val dim = 8
+    def vec(center: Int, j: Int): Seq[Float] =
+      Seq.tabulate(dim)(d =>
+        (if (d == center) 10f else 0f) + 0.01f * ((j + d) % 3))
+    val planted = (0 until 30).map { j =>
+      val c = j % 3
+      (j.toLong, vec(c, j), c)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidConfusion(planted, "vec_id", "embedding",
+        "label")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 0L, 10L), (1L, 1L, 10L), (2L, 2L, 10L)))
+    // fixture: one row per vector overall, preds drawn from real labels
+    val embs = Tables.load(spark, sf0001, "embeddings")
+    val conf = Similarity.centroidConfusion(embs, "vec_id", "embedding",
+      "label").cache()
+    assert(conf.agg(sum($"n")).as[Long].head() === embs.count())
+    val labels = embs.select($"label".cast("long")).distinct()
+      .as[Long].collect().toSet
+    assert(conf.select($"pred").distinct().as[Long].collect().toSet
+      .subsetOf(labels))
+    conf.unpersist()
+  }
 }
