@@ -378,6 +378,10 @@ object Dedup {
       .join(sb.select(col("block"), col("band_id"), col("band_hash"),
         col("id").as("seen_id")),
         Seq("block", "band_id", "band_hash"))
+      // the sides are disjoint by contract (a doc is either arriving or
+      // ingested); if a caller violates it, a document must still never
+      // pair with itself
+      .filter(col("new_id") =!= col("seen_id"))
       .select(col("new_id"), col("seen_id"))
       .distinct()
     candidates
