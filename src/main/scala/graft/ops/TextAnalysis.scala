@@ -446,6 +446,37 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= threshold)
   }
 
+  /** Training-sequence packing plan — GPT-style: documents are
+    * concatenated in id order and cut into fixed `seqLen`-token
+    * training sequences, documents crossing boundaries (the loader
+    * slices; nothing is padded or dropped). This op emits the PLAN:
+    * per document, its global token offset, owning sequence, offset
+    * within it, and how many sequences it spans — everything a sharded
+    * loader needs to materialize examples without re-scanning text.
+    *
+    * Scale design (100 TB): the global running token offset uses the
+    * two-pass per-partition-offset pattern ([[PrefixSum]]) — NO
+    * single-partition window anywhere (the oracle spells the same
+    * number as an unpartitioned SQL window, which is exactly the
+    * scale-killer the Spark side avoids). Everything after the offset
+    * is per-row integer arithmetic.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
+    val run = PrefixSum.withRunningLongSum(d, Seq("doc_id"), "n_tokens",
+      "_run")
+    run.select(col("doc_id"), col("n_tokens"),
+        (col("_run") - col("n_tokens")).as("start_tok"))
+      .withColumn("seq_id", floor(col("start_tok") / seqLen).cast(LongType))
+      .withColumn("seq_pos", col("start_tok") % seqLen)
+      .withColumn("n_seqs",
+        floor((col("start_tok") + col("n_tokens") - 1) / seqLen)
+          .cast(LongType) - col("seq_id") + lit(1L))
+  }
+
   /** Per-document quality signals; flag = low-quality heuristic. */
   def withQualitySignals(df: DataFrame, text: Column, nChars: Column): DataFrame = {
     val toks = tokens(text)

@@ -1818,6 +1818,33 @@ object ExtensionCatalog {
         SELECT label, pred, COUNT(*) AS n FROM a GROUP BY label, pred
         """ + orderedSql(Seq("label", "pred", "n")))),
 
+    // x66 — training-sequence packing plan (GPT-style, 2048-token
+    // sequences, documents cross boundaries): the global token offset
+    // is PrefixSum's two-pass distributed running sum on the Spark
+    // side; the oracle spells the same number as the unpartitioned
+    // SQL window Spark must never plan (PlanQualitySpec enforces).
+    QueryDef("x66_sequence_packing",
+      (s, dir) => ordered(TextAnalysis.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 2048)),
+      Some("""WITH b AS (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT doc_id, n_tokens,
+            SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS start_tok
+          FROM b)
+        SELECT doc_id, n_tokens, start_tok,
+          CAST(FLOOR(start_tok / 2048) AS BIGINT) AS seq_id,
+          start_tok % 2048 AS seq_pos,
+          CAST(FLOOR((start_tok + n_tokens - 1) / 2048) AS BIGINT)
+            - CAST(FLOOR(start_tok / 2048) AS BIGINT) + 1 AS n_seqs
+        FROM r
+        """ + orderedSql(Seq("doc_id", "n_tokens", "start_tok", "seq_id",
+          "seq_pos", "n_seqs")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

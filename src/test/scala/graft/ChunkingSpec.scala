@@ -32,4 +32,30 @@ class ChunkingSpec extends SparkSpec {
         s"chunk $id closed before its 4096 boundary")
     }
   }
+
+  test("sequence packing: hand-computed offsets, spans, and fixture invariants") {
+    import graft.ops.TextAnalysis
+    // seqLen=4; token counts 3,2,5 → starts 0,3,5 → doc 2 straddles the
+    // first boundary (spans 2), doc 3 spans sequences 1-2
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, "doc_id", "text", seqLen = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) === ((3L, 0L, 0L, 0L, 1L)))
+    assert(got(2L) === ((2L, 3L, 0L, 3L, 2L)))
+    assert(got(3L) === ((5L, 5L, 1L, 1L, 2L)))
+    // fixture invariants: contiguous coverage (start = running sum of
+    // preceding docs), seq_pos < seqLen, n_seqs >= 1
+    val fx = TextAnalysis.packSequences(
+        Tables.load(spark, sf0001, "documents"), "doc_id", "text", 2048)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    var run = 0L
+    fx.foreach { case (id, n, start, _, pos, spans) =>
+      assert(start === run, s"doc $id: gap or overlap in packing")
+      assert(pos >= 0 && pos < 2048 && spans >= 1, s"doc $id bad addr")
+      run += n
+    }
+  }
 }
