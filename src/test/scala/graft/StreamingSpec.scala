@@ -293,6 +293,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless curation ops run unchanged on a stream: classify + split") {
+    // hashClassifierScore and splitAssign are pure projections, so the
+    // SAME operator code must run on an unbounded stream with zero
+    // state and append output — the property that lets one codebase
+    // serve batch curation and live ingest
+    val weights = Seq.tabulate(16)(i => (i - 8) / 8.0)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").limit(100).cache()
+    val batch = graft.ops.Sampling.splitAssign(
+        graft.ops.TextAnalysis.hashClassifierScore(docs, "doc_id", "text",
+          weights, bias = 0.25),
+        "doc_id", 0.8, 0.1)
+      .as[(Long, Double, Boolean, String)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir + "/in")
+    val q = graft.ops.Sampling.splitAssign(
+        graft.ops.TextAnalysis.hashClassifierScore(stream, "doc_id", "text",
+          weights, bias = 0.25),
+        "doc_id", 0.8, 0.1)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_curate")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_curate")
+        .as[(Long, Double, Boolean, String)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("online contamination hits equal the batch shingle join, any batching") {
     // train corpus from the fixture; eval set = verbatim spans lifted
     // from two train docs (guaranteed 5-gram overlap) + one clean doc
