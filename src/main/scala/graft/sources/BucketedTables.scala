@@ -40,4 +40,26 @@ object BucketedTables {
     df.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Materialize [[graft.ops.Sampling.shardRepack]]'s packing plan as
+    * the on-disk training layout: one `shard=N` directory per shard,
+    * rows inside each shard's file in `pos` order — a reproducible
+    * global shuffle a training loader can stream sequentially. The
+    * plan IS the write plan: repartition on the shard key +
+    * sortWithinPartitions is exactly the exchange+sort Spark needs to
+    * emit per-shard sorted files, so materialization adds nothing
+    * beyond the I/O. Bit-identical layout across runs and cluster
+    * sizes (every address is a pure function of the row id).
+    */
+  def writeSharded(df: DataFrame, idCol: String, numShards: Int,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val packed = graft.ops.Sampling.shardRepack(df, idCol, numShards)
+    df.join(packed, idCol)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+  }
 }

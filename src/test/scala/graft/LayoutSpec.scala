@@ -37,6 +37,34 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.count() === docs.filter($"lang" === one).count())
   }
 
+  test("sharded training layout: shard dirs, pos-ordered files, stable addresses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    BucketedTables.writeSharded(docs, "doc_id", numShards = 4, dir + "/out")
+    // one shard=N directory per non-empty shard, data round-trips
+    val back = spark.read.parquet(dir + "/out")
+    assert(back.count() === docs.count())
+    val dirs = new java.io.File(dir + "/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.forall(_.startsWith("shard=")) && dirs.nonEmpty)
+    // addresses on disk equal the pure-function plan
+    val plan = graft.ops.Sampling.shardRepack(docs, "doc_id", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val disk = back.select($"doc_id", $"shard".cast("long"), $"pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(disk === plan)
+    // within each shard's file, rows are physically in pos order (a
+    // loader streams sequentially): single local file per dir → scan
+    // preserves file order
+    dirs.foreach { d =>
+      val rows = spark.read.parquet(s"$dir/out/$d").select($"pos")
+        .as[Long].collect()
+      assert(rows.nonEmpty && (rows, rows.sorted).zipped.forall(_ == _),
+        s"$d not in pos order")
+    }
+  }
+
   test("writer facade round-trips snappy, zstd, gzip, uncompressed") {
     val src = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"text", $"n_chars")
