@@ -81,4 +81,55 @@ object Contamination {
         when(col("n_shared_shingles").isNotNull, 1L).otherwise(0L)
           .as("contaminated"))
   }
+
+  /** SURGICAL decontamination — [[report]] tells you WHICH training
+    * documents overlap the eval set; this removes the overlapping
+    * SPANS and keeps the rest of each document (dropping whole
+    * documents over one shared sentence wastes data; GPT-3-style
+    * pipelines cut the colliding window). Every train token covered by
+    * ANY k-gram that also occurs in an eval document is scrubbed; the
+    * survivors reassemble in order.
+    *
+    * Same scale shape as [[report]]: one shuffle join on the shingle
+    * key (hashed 8-byte keys in production — `hashed = false` keys the
+    * identical pipeline on gram strings, the oracle-portable twin with
+    * identical output modulo ~2^-64 collisions, the standing
+    * hashed-key argument), then covered-position fan-out bounded by
+    * k × hits, one per-document reassembly bounded by tokens/doc.
+    *
+    * Returns one row per train document with non-null text:
+    * `(doc_id, n_tokens, n_scrubbed, scrubbed_text)` — `scrubbed_text`
+    * is "" when the whole document was eval overlap.
+    */
+  def scrubSpans(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, hashed: Boolean = true): DataFrame = {
+    def gramsOf(text: Column): Column =
+      if (hashed) graft.functions.HashFunctions.ngramHashes(
+        split(text, " ", -1), k, keepPartial = true)
+      else TextAnalysis.ngrams(split(text, " ", -1), k, keepPartial = true)
+    val ev = eval.filter(col(textCol).isNotNull)
+      .select(explode(array_distinct(gramsOf(col(textCol)))).as("_sk"))
+      .distinct()
+    val tr = train.filter(col(textCol).isNotNull)
+    val windows = tr.select(col(idCol).as("doc_id"),
+      posexplode(gramsOf(col(textCol))).as(Seq("_w", "_sk")))
+    // positions covered by a contaminated window; windows near the end
+    // of a short doc "cover" positions past the last token — harmless,
+    // those positions match no token row
+    val covered = windows.join(ev, "_sk")
+      .select(col("doc_id"),
+        explode(sequence(col("_w"), col("_w") + lit(k - 1))).as("pos"))
+      .distinct()
+      .withColumn("_hit", lit(true))
+    tr.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_scrubbed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_hit").isNull, struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("scrubbed_text"))
+  }
 }

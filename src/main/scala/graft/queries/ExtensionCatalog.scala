@@ -1845,6 +1845,56 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "n_tokens", "start_tok", "seq_id",
           "seq_pos", "n_seqs")))),
 
+    // x67 — surgical decontamination: remove the eval-overlapping
+    // SPANS from every training document, keep the rest (x34 tells you
+    // which docs overlap; this fixes them instead of dropping them).
+    // Production keys the join on 8-byte ngram hashes; the oracle
+    // spells the identical pipeline on gram strings (the standing
+    // hashed≡string argument, property-pinned in ContaminationSpec).
+    QueryDef("x67_scrub_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        ordered(Contamination.scrubSpans(
+          train = docs.filter(col("source") =!= "src0"),
+          eval = docs.filter(col("source") === "src0"),
+          idCol = "doc_id", textCol = "text", k = 5))
+      },
+      Some("""WITH tr AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE source <> 'src0' AND text IS NOT NULL),
+        ev AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+            i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))))
+            AS g
+          FROM documents WHERE source = 'src0' AND text IS NOT NULL),
+        w AS (
+          SELECT doc_id, t,
+            unnest(generate_series(1, greatest(len(t) - 4, 1))) AS wi
+          FROM tr),
+        g2 AS (
+          SELECT doc_id, wi, array_to_string(t[wi:wi+4], ' ') AS g FROM w),
+        hits AS (SELECT DISTINCT doc_id, wi FROM g2 JOIN ev USING (g)),
+        cov AS (
+          SELECT DISTINCT doc_id, unnest(generate_series(wi, wi + 4)) AS p
+          FROM hits),
+        tp AS (
+          SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+          FROM tr),
+        tok2 AS (SELECT doc_id, p, t[p] AS tok FROM tp),
+        kept AS (
+          SELECT k.doc_id, k.p, k.tok, c.p IS NOT NULL AS hit
+          FROM tok2 k LEFT JOIN cov c
+            ON c.doc_id = k.doc_id AND c.p = k.p)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_scrubbed,
+          COALESCE(string_agg(CASE WHEN NOT hit THEN tok END, ' '
+            ORDER BY p), '') AS scrubbed_text
+        FROM kept GROUP BY doc_id
+        """ + orderedSql(Seq("doc_id", "n_tokens", "n_scrubbed",
+          "scrubbed_text")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

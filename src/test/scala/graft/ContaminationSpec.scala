@@ -82,4 +82,38 @@ class ContaminationSpec extends SparkSpec {
         s"cap increased counts for doc $id")
     }
   }
+
+  test("scrubSpans removes exactly the overlapping span, keeps the rest") {
+    // train doc 1 embeds an eval 5-gram mid-document; doc 2 is clean;
+    // doc 3 IS the eval text (fully scrubbed); doc 4 is shorter than k
+    // and clean (partial-shingle path)
+    val train = Seq(
+      (1L, "keep1 keep2 e1 e2 e3 e4 e5 keep3 keep4"),
+      (2L, "all clean tokens here nothing shared"),
+      (3L, "e1 e2 e3 e4 e5"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val eval = Seq((9L, "x1 e1 e2 e3 e4 e5 x2")).toDF("doc_id", "text")
+    val got = Contamination.scrubSpans(train, eval, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((9L, 5L, "keep1 keep2 keep3 keep4")))
+    assert(got(2L) === ((6L, 0L, "all clean tokens here nothing shared")))
+    assert(got(3L) === ((5L, 5L, "")))
+    assert(got(4L) === ((2L, 0L, "tiny doc")))
+    // hashed and string keys scrub identically on the fixture
+    val docs = Tables.load(spark, sf0001, "documents")
+    val tr = docs.filter($"source" =!= "src0")
+    val ev = docs.filter($"source" === "src0")
+    val h = Contamination.scrubSpans(tr, ev, "doc_id", "text", 5,
+      hashed = true).orderBy($"doc_id").collect()
+    val s = Contamination.scrubSpans(tr, ev, "doc_id", "text", 5,
+      hashed = false).orderBy($"doc_id").collect()
+    assert(h.nonEmpty)
+    assert(h.map(_.toString).toSeq === s.map(_.toString).toSeq)
+    // something was actually scrubbed somewhere, and nothing invented:
+    // scrubbed docs only ever lose tokens
+    val scrubbedTotal = Contamination.scrubSpans(tr, ev, "doc_id", "text", 5)
+      .agg(sum($"n_scrubbed")).as[Long].head()
+    assert(scrubbedTotal > 0L, "fixture contamination must trigger scrubbing")
+  }
 }
