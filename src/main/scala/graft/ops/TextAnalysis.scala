@@ -326,9 +326,17 @@ object TextAnalysis {
     * totals. Boilerplate shingles skew nothing: groups only COUNT.
     */
   def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, hashed: Boolean = true): DataFrame = {
+    // production keys the df aggregate on 8-byte one-pass ngram hashes;
+    // `hashed = false` keys it on gram strings — identical counts
+    // modulo ~2^-64 collisions (the standing hashed≡string argument,
+    // property-pinned in TfIdfSpec), and the oracle-portable spelling
+    val grams: Column =
+      if (hashed) array_distinct(graft.functions.HashFunctions.ngramHashes(
+        tokens(col(textCol)), k, keepPartial = true))
+      else Dedup.shingles(col(textCol), k)
     val rows = docs.select(col(idCol).as("doc_id"),
-      explode(Dedup.shingles(col(textCol), k)).as("sk"))
+      explode(grams).as("sk"))
     val totals = rows.groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"))
     val unique = rows.groupBy("sk")

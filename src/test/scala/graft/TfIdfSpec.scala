@@ -138,6 +138,13 @@ class TfIdfSpec extends SparkSpec {
     val dup = Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text")
     assert(TextAnalysis.noveltyScore(dup, "doc_id", "text", 2)
       .filter($"novelty" =!= 0.0 || $"n_unique" =!= 0L).count() === 0L)
+    // hashed (production) and string (oracle) keys agree on the fixture
+    val fxDocs = Tables.load(spark, sf0001, "documents")
+    val h = TextAnalysis.noveltyScore(fxDocs, "doc_id", "text", 5,
+      hashed = true).orderBy($"doc_id").collect()
+    val st = TextAnalysis.noveltyScore(fxDocs, "doc_id", "text", 5,
+      hashed = false).orderBy($"doc_id").collect()
+    assert(h.nonEmpty && h.map(_.toString).toSeq === st.map(_.toString).toSeq)
   }
 
   test("invertedIndex: bounded sorted postings with exact df") {
