@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, MinIdsAgg, NGramHashes, PairCountAgg, RollingFingerprint, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
+import graft.functions.{DocFreqAgg, DotProduct, HeavyHittersAgg, MinHashAgg, MinHashSig, MinIdsAgg, NGramHashes, PairCountAgg, RollingFingerprint, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the
@@ -29,6 +29,7 @@ import graft.functions.{DocFreqAgg, DotProduct, MinHashAgg, MinHashSig, MinIdsAg
   *   pair_count(integral)                 → bigint   (aggregate)
   *   doc_freq(id, cap)                    → struct&lt;df,ids&gt; (aggregate)
   *   min_ids(id, n)                       → struct&lt;df,ids&gt; (aggregate; n smallest, sorted)
+  *   heavy_hitters(item, k)               → array&lt;struct&lt;item,est&gt;&gt; (aggregate; MG sketch)
   *   ngram_hashes(array<string>, n[, keepPartial]) → array<bigint>
   *   rolling_fingerprint(string)          → bigint
   */
@@ -133,6 +134,10 @@ object GraftExtensions {
       { case Seq(c, n) => MinIdsAgg(c,
           litInt("min_ids", "n", n)).toAggregateExpression()
         case _ => arity("min_ids", "(id, n)") }),
+    ("heavy_hitters", "heavy_hitters(item, k) - Misra-Gries frequent-items sketch",
+      { case Seq(c, kk) => HeavyHittersAgg(c,
+          litInt("heavy_hitters", "k", kk)).toAggregateExpression()
+        case _ => arity("heavy_hitters", "(item, k)") }),
     ("ngram_hashes",
       "ngram_hashes(tokens, n[, keepPartial]) - one-pass hashed k-grams",
       { case Seq(c, n) => NGramHashes(c,

@@ -1895,6 +1895,21 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "n_tokens", "n_scrubbed",
           "scrubbed_text")))),
 
+    // x68 — Misra-Gries heavy hitters over corpus tokens: the
+    // frequency sketch of the family (HLL distinct, GK quantiles,
+    // MinHash sets), k-1 counters of state vs q23's vocabulary-sized
+    // exact shuffle. Rows-only by design (MG estimates are arrival-
+    // order-dependent; the >N/k survival + N/k error GUARANTEES are
+    // what is deterministic, property-pinned in ApproxDistinctSpec).
+    QueryDef("x68_heavy_hitters",
+      (s, dir) => ordered(t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .agg(graft.functions.HeavyHittersFunctions
+          .heavyHitters(col("w"), 32).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"), col("h.est").as("est"))),
+      None),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

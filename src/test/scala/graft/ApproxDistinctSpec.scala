@@ -48,4 +48,40 @@ class ApproxDistinctSpec extends SparkSpec {
       }
     }
   }
+
+  test("heavy hitters: >N/k survival and N/k error bound, any partitioning") {
+    import graft.functions.HeavyHittersFunctions.heavyHitters
+    val k = 32
+    val toks = Tables.load(spark, sf0001, "documents")
+      .select(explode(split($"text", " ", -1)).as("w")).cache()
+    val n = toks.count()
+    val exact = toks.groupBy($"w").count()
+      .as[(String, Long)].collect().toMap
+    for (parts <- Seq(1, 13)) {
+      val got = toks.repartition(parts)
+        .agg(heavyHitters($"w", k).as("hh"))
+        .select(explode($"hh").as("h"))
+        .select($"h.item", $"h.est").as[(String, Long)].collect().toMap
+      assert(got.size <= k - 1, s"more than k-1 counters: ${got.size}")
+      // GUARANTEE 1: every item with true count > N/k survives
+      exact.filter(_._2 > n / k).foreach { case (w, c) =>
+        assert(got.contains(w), s"parts=$parts: heavy item '$w' ($c) lost")
+      }
+      // GUARANTEE 2: estimates undercount by at most N/k, never over
+      got.foreach { case (w, est) =>
+        val truth = exact(w)
+        assert(est <= truth && truth - est <= n / k,
+          s"parts=$parts: '$w' est=$est true=$truth bound=${n / k}")
+      }
+    }
+    // SQL surface + arity error
+    toks.createOrReplaceTempView("hh_toks")
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT explode(heavy_hitters(w, 32)) AS h FROM hh_toks")
+    assert(viaSql.count() >= 1)
+    val err = intercept[Exception] { spark.sql("SELECT heavy_hitters('x')") }
+    assert(err.getMessage.contains("heavy_hitters"))
+    toks.unpersist()
+  }
 }
