@@ -37,6 +37,26 @@ class PlanQualitySpec extends SparkSpec {
       s"q1 reads ${s1.requiredSchema.size} columns")
   }
 
+  test("round-6 plan shapes: broadcast vocab, rank-limit pushdown, zero-shuffle scoring") {
+    def phys(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+    // x55: the bounded vocab side must be a broadcast join, never a
+    // shuffle join of corpus tokens against corpus tokens
+    assert(phys("x55_vocab_coverage").contains("BroadcastHashJoin"),
+      "x55 lost its broadcast vocab join")
+    // x57: Spark's rank-limit pushdown must apply the cap BEFORE the
+    // exchange (partial top-k per partition)
+    assert(phys("x57_source_cap").contains("WindowGroupLimit"),
+      "x57 lost the WindowGroupLimit partial top-k")
+    // x60: classifier scoring is a pure projection — the ONLY exchange
+    // in the plan is the final presentation sort
+    val x60 = phys("x60_quality_classifier")
+    val exchanges = "Exchange".r.findAllIn(x60).length
+    assert(exchanges <= 2, // rangepartitioning sort exchange (+AQE read)
+      s"x60 plans $exchanges exchanges — scoring should not shuffle:\n$x60")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)

@@ -160,6 +160,34 @@ class SamplingSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("round-6 ops reject degenerate parameters loudly") {
+    intercept[IllegalArgumentException] {
+      Sampling.shardRepack(docs, "doc_id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.capPerStratum(docs, "source", Seq($"doc_id"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.packSequences(
+        Tables.load(spark, sf0001, "documents"), "doc_id", "text", 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.vocabCoverage(
+        Tables.load(spark, sf0001, "documents"), "doc_id", "text", 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.hashClassifierScore(
+        Tables.load(spark, sf0001, "documents"), "doc_id", "text",
+        Seq.empty, 0.0)
+    }
+    // empty eval set: scrubSpans is the identity on token content
+    val d = Tables.load(spark, sf0001, "documents").limit(20)
+    val out = graft.ops.Contamination.scrubSpans(
+      d, d.filter(lit(false)), "doc_id", "text", 5)
+    assert(out.filter($"n_scrubbed" =!= 0L).count() === 0L)
+    assert(out.count() === 20L)
+  }
+
   test("capPerStratum keeps the best `cap` rows per stratum, deterministically") {
     val cap = 25
     val kept = Sampling.capPerStratum(docs, "source",
