@@ -72,4 +72,31 @@ object DataPipeline {
     Sampling.splitAssign(
       Clusters.assignComponents(docs, idCol, pairs, aCol, bCol),
       "component", trainRate, valRate)
+
+  /** Corpus snapshot diff — the data-versioning report run between two
+    * corpus versions before retraining: per id, `added` (only in new),
+    * `removed` (only in old), `modified` (both, content hash differs)
+    * or `unchanged`. Content equality is md5-of-text (cross-engine
+    * portable; 2^-128 collisions), so the diff never ships text
+    * through the shuffle — ONE full-outer join on the id carrying
+    * 16-byte hashes, then a stateless per-row classification. Feed the
+    * `modified`+`added` ids back into the incremental operators
+    * ([[graft.ops.Dedup.incrementalNearDupPairs]],
+    * [[graft.ops.Dedup.bloomFreshRows]]) to re-curate only the delta.
+    *
+    * Returns `(id, status)` for every id in either snapshot.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("_ho"))
+    val n = newDocs.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("_hn"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_ho").isNull, "added")
+          .when(col("_hn").isNull, "removed")
+          .when(col("_ho") =!= col("_hn"), "modified")
+          .otherwise("unchanged").as("status"))
+  }
 }

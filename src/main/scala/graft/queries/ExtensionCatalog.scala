@@ -1910,6 +1910,43 @@ object ExtensionCatalog {
         .select(col("h.item").as("item"), col("h.est").as("est"))),
       None),
 
+    // x69 — corpus snapshot diff: v2 is derived deterministically from
+    // the fixture (drop id%7=0, append a marker to id%5=0, add id%11=0
+    // under shifted ids), then ONE full-outer hash join classifies
+    // every id and the report rolls up per status. The real deliverable
+    // is DataPipeline.snapshotDiff; the derivation just manufactures a
+    // second version the oracle can spell identically.
+    QueryDef("x69_snapshot_diff",
+      (s, dir) => {
+        val v1 = t(s, dir, "documents")
+        val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .union(v1.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        ordered(graft.ops.DataPipeline
+          .snapshotDiff(v1, v2, "doc_id", "text")
+          .groupBy("status").agg(count(lit(1)).as("n")))
+      },
+      Some("""WITH v2 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+              AS text
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text
+          FROM documents WHERE doc_id % 11 = 0),
+        d AS (
+          SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN n.doc_id IS NULL THEN 'removed'
+                 WHEN md5(o.text) <> md5(n.text) THEN 'modified'
+                 ELSE 'unchanged' END AS status
+          FROM documents o FULL OUTER JOIN v2 n ON n.doc_id = o.doc_id)
+        SELECT status, COUNT(*) AS n FROM d GROUP BY status
+        """ + orderedSql(Seq("status", "n")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

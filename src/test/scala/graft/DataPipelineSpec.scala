@@ -43,6 +43,21 @@ class DataPipelineSpec extends SparkSpec {
       docs.select($"doc_id").as[Long].collect().toSet))
   }
 
+  test("snapshotDiff classifies added/removed/modified/unchanged exactly") {
+    val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "to be removed"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = DataPipeline.snapshotDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "removed", 4L -> "added"))
+    // identity diff: everything unchanged, ids conserved
+    val self = DataPipeline.snapshotDiff(v1, v1, "doc_id", "text")
+    assert(self.filter($"status" =!= "unchanged").count() === 0L)
+    assert(self.count() === 3L)
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits") {
     val base = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"source", $"text")
