@@ -24,7 +24,9 @@ object PlanAudit {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q2_project_filter", "q5_multiway_join",
         "q21_self_join", "q22_chunked_index", "x6_cosine_pairs",
-        "x8_minhash_lsh", "x12_neardup_pairs")
+        "x8_minhash_lsh", "x12_neardup_pairs", "x54_leakage_split",
+        "x64_source_overlap", "x66_sequence_packing",
+        "x67_scrub_contamination")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
