@@ -94,8 +94,14 @@ object Contamination {
     * key (hashed 8-byte keys in production — `hashed = false` keys the
     * identical pipeline on gram strings, the oracle-portable twin with
     * identical output modulo ~2^-64 collisions, the standing
-    * hashed-key argument), then covered-position fan-out bounded by
-    * k × hits, one per-document reassembly bounded by tokens/doc.
+    * hashed-key argument). The hit windows then aggregate to ONE
+    * compact row per contaminated doc (sorted start positions —
+    * bounded by windows/doc), left-join back to the train docs on the
+    * id, and a single native two-pointer pass ([[graft.functions
+    * .ScrubKernel]]) drops the covered tokens where the document row
+    * already sits. Untouched docs (the overwhelming majority at scale)
+    * never re-tokenize: their text passes through the left join
+    * unchanged. No token-level row ever shuffles.
     *
     * Returns one row per train document with non-null text:
     * `(doc_id, n_tokens, n_scrubbed, scrubbed_text)` — `scrubbed_text`
@@ -113,23 +119,25 @@ object Contamination {
     val tr = train.filter(col(textCol).isNotNull)
     val windows = tr.select(col(idCol).as("doc_id"),
       posexplode(gramsOf(col(textCol))).as(Seq("_w", "_sk")))
-    // positions covered by a contaminated window; windows near the end
-    // of a short doc "cover" positions past the last token — harmless,
-    // those positions match no token row
-    val covered = windows.join(ev, "_sk")
-      .select(col("doc_id"),
-        explode(sequence(col("_w"), col("_w") + lit(k - 1))).as("pos"))
-      .distinct()
-      .withColumn("_hit", lit(true))
-    tr.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "tok")))
-      .join(covered, Seq("doc_id", "pos"), "left")
+    // one row per contaminated doc: the sorted distinct start
+    // positions of its overlapping windows (windows near the end of a
+    // short doc "cover" positions past the last token — the kernel
+    // clamps by construction: those positions have no token)
+    val hitStarts = windows.join(ev, "_sk")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_scrubbed"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(
-            when(col("_hit").isNull, struct(col("pos"), col("tok"))))),
-          s => s.getField("tok"))).as("scrubbed_text"))
+      .agg(collect_set(col("_w")).as("_ws"))
+    tr.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ", -1).as("_toks"))
+      .join(hitStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_toks"),
+        when(col("_ws").isNull,
+          struct(lit(0L).as("n_scrubbed"),
+            concat_ws(" ", col("_toks")).as("scrubbed_text")))
+          .otherwise(graft.functions.ScrubFunctions
+            .scrubTokens(col("_toks"), col("_ws"), k)).as("_s"))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        col("_s.n_scrubbed").as("n_scrubbed"),
+        col("_s.scrubbed_text").as("scrubbed_text"))
   }
 }

@@ -149,44 +149,40 @@ object Dedup {
     val rows = k / bands
     // distinct first: MinHash is a set sketch and min is idempotent
     // over duplicates, so hashing each DISTINCT token once gives the
-    // identical signature at a fraction of the md5 evals
-    val base = docs.select(col(idCol).as("id"), blockCol.as("block"),
-      array_distinct(tokens(col(textCol))).as("toks"))
-    // one md5 column per DIGEST (k/4 of them), materialized as
-    // attributes so the per-element lambdas bind them O(1) (see
-    // TextAnalysis.ngrams on HOF capture)
-    val digested = base.select(col("id"), col("block"),
-      array((0 until k / 4).map(s =>
-        transform(col("toks"), t => md5(concat(lit(s"$s|"), t)))): _*)
-        .as("digs"))
-    val sigs = digested.select(col("id"), col("block"),
-      array((0 until k).map(i =>
-        array_min(transform(col("digs").getItem(i / 4),
-          d => substring(d, (i % 4) * 8 + 1, 8)))): _*).as("sig"))
-    val banded = sigs.select(col("id"), col("block"),
+    // identical signature at a fraction of the md5 evals. The whole
+    // signature is ONE native one-pass kernel
+    // ([[graft.functions.PortableMinHashKernel]]) that is bit-identical
+    // to the md5/substr/list_min SQL spelling — the HOF formulation
+    // allocated ~5 strings per token per digest AND re-evaluated the
+    // md5 subtree on each side of the self-join plus twice more in the
+    // signature re-joins (3 full md5 passes over the corpus).
+    val sigs = docs.select(col(idCol).as("id"), blockCol.as("block"),
+      graft.functions.PortableMinHashFunctions.portableMinhashSig(
+        array_distinct(tokens(col(textCol))), k).as("sig"))
+    // carry the (64-byte) signature through the band explode so the
+    // agreement estimate computes ON the band-join output — no
+    // re-join against the signatures, no second/third md5 pass
+    val banded = sigs.select(col("id"), col("block"), col("sig"),
         explode(array((0 until bands).map { bnd =>
           struct(lit(bnd).as("band_id"),
             concat((bnd * rows until (bnd + 1) * rows)
               .map(i => col("sig").getItem(i)): _*).as("band_key"))
         }: _*)).as("b"))
-      .select(col("id"), col("block"), col("b.band_id"), col("b.band_key"))
+      .select(col("id"), col("block"), col("sig"),
+        col("b.band_id"), col("b.band_key"))
     val a = banded.select(col("block"), col("band_id"), col("band_key"),
-      col("id").as("a_id"))
+      col("id").as("a_id"), col("sig").as("a_sig"))
     val bb = banded.select(col("block"), col("band_id"), col("band_key"),
-      col("id").as("b_id"))
-    val cands = a.join(bb, Seq("block", "band_id", "band_key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
+      col("id").as("b_id"), col("sig").as("b_sig"))
     val est = (0 until k).map(i =>
         when(col("a_sig").getItem(i) === col("b_sig").getItem(i), 1)
           .otherwise(0))
       .reduce(_ + _).cast(DoubleType) / k
-    cands
-      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
-      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+    a.join(bb, Seq("block", "band_id", "band_key"))
+      .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), est.as("est"))
       .filter(col("est") >= minEst)
+      .distinct()
   }
 
   private def tokens(text: Column): Column = split(text, " ", -1)

@@ -1832,13 +1832,13 @@ object ExtensionCatalog {
           FROM documents WHERE text IS NOT NULL),
         r AS (
           SELECT doc_id, n_tokens,
-            SUM(n_tokens) OVER (ORDER BY doc_id
+            CAST(SUM(n_tokens) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              - n_tokens AS start_tok
+              - n_tokens AS BIGINT) AS start_tok
           FROM b)
         SELECT doc_id, n_tokens, start_tok,
           CAST(FLOOR(start_tok / 2048) AS BIGINT) AS seq_id,
-          start_tok % 2048 AS seq_pos,
+          CAST(start_tok % 2048 AS BIGINT) AS seq_pos,
           CAST(FLOOR((start_tok + n_tokens - 1) / 2048) AS BIGINT)
             - CAST(FLOOR(start_tok / 2048) AS BIGINT) + 1 AS n_seqs
         FROM r
