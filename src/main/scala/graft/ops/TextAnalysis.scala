@@ -14,6 +14,32 @@ object TextAnalysis {
   /** Whitespace tokenizer (the fixture is single-space separated). */
   def tokens(text: Column): Column = split(text, " ", -1)
 
+  /** PRODUCTION whitespace tokenizer: splits on runs of ANY whitespace
+    * (newlines, tabs, multiple spaces) and drops the boundary empties a
+    * leading/trailing run produces. [[tokens]] is the oracle-portable
+    * single-space spelling the fixture (and DuckDB `string_split`)
+    * share; real corpora need this one — two documents differing only
+    * in whitespace tokenize identically here and never would under
+    * [[tokens]]. The regex subset (`\s`) means Java (Spark) and RE2
+    * (DuckDB `regexp_split_to_array`) agree token-for-token, so the
+    * x70 oracle pairs it cross-engine.
+    */
+  def tokensWs(text: Column): Column =
+    filter(split(text, "\\s+", -1), t => t =!= lit(""))
+
+  /** [[tokensWs]] plus punctuation folding: lowercase, strip
+    * non-alphanumeric runs off both edges (keeping interior
+    * hyphens/apostrophes), drop tokens that were pure punctuation —
+    * the normalization under which "Hello," and "hello" near-dup-match.
+    * Same Java/RE2-agreeing regex subset as [[tokensWs]].
+    */
+  def tokensFolded(text: Column): Column =
+    filter(
+      transform(tokensWs(text), t =>
+        regexp_replace(lower(t),
+          lit("^[^a-z0-9]+|[^a-z0-9]+$"), lit(""))),
+      t => t =!= lit(""))
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
   /** BPE-ish pre-tokenizer pattern — the GPT-2-style word / number /

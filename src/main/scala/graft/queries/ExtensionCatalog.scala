@@ -1947,6 +1947,70 @@ object ExtensionCatalog {
         SELECT status, COUNT(*) AS n FROM d GROUP BY status
         """ + orderedSql(Seq("status", "n")))),
 
+    // x70 — PRODUCTION tokenizer, oracle-paired: the fixture is
+    // single-space text, so the query first deterministically messies
+    // it (a newline+tab separator with a case flip, a double-space
+    // with attached punctuation — both plain `replace`, identical in
+    // both engines), then proves the `\s+` tokenizer sees through the
+    // mess: n_ws equals the original token count where the naive
+    // single-space split inflates, and punctuation folding maps the
+    // messy text back to the fold of the original
+    // (fold_roundtrip = 1). Java-regex/RE2-agreeing subset throughout.
+    QueryDef("x70_ws_tokens",
+      (s, dir) => {
+        val messy = replace(
+          replace(col("text"), lit(" the "), lit("\n\tThe, ")),
+          lit(" of "), lit("  of. "))
+        ordered(t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), messy.as("messy"), col("text"))
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("messy"))).cast("long")
+              .as("n_simple"),
+            size(TextAnalysis.tokensWs(col("messy"))).cast("long")
+              .as("n_ws"),
+            size(TextAnalysis.tokensFolded(col("messy"))).cast("long")
+              .as("n_folded"),
+            size(array_distinct(TextAnalysis.tokensFolded(col("messy"))))
+              .cast("long").as("n_folded_distinct"),
+            (TextAnalysis.tokensFolded(col("messy")) ===
+              TextAnalysis.tokensFolded(col("text"))).cast("long")
+              .as("fold_roundtrip")))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id,
+            replace(replace(text, ' the ', e'\n\tThe, '),
+                    ' of ', '  of. ') AS messy,
+            text
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id,
+            CAST(len(string_split(messy, ' ')) AS BIGINT) AS n_simple,
+            list_filter(regexp_split_to_array(messy, '\s+'),
+              t -> t <> '') AS ws,
+            list_filter(list_transform(
+              list_filter(regexp_split_to_array(messy, '\s+'),
+                t -> t <> ''),
+              t -> regexp_replace(lower(t),
+                '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),
+              t -> t <> '') AS folded,
+            list_filter(list_transform(
+              list_filter(regexp_split_to_array(text, '\s+'),
+                t -> t <> ''),
+              t -> regexp_replace(lower(t),
+                '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),
+              t -> t <> '') AS folded_orig
+          FROM m)
+        SELECT doc_id,
+          n_simple,
+          CAST(len(ws) AS BIGINT) AS n_ws,
+          CAST(len(folded) AS BIGINT) AS n_folded,
+          CAST(len(list_distinct(folded)) AS BIGINT) AS n_folded_distinct,
+          CAST(folded = folded_orig AS BIGINT) AS fold_roundtrip
+        FROM tok
+        """ + orderedSql(Seq("doc_id", "n_simple", "n_ws", "n_folded",
+          "n_folded_distinct", "fold_roundtrip")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** The production `\s+` tokenizer ([[TextAnalysis.tokensWs]]) and its
+  * punctuation-folding variant: reference-equivalence on generated
+  * messy strings, the whitespace-insensitivity property the dedup path
+  * needs, and the hashed≡string gram property re-proven over the new
+  * tokenizer's output (the standing argument every hashed-key pipeline
+  * rests on, previously proven only over single-space tokens).
+  */
+class TokenizerSpec extends SparkSpec {
+
+  private val wsChars = Array(' ', '\n', '\t', '\r', '\u000B', '\f')
+  private val punct = Array(",", ".", "!", "?", "(", ")", "\"", "--")
+
+  private def messyString(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val words = (0 until rnd.nextInt(25)).map { _ =>
+      val w = "w" + rnd.nextInt(8)
+      val cased = if (rnd.nextBoolean()) w.capitalize else w
+      val pre = if (rnd.nextInt(4) == 0) punct(rnd.nextInt(punct.length)) else ""
+      val post = if (rnd.nextInt(3) == 0) punct(rnd.nextInt(punct.length)) else ""
+      pre + cased + post
+    }
+    val seps = (0 until math.max(words.size - 1, 0)).map { _ =>
+      (0 to rnd.nextInt(2)).map(_ => wsChars(rnd.nextInt(wsChars.length)))
+        .mkString
+    }
+    val lead = if (rnd.nextInt(3) == 0) " \n" else ""
+    val trail = if (rnd.nextInt(3) == 0) "\t " else ""
+    lead + (if (words.isEmpty) ""
+            else words.head + seps.zip(words.tail)
+              .map { case (s, w) => s + w }.mkString) + trail
+  }
+
+  private def refWs(s: String): Seq[String] =
+    s.split("\\s+", -1).toSeq.filter(_.nonEmpty)
+
+  private def refFolded(s: String): Seq[String] =
+    refWs(s).map(_.toLowerCase
+        .replaceAll("^[^a-z0-9]+|[^a-z0-9]+$", ""))
+      .filter(_.nonEmpty)
+
+  private def evalBoth(strs: Seq[String]): Seq[(Seq[String], Seq[String])] = {
+    val spark2 = spark
+    import spark2.implicits._
+    strs.toDF("s")
+      .select(TextAnalysis.tokensWs(col("s")).as("ws"),
+        TextAnalysis.tokensFolded(col("s")).as("folded"))
+      .collect()
+      .map(r => (r.getSeq[String](0), r.getSeq[String](1))).toSeq
+  }
+
+  test("tokensWs / tokensFolded equal the reference on messy strings") {
+    val strs = (1 to 120).map(messyString)
+    strs.zip(evalBoth(strs)).foreach { case (s, (ws, folded)) =>
+      assert(ws === refWs(s), s"ws of ${s.replace("\n", "\\n")}")
+      assert(folded === refFolded(s), s"folded of ${s.replace("\n", "\\n")}")
+    }
+  }
+
+  test("whitespace-only variants tokenize identically (tokens does not)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 40).map { i =>
+      val words = (0 until 10).map(_ => "w" + rnd.nextInt(6))
+      val base = words.mkString(" ")
+      // same words, different whitespace: alternate a newline+tab and
+      // a double space as the separator
+      val variant = words.zipWithIndex.map { case (w, j) =>
+        if (j == 0) w else (if (j % 2 == 0) "\n\t" else "  ") + w
+      }.mkString
+      (i, base, variant)
+    }
+    val out = docs.toDF("id", "base", "variant")
+      .select(
+        (TextAnalysis.tokensWs(col("base")) ===
+          TextAnalysis.tokensWs(col("variant"))).as("ws_eq"),
+        (TextAnalysis.tokens(col("base")) ===
+          TextAnalysis.tokens(col("variant"))).as("naive_eq"),
+        // identical token streams ⇒ identical MinHash signature: the
+        // near-dup pipeline keyed on tokensWs matches the variants
+        (graft.functions.HashFunctions.minhashSig(
+          TextAnalysis.tokensWs(col("base")), 16) ===
+          graft.functions.HashFunctions.minhashSig(
+            TextAnalysis.tokensWs(col("variant")), 16)).as("sig_eq"))
+      .collect()
+    assert(out.forall(_.getBoolean(0)), "tokensWs must ignore ws form")
+    assert(out.forall(r => !r.getBoolean(1)),
+      "the naive tokenizer must distinguish them (the gap being fixed)")
+    assert(out.forall(_.getBoolean(2)))
+  }
+
+  test("hashed grams over tokensWs ≡ string grams (cardinality + identity)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val strs = (1 to 60).map(messyString).filter(refWs(_).nonEmpty)
+    val rows = strs.toDF("s")
+      .select(
+        size(array_distinct(graft.functions.HashFunctions.ngramHashes(
+          TextAnalysis.tokensWs(col("s")), 3, keepPartial = true)))
+          .as("n_hashed"),
+        TextAnalysis.tokensWs(col("s")).as("ws"))
+      .collect()
+    rows.foreach { r =>
+      val nHashed = r.getInt(0)
+      val toks = r.getSeq[String](1)
+      val grams =
+        if (toks.size < 3) Seq(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      assert(nHashed === grams.distinct.size,
+        s"hashed gram cardinality vs string grams for $toks")
+    }
+  }
+}
