@@ -91,6 +91,141 @@ object PortableMinHashKernel {
   }
 }
 
+/** One-pass kernel for the PORTABLE (md5-based) 32-bit SimHash — the
+  * x71 verification twin of the production xxhash64 [[SketchKernels
+  * .simhash]]. Bit `i`'s vote per token is the HIGH BIT of hex digit
+  * `i` of `md5(token)` (±1), exactly the SQL both engines share:
+  *
+  * {{{
+  *   vote_i = SUM(CASE WHEN substr(md5(t), i+1, 1)
+  *                     IN ('8'..'f') THEN 1 ELSE -1 END)
+  *   bit_i  = vote_i > 0
+  * }}}
+  *
+  * Multiset voting (no distinct) like the production SimHash: token
+  * frequency weights the vote.
+  */
+object PortableSimHashKernel {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def sig32(toks: ArrayData): Long = {
+    val votes = new Array[Int](32)
+    val md = md5Local.get()
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        md.reset()
+        md.update(toks.getUTF8String(t).getBytes)
+        val d = md.digest()
+        var i = 0
+        while (i < 32) {
+          // hex digit i = high nibble of byte i/2 when i is even, low
+          // nibble when odd; its high bit is the vote
+          val nib =
+            if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf else d(i >> 1) & 0xf
+          if (nib >= 8) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 32) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+}
+
+/** `portable_simhash32(toks)` — see [[PortableSimHashKernel]]. */
+case class PortableSimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"portable_simhash32 requires array<string>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    PortableSimHashKernel.sig32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PortableSimHashKernel.sig32($a);")
+  override protected def withNewChildInternal(
+      newChild: Expression): PortableSimHash32 = copy(child = newChild)
+}
+
+/** One-pass kernel for the PORTABLE sign-random-projection signature
+  * (x72 twin): bit `i` is the sign of the exact integer dot product of
+  * the caller-quantized vector with the ±1 weight row derived from
+  * `md5("i|j")` ([[graft.ops.Similarity.portableSrpWeight]] spells the
+  * same derivation, the oracle spells it in SQL). The weight matrix is
+  * data-independent, so it is computed once per JVM and shared; the
+  * HOF spelling (32 `aggregate(zip_with(...))` columns) pays ~bits×dim
+  * interpreted lambda calls per row and re-evaluates on each side of
+  * the pair self-join.
+  */
+object PortableSrpKernel {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Long]]]
+
+  private def weights(bits: Int, dim: Int): Array[Array[Long]] =
+    cache.computeIfAbsent((bits, dim), { case (b, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(b, d) { (i, j) =>
+        md.reset()
+        val h = md.digest(s"$i|$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) >= 8) 1L else -1L
+      }
+    })
+
+  def sig(qv: ArrayData, bits: Int, dim: Int): Long = {
+    val w = weights(bits, dim)
+    val n = math.min(qv.numElements(), dim)
+    var sigBits = 0L
+    var i = 0
+    while (i < bits) {
+      val wi = w(i)
+      var vote = 0L
+      var j = 0
+      while (j < n) {
+        if (!qv.isNullAt(j)) vote += qv.getLong(j) * wi(j)
+        j += 1
+      }
+      if (vote > 0) sigBits |= (1L << i)
+      i += 1
+    }
+    sigBits
+  }
+}
+
+/** `portable_srp_sig(qv, bits, dim)` — see [[PortableSrpKernel]].
+  * Input is the QUANTIZED vector (`array<bigint>`): quantization stays
+  * spelled in the query, mirroring the oracle.
+  */
+case class PortableSrpSig(child: Expression, bits: Int, dim: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 63, "bits must fit a long")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"portable_srp_sig requires array<bigint>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    PortableSrpKernel.sig(input.asInstanceOf[ArrayData], bits, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PortableSrpKernel.sig($a, $bits, $dim);")
+  override protected def withNewChildInternal(
+      newChild: Expression): PortableSrpSig = copy(child = newChild)
+}
+
 /** `portable_minhash_sig(toks, k)` — see [[PortableMinHashKernel]].
   * Requires `k % 4 == 0` (four 32-bit slices per md5) and at most 36
   * digests (single-char seed prefix, matching the SQL's `'<s>|'`).
@@ -118,4 +253,9 @@ object PortableMinHashFunctions {
   def portableMinhashSig(toks: Column, k: Int): Column =
     ColumnBridge.column(
       PortableMinHashSig(ColumnBridge.expression(toks), k))
+  def portableSimhash32(toks: Column): Column =
+    ColumnBridge.column(PortableSimHash32(ColumnBridge.expression(toks)))
+  def portableSrpSig(qv: Column, bits: Int, dim: Int): Column =
+    ColumnBridge.column(
+      PortableSrpSig(ColumnBridge.expression(qv), bits, dim))
 }

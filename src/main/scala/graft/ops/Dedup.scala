@@ -437,4 +437,46 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** PORTABLE twin of [[simhashPairs]] (the x43 pattern): a 32-bit
+    * SimHash whose per-token votes are the high bits of the md5 hex
+    * digits — a deterministic spelling both engines share, so the
+    * WHOLE sketch-pair pipeline hash-checks against a DuckDB oracle
+    * (the production path keeps the 64-bit xxhash64 sketch; this
+    * closes its "rows-only checkable" caveat structurally). Same
+    * chunk-banding shape: `numChunks` 8-bit chunks, pigeonhole-exact
+    * for `maxHamming < numChunks`, so the banded join provably equals
+    * the oracle's all-pairs spelling.
+    */
+  def portableSimhashPairs(docs: DataFrame, idCol: String,
+      tokensCol: String, maxHamming: Int,
+      numChunks: Int = 4): DataFrame = {
+    require(32 % numChunks == 0, "numChunks must divide 32")
+    require(maxHamming < numChunks,
+      "pigeonhole recall guarantee needs maxHamming < numChunks")
+    val width = 32 / numChunks
+    val mask = (1L << width) - 1L
+    val sigs = docs.select(col(idCol).as("id"),
+      graft.functions.PortableMinHashFunctions
+        .portableSimhash32(col(tokensCol)).as("sig"))
+    val chunkStructs = (0 until numChunks).map { j =>
+      struct(lit(j).as("chunk_id"),
+        shiftright(col("sig"), j * width).bitwiseAND(lit(mask))
+          .as("chunk_val"))
+    }
+    val chunked = sigs.select(col("id"), col("sig"),
+        explode(array(chunkStructs: _*)).as("c"))
+      .select(col("id"), col("sig"), col("c.chunk_id"), col("c.chunk_val"))
+    val a = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast(LongType)
+          .as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+  }
 }

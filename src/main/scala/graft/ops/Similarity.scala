@@ -359,4 +359,69 @@ object Similarity {
     val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     ivfSearch(base, collectCentroids(centroids), queryId, k, nProbe)
   }
+
+  /** The ±1 projection weight for portable-SRP bit `i`, dimension `j`:
+    * the high bit of the first hex digit of `md5("i|j")` — a
+    * deterministic, DATA-INDEPENDENT constant both engines derive from
+    * the same string, so the weight matrix folds into the Spark plan
+    * as literals while the oracle spells the identical derivation in
+    * SQL (`substr(md5(i || '|' || j), 1, 1) IN ('8'..'f')`).
+    */
+  def portableSrpWeight(i: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i|$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) >= 8) 1L else -1L
+  }
+
+  /** PORTABLE twin of [[signLshPairs]] (the x43 pattern, closing the
+    * SRP path's "rows-only checkable" caveat): sign-random-projection
+    * where BOTH the projection weights ([[portableSrpWeight]]) and the
+    * vector are deterministic integers, so the signature — and hence
+    * the pair set — hash-checks cross-engine. The vector quantizes as
+    * `floor(double(x) * 1000)` per element (per-element IEEE, exact in
+    * both engines); each bit's vote is then an INTEGER dot product —
+    * order-independent exact arithmetic, where a float sum's rounding
+    * would depend on summation order and break the cross-engine hash.
+    * Same chunk-banding as the SimHash pairs: `numChunks` chunks over
+    * the `bits`-bit signature, pigeonhole-exact for
+    * `maxHamming < numChunks`.
+    */
+  def portableSrpPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      maxHamming: Int, bits: Int = 32, numChunks: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(bits % numChunks == 0, "numChunks must divide bits")
+    require(bits <= 63, "bits must fit a long")
+    require(maxHamming < numChunks,
+      "pigeonhole recall guarantee needs maxHamming < numChunks")
+    val width = bits / numChunks
+    val mask = (1L << width) - 1L
+    val qv = vectors.select(col(idCol).as("id"),
+      transform(col(vecCol), x =>
+        floor(x.cast(DoubleType) * lit(1000)).cast(LongType)).as("qv"))
+    // signature = one codegen kernel pass (PortableSrpKernel, weights
+    // from portableSrpWeight's derivation) — the HOF spelling costs
+    // bits×dim interpreted lambdas per row, per join side
+    val sigs = qv.select(col("id"), graft.functions
+      .PortableMinHashFunctions.portableSrpSig(col("qv"), bits, dim)
+      .as("sig"))
+    val chunkStructs = (0 until numChunks).map { j =>
+      struct(lit(j).as("chunk_id"),
+        shiftright(col("sig"), j * width).bitwiseAND(lit(mask))
+          .as("chunk_val"))
+    }
+    val chunked = sigs.select(col("id"), col("sig"),
+        explode(array(chunkStructs: _*)).as("c"))
+      .select(col("id"), col("sig"), col("c.chunk_id"), col("c.chunk_val"))
+    val a = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast(LongType)
+          .as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+  }
 }

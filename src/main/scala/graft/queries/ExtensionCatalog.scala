@@ -2011,6 +2011,89 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "n_simple", "n_ws", "n_folded",
           "n_folded_distinct", "fold_roundtrip")))),
 
+    // x71 — portable SimHash twin (the x43 pattern for the x9 path):
+    // 32-bit signature whose per-token votes are the md5 hex digits'
+    // high bits — derivable verbatim in both engines, so the sketch →
+    // chunk-band join → hamming-verify pipeline hash-checks end to
+    // end. Spark runs the banded join; the oracle spells all-pairs;
+    // they are provably equal (pigeonhole: hamming ≤ 1 over 2 chunks
+    // leaves one chunk intact). Two 16-bit chunks, not four 8-bit:
+    // the fixture's shared-vocab signatures cluster, and 8-bit buckets
+    // skew to 7.5M candidate pairs at sf0.1 where 16-bit buckets stay
+    // at 349k. The production x9 keeps xxhash64.
+    QueryDef("x71_portable_simhash",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tok"))
+        ordered(Dedup.portableSimhashPairs(docs, "doc_id", "tok",
+          maxHamming = 1, numChunks = 2))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d),
+        h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        votes AS (
+          SELECT doc_id, i.i AS i,
+            SUM(CASE WHEN substr(h.h, i.i + 1, 1) IN
+                ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)
+              AS vote
+          FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) i
+          GROUP BY doc_id, i.i),
+        sig AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+          FROM votes GROUP BY doc_id),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        SELECT a_id, b_id, hamming FROM p WHERE hamming <= 1
+        """ + orderedSql(Seq("a_id", "b_id", "hamming")))),
+
+    // x72 — portable sign-random-projection twin (the x43 pattern for
+    // the x15 path): ±1 weights derived from md5("i|j") in BOTH
+    // engines, vectors quantized floor(x*1000) per element, each bit
+    // an exact INTEGER dot product (a float sum's order-dependent
+    // rounding would break the cross-engine hash). Spark bands the
+    // 32-bit signature into 8 four-bit chunks; the oracle goes
+    // all-pairs; pigeonhole (hamming ≤ 7 < 8 chunks) makes them
+    // equal. hamming ≤ 3 returns zero pairs on this fixture — ≤ 7
+    // keeps the check non-vacuous (~330 pairs at sf0.01). The
+    // production x15 keeps the seeded double SRP.
+    QueryDef("x72_portable_srp",
+      (s, dir) => ordered(Similarity.portableSrpPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", maxHamming = 7,
+        numChunks = 8)),
+      Some("""WITH w AS (
+          SELECT i.i AS i, j.j AS j,
+            CASE WHEN substr(md5(CAST(i.i AS VARCHAR) || '|' ||
+                CAST(j.j AS VARCHAR)), 1, 1) IN
+                ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(range(32)) AS i) i
+          CROSS JOIN (SELECT unnest(range(64)) AS j) j),
+        q AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        votes AS (
+          SELECT q.vec_id, w.i, SUM(w.s * q.qv[w.j + 1]) AS vote
+          FROM q CROSS JOIN w GROUP BY q.vec_id, w.i),
+        sig AS (
+          SELECT vec_id,
+            CAST(SUM(CASE WHEN vote > 0
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+          FROM votes GROUP BY vec_id),
+        p AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          FROM sig a JOIN sig b ON a.vec_id < b.vec_id)
+        SELECT a_id, b_id, hamming FROM p WHERE hamming <= 7
+        """ + orderedSql(Seq("a_id", "b_id", "hamming")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).
