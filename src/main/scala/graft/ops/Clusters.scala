@@ -36,8 +36,9 @@ import org.apache.spark.sql.types._
   * unpersisted as soon as the next round materializes, keeping cache
   * footprint at O(1) rounds. (`localCheckpoint` trades fault tolerance
   * for speed: an executor loss aborts the job. For long production runs
-  * prefer `spark.sparkContext.setCheckpointDir` + reliable `checkpoint`
-  * — same loop, one line swapped.) Convergence is detected from the
+  * pass `checkpointDir` — the same loop switches to reliable
+  * `checkpoint`s recomputable from durable storage; ClustersSpec
+  * exercises both modes.) Convergence is detected from the
   * strictly-decreasing sum of labels: labels only ever decrease, so an
   * unchanged sum means an unchanged labeling — one cheap aggregate
   * instead of a join against the previous labeling. The checkpoints are
@@ -64,20 +65,32 @@ object Clusters {
     *         data.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    // lineage truncation: `localCheckpoint` by default (fast, but an
+    // executor loss aborts the job); pass `checkpointDir` to use
+    // RELIABLE checkpoints instead — same loop, recomputable from
+    // durable storage, the right mode for a multi-hour 100 TB run.
+    // Reliable checkpoint files accumulate per round unless
+    // `spark.cleaner.referenceTracking.cleanCheckpoints=true`; point
+    // `checkpointDir` at job-scoped storage the caller removes.
+    val cp: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = false)
+      case None => df => df.localCheckpoint(eager = false)
+    }
     val e = pairs.select(col(aCol).cast(LongType).as("src"),
       col(bCol).cast(LongType).as("dst"))
     // symmetric closure; parallel edges collapse so each round's join
     // fan-out is bounded by the true degree
     // all checkpoints are lazy: the labelSum aggregate right after each
     // one doubles as the materializing action (one job per round)
-    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(eager = false)
+    val edges = cp(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(eager = false)
+    var labels = cp(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
@@ -93,9 +106,8 @@ object Clusters {
         .join(labels.select(col("id").as("component"),
           col("component").as("jumped")), Seq("component"))
         .select(col("id"), col("jumped").as("component"))
-      val next = labels.union(propagated).union(jumped)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(eager = false)
+      val next = cp(labels.union(propagated).union(jumped)
+        .groupBy("id").agg(min("component").as("component")))
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

@@ -33,6 +33,29 @@ class ClustersSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("reliable-checkpoint mode labels exactly as localCheckpoint mode") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+        (11L, 12L), (20L, 21L)) ++ (30L until 60L).map(i => (i, i + 1)))
+        .toDF("a", "b")
+      val local = Clusters.connectedComponents(pairs, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val reliable = Clusters.connectedComponents(pairs, "a", "b",
+          checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      // the reliable mode actually wrote durable checkpoint state
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable checkpoint must write to the dir")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("non-convergence throws instead of returning partial labels") {
     val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
     val ex = intercept[IllegalStateException] {
