@@ -26,7 +26,8 @@ object PlanAudit {
         "q21_self_join", "q22_chunked_index", "x6_cosine_pairs",
         "x8_minhash_lsh", "x12_neardup_pairs", "x54_leakage_split",
         "x64_source_overlap", "x66_sequence_packing",
-        "x67_scrub_contamination")
+        "x67_scrub_contamination", "x70_ws_tokens",
+        "x71_portable_simhash", "x72_portable_srp")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

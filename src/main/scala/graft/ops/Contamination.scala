@@ -32,17 +32,22 @@ object Contamination {
     */
   def report(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int = 5, maxShingleDf: Option[Long] = None,
-      hashed: Boolean = true): DataFrame = {
+      hashed: Boolean = true,
+      tokenize: Column => Column = TextAnalysis.tokens): DataFrame = {
     def shingleRows(df: DataFrame, as: String): DataFrame = {
       // both paths explode per-doc-distinct grams, so rows are unique
       // per (doc, shingle). The hashed path never materializes gram
       // strings at all: the one-pass NGramHashes kernel hashes each
       // token once and mixes windows (vs build-string-then-xxhash64,
       // which allocates k concats and re-hashes ~k·len bytes per gram).
+      // `tokenize` defaults to the oracle-portable single-space split;
+      // pass `TextAnalysis.tokensWs`/`tokensFolded` for real-corpus
+      // whitespace/punctuation robustness (x70).
       val grams: Column =
         if (hashed) array_distinct(graft.functions.HashFunctions
-          .ngramHashes(split(col(textCol), " ", -1), k, keepPartial = true))
-        else Dedup.shingles(col(textCol), k)
+          .ngramHashes(tokenize(col(textCol)), k, keepPartial = true))
+        else array_sort(array_distinct(TextAnalysis.ngrams(
+          tokenize(col(textCol)), k, keepPartial = true)))
       df.select(col(idCol).as(as), explode(grams).as("sk"))
     }
     val ev = shingleRows(eval, "eval_id")
@@ -108,11 +113,16 @@ object Contamination {
     * is "" when the whole document was eval overlap.
     */
   def scrubSpans(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, k: Int = 5, hashed: Boolean = true): DataFrame = {
+      textCol: String, k: Int = 5, hashed: Boolean = true,
+      tokenize: Column => Column = TextAnalysis.tokens): DataFrame = {
+    // with a non-default `tokenize` (e.g. tokensWs) the reassembled
+    // text is single-space normalized — original whitespace is not
+    // reconstructible once spans are cut, and a whitespace-robust
+    // matcher is the point of using that tokenizer
     def gramsOf(text: Column): Column =
       if (hashed) graft.functions.HashFunctions.ngramHashes(
-        split(text, " ", -1), k, keepPartial = true)
-      else TextAnalysis.ngrams(split(text, " ", -1), k, keepPartial = true)
+        tokenize(text), k, keepPartial = true)
+      else TextAnalysis.ngrams(tokenize(text), k, keepPartial = true)
     val ev = eval.filter(col(textCol).isNotNull)
       .select(explode(array_distinct(gramsOf(col(textCol)))).as("_sk"))
       .distinct()
@@ -127,7 +137,7 @@ object Contamination {
       .groupBy("doc_id")
       .agg(collect_set(col("_w")).as("_ws"))
     tr.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ", -1).as("_toks"))
+        tokenize(col(textCol)).as("_toks"))
       .join(hitStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("_toks"),
         when(col("_ws").isNull,

@@ -28,8 +28,9 @@ object Dedup {
     * per candidate pair). Set semantics are order-independent, so every
     * consumer (MinHash, LSH, exact Jaccard) is unaffected.
     */
-  def tokenSet(text: Column): Column =
-    array_sort(array_distinct(split(text, " ", -1)))
+  def tokenSet(text: Column,
+      tokenize: Column => Column = TextAnalysis.tokens): Column =
+    array_sort(array_distinct(tokenize(text)))
 
   /** Word k-shingles (k consecutive tokens joined by space), sorted +
     * distinct like [[tokenSet]]; a sub-k document yields its one
@@ -38,9 +39,10 @@ object Dedup {
     * the text per shingle inside the lambda (interpreted HOFs do no
     * subexpression elimination).
     */
-  def shingles(text: Column, k: Int): Column =
+  def shingles(text: Column, k: Int,
+      tokenize: Column => Column = TextAnalysis.tokens): Column =
     array_sort(array_distinct(
-      TextAnalysis.ngrams(split(text, " ", -1), k, keepPartial = true)))
+      TextAnalysis.ngrams(tokenize(text), k, keepPartial = true)))
 
   /** Exact pairwise n-gram Jaccard within a blocking key. Output columns:
     * a_id, b_id, jaccard (raw double: size ratios divide identically in

@@ -94,6 +94,29 @@ class TokenizerSpec extends SparkSpec {
     assert(out.forall(_.getBoolean(2)))
   }
 
+  test("scrubSpans with tokensWs sees through whitespace variants") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the train doc contains the eval 5-gram, but separated by
+    // newlines/tabs; the default single-space tokenizer cannot see it
+    val train = Seq((1L, "keep1 keep2 a\nb\tc  d\ne keep3 keep4"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val miss = graft.ops.Contamination
+      .scrubSpans(train, eval, "doc_id", "text", k = 5)
+      .collect().head
+    assert(miss.getAs[Long]("n_scrubbed") === 0L,
+      "single-space tokenizer must miss the ws-mangled gram")
+    val hit = graft.ops.Contamination
+      .scrubSpans(train, eval, "doc_id", "text", k = 5,
+        tokenize = TextAnalysis.tokensWs)
+      .collect().head
+    assert(hit.getAs[Long]("n_tokens") === 9L)
+    assert(hit.getAs[Long]("n_scrubbed") === 5L)
+    assert(hit.getAs[String]("scrubbed_text") ===
+      "keep1 keep2 keep3 keep4")
+  }
+
   test("hashed grams over tokensWs ≡ string grams (cardinality + identity)") {
     val spark2 = spark
     import spark2.implicits._
