@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DocFreqAgg, DotProduct, HeavyHittersAgg, MinHashAgg, MinHashSig, MinIdsAgg, NGramHashes, PairCountAgg, RollingFingerprint, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
+import graft.functions.{DocFreqAgg, DotProduct, HeavyHittersAgg, MinHashAgg, MinHashSig, MinIdsAgg, NGramHashes, PairCountAgg, PortableMinHashSig, PortableSimHash32, PortableSrpSig, RollingFingerprint, ScrubTokens, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the
@@ -149,7 +149,30 @@ object GraftExtensions {
     ("rolling_fingerprint",
       "rolling_fingerprint(s) - portable rolling-hash fingerprint",
       { case Seq(c) => RollingFingerprint(c)
-        case _ => arity("rolling_fingerprint", "(s)") }))
+        case _ => arity("rolling_fingerprint", "(s)") }),
+    ("portable_minhash_sig",
+      "portable_minhash_sig(tokens, k) - md5-based MinHash signature " +
+        "(bit-identical to the md5/substr/list_min SQL spelling)",
+      { case Seq(c, k) => PortableMinHashSig(c,
+          litInt("portable_minhash_sig", "k", k))
+        case _ => arity("portable_minhash_sig", "(tokens, k)") }),
+    ("portable_simhash32",
+      "portable_simhash32(tokens) - 32-bit md5-nibble SimHash",
+      { case Seq(c) => PortableSimHash32(c)
+        case _ => arity("portable_simhash32", "(tokens)") }),
+    ("portable_srp_sig",
+      "portable_srp_sig(qv, bits, dim) - md5-weighted integer " +
+        "sign-projection signature over a quantized vector",
+      { case Seq(c, b, d) => PortableSrpSig(c,
+          litInt("portable_srp_sig", "bits", b),
+          litInt("portable_srp_sig", "dim", d))
+        case _ => arity("portable_srp_sig", "(qv, bits, dim)") }),
+    ("scrub_tokens",
+      "scrub_tokens(tokens, starts, k) - drop tokens covered by " +
+        "k-windows at the given sorted start positions",
+      { case Seq(t, s, k) => ScrubTokens(t, s,
+          litInt("scrub_tokens", "k", k))
+        case _ => arity("scrub_tokens", "(tokens, starts, k)") }))
 
   /** Registers the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -436,8 +436,12 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast(LongType)
           .as("hamming"))
-      .dropDuplicates("a_id", "b_id")
+      // filter BEFORE the distinct: hamming is functionally determined
+      // by the pair, so the order is equivalence-preserving, and the
+      // dedup shuffle shrinks from every banded candidate to just the
+      // matches (~200x on the clustered sf0.1 signatures)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** PORTABLE twin of [[simhashPairs]] (the x43 pattern): a 32-bit
@@ -478,7 +482,11 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast(LongType)
           .as("hamming"))
-      .dropDuplicates("a_id", "b_id")
+      // filter BEFORE the distinct: hamming is functionally determined
+      // by the pair, so the order is equivalence-preserving, and the
+      // dedup shuffle shrinks from every banded candidate to just the
+      // matches (~200x on the clustered sf0.1 signatures)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
   }
 }

@@ -33,9 +33,15 @@ object TextAnalysis {
     * the normalization under which "Hello," and "hello" near-dup-match.
     * Same Java/RE2-agreeing regex subset as [[tokensWs]].
     */
-  def tokensFolded(text: Column): Column =
+  def tokensFolded(text: Column): Column = foldTokens(tokensWs(text))
+
+  /** The folding step alone, over an already-tokenized array — lets a
+    * query materialize the `\s+` split once and fold it separately
+    * instead of re-splitting inside every folded-derived column.
+    */
+  def foldTokens(toks: Column): Column =
     filter(
-      transform(tokensWs(text), t =>
+      transform(toks, t =>
         regexp_replace(lower(t),
           lit("^[^a-z0-9]+|[^a-z0-9]+$"), lit(""))),
       t => t =!= lit(""))

@@ -1961,20 +1961,28 @@ object ExtensionCatalog {
         val messy = replace(
           replace(col("text"), lit(" the "), lit("\n\tThe, ")),
           lit(" of "), lit("  of. "))
+        // staged projections: each regex-heavy array materializes as an
+        // attribute ONCE and downstream columns reference it (Catalyst
+        // does not collapse a projection whose alias is referenced more
+        // than once and is non-cheap, so the `\s+` split runs once per
+        // text, not once per derived column)
         ordered(t(s, dir, "documents")
           .filter(col("text").isNotNull)
           .select(col("doc_id"), messy.as("messy"), col("text"))
           .select(col("doc_id"),
             size(TextAnalysis.tokens(col("messy"))).cast("long")
               .as("n_simple"),
-            size(TextAnalysis.tokensWs(col("messy"))).cast("long")
-              .as("n_ws"),
-            size(TextAnalysis.tokensFolded(col("messy"))).cast("long")
-              .as("n_folded"),
-            size(array_distinct(TextAnalysis.tokensFolded(col("messy"))))
-              .cast("long").as("n_folded_distinct"),
-            (TextAnalysis.tokensFolded(col("messy")) ===
-              TextAnalysis.tokensFolded(col("text"))).cast("long")
+            TextAnalysis.tokensWs(col("messy")).as("ws"),
+            TextAnalysis.tokensWs(col("text")).as("ws_orig"))
+          .select(col("doc_id"), col("n_simple"),
+            size(col("ws")).cast("long").as("n_ws"),
+            TextAnalysis.foldTokens(col("ws")).as("folded"),
+            TextAnalysis.foldTokens(col("ws_orig")).as("folded_orig"))
+          .select(col("doc_id"), col("n_simple"), col("n_ws"),
+            size(col("folded")).cast("long").as("n_folded"),
+            size(array_distinct(col("folded"))).cast("long")
+              .as("n_folded_distinct"),
+            (col("folded") === col("folded_orig")).cast("long")
               .as("fold_roundtrip")))
       },
       Some("""WITH m AS (

@@ -186,4 +186,36 @@ class SqlFunctionsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(viaSql.toSeq === viaApi.toSeq)
   }
+
+  test("SQL portable kernels equal their DataFrame-API twins") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sf0001, "documents").limit(50)
+      .select(split(col("text"), " ", -1).as("tok"))
+    val viaSql = df.selectExpr(
+        "portable_minhash_sig(tok, 8) AS mh",
+        "portable_simhash32(tok) AS sh")
+      .collect().map(r => (r.getSeq[String](0), r.getLong(1)))
+    val viaApi = df.select(
+        graft.functions.PortableMinHashFunctions
+          .portableMinhashSig(col("tok"), 8).as("mh"),
+        graft.functions.PortableMinHashFunctions
+          .portableSimhash32(col("tok")).as("sh"))
+      .collect().map(r => (r.getSeq[String](0), r.getLong(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    val srp = spark.sql(
+      """SELECT portable_srp_sig(array(1000L, -2000L, 500L), 8, 3) AS s
+        |""".stripMargin).head().getLong(0)
+    val srpApi = spark.range(1).select(
+      graft.functions.PortableMinHashFunctions.portableSrpSig(
+        typedlit(Seq(1000L, -2000L, 500L)), 8, 3).as("s"))
+      .head().getLong(0)
+    assert(srp === srpApi)
+    val scrub = spark.sql(
+      """SELECT scrub_tokens(array('a','b','c','d','e'),
+        |                    array(1L), 2) AS s
+        |""".stripMargin).head().getStruct(0)
+    assert(scrub.getLong(0) === 2L)      // positions 1,2 covered
+    assert(scrub.getString(1) === "a d e")
+  }
 }
