@@ -430,6 +430,78 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Add-one-smoothed bigram LM score per document — the CCNet/
+    * KenLM-style "perplexity filter" a web-scale pipeline runs to rank
+    * documents by how typical their language is of the corpus (high
+    * average negative log-likelihood = atypical = candidate for
+    * filtering or down-weighting). The model IS the corpus: smoothed
+    * conditional bigram probabilities
+    * `nll(w1 w2) = -ln((c(w1,w2) + 1) / (prefix(w1) + V))` with
+    * `prefix(w1)` = corpus occurrences of `w1` as a bigram prefix and
+    * `V` = the bigram-participating vocabulary; per-doc score = mean
+    * over the document's adjacent bigrams.
+    *
+    * Cross-engine determinism: each bigram's nll is per-row IEEE
+    * arithmetic on exact integer counts, rounded at 6 dp (the x39/x63
+    * ln precedent); the per-doc mean routes the rounded values through
+    * DECIMAL(18,6) (weighted by multiplicity — exact) so summation
+    * order cannot move the hash.
+    *
+    * Scale design (100 TB): the corpus tokenizes exactly TWICE — once
+    * into the model (per-(doc,bigram) multiplicities → bigram counts,
+    * both map-side-combinable; a boilerplate bigram is ONE row on the
+    * count side, so no skew) and once as the scoring probe. Everything
+    * else derives from the MODEL table, which is vocabulary²-bounded,
+    * not corpus-bounded: it is lazily `localCheckpoint`ed so the
+    * prefix totals, the V aggregate, and the scoring join all reuse
+    * one materialization instead of re-deriving it from the corpus
+    * (Catalyst plans each reference as its own scan — measured as 2
+    * extra full-corpus passes without the checkpoint; at fixture scale
+    * the checkpoint's stage barrier costs ~0.4 s where the saved scans
+    * cost less, a trade that inverts as soon as the scan is the
+    * expensive part). nll is computed once per DISTINCT bigram; AQE
+    * broadcasts the scored model while it fits and degrades to a
+    * shuffle join when a real corpus's bigram vocabulary outgrows
+    * that. No driver state.
+    *
+    * Returns `(doc_id, n_bigrams, avg_nll)` — one row per document
+    * with at least one bigram (>= 2 tokens).
+    */
+  def lmQuality(docs: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column = tokens): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("_t"))
+    // lambda-free bigram extraction (sequence + element_at instead of
+    // a zip_with lambda): no interpreted per-element lambdas on the
+    // corpus-sized path. The sequence guard matters: sequence(1, 0)
+    // counts DOWN, so single-token docs need the explicit empty array.
+    val pr = toks.select(col("doc_id"),
+        explode(when(size(col("_t")) > 1,
+            sequence(lit(1), size(col("_t")) - 1))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"),
+        col("_t"))
+      .select(col("doc_id"),
+        element_at(col("_t"), col("i")).as("w1"),
+        element_at(col("_t"), col("i") + 1).as("w2"))
+    val docBig = pr.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+    val big = docBig.groupBy("w1", "w2").agg(sum(col("n")).as("cb"))
+      .localCheckpoint(eager = false)
+    val prefix = big.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val vocab = big.select(explode(array(col("w1"), col("w2"))).as("w"))
+      .agg(count_distinct(col("w")).cast(DoubleType).as("vsz"))
+    val scored = big
+      .join(prefix, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(-log((col("cb") + 1).cast(DoubleType) /
+          (col("cu").cast(DoubleType) + col("vsz"))), 6).as("nlp"))
+    docBig.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        (sum(col("n") * col("nlp").cast(DecimalType(18, 6)))
+          .cast(DoubleType) / sum(col("n"))).as("avg_nll"))
+  }
+
   /** Bounded inverted index — the retrieval-side artifact a training
     * pipeline ships next to the corpus: per token, the exact document
     * frequency and the `maxPostings` SMALLEST doc ids (a deterministic

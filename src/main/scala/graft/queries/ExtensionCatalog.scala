@@ -2102,6 +2102,41 @@ object ExtensionCatalog {
         SELECT a_id, b_id, hamming FROM p WHERE hamming <= 7
         """ + orderedSql(Seq("a_id", "b_id", "hamming")))),
 
+    // x73 — corpus-as-model bigram LM quality score (the CCNet/KenLM
+    // perplexity-filter shape): rank every document by the mean
+    // add-one-smoothed negative log-likelihood of its adjacent bigrams
+    // under the corpus's own counts. nll per bigram is per-row IEEE on
+    // exact integer counts rounded at 6 dp (the x39/x63 ln precedent);
+    // the per-doc mean routes through DECIMAL(18,6). The oracle's
+    // paired unnests zip by construction (equal-length slices).
+    QueryDef("x73_lm_quality",
+      (s, dir) => ordered(TextAnalysis.lmQuality(
+        t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        pr AS (
+          SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+            unnest(t[2:len(t)]) AS w2
+          FROM toks),
+        big AS (SELECT w1, w2, COUNT(*) AS cb FROM pr GROUP BY w1, w2),
+        prefix AS (SELECT w1, SUM(cb) AS cu FROM big GROUP BY w1),
+        vocab AS (
+          SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz FROM (
+            SELECT w1 AS w FROM big UNION ALL SELECT w2 AS w FROM big)),
+        scored AS (
+          SELECT pr.doc_id,
+            ROUND(-ln(CAST(big.cb + 1 AS DOUBLE)
+              / (prefix.cu + vocab.vsz)), 6) AS nlp
+          FROM pr JOIN big USING (w1, w2)
+          JOIN prefix USING (w1)
+          CROSS JOIN vocab)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS avg_nll
+        FROM scored GROUP BY doc_id
+        """ + orderedSql(Seq("doc_id", "n_bigrams", "avg_nll")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -10,6 +10,27 @@ import graft.ops.TextAnalysis
 class TfIdfSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lmQuality: hand-computed add-one bigram scores on a tiny corpus") {
+    // corpus: d1 = "a b a b", d2 = "a b c"
+    // bigrams (a,b):3 (b,a):1 (b,c):1; prefixes a:3 b:2;
+    // participating vocab {a,b,c} -> V=3
+    // nll(a,b) = -ln(4/(3+3)); nll(b,a) = nll(b,c) = -ln(2/(2+3))
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val nllAb = BigDecimal(-math.log(4.0 / 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nllLow = BigDecimal(-math.log(2.0 / 5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 === 3L)
+    assert(got(2L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - (2 * nllAb + nllLow) / 3) < 1e-9)
+    assert(math.abs(got(2L)._2 - (nllAb + nllLow) / 2) < 1e-9)
+    // the repetitive doc is MORE typical of this corpus (lower nll)
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
   test("PII scrub: counts and redaction on crafted edge cases") {
     val d = Seq(
       (1L, "mail bob.smith+x@sub.example.org then 192.168.1.254 end"),
