@@ -467,15 +467,17 @@ object TextAnalysis {
     * Returns `(doc_id, n_bigrams, avg_nll)` — one row per document
     * with at least one bigram (>= 2 tokens).
     */
-  def lmQuality(docs: DataFrame, idCol: String, textCol: String,
-      tokenize: Column => Column = tokens): DataFrame = {
+  /** Adjacent-bigram rows `(doc_id, w1, w2)` — lambda-free extraction
+    * (sequence + element_at instead of a zip_with lambda): no
+    * interpreted per-element lambdas on the corpus-sized path. The
+    * sequence guard matters: sequence(1, 0) counts DOWN, so
+    * single-token docs need the explicit empty array.
+    */
+  private[graft] def bigramRows(docs: DataFrame, idCol: String,
+      textCol: String, tokenize: Column => Column): DataFrame = {
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("_t"))
-    // lambda-free bigram extraction (sequence + element_at instead of
-    // a zip_with lambda): no interpreted per-element lambdas on the
-    // corpus-sized path. The sequence guard matters: sequence(1, 0)
-    // counts DOWN, so single-token docs need the explicit empty array.
-    val pr = toks.select(col("doc_id"),
+    toks.select(col("doc_id"),
         explode(when(size(col("_t")) > 1,
             sequence(lit(1), size(col("_t")) - 1))
           .otherwise(array().cast(ArrayType(IntegerType)))).as("i"),
@@ -483,6 +485,11 @@ object TextAnalysis {
       .select(col("doc_id"),
         element_at(col("_t"), col("i")).as("w1"),
         element_at(col("_t"), col("i") + 1).as("w2"))
+  }
+
+  def lmQuality(docs: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column = tokens): DataFrame = {
+    val pr = bigramRows(docs, idCol, textCol, tokenize)
     val docBig = pr.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
     val big = docBig.groupBy("w1", "w2").agg(sum(col("n")).as("cb"))
       .localCheckpoint(eager = false)
@@ -500,6 +507,32 @@ object TextAnalysis {
       .agg(sum(col("n")).as("n_bigrams"),
         (sum(col("n") * col("nlp").cast(DecimalType(18, 6)))
           .cast(DoubleType) / sum(col("n"))).as("avg_nll"))
+  }
+
+  /** The offline model [[lmQuality]] builds internally, exported for
+    * reuse — e.g. scoring a document STREAM against a frozen corpus
+    * model ([[graft.streaming.DocStreams.lmScores]]). `vocabSize` is
+    * collected eagerly (one tiny aggregate job): a model build is an
+    * offline batch step, and downstream scoring needs V as a plan
+    * literal anyway.
+    */
+  final case class LmModel(bigrams: DataFrame, prefixes: DataFrame,
+      vocabSize: Double)
+
+  /** Build the add-one bigram model of [[lmQuality]] from a corpus:
+    * `bigrams` = (w1, w2, cb), `prefixes` = (w1, cu), `vocabSize` = V.
+    * Same counts, same determinism contract.
+    */
+  def lmModel(docs: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column = tokens): LmModel = {
+    val pr = bigramRows(docs, idCol, textCol, tokenize)
+    val big = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(eager = false)
+    val prefix = big.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val vsz = big.select(explode(array(col("w1"), col("w2"))).as("w"))
+      .agg(count_distinct(col("w")).cast(DoubleType).as("vsz"))
+      .head().getDouble(0)
+    LmModel(big, prefix, vsz)
   }
 
   /** Bounded inverted index — the retrieval-side artifact a training

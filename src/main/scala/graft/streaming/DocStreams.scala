@@ -22,6 +22,11 @@ case class ChunkRepeat(doc_id: Long, chunk_id: Long, first_id: Long)
   */
 case class ContaminationHit(train_id: Long, eval_id: Long, n_shared: Long)
 
+/** An arriving document's LM quality score under a frozen corpus
+  * model — the online twin of the batch x73 row.
+  */
+case class DocLmScore(doc_id: Long, n_bigrams: Long, avg_nll: Double)
+
 /** Streaming document-pipeline surface: ONLINE near-duplicate detection.
   *
   * A training-data ingest doesn't get to re-run batch dedup over the
@@ -156,6 +161,59 @@ object DocStreams {
             state.update(true)
             Iterator.single(
               ContaminationHit(pair._1, pair._2, rows.size.toLong))
+          }
+      }
+  }
+
+  /** ONLINE LM quality scoring: every arriving document scored against
+    * a FROZEN corpus model ([[graft.ops.TextAnalysis.lmModel]]) — the
+    * ingest-side twin of the batch x73 perplexity filter, the way
+    * production pipelines actually run it (model trained offline on
+    * the existing corpus; each crawl drop scored as it lands, atypical
+    * documents flagged before they enter the training set).
+    *
+    * The model tables join stream-static (vocabulary-bounded right
+    * sides — broadcast), so scoring is stateless per bigram row; the
+    * per-document mean uses one keyed-state pass with a boolean guard
+    * (documents arrive atomically in their micro-batch, the standing
+    * [[contaminationHits]] argument; re-delivery emits nothing).
+    * Bigrams the model has never seen score with the same add-one
+    * smoothing the batch model gives count-0 events:
+    * `-ln(1 / (cu + V))` under a known prefix, `-ln(1 / V)` under an
+    * unknown one. The mean accumulates the 6-dp-rounded nll values in
+    * exact BigDecimal — bit-identical to the batch DECIMAL(18,6) route
+    * on shared bigrams.
+    */
+  def lmScores(docs: DataFrame, idCol: String, textCol: String,
+      model: graft.ops.TextAnalysis.LmModel): Dataset[DocLmScore] = {
+    import docs.sparkSession.implicits._
+    val pr = graft.ops.TextAnalysis.bigramRows(docs, idCol, textCol,
+      graft.ops.TextAnalysis.tokens)
+    val nlp = round(-log(
+      (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("cu"), lit(0L)).cast("double") +
+          lit(model.vocabSize))), 6)
+    pr.join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(model.prefixes), Seq("w1"), "left")
+      .select(col("doc_id"), nlp.as("nlp"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (doc: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val nlps = rows.map(_._2).toSeq
+            // mirror the batch DECIMAL(18,6) route exactly: each double
+            // is the 6-dp-rounded nll, re-quantized at scale 6 (what
+            // Spark's double→DECIMAL(18,6) cast does), summed exactly,
+            // then ONE double division like the batch plan
+            val sum = nlps.map(d => BigDecimal(d)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+            Iterator.single(DocLmScore(doc, nlps.size.toLong,
+              sum.toDouble / nlps.size))
           }
       }
   }

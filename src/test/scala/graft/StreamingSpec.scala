@@ -426,4 +426,49 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === expected)
     } finally q.stop()
   }
+
+  test("online LM scores equal batch x73 on shared docs; unseen bigrams smooth") {
+    import graft.ops.TextAnalysis
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").limit(120).cache()
+    val model = TextAnalysis.lmModel(corpus, "doc_id", "text")
+    // batch truth from the oracle-paired x73 path on the same corpus
+    val expected = TextAnalysis.lmQuality(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // one-shot batch-mode run of the stateful scorer
+    val oneShot = DocStreams.lmScores(corpus, "doc_id", "text", model)
+      .collect().map(s => s.doc_id -> (s.n_bigrams, s.avg_nll)).toMap
+    assert(oneShot.keySet === expected.keySet)
+    expected.foreach { case (id, (n, nll)) =>
+      assert(oneShot(id)._1 === n, s"doc $id n_bigrams")
+      assert(oneShot(id)._2 === nll, s"doc $id avg_nll (must be bit-equal)")
+    }
+    // micro-batched replay + re-delivery guard
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/in")
+    val q = DocStreams.lmScores(stream, "doc_id", "text", model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_lm").start()
+    try {
+      q.processAllAvailable()
+      corpus.limit(10).write.mode("append").parquet(dir + "/in")
+      q.processAllAvailable()
+      val streamed = spark.table("stream_lm")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(streamed === expected.map { case (k, v) => k -> v })
+    } finally q.stop()
+    // a NOVEL document: unseen bigrams take the add-one count-0 score
+    val novel = Seq((99001L, "zzqq wwvv zzqq")).toDF("doc_id", "text")
+    val got = DocStreams.lmScores(novel, "doc_id", "text", model)
+      .collect().head
+    val v = model.vocabSize
+    val nllUnknown = BigDecimal(-math.log(1.0 / v))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.n_bigrams === 2L)
+    assert(got.avg_nll === (nllUnknown * 2).toDouble / 2)
+  }
 }
