@@ -57,6 +57,18 @@ class PlanQualitySpec extends SparkSpec {
       s"x60 plans $exchanges exchanges — scoring should not shuffle:\n$x60")
   }
 
+  test("round-7 plan shapes: x73 scores via broadcast model joins") {
+    // the model side (bigram counts / prefix totals) is
+    // vocabulary-bounded — the scoring join must broadcast it, never
+    // shuffle the corpus-sized probe against it at fixture scale
+    val x73 = SparkEntry.queries("x73_lm_quality")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(x73.contains("BroadcastHashJoin"),
+      "x73 lost its broadcast model join")
+    assert(!x73.contains("SortMergeJoin"),
+      "x73 shuffles the probe against the vocabulary-bounded model")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
