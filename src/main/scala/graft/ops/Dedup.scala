@@ -343,6 +343,38 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Per-document top-k nearest near-duplicates — the dedup REVIEW
+    * shape ("show me each document's closest matches, best first"):
+    * [[nearDupPairs]]' verified pairs, symmetrized so each member sees
+    * the other, ranked per document by (jaccard desc, neighbor id) and
+    * cut at `k`. Complete above the threshold: the generator's
+    * recall-certain banding (the x12 argument) means every pair with
+    * jaccard >= `minJaccard` is present, so each document's ranking
+    * over those pairs is exact — this is top-k among near-duplicates,
+    * not an unbounded kNN (which LSH cannot bound below the
+    * threshold).
+    *
+    * Scale: the window is PARTITIONED by document (PlanQualitySpec's
+    * global gate) and the rank filter is a WindowGroupLimit — each
+    * partition keeps k rows before the exchange.
+    */
+  def knnNearDups(docs: DataFrame, idCol: String, tokenSetCol: String,
+      minJaccard: Double, k: Int, numHashes: Int = 64, bands: Int = 16,
+      blockCol: Column = lit(0)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDupPairs(docs, idCol, tokenSetCol, minJaccard,
+      numHashes, bands, blockCol)
+    val sym = pairs.select(col("a_id").as("doc_id"),
+        col("b_id").as("nbr_id"), col("jaccard"))
+      .union(pairs.select(col("b_id").as("doc_id"),
+        col("a_id").as("nbr_id"), col("jaccard")))
+    sym.withColumn("rank",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("nbr_id").asc))
+          .cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
   /** Incremental near-dup: verified pairs between an ARRIVING batch and
     * the INGESTED corpus — the production shape of continuous crawl
     * ingestion, where the corpus was already deduped on ingest and

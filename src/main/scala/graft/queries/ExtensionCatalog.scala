@@ -2137,6 +2137,45 @@ object ExtensionCatalog {
         FROM scored GROUP BY doc_id
         """ + orderedSql(Seq("doc_id", "n_bigrams", "avg_nll")))),
 
+    // x74 — per-document top-k nearest near-duplicates (the dedup
+    // review queue): x12's recall-certain generator (24×4 banding at
+    // j >= 0.9, DedupSpec-pinned) makes the above-threshold pair set
+    // complete, so the per-doc ranking is exact and the oracle can
+    // spell it over the all-pairs join. Window is doc-partitioned;
+    // the rank cut is a WindowGroupLimit (plan-gated).
+    QueryDef("x74_knn_neardups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Dedup.tokenSet(col("text")).as("tok"))
+        ordered(Dedup.knnNearDups(docs, "doc_id", "tok", 0.9, k = 5,
+          numHashes = 96, bands = 24, blockCol = col("source")))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tok, b.tok))) AS jaccard
+          FROM base a JOIN base b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9),
+        sym AS (
+          SELECT a_id AS doc_id, b_id AS nbr_id, jaccard FROM p
+          UNION ALL
+          SELECT b_id AS doc_id, a_id AS nbr_id, jaccard FROM p),
+        r AS (
+          SELECT doc_id, nbr_id, jaccard,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY jaccard DESC, nbr_id) AS rank
+          FROM sym)
+        SELECT doc_id, nbr_id, jaccard, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
+        """ + orderedSql(Seq("doc_id", "nbr_id", "jaccard", "rank")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

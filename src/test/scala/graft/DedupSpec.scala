@@ -180,6 +180,21 @@ class DedupSpec extends SparkSpec {
       s"LSH+verify missed ${missed.size} of ${truth.size} pairs >= 0.9")
   }
 
+  test("knnNearDups ranks equal a brute-force per-doc ranking") {
+    val got = Dedup.knnNearDups(docs, "doc_id", "tok", 0.9, k = 3,
+        numHashes = 96, bands = 24, blockCol = col("source"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "tok", "source", 0.9)
+      .as[(Long, Long, Double)].collect()
+    val sym = pairs.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+    val expected = sym.groupBy(_._1).toSeq.flatMap { case (doc, nbrs) =>
+      nbrs.sortBy(n => (-n._3, n._2)).take(3).zipWithIndex
+        .map { case ((_, nbr, j), i) => (doc, nbr, j, (i + 1).toLong) }
+    }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must contain near-dups")
+  }
+
   test("group-level minhash aggregate == sketch of union (elementwise min)") {
     import graft.functions.HashFunctions.minhashAgg
     val perRow = docs.select($"source", minhashSig($"tok", 64).as("sig"))

@@ -67,6 +67,11 @@ class PlanQualitySpec extends SparkSpec {
       "x73 lost its broadcast model join")
     assert(!x73.contains("SortMergeJoin"),
       "x73 shuffles the probe against the vocabulary-bounded model")
+    // x74: the per-doc rank cut must keep k rows per partition BEFORE
+    // the exchange
+    assert(SparkEntry.queries("x74_knn_neardups")(spark, sf0001)
+      .queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "x74 lost the WindowGroupLimit partial top-k")
   }
 
   test("no declared query plans an unpartitioned window or cartesian product") {
