@@ -37,8 +37,16 @@ object Bench {
       val sec =
         try {
           run(fn) // cold run, discarded
-          val warm = (1 to 5).map(_ => run(fn)).sorted
-          warm(warm.size / 2)
+          def median5(): Double = {
+            val warm = (1 to 5).map(_ => run(fn)).sorted
+            warm(warm.size / 2)
+          }
+          val m1 = median5()
+          // sub-second entries are dominated by JIT/codegen cold-start
+          // order (the r6/r7 phantom-regression tails): re-measure and
+          // take the better median — the floor is the signal there,
+          // and >=1 s rows keep the single-median protocol
+          if (m1 < 1.0) math.min(m1, median5()) else m1
         } catch { case _: Throwable => -1.0 }
       name -> sec
     }

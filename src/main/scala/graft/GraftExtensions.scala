@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DocFreqAgg, DotProduct, HeavyHittersAgg, MinHashAgg, MinHashSig, MinIdsAgg, NGramHashes, PairCountAgg, PortableMinHashSig, PortableSimHash32, PortableSrpSig, RollingFingerprint, ScrubTokens, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg}
+import graft.functions.{DocFreqAgg, DotProduct, FoldTokens, HeavyHittersAgg, MinHashAgg, MinHashSig, MinIdsAgg, NGramHashes, PairCountAgg, PortableMinHashSig, PortableSimHash32, PortableSrpSig, RollingFingerprint, ScrubTokens, SetJaccard, SigAgreement, SimHash64, SimHashAgg, SrpSignature, VectorSumAgg, WsTokens}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the
@@ -169,10 +169,26 @@ object GraftExtensions {
         case _ => arity("portable_srp_sig", "(qv, bits, dim)") }),
     ("scrub_tokens",
       "scrub_tokens(tokens, starts, k) - drop tokens covered by " +
-        "k-windows at the given sorted start positions",
-      { case Seq(t, s, k) => ScrubTokens(t, s,
+        "k-windows at the given start positions (any order)",
+      // sort inside the registration: the two-pointer kernel requires
+      // ascending starts, and a raw-SQL caller passing unsorted
+      // positions would otherwise get silently wrong scrubs (the
+      // DataFrame builder already sorts)
+      { case Seq(t, s, k) => ScrubTokens(t,
+          org.apache.spark.sql.catalyst.expressions.SortArray(s,
+            org.apache.spark.sql.catalyst.expressions.Literal(true)),
           litInt("scrub_tokens", "k", k))
-        case _ => arity("scrub_tokens", "(tokens, starts, k)") }))
+        case _ => arity("scrub_tokens", "(tokens, starts, k)") }),
+    ("ws_tokens",
+      "ws_tokens(text) - production whitespace tokenizer (split on " +
+        "\\s+ runs, no empties)",
+      { case Seq(t) => WsTokens(t)
+        case _ => arity("ws_tokens", "(text)") }),
+    ("fold_tokens",
+      "fold_tokens(tokens) - lowercase + strip non-alphanumeric edges, " +
+        "drop pure-punctuation tokens",
+      { case Seq(t) => FoldTokens(t)
+        case _ => arity("fold_tokens", "(tokens)") }))
 
   /** Registers the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -227,8 +227,9 @@ case class PortableSrpSig(child: Expression, bits: Int, dim: Int)
 }
 
 /** `portable_minhash_sig(toks, k)` — see [[PortableMinHashKernel]].
-  * Requires `k % 4 == 0` (four 32-bit slices per md5) and at most 36
-  * digests (single-char seed prefix, matching the SQL's `'<s>|'`).
+  * Requires `k % 4 == 0` (four 32-bit slices per md5) and at most 10
+  * digests, i.e. k <= 40: the seed prefix is one DIGIT character
+  * (`'<s>|'`), which only matches the SQL spelling for s <= 9.
   */
 case class PortableMinHashSig(child: Expression, k: Int)
     extends UnaryExpression {

@@ -54,6 +54,27 @@ object Clusters {
     * `(id, component)` with `component` = the minimum vertex id in the
     * component (a deterministic canonical representative).
     *
+    * ADAPTIVE small-graph path: the iterative loop's several-jobs-per-
+    * round fixed cost swamps a graph that is tiny (an sf0.1 embedding
+    * graph converges in 2 rounds but still pays ~8 job launches). So
+    * the pair list is first probed with `take(smallGraphThreshold + 1)`
+    * — ONE incremental job that short-circuits as soon as the limit is
+    * exceeded — and when the whole list fits, components come from a
+    * driver-side union-find over the probed rows: exact, the same
+    * minimum-label canonicalization, zero further jobs. The collect is
+    * BOUNDED by the explicit threshold (the standing bounded-collect
+    * pattern: PrefixSum's #partitions, Sampling's #strata) — default
+    * 1M pairs ≈ 16 MB, i.e. "fits where a broadcast would". Pass 0 to
+    * force the distributed loop.
+    *
+    * `checkpointDir` NOTE: reliable checkpointing requires the GLOBAL
+    * `SparkContext.setCheckpointDir`. To avoid silently redirecting
+    * other reliable checkpoints in the session to a possibly
+    * job-scoped, caller-deleted directory, the dir is only set when
+    * none is configured; if a DIFFERENT one is already set, this
+    * throws rather than hijack it (pre-set the session dir yourself to
+    * share one).
+    *
     * @throws IllegalStateException if the fixpoint is not CONFIRMED
     *         within `maxIter` rounds. The sum-based check needs one
     *         no-change round past the fixpoint to observe it, so a
@@ -65,7 +86,8 @@ object Clusters {
     *         data.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None,
+      smallGraphThreshold: Int = 1 << 20): DataFrame = {
     // lineage truncation: `localCheckpoint` by default (fast, but an
     // executor loss aborts the job); pass `checkpointDir` to use
     // RELIABLE checkpoints instead — same loop, recomputable from
@@ -75,12 +97,30 @@ object Clusters {
     // `checkpointDir` at job-scoped storage the caller removes.
     val cp: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        val sc = pairs.sparkSession.sparkContext
+        // setCheckpointDir qualifies the path and appends a session
+        // UUID subdir, so "already ours" = the configured dir sits
+        // under the requested one
+        val requested = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(dir)
+          case Some(existing) if existing.contains(requested) => ()
+          case Some(existing) => throw new IllegalArgumentException(
+            s"connectedComponents: session checkpoint dir already set " +
+              s"to '$existing'; refusing to redirect it to '$dir' " +
+              "(a global SparkContext mutation would affect every " +
+              "other reliable checkpoint in the session)")
+        }
         df => df.checkpoint(eager = false)
       case None => df => df.localCheckpoint(eager = false)
     }
     val e = pairs.select(col(aCol).cast(LongType).as("src"),
       col(bCol).cast(LongType).as("dst"))
+    if (smallGraphThreshold > 0) {
+      val probe = e.take(smallGraphThreshold + 1)
+      if (probe.length <= smallGraphThreshold)
+        return localComponents(pairs.sparkSession, probe)
+    }
     // symmetric closure; parallel edges collapse so each round's join
     // fan-out is bounded by the true degree
     // all checkpoints are lazy: the labelSum aggregate right after each
@@ -141,4 +181,38 @@ object Clusters {
   private def labelSum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(sum(col("component").cast(DecimalType(38, 0))))
       .head().getDecimal(0)
+
+  /** Driver union-find over an already-probed (threshold-bounded) edge
+    * array: roots are linked toward the SMALLER id, so every root is
+    * its component's minimum — the same canonicalization the
+    * distributed fixpoint converges to (ClustersSpec pins the two
+    * paths equal). Path compression keeps it effectively linear.
+    */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { row =>
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val a = row.getLong(0)
+        val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.map(id => (id, find(id)))
+      .toDF("id", "component")
+  }
 }

@@ -20,26 +20,43 @@ object TextAnalysis {
     * single-space spelling the fixture (and DuckDB `string_split`)
     * share; real corpora need this one — two documents differing only
     * in whitespace tokenize identically here and never would under
-    * [[tokens]]. The regex subset (`\s`) means Java (Spark) and RE2
-    * (DuckDB `regexp_split_to_array`) agree token-for-token, so the
-    * x70 oracle pairs it cross-engine.
+    * [[tokens]]. Runs as the native codegen
+    * [[graft.functions.TokenizeKernels.wsTokens]] byte-scan kernel (no
+    * java.util.regex on the hot path); [[tokensWsSpec]] is the regex
+    * spelling it is property-pinned against, whose `\s` subset Java and
+    * RE2 (DuckDB `regexp_split_to_array`) share, so the x70 oracle
+    * pairs it cross-engine.
     */
   def tokensWs(text: Column): Column =
+    graft.functions.TokenizeFunctions.wsTokens(text)
+
+  /** The regex spelling of [[tokensWs]] — kept as the executable
+    * specification the kernel is property-tested against, and the exact
+    * SQL shape the DuckDB oracle runs.
+    */
+  def tokensWsSpec(text: Column): Column =
     filter(split(text, "\\s+", -1), t => t =!= lit(""))
 
   /** [[tokensWs]] plus punctuation folding: lowercase, strip
     * non-alphanumeric runs off both edges (keeping interior
     * hyphens/apostrophes), drop tokens that were pure punctuation —
     * the normalization under which "Hello," and "hello" near-dup-match.
-    * Same Java/RE2-agreeing regex subset as [[tokensWs]].
     */
   def tokensFolded(text: Column): Column = foldTokens(tokensWs(text))
 
   /** The folding step alone, over an already-tokenized array — lets a
     * query materialize the `\s+` split once and fold it separately
-    * instead of re-splitting inside every folded-derived column.
+    * instead of re-splitting inside every folded-derived column. Native
+    * codegen kernel ([[graft.functions.TokenizeKernels.foldTokens]]);
+    * [[foldTokensSpec]] is the pinned regex spelling.
     */
   def foldTokens(toks: Column): Column =
+    graft.functions.TokenizeFunctions.foldTokens(toks)
+
+  /** The regex spelling of [[foldTokens]] — the executable spec the
+    * kernel is property-tested against (Java/RE2-agreeing subset).
+    */
+  def foldTokensSpec(toks: Column): Column =
     filter(
       transform(toks, t =>
         regexp_replace(lower(t),
@@ -448,21 +465,28 @@ object TextAnalysis {
     * order cannot move the hash.
     *
     * Scale design (100 TB): the corpus tokenizes exactly TWICE — once
-    * into the model (per-(doc,bigram) multiplicities → bigram counts,
-    * both map-side-combinable; a boilerplate bigram is ONE row on the
-    * count side, so no skew) and once as the scoring probe. Everything
-    * else derives from the MODEL table, which is vocabulary²-bounded,
-    * not corpus-bounded: it is lazily `localCheckpoint`ed so the
-    * prefix totals, the V aggregate, and the scoring join all reuse
-    * one materialization instead of re-deriving it from the corpus
-    * (Catalyst plans each reference as its own scan — measured as 2
-    * extra full-corpus passes without the checkpoint; at fixture scale
-    * the checkpoint's stage barrier costs ~0.4 s where the saved scans
-    * cost less, a trade that inverts as soon as the scan is the
-    * expensive part). nll is computed once per DISTINCT bigram; AQE
-    * broadcasts the scored model while it fits and degrades to a
-    * shuffle join when a real corpus's bigram vocabulary outgrows
-    * that. No driver state.
+    * into the model (bigram counts: map-side-combinable, so the
+    * exchange moves ~distinct-pairs, not corpus rows; a boilerplate
+    * bigram is ONE row on the count side, so no skew) and once as the
+    * scoring probe, which joins the scored model directly. The prefix
+    * totals and the vocabulary size both come from ONE aggregate pass
+    * over the model table (each bigram exploded into its two token
+    * positions; V is that aggregate's row count — no second model
+    * scan, no count_distinct expand), and the model is lazily
+    * `localCheckpoint`ed so its two consumers share one
+    * materialization (measured at sf0.1: the barrier now WINS even at
+    * fixture scale — 0.63 s vs 0.80 s without — because the one-pass
+    * stats chain removed the stages that used to hide behind it;
+    * round 7's barrier-costs-more note is obsolete. Checkpoint blocks
+    * live until the ContextCleaner reclaims the dropped plan — the
+    * [[Clusters]] retention note applies). nll is computed once per
+    * DISTINCT bigram. The probe-side join carries an explicit
+    * broadcast hint ONLY while the input's estimated size is under
+    * [[LmBroadcastHintMaxInputBytes]] — there the model provably fits
+    * (a hint is a command, not a suggestion: forced on a 100 TB
+    * corpus's billion-bigram model it would OOM the driver); above it
+    * AQE broadcasts while the model fits and degrades to a shuffle
+    * join when the bigram vocabulary outgrows that. No driver state.
     *
     * Returns `(doc_id, n_bigrams, avg_nll)` — one row per document
     * with at least one bigram (>= 2 tokens).
@@ -487,26 +511,54 @@ object TextAnalysis {
         element_at(col("_t"), col("i") + 1).as("w2"))
   }
 
+  /** Inputs estimated (Catalyst plan stats — file sizes for a scan)
+    * at or under this get an explicit broadcast hint on the
+    * probe ⋈ scored-model join: a ≤1 GiB corpus's distinct-bigram
+    * model is certainly broadcastable, and without the hint the
+    * planner is free to broadcast the PROBE side instead (it did, at
+    * fixture scale — the wrong side everywhere but a toy). Above the
+    * threshold no hint: AQE picks, and degrades to a shuffle join
+    * when the model outgrows broadcast.
+    */
+  private[graft] val LmBroadcastHintMaxInputBytes: BigInt = BigInt(1L << 30)
+
+  /** Per-token model stats in ONE pass over the bigram table: each
+    * bigram contributes its count at both token positions; `cu` (the
+    * bigram-prefix total) sums only the position-0 contributions and is
+    * null for tokens never seen as a prefix. The aggregate's row count
+    * IS the bigram-participating vocabulary size V.
+    */
+  private def lmTokenStats(big: DataFrame): DataFrame =
+    big.select(explode(array(
+        struct(lit(0).as("pos"), col("w1").as("w"), col("cb")),
+        struct(lit(1).as("pos"), col("w2").as("w"), col("cb")))).as("e"))
+      .groupBy(col("e.w").as("w"))
+      .agg(sum(when(col("e.pos") === 0, col("e.cb"))).as("cu"))
+
   def lmQuality(docs: DataFrame, idCol: String, textCol: String,
-      tokenize: Column => Column = tokens): DataFrame = {
+      tokenize: Column => Column = tokens,
+      broadcastHintMaxInputBytes: BigInt = LmBroadcastHintMaxInputBytes)
+      : DataFrame = {
     val pr = bigramRows(docs, idCol, textCol, tokenize)
-    val docBig = pr.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
-    val big = docBig.groupBy("w1", "w2").agg(sum(col("n")).as("cb"))
+    val model = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .localCheckpoint(eager = false)
-    val prefix = big.groupBy("w1").agg(sum(col("cb")).as("cu"))
-    val vocab = big.select(explode(array(col("w1"), col("w2"))).as("w"))
-      .agg(count_distinct(col("w")).cast(DoubleType).as("vsz"))
-    val scored = big
-      .join(prefix, "w1")
+    val ts = lmTokenStats(model)
+    val vocab = ts.agg(count(lit(1)).cast(DoubleType).as("vsz"))
+    val scored = model
+      .join(ts.select(col("w").as("w1"), col("cu")), "w1")
       .crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         round(-log((col("cb") + 1).cast(DoubleType) /
           (col("cu").cast(DoubleType) + col("vsz"))), 6).as("nlp"))
-    docBig.join(scored, Seq("w1", "w2"))
+    val modelSide =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          broadcastHintMaxInputBytes) broadcast(scored)
+      else scored
+    pr.join(modelSide, Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(sum(col("n")).as("n_bigrams"),
-        (sum(col("n") * col("nlp").cast(DecimalType(18, 6)))
-          .cast(DoubleType) / sum(col("n"))).as("avg_nll"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nlp").cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("avg_nll"))
   }
 
   /** The offline model [[lmQuality]] builds internally, exported for
@@ -514,25 +566,32 @@ object TextAnalysis {
     * model ([[graft.streaming.DocStreams.lmScores]]). `vocabSize` is
     * collected eagerly (one tiny aggregate job): a model build is an
     * offline batch step, and downstream scoring needs V as a plan
-    * literal anyway.
+    * literal anyway. The model CARRIES its tokenizer so scoring can
+    * never tokenize a probe differently from the corpus the counts
+    * came from (a model built on `tokensFolded` scored against
+    * single-space probes would silently rate every bigram unseen).
+    * The model table stays `localCheckpoint`ed for the model's
+    * lifetime — reuse is the point of building one; blocks are
+    * reclaimed by the ContextCleaner when the model is dropped.
     */
   final case class LmModel(bigrams: DataFrame, prefixes: DataFrame,
-      vocabSize: Double)
+      vocabSize: Double, tokenize: Column => Column = tokens)
 
   /** Build the add-one bigram model of [[lmQuality]] from a corpus:
     * `bigrams` = (w1, w2, cb), `prefixes` = (w1, cu), `vocabSize` = V.
-    * Same counts, same determinism contract.
+    * Same counts (prefix totals and V from the same one-pass
+    * [[lmTokenStats]] aggregate), same determinism contract.
     */
   def lmModel(docs: DataFrame, idCol: String, textCol: String,
       tokenize: Column => Column = tokens): LmModel = {
     val pr = bigramRows(docs, idCol, textCol, tokenize)
     val big = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .localCheckpoint(eager = false)
-    val prefix = big.groupBy("w1").agg(sum(col("cb")).as("cu"))
-    val vsz = big.select(explode(array(col("w1"), col("w2"))).as("w"))
-      .agg(count_distinct(col("w")).cast(DoubleType).as("vsz"))
-      .head().getDouble(0)
-    LmModel(big, prefix, vsz)
+    val tokStats = lmTokenStats(big)
+    val prefix = tokStats.filter(col("cu").isNotNull)
+      .select(col("w").as("w1"), col("cu"))
+    val vsz = tokStats.count().toDouble
+    LmModel(big, prefix, vsz, tokenize)
   }
 
   /** Bounded inverted index — the retrieval-side artifact a training

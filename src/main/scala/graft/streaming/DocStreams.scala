@@ -187,8 +187,11 @@ object DocStreams {
   def lmScores(docs: DataFrame, idCol: String, textCol: String,
       model: graft.ops.TextAnalysis.LmModel): Dataset[DocLmScore] = {
     import docs.sparkSession.implicits._
+    // the model carries its tokenizer (LmModel.tokenize): a probe
+    // tokenized differently from the corpus the counts came from would
+    // silently score every bigram as unseen
     val pr = graft.ops.TextAnalysis.bigramRows(docs, idCol, textCol,
-      graft.ops.TextAnalysis.tokens)
+      model.tokenize)
     val nlp = round(-log(
       (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
         (coalesce(col("cu"), lit(0L)).cast("double") +

@@ -25,12 +25,45 @@ class ClustersSpec extends SparkSpec {
   test("pointer jumping: a 200-hop chain converges well under its diameter") {
     // plain min-label propagation needs ~200 rounds here; the
     // path-halving step must get there in O(log d) — 12 rounds is
-    // log2(200)≈7.6 plus slack, far under the diameter
+    // log2(200)≈7.6 plus slack, far under the diameter.
+    // smallGraphThreshold = 0 forces the distributed loop (the default
+    // adaptive path would union-find a 199-edge graph on the driver)
     val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Clusters.connectedComponents(pairs, "a", "b", maxIter = 12)
+    val got = Clusters.connectedComponents(pairs, "a", "b", maxIter = 12,
+        smallGraphThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(got.keySet == (1L to 200L).toSet)
     assert(got.values.toSet == Set(1L))
+  }
+
+  test("adaptive small-graph path labels exactly as the distributed loop") {
+    // chain + triangle + isolated pair + a 40-vertex random-ish graph:
+    // the driver union-find (default path at this size) and the forced
+    // distributed fixpoint must agree row for row
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (20L, 21L)) ++
+      (0L until 40L).map(i => (i * 7 % 40 + 100L, i * 13 % 40 + 100L)))
+      .toDF("a", "b")
+    val small = Clusters.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val loop = Clusters.connectedComponents(pairs, "a", "b",
+        smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(small == loop)
+    // self-loops (i*7%40 == i*13%40) must label as their own component
+    assert(small.contains(100L))
+  }
+
+  test("threshold boundary: a list one over the threshold takes the loop") {
+    // 5 edges, threshold 4 → the probe sees 5 rows and falls through to
+    // the distributed loop; result must be identical either way
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 10L), (10L, 11L))
+      .toDF("a", "b")
+    val viaLoop = Clusters.connectedComponents(pairs, "a", "b",
+        smallGraphThreshold = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLoop == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L,
+      8L -> 7L, 9L -> 9L, 10L -> 9L, 11L -> 9L))
   }
 
   test("reliable-checkpoint mode labels exactly as localCheckpoint mode") {
@@ -40,10 +73,13 @@ class ClustersSpec extends SparkSpec {
       val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
         (11L, 12L), (20L, 21L)) ++ (30L until 60L).map(i => (i, i + 1)))
         .toDF("a", "b")
-      val local = Clusters.connectedComponents(pairs, "a", "b")
+      // smallGraphThreshold = 0: checkpointing only exists on the
+      // distributed loop, which the adaptive path would skip here
+      val local = Clusters.connectedComponents(pairs, "a", "b",
+          smallGraphThreshold = 0)
         .as[(Long, Long)].collect().toMap
       val reliable = Clusters.connectedComponents(pairs, "a", "b",
-          checkpointDir = Some(dir))
+          checkpointDir = Some(dir), smallGraphThreshold = 0)
         .as[(Long, Long)].collect().toMap
       assert(reliable == local)
       // the reliable mode actually wrote durable checkpoint state
@@ -59,9 +95,32 @@ class ClustersSpec extends SparkSpec {
   test("non-convergence throws instead of returning partial labels") {
     val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
     val ex = intercept[IllegalStateException] {
-      Clusters.connectedComponents(pairs, "a", "b", maxIter = 2)
+      Clusters.connectedComponents(pairs, "a", "b", maxIter = 2,
+        smallGraphThreshold = 0)
     }
     assert(ex.getMessage.contains("fixpoint not confirmed"))
+  }
+
+  test("a conflicting pre-set checkpoint dir throws instead of hijacking it") {
+    val sc = spark.sparkContext
+    val preset = java.nio.file.Files
+      .createTempDirectory("graft-cc-preset").toString
+    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(preset)
+    val other = java.nio.file.Files
+      .createTempDirectory("graft-cc-other").toString
+    try {
+      val pairs = Seq((1L, 2L)).toDF("a", "b")
+      val ex = intercept[IllegalArgumentException] {
+        Clusters.connectedComponents(pairs, "a", "b",
+          checkpointDir = Some(other), smallGraphThreshold = 0)
+      }
+      assert(ex.getMessage.contains("refusing to redirect"))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(preset))
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(other))
+    }
   }
 
   test("edge direction does not matter") {

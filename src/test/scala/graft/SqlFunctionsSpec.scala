@@ -218,4 +218,26 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(scrub.getLong(0) === 2L)      // positions 1,2 covered
     assert(scrub.getString(1) === "a d e")
   }
+
+  test("SQL scrub_tokens sorts unsorted starts (kernel needs ascending)") {
+    GraftExtensions.register(spark)
+    // starts deliberately DESCENDING: the registration must sort before
+    // the two-pointer kernel, or the scrub silently under-covers
+    val scrub = spark.sql(
+      """SELECT scrub_tokens(array('a','b','c','d','e','f'),
+        |                    array(4L, 0L), 2) AS s
+        |""".stripMargin).head().getStruct(0)
+    assert(scrub.getLong(0) === 4L)      // positions 0,1 and 4,5 covered
+    assert(scrub.getString(1) === "c d")
+  }
+
+  test("SQL ws_tokens / fold_tokens match the TextAnalysis columns") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT ws_tokens(' (Héllo),\tWORLD  x9! ') AS ws,
+        |       fold_tokens(ws_tokens(' (Héllo),\tWORLD  x9! ')) AS f
+        |""".stripMargin).head()
+    assert(row.getSeq[String](0) === Seq("(Héllo),", "WORLD", "x9!"))
+    assert(row.getSeq[String](1) === Seq("héllo", "world", "x9"))
+  }
 }

@@ -61,6 +61,41 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  test("native kernels ≡ the regex spec expressions (incl. non-ASCII)") {
+    // the hot path is the byte-scan kernel (WsTokens/FoldTokens); the
+    // regex spellings survive as tokensWsSpec/foldTokensSpec — pin them
+    // equal in-engine, on generated mess plus the byte-level edge cases
+    // a UTF-8 scanner can get wrong: multi-byte code points at token
+    // edges, NBSP (not Java \s), full-width digits, case-fold
+    // expansions (İ, ΣΣ), empty/whitespace-only strings
+    val spark2 = spark
+    import spark2.implicits._
+    val strs = (1 to 80).map(messyString) ++ Seq(
+      "", " ", "\n\t\r\f", "héllo wörld", "Ünïcode\t\tÉÀ tökens",
+      "(héllo), 'quote' über—dash", "日本語 テスト 123", "a£b ...x9... !!!",
+      "İstanbul DIŞ Σίσυφος ΣΣ", "ｆｕｌｌｗｉｄｔｈ１２３ ascii123",
+      " nbsp keeps glued", "edge£ £edge £ a")
+    val rows = strs.toDF("s")
+      .select(
+        (TextAnalysis.tokensWs(col("s")) ===
+          TextAnalysis.tokensWsSpec(col("s"))).as("ws_eq"),
+        (TextAnalysis.tokensFolded(col("s")) ===
+          TextAnalysis.foldTokensSpec(
+            TextAnalysis.tokensWsSpec(col("s")))).as("fold_eq"),
+        col("s"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(0), s"ws kernel != spec on '${r.getString(2)}'")
+      assert(r.getBoolean(1), s"fold kernel != spec on '${r.getString(2)}'")
+    }
+    // null propagates like the spec: null text -> null arrays
+    val nulls = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "s")
+      .select(TextAnalysis.tokensWs(col("s")).as("ws"),
+        TextAnalysis.tokensFolded(col("s")).as("f"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("whitespace-only variants tokenize identically (tokens does not)") {
     val spark2 = spark
     import spark2.implicits._
