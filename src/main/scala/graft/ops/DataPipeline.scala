@@ -30,17 +30,26 @@ object DataPipeline {
     * keep-smallest-id (deterministic — `dropDuplicates` keeps an
     * arbitrary row, which would flap across runs/partitionings), so the
     * whole pipeline is a pure function of its input.
+    *
+    * `tokenize` flows through BOTH tokenizer consumers — the quality
+    * gate's token count and the near-dup token sets — so running the
+    * pipeline on [[TextAnalysis.tokensFolded]] makes documents that
+    * differ only in whitespace/case/edge-punctuation near-dup-match
+    * (the x75 contract); the default single-space [[TextAnalysis
+    * .tokens]] keeps the x50 fixture semantics.
     */
   def curate(docs: DataFrame, minTokens: Int = 40,
       minJaccard: Double = 0.9, blockCol: Column = lit(0),
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      tokenize: Column => Column = TextAnalysis.tokens): DataFrame = {
     val gated = docs
       .filter(col("text").isNotNull)
-      .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+      .filter(size(tokenize(col("text"))).cast("long") >= minTokens)
     val keep = gated.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
     val exact = gated.join(keep, Seq("doc_id", "text"), "left_semi")
-    val withTok = exact.withColumn("_tok", Dedup.tokenSet(col("text")))
+    val withTok = exact.withColumn("_tok",
+      Dedup.tokenSet(col("text"), tokenize))
     val victims = nearDupVictims(
       Dedup.nearDupPairs(withTok, "doc_id", "_tok", minJaccard,
         numHashes = numHashes, bands = bands, blockCol = blockCol))

@@ -2176,6 +2176,71 @@ object ExtensionCatalog {
         FROM r WHERE rank <= 5
         """ + orderedSql(Seq("doc_id", "nbr_id", "jaccard", "rank")))),
 
+    // x75 — the FULL curation pipeline (x50's quality gate → exact
+    // dedup → LSH near-dup sweep) run on the FOLDED production
+    // tokenizer end to end: even-id documents are deterministically
+    // whitespace/case/punctuation-messied (the x70 replaces), so a
+    // duplicate pair split across the parity line survives exact dedup
+    // (raw texts differ) and near-dup-matches ONLY because the folded
+    // token sets see through the mess — under the single-space
+    // tokenizer the same pipeline returns a different (larger)
+    // survivor set (DataPipelineSpec pins the difference). This
+    // converts x70's tokenizer from proven-in-isolation to
+    // oracle-checked through the whole dedup path. Recall certainty is
+    // x50's 96/24 argument — band collision is EXACT at j = 1 (equal
+    // folded sets), which is what the messied twins have.
+    QueryDef("x75_folded_curate",
+      (s, dir) => {
+        val messy = when(col("doc_id") % 2 === 0,
+          replace(
+            replace(col("text"), lit(" the "), lit("\n\tThe, ")),
+            lit(" of "), lit("  of. ")))
+          .otherwise(col("text"))
+        val docs = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), messy.as("text"), col("lang"),
+            col("source"), col("n_chars"))
+        ordered(graft.ops.DataPipeline.curate(docs, minTokens = 40,
+          minJaccard = 0.9, blockCol = col("source"), numHashes = 96,
+          bands = 24, tokenize = TextAnalysis.tokensFolded))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0
+              THEN replace(replace(text, ' the ', e'\n\tThe, '),
+                           ' of ', '  of. ')
+              ELSE text END AS text,
+            lang, source, n_chars
+          FROM documents WHERE text IS NOT NULL),
+        f AS (
+          SELECT doc_id, text, lang, source, n_chars,
+            list_filter(list_transform(
+              list_filter(regexp_split_to_array(text, '\s+'),
+                t -> t <> ''),
+              t -> regexp_replace(lower(t),
+                '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),
+              t -> t <> '') AS ftok
+          FROM m),
+        gated AS (SELECT * FROM f WHERE len(ftok) >= 40),
+        keepx AS (
+          SELECT text, MIN(doc_id) AS doc_id FROM gated GROUP BY text),
+        exact AS (
+          SELECT g.* FROM gated g
+          JOIN keepx k ON g.doc_id = k.doc_id AND g.text = k.text),
+        toks AS (
+          SELECT doc_id, source, list_distinct(ftok) AS tok FROM exact),
+        victims AS (
+          SELECT DISTINCT b.doc_id AS doc_id
+          FROM toks a JOIN toks b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9)
+        SELECT e.doc_id, e.text, e.lang, e.source, e.n_chars
+        FROM exact e
+        WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = e.doc_id)
+        """ + orderedSql(Seq("doc_id", "text", "lang", "source",
+          "n_chars")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

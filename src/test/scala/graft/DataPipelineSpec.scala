@@ -94,4 +94,38 @@ class DataPipelineSpec extends SparkSpec {
     }
     split.unpersist()
   }
+
+  test("folded curate dedups whitespace variants the simple tokenizer misses") {
+    import graft.ops.{DataPipeline, TextAnalysis}
+    // the x75 shape: even-id documents get deterministically messied
+    // (newline+tab separator with a case flip, double-space with
+    // attached punctuation), so duplicate pairs split across the
+    // parity line differ in RAW text but fold to identical token sets
+    val messy = when(col("doc_id") % 2 === 0,
+      replace(
+        replace(col("text"), lit(" the "), lit("\n\tThe, ")),
+        lit(" of "), lit("  of. ")))
+      .otherwise(col("text"))
+    val clean = Tables.load(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val messied = clean.select(col("doc_id"), messy.as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val foldedIds = ids(DataPipeline.curate(messied, 40, 0.9,
+      col("source"), 96, 24, TextAnalysis.tokensFolded))
+    val simpleIds = ids(DataPipeline.curate(messied, 40, 0.9,
+      col("source"), 96, 24))
+    val cleanIds = ids(DataPipeline.curate(clean, 40, 0.9,
+      col("source"), 96, 24))
+    // the simple tokenizer cannot match a messied doc to its clean
+    // twin — it keeps strictly more "survivors" (missed duplicates)
+    assert(foldedIds.size < simpleIds.size,
+      s"folded=${foldedIds.size} !< simple=${simpleIds.size}")
+    // folding recovers EXACTLY the clean-corpus survivor set: the
+    // mess is invisible to the folded pipeline end to end
+    assert(foldedIds === cleanIds)
+  }
 }
