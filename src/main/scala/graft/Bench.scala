@@ -29,6 +29,10 @@ object Bench {
 
     // optional args = query names to bench (dev iteration); driver
     // passes none and gets the full inventory
+    // scale-check runs (BENCH_LOCAL sf1 sections) override the warm-run
+    // count — multi-minute queries can't afford 5-warm medians; the
+    // driver leaves this unset and gets the full protocol
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "5").toInt
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     args.filterNot(SparkEntry.queries.contains).foreach(a =>
@@ -38,7 +42,7 @@ object Bench {
         try {
           run(fn) // cold run, discarded
           def median5(): Double = {
-            val warm = (1 to 5).map(_ => run(fn)).sorted
+            val warm = (1 to warmRuns).map(_ => run(fn)).sorted
             warm(warm.size / 2)
           }
           val m1 = median5()

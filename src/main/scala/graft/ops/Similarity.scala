@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -427,5 +428,95 @@ object Similarity {
       // matches (~200x on the clustered sf0.1 signatures)
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Exact brute-force cosine top-k for EVERY query in a deterministic
+    * id-stride query set — the batch twin of [[bruteForceTopK]] and the
+    * ground truth an ANN index is graded against. The query side is a
+    * stride-bounded sample (|corpus|/queryStride rows), broadcast
+    * against one corpus scan; ranking is a q_id-partitioned row_number
+    * window (WindowGroupLimit keeps k rows per partition before the
+    * exchange, the x74 pattern), on the rounded score with an id
+    * tie-break so the cutoff is deterministic cross-engine.
+    */
+  def bruteTopKBatch(vectors: DataFrame, idCol: String, vecCol: String,
+      queryStride: Int, k: Int): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val qs = base.filter(col("id") % queryStride === 0)
+      .select(col("id").as("q_id"), col("v").as("qv"))
+    val scored = base.crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        round(cosine(col("v"), col("qv")), 3).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("id"), col("sim"))
+  }
+
+  /** Multi-probe IVF top-k for the same stride-bounded query set — the
+    * batch twin of [[ivfTopKWith]]. Corpus assignment is the usual
+    * zero-shuffle plan-literal arg-max; each query's `nProbe` probe
+    * cells are ALSO a per-row projection (sort the plan-literal
+    * centroid scores, slice nProbe), so the query side never touches
+    * the driver; candidates come from one equi-join on the cell key
+    * with the query side broadcast. Probe ranking scores the RAW
+    * centroid with full cosine rounded to 6 dp (cell-asc tie-break):
+    * the unit-dot shortcut used for assignment would scale scores by
+    * |qv| and round differently than an oracle's cosine.
+    */
+  def ivfTopKBatch(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryStride: Int, k: Int,
+      nProbe: Int): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val cents = collectCentroids(centroids)
+    val unit = unitNorm(cents)
+    val nonZeroCells = unit.map(_._1).toSet
+    val assigned = base.withColumn("cell", bestCellExpr(col("v"), unit))
+    val probeScored = cents.filter(c => nonZeroCells(c._1)).map {
+      case (cell, cv) =>
+        struct((-round(cosine(col("qv"), typedLit(cv.toSeq)), 6)).as("nsim"),
+          lit(cell).as("cell"))
+    }
+    val withProbes = base.filter(col("id") % queryStride === 0)
+      .select(col("id").as("q_id"), col("v").as("qv"))
+      .select(col("q_id"), col("qv"),
+        explode(slice(array_sort(array(probeScored.toIndexedSeq: _*)),
+          1, nProbe)).as("probe"))
+      .select(col("q_id"), col("qv"), col("probe.cell").as("cell"))
+    val cands = assigned.join(broadcast(withProbes), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        round(cosine(col("v"), col("qv")), 3).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("id"), col("sim"))
+  }
+
+  /** ANN index QA: recall@k of the multi-probe IVF path against exact
+    * brute force, per query — the report a training pipeline runs
+    * before trusting an index for retrieval dedup. Output
+    * `(q_id, n_match, recall)`, one row per stride-sampled query;
+    * recall = |ivf top-k ∩ brute top-k| / k as an exact integer
+    * division. Two corpus scans (ground truth + index side) — it is a
+    * VALIDATION op over a bounded query sample, not a per-ingest path;
+    * at scale the brute side is the cost and the sample bounds it.
+    */
+  def annRecallReport(vectors: DataFrame, idCol: String, vecCol: String,
+      seedStride: Int, queryStride: Int, k: Int, nProbe: Int): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val seeds = base.filter(col("id") % seedStride === 0)
+      .select(col("id").as("cell"), col("v").as("cv"))
+    val brute = bruteTopKBatch(vectors, idCol, vecCol, queryStride, k)
+    val ivf = ivfTopKBatch(vectors, idCol, vecCol, seeds, queryStride, k,
+      nProbe)
+    val matches = brute.select(col("q_id"), col("id"))
+      .join(ivf.select(col("q_id"), col("id")), Seq("q_id", "id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_match"))
+    base.filter(col("id") % queryStride === 0).select(col("id").as("q_id"))
+      .join(matches, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        (coalesce(col("n_match"), lit(0L)).cast(DoubleType) / k)
+          .as("recall"))
   }
 }

@@ -2241,6 +2241,67 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "text", "lang", "source",
           "n_chars")))),
 
+    // x76 — ANN index QA: recall@10 of the multi-probe IVF path vs
+    // exact brute force, one row per stride-sampled query (the report a
+    // pipeline runs before trusting an index for retrieval dedup).
+    // Both sides rank on round(cosine, 3) with id tie-breaks; probe
+    // cells rank on round(cosine, 6) with cell tie-breaks — every
+    // cutoff deterministic cross-engine. Stride seeds keep the
+    // centroid set oracle-expressible (the x7 contract); the
+    // production swap-in is kmeansCentroids + the same ivfTopKBatch.
+    QueryDef("x76_ann_recall",
+      (s, dir) => ordered(Similarity.annRecallReport(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        seedStride = 251, queryStride = 97, k = 10, nProbe = 2)),
+      Some("""WITH base AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        seeds AS (
+          SELECT id AS seed_id, v AS seed_v FROM base WHERE id % 251 = 0),
+        assigned AS (
+          SELECT base.id,
+            arg_max(seed_id, list_cosine_similarity(v, seed_v)) AS cell
+          FROM base, seeds GROUP BY base.id),
+        cells AS (
+          SELECT assigned.id, cell, v
+          FROM assigned JOIN base ON assigned.id = base.id),
+        qs AS (SELECT id AS q_id, v AS qv FROM base WHERE id % 97 = 0),
+        probe AS (
+          SELECT q_id, seed_id AS cell FROM (
+            SELECT q_id, seed_id, row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY ROUND(list_cosine_similarity(qv, seed_v), 6)
+                  DESC, seed_id) AS rn
+            FROM qs, seeds) WHERE rn <= 2),
+        brute AS (
+          SELECT q_id, id FROM (
+            SELECT q_id, base.id, row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY ROUND(list_cosine_similarity(v, qv), 3)
+                  DESC, base.id) AS rn
+            FROM qs, base WHERE base.id <> q_id) WHERE rn <= 10),
+        ivf AS (
+          SELECT q_id, id FROM (
+            SELECT p.q_id, c.id, row_number() OVER (
+                PARTITION BY p.q_id
+                ORDER BY ROUND(list_cosine_similarity(c.v, qs.qv), 3)
+                  DESC, c.id) AS rn
+            FROM probe p
+            JOIN cells c ON c.cell = p.cell
+            JOIN qs ON qs.q_id = p.q_id
+            WHERE c.id <> p.q_id) WHERE rn <= 10),
+        m AS (
+          SELECT b.q_id, COUNT(*) AS n_match
+          FROM brute b JOIN ivf i ON i.q_id = b.q_id AND i.id = b.id
+          GROUP BY b.q_id),
+        r AS (
+          SELECT qs.q_id AS q_id,
+            CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+            CAST(COALESCE(m.n_match, 0) AS DOUBLE) / 10 AS recall
+          FROM qs LEFT JOIN m ON m.q_id = qs.q_id)
+        SELECT q_id, n_match, recall FROM r
+        """ + orderedSql(Seq("q_id", "n_match", "recall")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

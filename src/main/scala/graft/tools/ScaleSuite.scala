@@ -1,0 +1,216 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Shared-vocabulary scale-fixture builder (the BENCH_LOCAL "sf1-shared"
+  * check, round-8 VERDICT item 5).
+  *
+  * Round 7's 10× fixture suffixed every token `_<copy>`, making per-copy
+  * vocabularies DISJOINT: cross-copy LSH buckets were collision-free by
+  * construction, so the measured linear growth never exercised hot
+  * buckets. This builder replicates `documents` `copies`× with the FULL
+  * vocabulary shared:
+  *
+  *  - a 4% "hot" slice (`xxhash64(doc_id) % 25 == 0`) is copied
+  *    verbatim — cross-copy exact duplicates, the boilerplate/template
+  *    pages of a real crawl; these collide in EVERY band and form
+  *    genuinely hot buckets;
+  *  - every other document gets a per-copy token-MEMBERSHIP toggle: the
+  *    occurrences of 5 hash-picked vocabulary types are dropped and 4
+  *    other types appended, so copy-variants of a document share the
+  *    vocabulary (and most of their tokens) but sit below the 0.9
+  *    near-dup threshold, while two documents near-duplicate WITHIN a
+  *    copy stay near-duplicate (the toggle is a per-copy constant, not
+  *    per-document noise).
+  *
+  * The corpus's synthetic vocabulary is ~31 types with ~23 present per
+  * document, so any two documents have unigram-set Jaccard ≥ (2·23−31)/31
+  * ≈ 0.48 — at 96×24 banding that means nearly every intra-block pair is
+  * an LSH candidate no matter how the fixture is built. The unigram
+  * pipelines (x12/x33/x48) therefore measure the WORST-CASE candidate-
+  * dense regime here; [[ScaleCheck]] also reports the 5-shingle regime,
+  * where the shared-vocabulary shingle space is large and growth stays
+  * linear — the production-realistic configuration.
+  *
+  * Deterministic (hash-driven, no RNG); driver state is the collected
+  * vocabulary, guarded to ≤100k types — this is a fixture BUILDER run at
+  * bench scale, not a production operator.
+  */
+object ScaleFixture {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/sf1shared")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Sessions.local("graft-scale-fixture")
+
+    val base = spark.read.parquet(s"$src/documents.parquet")
+    val vocab = base
+      .select(explode(split(col("text"), " ", -1)).as("t"))
+      .filter(col("t") =!= "").distinct()
+      .orderBy("t").collect().map(_.getString(0))
+    require(vocab.length <= 100000,
+      s"vocabulary ${vocab.length} exceeds the fixture-builder bound")
+    val n = vocab.length
+
+    // deterministic ring walk over the sorted vocabulary; stride 7 is
+    // coprime with any realistic vocab size remainder classes we care
+    // about (and collisions are filtered anyway)
+    def pick(seed: Int, count: Int, excl: Set[String]): Seq[String] =
+      Iterator.from(0).map(i => vocab(((seed + i * 7) % n + n) % n))
+        .filterNot(excl).distinct.take(count).toSeq
+
+    val hot = pmod(xxhash64(col("doc_id")), lit(25)) === 0
+    val copyDfs = (0 until copies).map { c =>
+      if (c == 0) base
+      else {
+        val dropC = pick(c * 13 + 5, 5, Set.empty).toSet
+        val addC = pick(c * 29 + 11, 4, dropC)
+        val toks = split(col("text"), " ", -1)
+        val mutated = concat_ws(" ",
+          concat(filter(toks, t => !t.isInCollection(dropC)),
+            array(addC.map(lit): _*)))
+        base.select(
+          (col("doc_id") + c * 10000000L).as("doc_id"),
+          when(hot, col("text")).otherwise(mutated).as("text"),
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }
+    val all = copyDfs.reduce(_ unionByName _)
+    all.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    // the flagship pipelines read only `documents`; the remaining tables
+    // are copied byte-for-byte so the dir is a complete fixture
+    val srcDir = Paths.get(src)
+    Files.list(srcDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        p.getFileName.toString != "documents.parquet" && Files.isRegularFile(p))
+      .foreach { p =>
+        val dst = Paths.get(out, p.getFileName.toString)
+        Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
+    println(s"""{"fixture":"$out","copies":$copies,"vocab":$n,"docs":${all.count()}}""")
+    spark.stop()
+  }
+}
+
+/** Diagnostics for the shared-vocab scale check: per-dir LSH bucket
+  * histogram, candidate/verified pair counts for the unigram AND
+  * 5-shingle regimes, and (on request) an AQE skew-split demonstration
+  * on the real fixture's hottest bucket join. Prints one JSON line per
+  * dir — captured into BENCH_LOCAL.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/sf1shared")
+    val spark = Sessions.local("graft-scale-check")
+
+    dirs.foreach { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val uni = docs.select(col("doc_id"), col("source"),
+        Dedup.tokenSet(col("text")).as("tok"))
+      val sh = docs.select(col("doc_id"), col("source"),
+        Dedup.shingles(col("text"), 5).as("tok"))
+
+      def stats(d: DataFrame): (Long, Seq[Long], Long, Long, Long) = {
+        val banded = Dedup.bandedSignatures(d, "doc_id", "tok",
+          numHashes = 96, bands = 24, blockCol = col("source"))
+        val sizes = banded.groupBy("block", "band_id", "band_hash").count()
+        val top = sizes.orderBy(col("count").desc).limit(10)
+          .collect().map(_.getLong(3)).toSeq
+        val volume = sizes
+          .select(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+          .collect().head.getLong(0)
+        val nBuckets = sizes.count()
+        val cands = Dedup.lshCandidatePairs(d, "doc_id", "tok",
+          numHashes = 96, bands = 24, blockCol = col("source")).count()
+        val verified = Dedup.nearDupPairs(d, "doc_id", "tok", 0.9,
+          numHashes = 96, bands = 24, blockCol = col("source")).count()
+        (nBuckets, top, volume, cands, verified)
+      }
+
+      val nDocs = docs.count()
+      val (ub, utop, uvol, ucand, uver) = stats(uni)
+      val (sb, stop, svol, scand, sver) = stats(sh)
+      println(s"""{"dir":"$dir","docs":$nDocs,""" +
+        s""""unigram":{"buckets":$ub,"top_buckets":[${utop.mkString(",")}],""" +
+        s""""pair_volume":$uvol,"candidates":$ucand,"verified":$uver},""" +
+        s""""shingle5":{"buckets":$sb,"top_buckets":[${stop.mkString(",")}],""" +
+        s""""pair_volume":$svol,"candidates":$scand,"verified":$sver}}""")
+    }
+    spark.stop()
+  }
+}
+
+/** Forces AQE's skew-join thresholds down to fixture scale and runs the
+  * REAL unigram LSH bucket join on the given dir, asserting the final
+  * adaptive plan split the hot bucket partition (`skew=true`). The same
+  * mechanism SkewEvidenceSpec pins on a synthetic hot bucket, here
+  * demonstrated on the shared-vocab fixture's organically hot buckets.
+  */
+object SkewCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/tmp/sf1shared")
+    val spark = Sessions.local("graft-skew-check")
+    val conf = spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    conf.set("spark.sql.shuffle.partitions", "64")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        Dedup.tokenSet(col("text")).as("tok"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "tok",
+      minEstSim = 0.9, numHashes = 96, bands = 24,
+      blockCol = col("source"))
+    val cnt = pairs.groupBy().count()
+    val n = cnt.collect().head.getLong(0)
+    val plan = cnt.queryExecution.executedPlan.toString
+    val split = plan.contains("skew=true")
+    // partition-level balance of the bucket join's shuffle key: rows per
+    // hash partition of the banded-signature table — if max/median ~ 1,
+    // organic hot buckets never form a skewed partition and AQE has
+    // nothing to split (the adversarial case is pinned in
+    // SkewEvidenceSpec); if it were >> 1, `skew_split` above must be true
+    val perPart = Dedup.bandedSignatures(docs, "doc_id", "tok",
+        numHashes = 96, bands = 24, blockCol = col("source"))
+      .repartition(64, col("block"), col("band_id"), col("band_hash"))
+      .select(spark_partition_id().as("p"))
+      .groupBy("p").count()
+      .select(col("count")).collect().map(_.getLong(0)).sorted
+    val med = perPart(perPart.length / 2)
+    val mx = perPart.last
+    println(s"""{"dir":"$dir","est_pairs":$n,"skew_split":$split,""" +
+      s""""partition_rows_median":$med,"partition_rows_max":$mx}""")
+    spark.stop()
+  }
+}
+
+/** Shared local-session builder for the scale tools (Bench's config). */
+private[tools] object Sessions {
+  def local(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

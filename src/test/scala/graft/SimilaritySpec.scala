@@ -256,4 +256,57 @@ class SimilaritySpec extends SparkSpec {
       .subsetOf(labels))
     conf.unpersist()
   }
+
+  test("batch brute top-k agrees with the single-query path per query") {
+    val batch = Similarity.bruteTopKBatch(emb, "vec_id", "embedding",
+        queryStride = 97, k = 10)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val qIds = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(batch.keySet === qIds.toSet)
+    qIds.foreach { q =>
+      val single = Similarity.bruteForceTopK(
+          emb.filter($"vec_id" =!= q), "vec_id", "embedding",
+          emb.filter($"vec_id" === q), "embedding", 10)
+        .as[(Long, Double)].collect().toSet
+      assert(batch(q) === single, s"batch != single for query $q")
+    }
+  }
+
+  test("recall report: probing every cell recovers recall 1.0 exactly") {
+    // seedStride 100 → 5 cells at 500 vectors; nProbe = 5 probes them
+    // all, so IVF degenerates to brute force and recall must be exactly
+    // 1.0 for every query — any miss is a ranking-determinism bug
+    val rep = Similarity.annRecallReport(emb, "vec_id", "embedding",
+        seedStride = 100, queryStride = 97, k = 10, nProbe = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(rep.length === 6)
+    assert(rep.forall { case (_, m, r) => m === 10L && r === 1.0 },
+      rep.mkString(", "))
+  }
+
+  test("recall report bounds hold under a lossy single-probe config") {
+    val rep = Similarity.annRecallReport(emb, "vec_id", "embedding",
+        seedStride = 100, queryStride = 97, k = 10, nProbe = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(rep.length === 6)
+    rep.foreach { case (q, m, r) =>
+      assert(m >= 0L && m <= 10L, s"query $q n_match $m out of range")
+      assert(r === m / 10.0, s"query $q recall $r != n_match/k")
+    }
+  }
+
+  test("batch top-k ranks cut per partition before the exchange") {
+    // the q_id-partitioned row_number cut must plan a WindowGroupLimit
+    // (k rows kept per partition pre-shuffle — the x74 contract), and
+    // the query fan-out must be a broadcast, never a shuffled cross
+    val plan = Similarity.bruteTopKBatch(emb, "vec_id", "embedding",
+        queryStride = 97, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "batch brute top-k lost the WindowGroupLimit partial top-k")
+    assert(!plan.contains("CartesianProduct"),
+      "batch brute top-k plans a CartesianProduct")
+  }
 }
