@@ -180,4 +180,38 @@ object Sampling {
       .filter(col("_rk") <= cap)
       .drop("_rk")
   }
+
+  /** Per-stratum percentile calibration + global gate: rank each row's
+    * `scoreCol` WITHIN its stratum (percent_rank, id tie-break so the
+    * rank is total) and keep the top `keepFrac` of every stratum. This
+    * is the per-domain score normalization a curation pipeline runs
+    * before a global quality threshold — raw scores are not comparable
+    * across domains (boilerplate-heavy web text scores differently from
+    * code or forums), so gating on the raw score lets one domain
+    * dominate; gating on the within-domain percentile keeps the same
+    * fraction of every domain by construction.
+    *
+    * Output `(idCol, strataCol, score, pct)` for the survivors;
+    * `pct` = (rank−1)/(n−1) is exact integer arithmetic in IEEE double,
+    * so the cutoff is deterministic cross-engine PROVIDED `keepFrac` is
+    * an exact binary fraction (0.25, 0.5, …) — the comparison is
+    * `pct >= 1 − keepFrac` with no rounding. Single-row strata have
+    * pct = 0 and only survive keepFrac = 1.
+    *
+    * Scale design (100 TB): one rank window PARTITIONED by the stratum
+    * — same skew ceiling as [[capPerStratum]] (the largest stratum),
+    * same answer (a stratum too large to rank in one task should be
+    * pre-capped or sampled); no global window, no driver state.
+    */
+  def percentileGate(df: DataFrame, idCol: String, strataCol: String,
+      scoreCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.select(col(idCol), col(strataCol), col(scoreCol).as("score"))
+      .withColumn("pct", percent_rank().over(w))
+      .filter(col("pct") >= lit(1.0 - keepFrac))
+  }
 }

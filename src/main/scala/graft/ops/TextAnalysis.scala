@@ -177,6 +177,52 @@ object TextAnalysis {
         size(array_distinct(grams)).cast(DoubleType) / size(grams))
   }
 
+  /** Within-document repeated-k-gram SCRUB — the removal counterpart of
+    * [[repetitionRatio]]'s scoring: every token covered by a k-gram
+    * whose exact text already occurred EARLIER in the same document is
+    * dropped (first occurrence kept), and the survivors reassembled.
+    * The Gopher-style cleanup for looping/boilerplate generations where
+    * the right action is to repair the document, not discard it.
+    *
+    * Mechanics: per row, k-gram start positions whose gram equals an
+    * earlier position's gram (`array_position` finds the FIRST match,
+    * so a start is a repeat iff its first match precedes it) feed the
+    * same two-pointer [[graft.functions.ScrubKernel]] the
+    * decontamination scrubber uses — overlapping repeat windows merge,
+    * count-exact. Zero shuffle: every step is a per-row projection on
+    * staged columns. Per-row cost is O(L·G) for G grams of a doc of L
+    * tokens (`array_position` scans per start) — quadratic in document
+    * length like the other within-doc list ops (x29's shingle walk);
+    * bounded in practice by pipeline length caps, and rows are
+    * independent so the bound never compounds across the corpus.
+    *
+    * Returns `(doc_id, n_tokens, n_scrubbed, scrubbed_text)`; null
+    * texts are dropped.
+    */
+  def selfRepetitionScrub(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val staged = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .withColumn("_idx",
+        when(size(col("_t")) >= k,
+            sequence(lit(1), size(col("_t")) - (k - 1)))
+          .otherwise(array().cast(ArrayType(IntegerType))))
+      .withColumn("_grams", transform(col("_idx"),
+        i => array_join(slice(col("_t"), i, lit(k)), " ")))
+      .withColumn("_starts", transform(
+        filter(col("_idx"), i =>
+          array_position(col("_grams"), element_at(col("_grams"), i)) < i),
+        i => (i - 1).cast(LongType)))
+    staged.select(col("doc_id"),
+        size(col("_t")).cast(LongType).as("n_tokens"),
+        graft.functions.ScrubFunctions
+          .scrubTokens(col("_t"), col("_starts"), k).as("_r"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("_r.n_scrubbed").as("n_scrubbed"),
+        col("_r.scrubbed_text").as("scrubbed_text"))
+  }
+
   /** Split each document into overlapping token windows — the
     * context-length chunking primitive for training-example prep and
     * RAG indexing: windows of `chunkSize` tokens starting every

@@ -2302,6 +2302,78 @@ object ExtensionCatalog {
         SELECT q_id, n_match, recall FROM r
         """ + orderedSql(Seq("q_id", "n_match", "recall")))),
 
+    // x77 — per-source percentile calibration + global gate: rank each
+    // doc's quality score WITHIN its source (percent_rank, doc_id
+    // tie-break) and keep the top 25% of every source — the per-domain
+    // normalization a pipeline runs before a global threshold so no
+    // domain dominates. pct = (rank-1)/(n-1) is exact integer
+    // arithmetic in IEEE double and 0.75 is an exact binary fraction,
+    // so the cutoff is deterministic cross-engine with no rounding.
+    // Score = x2's avg-word-length signal (per-row IEEE).
+    QueryDef("x77_calibrated_gate",
+      (s, dir) => {
+        val tc = size(split(col("text"), " ", -1))
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          ((col("n_chars") - (tc - 1)).cast(DoubleType) / tc).as("score"))
+        ordered(Sampling.percentileGate(scored, "doc_id", "source",
+          "score", keepFrac = 0.25))
+      },
+      Some("""WITH s AS (
+          SELECT doc_id, source,
+            CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              / len(string_split(text, ' ')) AS score
+          FROM documents),
+        p AS (
+          SELECT doc_id, source, score,
+            percent_rank() OVER (
+              PARTITION BY source ORDER BY score, doc_id) AS pct
+          FROM s)
+        SELECT doc_id, source, score, pct FROM p WHERE pct >= 0.75
+        """ + orderedSql(Seq("doc_id", "source", "score", "pct")))),
+
+    // x78 — within-document repeated-trigram scrub (the removal
+    // counterpart of x41's repetition scoring): tokens covered by a
+    // trigram whose exact text occurred earlier in the same document
+    // are dropped (first occurrence kept) via the same two-pointer
+    // ScrubKernel as x67. Zero shuffle — every step is a per-row
+    // projection; the oracle spells the identical first-match/coverage
+    // set with DuckDB list lambdas.
+    QueryDef("x78_self_repetition_scrub",
+      (s, dir) => ordered(TextAnalysis.selfRepetitionScrub(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id, toks, len(toks) AS n,
+            CASE WHEN len(toks) >= 3 THEN range(1, len(toks) - 1)
+              ELSE CAST([] AS BIGINT[]) END AS idx
+          FROM base),
+        h AS (
+          SELECT doc_id, toks, n, idx,
+            list_transform(idx,
+              i -> array_to_string(toks[i:i+2], ' ')) AS grams
+          FROM g),
+        d AS (
+          SELECT doc_id, toks, n,
+            list_filter(idx,
+              i -> list_position(grams, grams[i]) < i) AS dstarts
+          FROM h),
+        r AS (
+          SELECT doc_id, toks, n,
+            list_filter(range(1, n + 1), t ->
+              len(list_filter(dstarts,
+                s -> s <= t AND t <= s + 2)) = 0) AS kept
+          FROM d)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          CAST(n - len(kept) AS BIGINT) AS n_scrubbed,
+          array_to_string(list_transform(kept, t -> toks[t]), ' ')
+            AS scrubbed_text
+        FROM r
+        """ + orderedSql(Seq("doc_id", "n_tokens", "n_scrubbed",
+          "scrubbed_text")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

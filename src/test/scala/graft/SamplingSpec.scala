@@ -210,4 +210,50 @@ class SamplingSpec extends SparkSpec {
     assert(beats.count() === 0L, "a dropped row outranks a kept row")
     kept.unpersist()
   }
+
+  test("percentile gate keeps the exact top fraction of every stratum") {
+    val scored = docs.select($"doc_id", $"source",
+      $"n_chars".cast("double").as("score"))
+    val kept = Sampling.percentileGate(scored, "doc_id", "source",
+      "score", keepFrac = 0.25).cache()
+    val perSource = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val totals = scored.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // pct = (rank-1)/(n-1) >= 0.75  ⇔  rank >= ceil(0.75(n-1)) + 1
+    // (ranks are total under the id tie-break), so the kept count is a
+    // pure function of n — the same-fraction-of-every-domain contract
+    totals.foreach { case (src, n) =>
+      val want = (1L to n).count(r => (r - 1).toDouble / (n - 1) >= 0.75)
+      assert(perSource.getOrElse(src, 0L) === want.toLong,
+        s"source $src kept ${perSource.getOrElse(src, 0L)} of $n")
+    }
+    // survivors are the top-scored rows: no dropped row may outscore a
+    // kept row of the same stratum under (score, doc_id)
+    val dropped = scored.join(kept.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    val worstKept = kept.groupBy(kept("source").as("src"))
+      .agg(min(struct($"score", $"doc_id")).as("wk"))
+    val beats = dropped.join(worstKept, dropped("source") === $"src")
+      .filter(struct(dropped("score"), dropped("doc_id")) > $"wk")
+    assert(beats.count() === 0L, "a dropped row outscores a kept row")
+    kept.unpersist()
+  }
+
+  test("percentile gate boundaries: keepFrac 1 keeps all, singletons drop") {
+    val scored = Seq(
+      (1L, "a", 5.0), (2L, "a", 3.0), (3L, "a", 9.0), (4L, "a", 1.0),
+      (5L, "solo", 7.0)).toDF("doc_id", "source", "score")
+    assert(Sampling.percentileGate(scored, "doc_id", "source", "score",
+      1.0).count() === 5L)
+    val kept = Sampling.percentileGate(scored, "doc_id", "source", "score",
+        0.25)
+      .as[(Long, String, Double, Double)].collect().sortBy(_._1).toSeq
+    // stratum a (n=4): pct = 0, 1/3, 2/3, 1 — only the top row passes
+    // 0.75; the singleton stratum has pct 0 and drops
+    assert(kept === Seq((3L, "a", 9.0, 1.0)))
+    intercept[IllegalArgumentException] {
+      Sampling.percentileGate(scored, "doc_id", "source", "score", 0.0)
+    }
+  }
 }

@@ -250,6 +250,42 @@ class TfIdfSpec extends SparkSpec {
     assert(h.nonEmpty && h.sameElements(s))
   }
 
+  test("self-repetition scrub: hand-computed repeats, merge, idempotence") {
+    val docs = Seq(
+      (1L, "a b c a b c d"), // trigram at 4 repeats start 1 → drop 3 toks
+      (2L, "x y x y x y x y"), // starts 3..6 repeat → windows merge, keep "x y"
+      (3L, "p q r s"),       // no repeats → untouched
+      (4L, "a b"),           // shorter than k → untouched
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.selfRepetitionScrub(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 7L, 3L, "a b c d"),
+      (2L, 8L, 6L, "x y"),
+      (3L, 4L, 0L, "p q r s"),
+      (4L, 2L, 0L, "a b"),
+      (5L, 1L, 0L, "")))
+    // fixture-empirical idempotence: scrubbing a scrubbed corpus is a
+    // no-op here (a cross-cut trigram CAN in principle equal an earlier
+    // surviving one, so this is a stability observation, not a theorem).
+    // localCheckpoint cuts the lineage between the passes: without it
+    // CollapseProject inlines pass 1's whole expression tree into every
+    // `_t` reference of pass 2, and the interpreted HOF lambdas (no CSE)
+    // re-evaluate it per array element — a multiplicative per-row blowup
+    // no real pipeline hits (it materializes between passes).
+    val fix = Tables.load(spark, sf0001, "documents")
+    val once = TextAnalysis.selfRepetitionScrub(fix, "doc_id", "text", 3)
+      .withColumnRenamed("scrubbed_text", "text")
+      .localCheckpoint()
+    val twice = TextAnalysis.selfRepetitionScrub(once, "doc_id", "text", 3)
+    assert(twice.filter($"n_scrubbed" > 0).count() === 0L,
+      "second scrub pass removed tokens — scrub is not idempotent here")
+    // plan is shuffle-free: a pure per-row pipeline must plan no Exchange
+    val plan = TextAnalysis.selfRepetitionScrub(fix, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "self-repetition scrub shuffles")
+  }
+
   test("token chunks: hand-computed windows, clipping, and no-overlap rebuild") {
     val doc = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
