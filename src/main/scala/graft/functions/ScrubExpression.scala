@@ -86,6 +86,72 @@ case class ScrubTokens(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Repeat-gram detector for the self-repetition scrub
+  * ([[graft.ops.TextAnalysis.selfRepetitionScrub]]): the 0-based start
+  * positions whose k-gram (tokens joined by one space — whitespace
+  * tokens cannot contain spaces, so the join is injective) equals a
+  * k-gram starting EARLIER in the same array. Exact string equality
+  * via one hash-map pass, O(tokens·k) per row, replacing the HOF
+  * spelling's O(grams²) interpreted `array_position` scan; the HOF
+  * spelling survives as
+  * [[graft.ops.TextAnalysis.selfRepetitionScrubSpec]] — the executable
+  * specification the kernel is property-pinned against (TfIdfSpec)
+  * and the exact shape the DuckDB oracle runs.
+  */
+object RepeatedGramKernel {
+  def repeatedStarts(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val seen = new java.util.HashMap[String, Integer](n * 2)
+    val out = new java.util.ArrayList[java.lang.Long]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + j))
+          sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      if (seen.putIfAbsent(sb.toString, Integer.valueOf(i)) != null)
+        out.add(java.lang.Long.valueOf(i.toLong))
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    var p = 0
+    while (p < arr.length) { arr(p) = out.get(p).longValue(); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** `repeated_gram_starts(tokens, k)` — see
+  * [[RepeatedGramKernel.repeatedStarts]]. Null → null; output is
+  * ascending (scan order), ready for [[ScrubKernel]].
+  */
+case class RepeatedGramStarts(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repeated_gram_starts requires array<string>, got " +
+        other.catalogString)
+  }
+  override def nullSafeEval(tokens: Any): Any =
+    RepeatedGramKernel.repeatedStarts(tokens.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.RepeatedGramKernel.repeatedStarts($t, $k);")
+  override protected def withNewChildInternal(
+      newChild: Expression): RepeatedGramStarts =
+    copy(child = newChild)
+}
+
 object ScrubFunctions {
   import org.apache.spark.sql.functions.sort_array
 
@@ -99,4 +165,11 @@ object ScrubFunctions {
       ColumnBridge.expression(
         sort_array(starts.cast(ArrayType(LongType)))),
       k))
+
+  /** Ascending 0-based starts of k-grams repeating an earlier one —
+    * see [[RepeatedGramKernel.repeatedStarts]].
+    */
+  def repeatedGramStarts(tokens: Column, k: Int): Column =
+    ColumnBridge.column(RepeatedGramStarts(
+      ColumnBridge.expression(tokens), k))
 }

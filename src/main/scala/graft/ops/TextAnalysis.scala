@@ -185,22 +185,42 @@ object TextAnalysis {
     * the right action is to repair the document, not discard it.
     *
     * Mechanics: per row, k-gram start positions whose gram equals an
-    * earlier position's gram (`array_position` finds the FIRST match,
-    * so a start is a repeat iff its first match precedes it) feed the
-    * same two-pointer [[graft.functions.ScrubKernel]] the
-    * decontamination scrubber uses — overlapping repeat windows merge,
-    * count-exact. Zero shuffle: every step is a per-row projection on
-    * staged columns. Per-row cost is O(L·G) for G grams of a doc of L
-    * tokens (`array_position` scans per start) — quadratic in document
-    * length like the other within-doc list ops (x29's shingle walk);
-    * bounded in practice by pipeline length caps, and rows are
-    * independent so the bound never compounds across the corpus.
+    * earlier position's gram (first match precedes it) feed the same
+    * two-pointer [[graft.functions.ScrubKernel]] the decontamination
+    * scrubber uses — overlapping repeat windows merge, count-exact.
+    * Zero shuffle: every step is a per-row projection. The repeat
+    * detection is the native [[graft.functions.RepeatedGramKernel]] —
+    * one hash-map pass, O(L·k) per doc of L tokens; the HOF spelling
+    * (O(G²) interpreted `array_position` scans) survives as
+    * [[selfRepetitionScrubSpec]], the executable specification the
+    * kernel is property-pinned against (TfIdfSpec) and the shape the
+    * DuckDB oracle runs.
     *
     * Returns `(doc_id, n_tokens, n_scrubbed, scrubbed_text)`; null
     * texts are dropped.
     */
   def selfRepetitionScrub(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"),
+        size(col("_t")).cast(LongType).as("n_tokens"),
+        graft.functions.ScrubFunctions.scrubTokens(col("_t"),
+          graft.functions.ScrubFunctions.repeatedGramStarts(col("_t"), k),
+          k).as("_r"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("_r.n_scrubbed").as("n_scrubbed"),
+        col("_r.scrubbed_text").as("scrubbed_text"))
+  }
+
+  /** Executable specification for [[selfRepetitionScrub]]'s repeat
+    * detection — the pure-`functions._` spelling (`array_position`
+    * finds the FIRST match, so a start is a repeat iff its first match
+    * precedes it). Kernel ≡ spec is property-pinned in TfIdfSpec.
+    */
+  def selfRepetitionScrubSpec(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val staged = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))

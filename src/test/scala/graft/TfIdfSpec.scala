@@ -280,6 +280,14 @@ class TfIdfSpec extends SparkSpec {
     val twice = TextAnalysis.selfRepetitionScrub(once, "doc_id", "text", 3)
     assert(twice.filter($"n_scrubbed" > 0).count() === 0L,
       "second scrub pass removed tokens — scrub is not idempotent here")
+    // kernel ≡ executable spec: the native hash-map RepeatedGramKernel
+    // must agree with the pure-functions array_position spelling on the
+    // fixture, row for row (the WsTokens/PortableMinHash pin pattern)
+    val spec = TextAnalysis.selfRepetitionScrubSpec(fix, "doc_id", "text", 3)
+    assert(TextAnalysis.selfRepetitionScrub(fix, "doc_id", "text", 3)
+      .exceptAll(spec).isEmpty && spec.exceptAll(
+        TextAnalysis.selfRepetitionScrub(fix, "doc_id", "text", 3)).isEmpty,
+      "RepeatedGramKernel diverges from the HOF spec")
     // plan is shuffle-free: a pure per-row pipeline must plan no Exchange
     val plan = TextAnalysis.selfRepetitionScrub(fix, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
