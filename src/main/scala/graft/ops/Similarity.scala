@@ -430,6 +430,52 @@ object Similarity {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** SemDeDup-style semantic deduplication: partition the embedding
+    * space into LSH buckets (the top `bucketBits` bits of the portable
+    * SRP signature — a data-independent space partition BOTH engines
+    * derive exactly, the x72 integer spelling), verify within-bucket
+    * pairs with exact cosine ≥ `minCosine`, connect them into
+    * components, and keep one representative per component (the
+    * minimum id — the same canonicalization every CC path here
+    * converges to). Vectors in different buckets are never compared —
+    * the same within-cluster-only contract SemDeDup (Abbas et al.,
+    * 2023) has with its k-means clusters; the cluster granularity is
+    * `bucketBits` (256 buckets at 8 bits, 65k at 16 — raise it with
+    * corpus size so buckets stay verifier-sized).
+    *
+    * Scale design (100 TB): the bucket id is one codegen kernel pass
+    * per row (no training job, no centroid broadcast); the only
+    * shuffles are the bucket-keyed pair join and the CC rounds on the
+    * (sparse) match edges. All-pairs work is confined within buckets,
+    * exactly like the banded text-LSH paths; a verbatim-duplicate hot
+    * bucket is bounded by the duplication factor, the same argument as
+    * the sf1-shared check.
+    *
+    * Returns `(vec_id, bucket, rep_id, is_rep)` — the decision table a
+    * pipeline semi-joins against to drop semantic duplicates.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bucketBits: Int = 8, bits: Int = 32,
+      dim: Int = 64): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= bits,
+      s"need 1 <= bucketBits <= $bits, got $bucketBits")
+    require(bits <= 63, "bits must fit a long")
+    val sigs = vectors.select(col(idCol).as("vec_id"),
+        toDouble(col(vecCol)).as("_v"),
+        graft.functions.PortableMinHashFunctions.portableSrpSig(
+          transform(col(vecCol), x =>
+            floor(x.cast(DoubleType) * lit(1000)).cast(LongType)),
+          bits, dim).as("_sig"))
+      .withColumn("bucket", shiftright(col("_sig"), bits - bucketBits))
+    val pairs = cosinePairs(sigs, "vec_id", "_v", col("bucket"), minCosine)
+    graft.ops.Clusters.assignComponents(
+        sigs.select(col("vec_id"), col("bucket")), "vec_id",
+        pairs, "a_id", "b_id")
+      .select(col("vec_id"), col("bucket"),
+        col("component").as("rep_id"),
+        (col("vec_id") === col("component")).as("is_rep"))
+  }
+
   /** Exact brute-force cosine top-k for EVERY query in a deterministic
     * id-stride query set — the batch twin of [[bruteForceTopK]] and the
     * ground truth an ANN index is graded against. The query side is a

@@ -2374,6 +2374,61 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "n_tokens", "n_scrubbed",
           "scrubbed_text")))),
 
+    // x79 — SemDeDup-style semantic dedup: embedding space partitioned
+    // by the top 8 bits of the portable SRP signature (the x72 integer
+    // spelling — exact in both engines), within-bucket pairs verified
+    // with exact cosine >= 0.35, connected components (x58's recursive
+    // CTE pattern in the oracle), one representative (min id) kept per
+    // component. Cross-bucket near-dups are out of contract — the same
+    // within-cluster-only semantics SemDeDup has with k-means cells.
+    QueryDef("x79_semantic_dedup",
+      (s, dir) => ordered(Similarity.semanticDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.35)),
+      Some("""WITH RECURSIVE w AS (
+          SELECT i.i AS i, j.j AS j,
+            CASE WHEN substr(md5(CAST(i.i AS VARCHAR) || '|' ||
+                CAST(j.j AS VARCHAR)), 1, 1) IN
+                ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(range(32)) AS i) i
+          CROSS JOIN (SELECT unnest(range(64)) AS j) j),
+        q AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        votes AS (
+          SELECT q.vec_id, w.i, SUM(w.s * q.qv[w.j + 1]) AS vote
+          FROM q CROSS JOIN w GROUP BY q.vec_id, w.i),
+        sig AS (
+          SELECT vec_id,
+            CAST(SUM(CASE WHEN vote > 0
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+          FROM votes GROUP BY vec_id),
+        b AS (
+          SELECT s.vec_id, CAST(s.sig >> 24 AS BIGINT) AS bucket,
+            e.embedding
+          FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id),
+        pairs AS (
+          SELECT a.vec_id AS a_id, b2.vec_id AS b_id
+          FROM b a JOIN b b2
+            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b2.embedding AS DOUBLE[])) >= 0.35),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+        reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+        SELECT b.vec_id, b.bucket,
+          COALESCE(l.comp, b.vec_id) AS rep_id,
+          COALESCE(l.comp, b.vec_id) = b.vec_id AS is_rep
+        FROM b LEFT JOIN labels l ON l.id = b.vec_id
+        """ + orderedSql(Seq("vec_id", "bucket", "rep_id", "is_rep")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -309,4 +309,49 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "batch brute top-k plans a CartesianProduct")
   }
+
+  test("semantic dedup: scaled copies collapse, orthogonals survive") {
+    // v and 2v have cosine exactly 1 and identical SRP sign votes (the
+    // projection is linear, positive scaling preserves every sign), so
+    // they share a bucket and collapse; one-hot vectors on distinct
+    // dims have cosine 0 < threshold and each stays its own rep even
+    // if a bucket collides
+    def oneHot(i: Int, s: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(i) = s; a
+    }
+    val vecs = Seq(
+      (10L, oneHot(0, 1f)), (11L, oneHot(0, 2f)),
+      (20L, oneHot(1, 1f)), (30L, oneHot(2, 3f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding", 0.35)
+      .select($"vec_id", $"rep_id", $"is_rep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true), (30L, 30L, true)))
+  }
+
+  test("semantic dedup fixture laws: total, canonical, bucket-closed") {
+    val dd = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.35)
+      .cache()
+    // total: one decision row per vector
+    assert(dd.count() === emb.count())
+    // canonical: rep is the component minimum, so rep_id <= vec_id and
+    // is_rep exactly when a vector is its own rep; every rep_id refers
+    // to a row that is itself a rep (the keep-set is closed)
+    assert(dd.filter($"rep_id" > $"vec_id").count() === 0L)
+    assert(dd.filter($"is_rep" =!= ($"vec_id" === $"rep_id")).count() === 0L)
+    val reps = dd.filter($"is_rep").select($"vec_id".as("rep_id"))
+    assert(dd.select("rep_id").distinct()
+      .join(reps, Seq("rep_id"), "left_anti").count() === 0L,
+      "a rep_id points at a non-rep row")
+    // bucket-closed: edges only form within buckets, so every component
+    // lives in exactly one bucket
+    assert(dd.groupBy("rep_id")
+      .agg(countDistinct($"bucket").as("nb"))
+      .filter($"nb" > 1).count() === 0L)
+    // it actually dedups the fixture's planted duplicates: some
+    // non-rep rows must exist at this threshold
+    assert(dd.filter(!$"is_rep").count() > 0L)
+    dd.unpersist()
+  }
 }
