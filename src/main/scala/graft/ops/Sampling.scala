@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Deterministic hash-based sampling and split assignment — the
   * reproducibility primitives of a training-data pipeline. Every
@@ -203,6 +204,49 @@ object Sampling {
     * same answer (a stratum too large to rank in one task should be
     * pre-capped or sampled); no global window, no driver state.
     */
+  /** Temperature-based source mixture plan — the "data mixing" step a
+    * multi-source training pipeline runs before sampling: per stratum
+    * (source/domain/language), weight ∝ n_tokens^alpha normalized
+    * across strata. alpha = 1 samples proportionally; alpha < 1
+    * flattens the mixture toward small sources (the multilingual
+    * up-sampling temperature); alpha = 0 is uniform. For each stratum
+    * the plan reports its token count, mixture weight, the token draw
+    * under `tokenBudget`, and `epochs` — the over-sampling factor
+    * (draws/size) pipelines watch for repetition risk.
+    *
+    * Cross-engine determinism: n_docs/n_tokens are exact longs; the
+    * weighted mass routes through DECIMAL(18,6) (the moneySum
+    * pattern — the 6dp rounding also absorbs sub-ulp libm pow
+    * differences), the total is an exact DECIMAL sum, and every
+    * derived double is per-row IEEE arithmetic on those exact values.
+    *
+    * Scale design (100 TB): one stratum aggregate (map-side partial),
+    * a one-row total broadcast back — no window, no driver math; the
+    * output is strata-sized (tiny by construction).
+    */
+  def mixtureWeights(docs: DataFrame, strataCol: String, textCol: String,
+      tokenBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0,1], got $alpha")
+    require(tokenBudget >= 0L, s"tokenBudget must be >= 0, got $tokenBudget")
+    val d186 = DecimalType(18, 6)
+    val per = docs.filter(col(textCol).isNotNull)
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.ops.TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("_m", pow(col("n_tokens").cast(DoubleType), lit(alpha))
+        .cast(d186))
+    val tot = per.agg(sum(col("_m")).as("_tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        (col("_m").cast(DoubleType) / col("_tot").cast(DoubleType))
+          .as("weight"))
+      .withColumn("draw_tokens",
+        floor(lit(tokenBudget.toDouble) * col("weight")).cast(LongType))
+      .withColumn("epochs",
+        col("draw_tokens").cast(DoubleType) / col("n_tokens"))
+  }
+
   def percentileGate(df: DataFrame, idCol: String, strataCol: String,
       scoreCol: String, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,

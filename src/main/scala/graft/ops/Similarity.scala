@@ -454,19 +454,29 @@ object Similarity {
     * Returns `(vec_id, bucket, rep_id, is_rep)` — the decision table a
     * pipeline semi-joins against to drop semantic duplicates.
     */
-  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, bucketBits: Int = 8, bits: Int = 32,
-      dim: Int = 64): DataFrame = {
+  /** The LSH-space partition [[semanticDedup]] (and its streaming twin
+    * [[graft.streaming.VecStreams.semanticDedupCandidates]]) bucket by:
+    * the top `bucketBits` bits of the portable SRP signature over the
+    * `floor(x*1000)`-quantized vector — integer arithmetic both engines
+    * derive exactly (the x72 spelling).
+    */
+  def srpBucket(vecCol: Column, bucketBits: Int, bits: Int = 32,
+      dim: Int = 64): Column = {
     require(bucketBits >= 1 && bucketBits <= bits,
       s"need 1 <= bucketBits <= $bits, got $bucketBits")
     require(bits <= 63, "bits must fit a long")
+    shiftright(graft.functions.PortableMinHashFunctions.portableSrpSig(
+      transform(vecCol, x =>
+        floor(x.cast(DoubleType) * lit(1000)).cast(LongType)),
+      bits, dim), bits - bucketBits)
+  }
+
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bucketBits: Int = 8, bits: Int = 32,
+      dim: Int = 64): DataFrame = {
     val sigs = vectors.select(col(idCol).as("vec_id"),
         toDouble(col(vecCol)).as("_v"),
-        graft.functions.PortableMinHashFunctions.portableSrpSig(
-          transform(col(vecCol), x =>
-            floor(x.cast(DoubleType) * lit(1000)).cast(LongType)),
-          bits, dim).as("_sig"))
-      .withColumn("bucket", shiftright(col("_sig"), bits - bucketBits))
+        srpBucket(col(vecCol), bucketBits, bits, dim).as("bucket"))
     val pairs = cosinePairs(sigs, "vec_id", "_v", col("bucket"), minCosine)
     graft.ops.Clusters.assignComponents(
         sigs.select(col("vec_id"), col("bucket")), "vec_id",
@@ -474,6 +484,67 @@ object Similarity {
       .select(col("vec_id"), col("bucket"),
         col("component").as("rep_id"),
         (col("vec_id") === col("component")).as("is_rep"))
+  }
+
+  /** Cluster-balanced diversity subset — the "diversify" step a
+    * curation pipeline runs after dedup (the DCLM/SemDeDup recipe):
+    * assign every vector to its arg-max seed cell (the x7 zero-shuffle
+    * plan-literal assignment), rank within each cell by similarity to
+    * the cell centroid (closest first, on round(cosine,6) with an id
+    * tie-break so the cutoff is deterministic cross-engine — the x76
+    * precedent) and keep `cap` per cell: a fixed quota per region of
+    * embedding space, so no dense region dominates the subset.
+    *
+    * Scale design (100 TB): assignment is a per-row codegen projection
+    * (centroids are plan literals, bounded by `MaxPlanCentroids`); the
+    * only shuffle is the cell-partitioned rank window, which plans a
+    * WindowGroupLimit — `cap` rows survive per input partition before
+    * the exchange. Stride seeds are the fixture-scale oracle contract;
+    * swap in [[kmeansCentroids]] at real scale via [[clusterBalancedWith]].
+    */
+  def clusterBalancedSample(vectors: DataFrame, idCol: String,
+      vecCol: String, seedStride: Int, cap: Int): DataFrame = {
+    val base = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("_v"))
+    val seeds = base.filter(col("vec_id") % seedStride === 0)
+      .select(col("vec_id").as("cell"), col("_v").as("cv"))
+    clusterBalancedImpl(base, collectCentroids(seeds), cap)
+  }
+
+  /** [[clusterBalancedSample]] with an explicit (trained, bounded)
+    * centroid frame `(cell, cv)` — the production path.
+    */
+  def clusterBalancedWith(vectors: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, cap: Int): DataFrame = {
+    val base = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("_v"))
+    clusterBalancedImpl(base, collectCentroids(centroids), cap)
+  }
+
+  private def clusterBalancedImpl(base: DataFrame,
+      cents: Array[(Long, Array[Double])], cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    // RAW centroids, not unit-normalized: the reported sim must be the
+    // bit-identical expression the oracle spells
+    // (list_cosine_similarity against the seed vector); the arg-max is
+    // scaling-invariant either way. Zero-norm centroids are dropped for
+    // the same reason unitNorm drops them.
+    val usable = cents.filter { case (_, v) => v.exists(_ != 0.0) }
+    require(usable.nonEmpty, "no usable centroids for cluster balancing")
+    // one array_max over struct(sim, cell) yields the arg-max cell AND
+    // its similarity in a single projection (full-precision arg-max,
+    // the x7 contract; ties cannot occur on real-valued data)
+    val scored = usable.map { case (cell, cv) =>
+      struct(cosine(col("_v"), typedLit(cv.toSeq)).as("sim"),
+        lit(cell).as("cell"))
+    }
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    base.withColumn("_b", array_max(array(scored.toIndexedSeq: _*)))
+      .select(col("vec_id"), col("_b.cell").as("cell"),
+        round(col("_b.sim"), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= cap)
   }
 
   /** Exact brute-force cosine top-k for EVERY query in a deterministic

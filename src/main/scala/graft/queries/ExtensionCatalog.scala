@@ -2429,6 +2429,68 @@ object ExtensionCatalog {
         FROM b LEFT JOIN labels l ON l.id = b.vec_id
         """ + orderedSql(Seq("vec_id", "bucket", "rep_id", "is_rep")))),
 
+    // x80 — temperature-based source mixture plan (alpha = 0.5, the
+    // multilingual up-sampling temperature): per source, exact token
+    // counts, weight = tokens^0.5 normalized across sources, the token
+    // draw under a 1M budget, and the over-sampling epochs factor.
+    // The weighted mass routes through DECIMAL(18,6) (moneySum
+    // pattern) so the cross-source total is exact in both engines;
+    // every derived double is per-row IEEE on those exact values.
+    QueryDef("x80_mixture_weights",
+      (s, dir) => ordered(Sampling.mixtureWeights(
+        t(s, dir, "documents"), "source", "text",
+        tokenBudget = 1000000L, alpha = 0.5)),
+      Some("""WITH per AS (
+          SELECT source AS stratum, COUNT(*) AS n_docs,
+            SUM(len(string_split(text, ' '))) AS n_tokens
+          FROM documents WHERE text IS NOT NULL GROUP BY source),
+        m AS (
+          SELECT stratum, n_docs, n_tokens,
+            CAST(POW(CAST(n_tokens AS DOUBLE), 0.5) AS DECIMAL(18,6)) AS mass
+          FROM per),
+        w AS (
+          SELECT stratum, n_docs, n_tokens,
+            CAST(mass AS DOUBLE) /
+              CAST((SELECT SUM(mass) FROM m) AS DOUBLE) AS weight
+          FROM m)
+        SELECT stratum, n_docs, n_tokens, weight,
+          CAST(FLOOR(1000000.0 * weight) AS BIGINT) AS draw_tokens,
+          CAST(FLOOR(1000000.0 * weight) AS BIGINT) / CAST(n_tokens AS DOUBLE)
+            AS epochs
+        FROM w
+        """ + orderedSql(Seq("stratum", "n_docs", "n_tokens", "weight",
+          "draw_tokens", "epochs")))),
+
+    // x81 — cluster-balanced diversity subset (the DCLM/SemDeDup
+    // "diversify" step after dedup): every vector assigned to its
+    // arg-max stride-seed cell (the x7 plan-literal contract), ranked
+    // within the cell by round(cosine,6) to the centroid with an id
+    // tie-break, top 10 kept per cell — a fixed quota per region of
+    // embedding space. Assignment arg-max is full-precision in both
+    // engines; the rank and cutoff are on the rounded value.
+    QueryDef("x81_cluster_balanced",
+      (s, dir) => ordered(Similarity.clusterBalancedSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        seedStride = 251, cap = 10)),
+      Some("""WITH base AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        seeds AS (
+          SELECT id AS seed_id, v AS seed_v FROM base WHERE id % 251 = 0),
+        assigned AS (
+          SELECT base.id,
+            arg_max(seed_id, list_cosine_similarity(v, seed_v)) AS cell,
+            ROUND(MAX(list_cosine_similarity(v, seed_v)), 6) AS sim
+          FROM base, seeds GROUP BY base.id),
+        r AS (
+          SELECT id AS vec_id, cell, sim,
+            row_number() OVER (
+              PARTITION BY cell ORDER BY sim DESC, id) AS rnk
+          FROM assigned)
+        SELECT vec_id, cell, sim, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 10
+        """ + orderedSql(Seq("vec_id", "cell", "sim", "rnk")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

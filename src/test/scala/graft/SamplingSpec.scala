@@ -240,6 +240,40 @@ class SamplingSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("mixture weights: normalized, temperature flattens, alpha laws") {
+    val full = Tables.load(spark, sf0001, "documents")
+    def mix(alpha: Double) =
+      Sampling.mixtureWeights(full, "source", "text", 1000000L, alpha)
+        .select($"stratum", $"n_tokens", $"weight", $"draw_tokens", $"epochs")
+        .as[(String, Long, Double, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+    val half = mix(0.5); val prop = mix(1.0); val unif = mix(0.0)
+    // weights normalize (exact decimal total, so the drift is only the
+    // per-stratum double divisions)
+    assert(math.abs(half.values.map(_._3).sum - 1.0) < 1e-9)
+    // alpha = 0 is exactly uniform
+    val s = unif.size
+    assert(unif.values.forall(v => v._3 === 1.0 / s))
+    // temperature flattens: vs proportional, the smallest stratum gains
+    // weight and the largest loses it
+    val smallest = prop.values.minBy(_._2)._1
+    val largest = prop.values.maxBy(_._2)._1
+    assert(half(smallest)._3 > prop(smallest)._3)
+    assert(half(largest)._3 < prop(largest)._3)
+    // proportional epochs are uniform across strata (draws/size =
+    // budget/total, up to the floor on draws)
+    val eps = prop.values.map(_._5)
+    assert(eps.max - eps.min < 1e-3)
+    // draws never exceed the budget
+    assert(half.values.map(_._4).sum <= 1000000L)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeights(full, "source", "text", 1000000L, 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeights(full, "source", "text", -1L)
+    }
+  }
+
   test("percentile gate boundaries: keepFrac 1 keeps all, singletons drop") {
     val scored = Seq(
       (1L, "a", 5.0), (2L, "a", 3.0), (3L, "a", 9.0), (4L, "a", 1.0),

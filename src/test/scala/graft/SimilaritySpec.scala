@@ -310,6 +310,47 @@ class SimilaritySpec extends SparkSpec {
       "batch brute top-k plans a CartesianProduct")
   }
 
+  test("cluster-balanced sample: per-cell quota, closest-first, plan cut") {
+    val got = graft.ops.Similarity.clusterBalancedSample(emb, "vec_id",
+      "embedding", seedStride = 97, cap = 5).cache()
+    // quota: no cell exceeds cap, ranks are dense 1..n(cell)
+    val perCell = got.groupBy("cell")
+      .agg(count(lit(1)).as("n"), max($"rnk").as("hi"),
+        countDistinct($"rnk").as("d"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perCell.nonEmpty)
+    perCell.foreach { case (cell, n, hi, d) =>
+      assert(n <= 5 && hi === n && d === n, s"cell $cell: n=$n hi=$hi d=$d")
+    }
+    // closest-first: within a cell, a kept row's (sim, id) order beats
+    // every dropped row of the same cell
+    val all = graft.ops.Similarity.clusterBalancedSample(emb, "vec_id",
+      "embedding", seedStride = 97, cap = Int.MaxValue)
+    val dropped = all.join(got.select("vec_id"), Seq("vec_id"), "left_anti")
+    val worstKept = got.groupBy(got("cell").as("c"))
+      .agg(min(struct($"sim", -$"vec_id")).as("wk"))
+    val beats = dropped.join(worstKept, dropped("cell") === $"c")
+      .filter(struct(dropped("sim"), -dropped("vec_id")) > $"wk")
+    assert(beats.count() === 0L, "a dropped row outranks a kept row")
+    // the rank window must cut per partition before the exchange, and
+    // assignment must stay a projection (no join, no cartesian)
+    val plan = graft.ops.Similarity.clusterBalancedSample(emb, "vec_id",
+      "embedding", 97, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "cluster-balanced sample lost the WindowGroupLimit partial cut")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "centroid assignment stopped being a plan-literal projection")
+    // production path: trained k-means centroids, same laws
+    val km = graft.ops.Similarity.kmeansCentroids(emb, "vec_id",
+      "embedding", seedStride = 97, iters = 3)
+    val kmGot = graft.ops.Similarity.clusterBalancedWith(emb, "vec_id",
+      "embedding", km, cap = 5)
+    val kmCells = kmGot.groupBy("cell").count()
+      .as[(Long, Long)].collect()
+    assert(kmCells.nonEmpty && kmCells.forall(_._2 <= 5L))
+    got.unpersist()
+  }
+
   test("semantic dedup: scaled copies collapse, orthogonals survive") {
     // v and 2v have cosine exactly 1 and identical SRP sign votes (the
     // projection is linear, positive scaling preserves every sign), so

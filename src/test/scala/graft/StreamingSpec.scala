@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.Dedup
-import graft.streaming.{DocStreams, EventStreams}
+import graft.streaming.{DocStreams, EventStreams, VecStreams}
 
 /** Streaming batch-equivalence (SURVEY.md §2.3): the streaming tumbling
   * window over a file replay of `events` must equal the Q20 batch form
@@ -235,6 +235,48 @@ class StreamingSpec extends SparkSpec {
     val full = DocStreams.nearDupCandidates(five, "doc_id", "tok")
       .collect().map(p => (p.a_id, p.b_id)).toSet
     assert(full.size === 10 && pairs.subsetOf(full))
+  }
+
+  test("streaming vector-dedup candidates equal the batch bucket pairs") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").limit(200).cache()
+    // batch comparator: ALL within-bucket unordered pairs under the
+    // same srpBucket partition the batch x79 generator uses
+    val buckets = emb.select($"vec_id",
+      graft.ops.Similarity.srpBucket($"embedding", 8).as("bucket"))
+    val batchPairs = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty)
+    val oneShot = VecStreams.semanticDedupCandidates(emb, "vec_id",
+        "embedding", maxBucket = 1 << 20)
+      .collect().map(p => (p.a_id, p.b_id)).toSet
+    assert(oneShot === batchPairs)
+    // replayed as micro-batches: incremental emissions union to exactly
+    // the batch pair set, and a full re-delivery emits nothing new
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecs").toString
+    emb.repartition(4).write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir + "/in")
+    val q = VecStreams.semanticDedupCandidates(stream, "vec_id",
+        "embedding", maxBucket = 1 << 20)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_vecdedup")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stream_vecdedup")
+        .as[(Long, Long)].collect().toSet === batchPairs)
+      emb.write.mode("append").parquet(dir + "/in")
+      q.processAllAvailable()
+      assert(spark.table("stream_vecdedup").count() === batchPairs.size,
+        "re-delivered vectors emitted duplicate candidate pairs")
+    } finally q.stop()
   }
 
   test("dropDuplicatesWithinWatermark collapses replayed event_ids") {
