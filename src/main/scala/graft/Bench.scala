@@ -40,6 +40,13 @@ object Bench {
     val results = wanted.map { case (name, fn) =>
       val sec =
         try {
+          // isolate queries from each other's leftovers: in local mode
+          // the driver IS the executor, and the previous query's driver
+          // garbage (adaptive-CC edge collects) plus its localCheckpoint
+          // blocks (ContextCleaner frees them only after their refs are
+          // GC'd) otherwise tax THIS query's warm runs — measured +1 s
+          // on the x71/x72 rows in a 117-query suite, none solo
+          System.gc()
           run(fn) // cold run, discarded
           def median5(): Double = {
             val warm = (1 to warmRuns).map(_ => run(fn)).sorted
