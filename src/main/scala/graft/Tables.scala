@@ -18,10 +18,13 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Loads a table. `events.ts` is written as Parquet TIMESTAMP(NANOS),
-    * which Spark's vectorized reader rejects; we read it as a raw
-    * nanosecond Long (legacy conf) and truncate to microseconds — the
-    * same value DuckDB produces for `CAST(ts_ns AS TIMESTAMP)`.
+  /** Loads a table. `events.ts` has appeared in two fixture layouts:
+    * Parquet TIMESTAMP(NANOS) (readable only as a raw nanosecond Long
+    * under the legacy conf) and real TIMESTAMP_MICROS. Like the
+    * reference — which takes column types from the footer it parses
+    * (`/root/reference/src/reader/metadata.cpp:198-243`) — we branch on
+    * the footer-derived type instead of assuming a byte layout, and
+    * normalize to `timestamp_ntz` for session-timezone stability.
     */
   // Catalog cache: keeps analyzed relations (schema + footer-derived file
   // listing) so repeated loads of the same table skip schema inference.
@@ -32,10 +35,17 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     handles.computeIfAbsent((System.identityHashCode(spark), dir, name), { _ =>
       if (name == "events") {
+        // Lets a legacy TIMESTAMP(NANOS) column load (as Long) instead of
+        // failing; has no effect on micros/millis timestamp columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(path(dir, name))
-        raw.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts",
+              timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+          case _ =>
+            raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        }
       } else spark.read.parquet(path(dir, name))
     })
 }

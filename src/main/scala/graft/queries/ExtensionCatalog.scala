@@ -2442,7 +2442,7 @@ object ExtensionCatalog {
         tokenBudget = 1000000L, alpha = 0.5)),
       Some("""WITH per AS (
           SELECT source AS stratum, COUNT(*) AS n_docs,
-            SUM(len(string_split(text, ' '))) AS n_tokens
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
           FROM documents WHERE text IS NOT NULL GROUP BY source),
         m AS (
           SELECT stratum, n_docs, n_tokens,
