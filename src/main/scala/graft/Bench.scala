@@ -64,7 +64,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver scrapes stdout, which has been observed tail-truncated
+    // mid-JSON (r8's parsed:null artifact); a file copy keeps the
+    // per-query history recoverable regardless.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

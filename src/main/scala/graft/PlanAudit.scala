@@ -28,9 +28,24 @@ object PlanAudit {
         "x64_source_overlap", "x66_sequence_packing",
         "x67_scrub_contamination", "x70_ws_tokens",
         "x71_portable_simhash", "x72_portable_srp")
-    names.foreach { n =>
+    // -exec: run each query to a noop sink first and print the FINAL
+    // adaptive plan — reused shuffle stages and AQE join demotions only
+    // show up post-execution
+    val exec = args.contains("-exec")
+    names.filterNot(_ == "-exec").foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) {
+        // drive THIS dataset's QueryExecution (noop write and
+        // Dataset.rdd/foreachPartition each plan a fresh one), so the
+        // printed plan is the finalized adaptive plan with its runtime
+        // stage graph
+        val rdd = df.queryExecution.toRdd
+        spark.sparkContext.runJob(rdd,
+          (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+            { while (it.hasNext) it.next(); () })
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

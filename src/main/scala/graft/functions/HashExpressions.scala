@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the dedup sketches (SURVEY.md §2.2
   * UDF/UDAF surface + north-star near-dedup). Single-pass over the token
@@ -160,6 +161,50 @@ object SketchKernels {
     minhashInto(sig, arr)
     new GenericArrayData(sig)
   }
+
+  /** Distinct minima of every width-`w` sliding window over an
+    * array<string>, first-occurrence order — the winnowing selection
+    * step ([[graft.ops.TextAnalysis.winnowingFingerprints]]) as ONE
+    * monotonic-deque pass: amortized O(length) comparisons total,
+    * replacing the zip_with chain's w−1 intermediate arrays and
+    * O(length·w) `least()` evaluations. Binary UTF8String comparison ==
+    * the lexicographic min both engines take on md5 hex digests.
+    * Arrays shorter than `w` (and the chain's null tail-padding, which
+    * the slice cut before any window could see it) yield no windows.
+    */
+  def windowMinDistinct(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val vals = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      vals(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    // deque of candidate indices, values strictly increasing front→back;
+    // a null never enters (least() skips nulls — same contract)
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    val seen = new java.util.HashSet[UTF8String]
+    val out = new java.util.ArrayList[UTF8String]
+    i = 0
+    while (i < n) {
+      if (vals(i) != null) {
+        while (tail > head && vals(dq(tail - 1)).compareTo(vals(i)) >= 0)
+          tail -= 1
+        dq(tail) = i
+        tail += 1
+      }
+      if (tail > head && dq(head) <= i - w) head += 1
+      if (i >= w - 1 && tail > head) {
+        val m = vals(dq(head))
+        if (seen.add(m)) out.add(m)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
 }
 
 /** 64-bit SimHash over an array<string> of tokens. Near-duplicate texts
@@ -231,6 +276,31 @@ case class NGramHashes(child: Expression, n: Int, keepPartial: Boolean)
       s"${ev.value} = graft.functions.SketchKernels.ngramHashes(" +
         s"$a, $n, $keepPartial);")
   override protected def withNewChildInternal(newChild: Expression): NGramHashes =
+    copy(child = newChild)
+}
+
+/** Distinct sliding-window minima over an array<string>; see
+  * [[SketchKernels.windowMinDistinct]]. Null array → null.
+  */
+case class WindowMinDistinct(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, "w must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"window_min_distinct requires array<string>, got " +
+          other.catalogString)
+    }
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.windowMinDistinct(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.windowMinDistinct($a, $w);")
+  override protected def withNewChildInternal(
+      newChild: Expression): WindowMinDistinct =
     copy(child = newChild)
 }
 
@@ -393,6 +463,10 @@ object HashFunctions {
       NGramHashes(ColumnBridge.expression(tokens), n, keepPartial))
   def rollingFingerprint(s: Column): Column =
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(s)))
+  /** Distinct width-`w` sliding-window minima, first-occurrence order. */
+  def windowMinDistinct(hashes: Column, w: Int): Column =
+    ColumnBridge.column(
+      WindowMinDistinct(ColumnBridge.expression(hashes), w))
   /** Aggregating form: one signature per group = sketch of the union of
     * the group's token sets.
     */

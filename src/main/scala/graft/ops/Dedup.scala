@@ -233,6 +233,15 @@ object Dedup {
     // broadcasts it when small, and it stays a balanced
     // one-row-per-key shuffle join when boilerplate is
     // corpus-proportional.
+    //
+    // DELIBERATELY two-branch (the probe side re-tokenizes): the
+    // one-exchange alternatives were both measured SLOWER at sf0.1 —
+    // sharing the probe's repartition with the frequency aggregate
+    // (x39's ReuseExchange pin) moves full chunk TEXT through the
+    // shuffle that the pruned branch only needed (key, doc) for
+    // (1.94 s vs 1.23 s), and a localCheckpoint barrier serializes
+    // what the parallel scans overlap. Map-side partial min/max over
+    // the pruned pair IS the cheap spelling of the frequency pass.
     val hot = (if (maxDocFreq == 2)
         chunks.groupBy("_k")
           .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))

@@ -279,27 +279,42 @@ object TextAnalysis {
     * score with a term tie-break so the cutoff is deterministic and
     * engine-portable (same robustness pattern as the rounded cosines).
     *
-    * Scale design (100 TB): ONE tokenize/explode pass; `df` is derived
-    * from the already-aggregated `tf` rows (tf rows are distinct per
-    * (doc, term), so a per-term row count IS the document frequency) —
-    * no second pass over the corpus. The score join is keyed on the
-    * term (vocab-sized right side, AQE broadcasts it when small) and
-    * the rank window is partitioned by doc_id — per-document state
-    * only, never a global sort.
+    * Scale design (100 TB): `df` is derived from the already-aggregated
+    * `tf` rows (tf rows are distinct per (doc, term), so a per-term row
+    * count IS the document frequency) — never from a re-tokenize. The
+    * tf table feeds two consumers; left alone, Catalyst's column
+    * pruning rewrites the df branch into a DISTINCT-aggregate whose
+    * exchange no longer canonicalizes equal to the tf branch's, so
+    * ReuseExchange misses and the corpus is scanned + tokenized twice.
+    * The always-true `tf >= 1` guard below (count(*) of a group is
+    * never 0) pins the tf column into the df branch, the two exchange
+    * subtrees stay identical, and ReuseExchange turns the tf shuffle
+    * files themselves into the shared materialization — ONE corpus
+    * scan, no cache, no checkpoint barrier (measured: the
+    * localCheckpoint spelling of "one scan" is SLOWER than two scans —
+    * the materialization barrier serializes what the shuffle overlap
+    * pipelines). The score join is keyed on the term (vocab-sized
+    * right side, AQE broadcasts it when small — a hot stopword is ONE
+    * row there, so no skew) and the rank window is partitioned by
+    * doc_id (WindowGroupLimit-capped) — per-document state only, never
+    * a global sort.
     *
     * Returns `(doc_id, term, tf, df, score, rk)`, `rk <= k`.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    // N rides the plan as a broadcast one-row scalar (the oracle's
+    // CROSS JOIN n shape) instead of a blocking driver-side count job
+    val nDf = docs.agg(count(lit(1)).cast(DoubleType).as("_n"))
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(docFreq, "term")
+    val docFreq = tf.filter(col("tf") >= 1)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(docFreq, "term").crossJoin(broadcast(nDf))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+        round(col("tf") * log(col("_n") / col("df")), 6).as("score"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rk", row_number().over(w).cast(LongType))
@@ -350,11 +365,18 @@ object TextAnalysis {
   val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern: String = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
 
-  def emailCount(text: Column): Column =
-    regexp_count(text, lit(emailPattern)).cast(LongType)
+  /** One-pass PII scan — `struct(n_emails, n_ips, redacted)` from the
+    * native [[graft.functions.PiiKernel]] byte-scan (no java.util.regex
+    * on the hot path; the regex spellings below are the executable
+    * spec it is property-pinned against). Counts are over the raw
+    * text; `redacted` is the email-then-IP nested-replace contract.
+    */
+  def piiScan(text: Column): Column =
+    graft.functions.PiiFunctions.piiScan(text)
 
-  def ipv4Count(text: Column): Column =
-    regexp_count(text, lit(ipv4Pattern)).cast(LongType)
+  def emailCount(text: Column): Column = piiScan(text).getField("n_emails")
+
+  def ipv4Count(text: Column): Column = piiScan(text).getField("n_ips")
 
   /** Redact every email, then every IPv4 literal — the pre-training
     * scrub pass. Order matters and is part of the contract: the email
@@ -362,7 +384,19 @@ object TextAnalysis {
     * by the IP pass. Pure per-row codegen projection — zero shuffle,
     * scales linearly.
     */
-  def piiRedact(text: Column): Column =
+  def piiRedact(text: Column): Column = piiScan(text).getField("redacted")
+
+  /** Regex spellings of [[emailCount]]/[[ipv4Count]]/[[piiRedact]] —
+    * kept as the executable specification the kernel is property-tested
+    * against, and the exact SQL shape the DuckDB oracle runs.
+    */
+  def emailCountSpec(text: Column): Column =
+    regexp_count(text, lit(emailPattern)).cast(LongType)
+
+  def ipv4CountSpec(text: Column): Column =
+    regexp_count(text, lit(ipv4Pattern)).cast(LongType)
+
+  def piiRedactSpec(text: Column): Column =
     regexp_replace(
       regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
       lit(ipv4Pattern), lit("<IP>"))
@@ -378,17 +412,38 @@ object TextAnalysis {
     * and string min is collation-free binary comparison in both Spark
     * and DuckDB.
     *
-    * The sliding min reuses the [[ngrams]] zip_with-chain shape (w−1
-    * passes binding materialized attributes once per row — never a
-    * transform-over-indices lambda re-evaluating its capture per
-    * element). Pure per-row projection + explode: zero shuffle;
-    * dedup/overlap joins downstream shuffle only the selected
-    * fingerprints. Documents shorter than w+k−1 tokens yield no rows.
+    * The sliding min + distinct selection runs as the native
+    * monotonic-deque kernel
+    * [[graft.functions.SketchKernels.windowMinDistinct]] — amortized
+    * O(grams) per document, replacing the former zip_with chain's w−1
+    * intermediate arrays and O(grams·w) `least()` evaluations; the
+    * chain survives as [[winnowingFingerprintsSpec]], the executable
+    * specification the kernel is property-pinned against (ChunkingSpec)
+    * and the shape the DuckDB oracle runs. Pure per-row projection +
+    * explode: zero shuffle; dedup/overlap joins downstream shuffle only
+    * the selected fingerprints. Documents shorter than w+k−1 tokens
+    * yield no rows.
     *
     * Returns `(doc_id, fp)` — one row per distinct fingerprint.
     */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.HashFunctions.windowMinDistinct(
+          transform(ngrams(tokens(col(textCol)), k, keepPartial = false),
+            g => md5(g)), w)).as("fp"))
+  }
+
+  /** The zip_with-chain spelling of [[winnowingFingerprints]] — kept as
+    * the executable specification the deque kernel is property-tested
+    * against, and the exact shape the DuckDB oracle runs. (w−1 passes
+    * binding materialized attributes once per row — never a
+    * transform-over-indices lambda re-evaluating its capture per
+    * element.)
+    */
+  def winnowingFingerprintsSpec(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
     val base = docs.select(col(idCol).as("doc_id"),
       transform(ngrams(tokens(col(textCol)), k, keepPartial = false),
@@ -544,8 +599,9 @@ object TextAnalysis {
     * fixture scale — 0.63 s vs 0.80 s without — because the one-pass
     * stats chain removed the stages that used to hide behind it;
     * round 7's barrier-costs-more note is obsolete. Checkpoint blocks
-    * live until the ContextCleaner reclaims the dropped plan — the
-    * [[Clusters]] retention note applies). nll is computed once per
+    * are released when the NEXT lmQuality call starts —
+    * [[lastLmCheckpoint]] — so repeated scoring loops retain one model,
+    * not N). nll is computed once per
     * DISTINCT bigram. The probe-side join carries an explicit
     * broadcast hint ONLY while the input's estimated size is under
     * [[LmBroadcastHintMaxInputBytes]] — there the model provably fits
@@ -601,6 +657,30 @@ object TextAnalysis {
       .groupBy(col("e.w").as("w"))
       .agg(sum(when(col("e.pos") === 0, col("e.cb"))).as("cu"))
 
+  /** Unpersists the cached blocks behind a `localCheckpoint`ed
+    * DataFrame (non-blocking). `localCheckpoint` truncates lineage, so
+    * the DataFrame — and any plan built on it — must not be computed
+    * again afterwards; same contract as [[Clusters]]' per-round
+    * unpersist (`Clusters.scala`).
+    */
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** The previous [[lmQuality]] call's checkpointed model, released when
+    * the next call starts — the Clusters round pattern, bounding block
+    * retention at one model per session no matter how many times a
+    * bench/pipeline loop re-scores. Consequence (documented contract): a
+    * returned lmQuality frame is valid until the NEXT lmQuality call;
+    * anything longer-lived should build an [[LmModel]] and `release()`
+    * it explicitly.
+    */
+  private val lastLmCheckpoint =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def lmQuality(docs: DataFrame, idCol: String, textCol: String,
       tokenize: Column => Column = tokens,
       broadcastHintMaxInputBytes: BigInt = LmBroadcastHintMaxInputBytes)
@@ -608,6 +688,8 @@ object TextAnalysis {
     val pr = bigramRows(docs, idCol, textCol, tokenize)
     val model = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .localCheckpoint(eager = false)
+    Option(lastLmCheckpoint.getAndSet(model))
+      .foreach(releaseLocalCheckpoint)
     val ts = lmTokenStats(model)
     val vocab = ts.agg(count(lit(1)).cast(DoubleType).as("vsz"))
     val scored = model
@@ -637,11 +719,16 @@ object TextAnalysis {
     * came from (a model built on `tokensFolded` scored against
     * single-space probes would silently rate every bigram unseen).
     * The model table stays `localCheckpoint`ed for the model's
-    * lifetime — reuse is the point of building one; blocks are
-    * reclaimed by the ContextCleaner when the model is dropped.
+    * lifetime — reuse is the point of building one; call [[release]]
+    * when done (blocks otherwise wait for the ContextCleaner).
     */
   final case class LmModel(bigrams: DataFrame, prefixes: DataFrame,
-      vocabSize: Double, tokenize: Column => Column = tokens)
+      vocabSize: Double, tokenize: Column => Column = tokens) {
+    /** Frees the model's checkpointed blocks. The model — and any plan
+      * scored against it — must not be computed after this.
+      */
+    def release(): Unit = releaseLocalCheckpoint(bigrams)
+  }
 
   /** Build the add-one bigram model of [[lmQuality]] from a corpus:
     * `bigrams` = (w1, w2, cb), `prefixes` = (w1, cu), `vocabSize` = V.

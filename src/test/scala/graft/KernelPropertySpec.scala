@@ -121,6 +121,60 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("PiiKernel equals the java.util.regex spelling on adversarial strings") {
+    import graft.functions.PiiKernel
+    import graft.ops.TextAnalysis.{emailPattern, ipv4Pattern}
+    val eP = java.util.regex.Pattern.compile(emailPattern)
+    val iP = java.util.regex.Pattern.compile(ipv4Pattern)
+    def viaRegex(s: String): (Long, Long, String) = {
+      def count(p: java.util.regex.Pattern) = {
+        val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n
+      }
+      val redacted = iP.matcher(eP.matcher(s).replaceAll("<EMAIL>"))
+        .replaceAll("<IP>")
+      (count(eP), count(iP), redacted)
+    }
+    // alphabet dense in pattern-relevant chars: '@' runs, dotted digit
+    // runs, local-part punctuation, boundary-making spaces
+    val alphabet = "a Z 0 1 9 . @ . - _ % + 2 3 . @ 4 ab 12 .. @@ x.y".split(" ")
+    val fixed = Seq(
+      "", "@", "a@b.co", "a@b.c", "a@b@c.com", "x y@z.co", "a@a.b.co",
+      "1.2.3.4", "1234.5.6.7", "1.2.3.4.5", "1.2.3.45.6", "1.2.3.4567",
+      "a1@b.co1.2.3.4", "ip 10.0.0.1 mail bob+x%y@sub-domain.example.org!",
+      "..@..", "-@-.co", "1.2.3.4@5.6.7.8", "@@@1.2.3.4@@@", "a@b.co.",
+      "9@9.co 9.9.9.9", "_1.2.3.4_", "1.2.3.4a", "a1.2.3.4")
+    fixed.foreach { s =>
+      val got = PiiKernel.scan(UTF8String.fromString(s))
+      assert((got.getLong(0), got.getLong(1), got.getUTF8String(2).toString)
+        === viaRegex(s), s"fixed input: '$s'")
+    }
+    (1 to 500).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val s = List.fill(rnd.nextInt(40))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString(
+        if (rnd.nextBoolean()) "" else " ")
+      val got = PiiKernel.scan(UTF8String.fromString(s))
+      assert((got.getLong(0), got.getLong(1), got.getUTF8String(2).toString)
+        === viaRegex(s), s"seed=$seed input='$s'")
+    }
+  }
+
+  test("windowMinDistinct equals the brute-force sliding min on generated arrays") {
+    (1 to 300).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = rnd.nextInt(30)
+      val w = 1 + rnd.nextInt(8)
+      // small alphabet to force ties and repeated minima
+      val vs = List.fill(n)("h" + rnd.nextInt(6))
+      val got = SketchKernels.windowMinDistinct(arr(vs), w)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val expected = vs.sliding(w).filter(_.size == w).map(_.min)
+        .toSeq.distinct
+      assert(got === expected, s"seed=$seed n=$n w=$w vs=$vs")
+    }
+  }
+
   test("srp signature flips no bits under positive scaling") {
     // sign(dot(c*v, h)) == sign(dot(v, h)) for c > 0 — scaling a vector
     // must not move it across any hyperplane

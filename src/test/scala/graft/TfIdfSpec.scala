@@ -76,6 +76,20 @@ class TfIdfSpec extends SparkSpec {
     assert(fps(3L).size < nGrams3 && fps(3L).size >= nGrams3 / 8)
   }
 
+  test("winnowing kernel equals the zip_with-chain spec on the fixture") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    for ((k, w) <- Seq((4, 8), (3, 5), (2, 1))) {
+      val viaKernel = TextAnalysis.winnowingFingerprints(
+        docs, "doc_id", "text", k, w)
+        .as[(Long, String)].collect().toSet
+      val viaSpec = TextAnalysis.winnowingFingerprintsSpec(
+        docs, "doc_id", "text", k, w)
+        .as[(Long, String)].collect().toSet
+      assert(viaKernel === viaSpec, s"k=$k w=$w")
+      assert(viaKernel.nonEmpty)
+    }
+  }
+
   test("vocabCoverage: hand-computed OOV counts, tie-break, boundary k") {
     // corpus counts: a×4, b×3, c×2, d×1, e×1 — top-2 vocab = {a, b};
     // at the k=4 boundary the d/e tie breaks on token asc → d in, e out
