@@ -247,6 +247,71 @@ object Sampling {
         col("draw_tokens").cast(DoubleType) / col("n_tokens"))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more likely its hashed-bigram features
+    * are under a TARGET distribution than under the rest of the corpus,
+    * log w(d) = Σ_f cnt_d(f) · [ln p̂_t(f) − ln p̂_s(f)] with add-one
+    * smoothed bucket probabilities over `dim` hashed features. The
+    * classic cheap proxy for "select pretraining data that looks like
+    * the target domain" — resampling by these weights IS the selection
+    * step.
+    *
+    * Cross-engine determinism: bucket = portable rolling fingerprint of
+    * the bigram string mod `dim` (the x4/x51 oracle spelling); all
+    * counts exact longs; each bucket's log-ratio rounds to 6 decimals
+    * and routes through DECIMAL(18,6) so the per-document sum is exact
+    * regardless of order (moneySum pattern); the final cast to double
+    * is the only inexact step.
+    *
+    * Scale design (100 TB): one explode → one (doc, side, bucket)
+    * aggregate; the per-bucket totals REUSE that aggregate's exchange
+    * (the bucket aggregate's map-side partials collapse to ≤ 2·dim rows
+    * per task), the ratio table is dim rows → BROADCAST to the scoring
+    * join, and the final per-doc sum shuffles feature rows once more.
+    * No windows, no driver state; a hot bucket is one ratio row, so
+    * nothing skews.
+    *
+    * Returns `(doc_id, is_target, n_bigrams, logw)` — one row per
+    * document with at least one bigram.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536], got $dim")
+    val d186 = DecimalType(18, 6)
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        graft.ops.TextAnalysis.tokens(col(textCol)).as("_t"))
+    val bg = toks.select(col("doc_id"), col("is_target"),
+        explode(when(size(col("_t")) > 1,
+            sequence(lit(1), size(col("_t")) - 1))
+          .otherwise(array().cast(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType)))).as("i"),
+        col("_t"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(graft.functions.HashFunctions.rollingFingerprint(
+            concat(element_at(col("_t"), col("i")), lit(" "),
+              element_at(col("_t"), col("i") + 1))),
+          lit(dim.toLong)).as("bucket"))
+    val feats = bg.groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val bc = feats.groupBy("bucket")
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(not(col("is_target")), col("cnt")).otherwise(0L)).as("cs"))
+    val tot = bc.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
+    val ratio = bc.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log((col("ct") + lit(1.0)) / (col("tt") + lit(dim.toDouble))) -
+            log((col("cs") + lit(1.0)) / (col("ts") + lit(dim.toDouble))), 6)
+          .cast(d186).as("lam"))
+    feats.join(broadcast(ratio), Seq("bucket"))
+      .groupBy("doc_id", "is_target")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("lam") * col("cnt")).cast(DoubleType).as("logw"))
+      .select(col("doc_id"), col("is_target"), col("n_bigrams"), col("logw"))
+  }
+
   def percentileGate(df: DataFrame, idCol: String, strataCol: String,
       scoreCol: String, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,

@@ -843,4 +843,61 @@ object TextAnalysis {
       .withColumn("low_quality",
         col("token_cnt") < 40 || col("avg_word_len") < lit(3.5))
   }
+
+  /** Per-source dataset audit card — the one-stop report a 100 TB
+    * ingest publishes next to the corpus: document and token counts,
+    * the exact-duplicate rate, and the length distribution (mean +
+    * exact p50/p90). The percentiles are DISCRETE (smallest value whose
+    * cumulative count reaches the quantile), spelled in pure integer
+    * arithmetic (`2·cum ≥ n`, `10·cum ≥ 9·n`) so both engines agree
+    * bit-for-bit with no interpolation.
+    *
+    * Scale design (100 TB): distinct texts count via the two-level
+    * (source, md5) pre-aggregate — never a countDistinct expand over
+    * the corpus; the length distribution first collapses to
+    * (source, length) COUNTS (bounded by #distinct lengths, NOT corpus
+    * size) before the per-source cumulative window runs over those tiny
+    * groups; the three per-source tables join broadcast. The corpus is
+    * read twice (stats+distinct / lengths) but never shuffled at
+    * corpus size — every exchange carries aggregated rows.
+    *
+    * Returns `(source, n_docs, n_tokens, n_uniq_texts, dup_rate,
+    * mean_chars, p50_chars, p90_chars)`.
+    */
+  def datasetCard(docs: DataFrame, sourceCol: String, textCol: String,
+      charsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("n_tokens"),
+        sum(col(charsCol)).as("_sum_chars"))
+    val uniq = docs
+      .select(col(sourceCol).as("source"), md5(col(textCol)).as("_h"))
+      .groupBy("source", "_h").agg(count(lit(1)).as("_c"))
+      .groupBy("source").agg(count(lit(1)).as("n_uniq_texts"))
+    val lenCounts = docs
+      .groupBy(col(sourceCol).as("source"), col(charsCol).as("_len"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = lenCounts.withColumn("_cum",
+      sum(col("_c")).over(Window.partitionBy("source")
+        .orderBy(col("_len").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pct = cum.join(broadcast(base.select(col("source"), col("n_docs"))),
+        Seq("source"))
+      .groupBy("source")
+      .agg(
+        min(when(col("_cum") * 2 >= col("n_docs"), col("_len")))
+          .as("p50_chars"),
+        min(when(col("_cum") * 10 >= col("n_docs") * 9, col("_len")))
+          .as("p90_chars"))
+    base.join(broadcast(uniq), Seq("source"))
+      .join(broadcast(pct), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_uniq_texts"),
+        ((col("n_docs") - col("n_uniq_texts")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("dup_rate"),
+        (col("_sum_chars").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("mean_chars"),
+        col("p50_chars"), col("p90_chars"))
+  }
 }

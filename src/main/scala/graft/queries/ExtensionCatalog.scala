@@ -2491,6 +2491,98 @@ object ExtensionCatalog {
         FROM r WHERE rnk <= 10
         """ + orderedSql(Seq("vec_id", "cell", "sim", "rnk")))),
 
+    // x82 — DSIR importance weights (Xie et al., NeurIPS 2023): per-doc
+    // log importance ratio of hashed-bigram features under the target
+    // distribution (src0 as the stand-in target domain) vs the rest.
+    // Buckets use the portable rolling fingerprint of the bigram string
+    // (x4/x51 spelling) mod 16; per-bucket log-ratios round to 6dp and
+    // route through DECIMAL(18,6) so the per-doc sum is order-exact.
+    QueryDef("x82_dsir_weights",
+      (s, dir) => ordered(Sampling.dsirWeights(
+        t(s, dir, "documents"), "doc_id", "text",
+        targetPred = col("source") === "src0", dim = 16)),
+      Some(s"""WITH tok AS (
+          SELECT doc_id, (source = 'src0') AS is_target,
+            string_split(text, ' ') AS ts
+          FROM documents WHERE text IS NOT NULL),
+        ix AS (
+          SELECT doc_id, is_target, ts,
+            unnest(generate_series(1, len(ts) - 1)) AS i
+          FROM tok),
+        bg AS (
+          SELECT doc_id, is_target, ts[i] || ' ' || ts[i + 1] AS g
+          FROM ix),
+        feats AS (
+          SELECT doc_id, is_target,
+            ${rollingFoldSql("g")} % 16 AS bucket,
+            COUNT(*) AS cnt
+          FROM bg GROUP BY 1, 2, 3),
+        bc AS (
+          SELECT bucket,
+            CAST(SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT)
+              AS ct,
+            CAST(SUM(CASE WHEN is_target THEN 0 ELSE cnt END) AS BIGINT)
+              AS cs
+          FROM feats GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+            CAST(SUM(cs) AS BIGINT) AS ts2 FROM bc),
+        ratio AS (
+          SELECT bucket,
+            CAST(ROUND(ln((ct + 1.0) / (tt + 16.0)) -
+              ln((cs + 1.0) / (ts2 + 16.0)), 6) AS DECIMAL(18,6)) AS lam
+          FROM bc CROSS JOIN tot)
+        SELECT f.doc_id, f.is_target,
+          CAST(SUM(f.cnt) AS BIGINT) AS n_bigrams,
+          CAST(SUM(r.lam * f.cnt) AS DOUBLE) AS logw
+        FROM feats f JOIN ratio r USING (bucket)
+        GROUP BY 1, 2
+        """ + orderedSql(Seq("doc_id", "is_target", "n_bigrams", "logw")))),
+
+    // x83 — per-source dataset audit card: docs, tokens, exact-dup
+    // rate, mean + DISCRETE p50/p90 length. Percentile cutoffs are
+    // pure integer arithmetic (2·cum >= n, 10·cum >= 9·n) over
+    // (source, length) count groups — no interpolation, no corpus-row
+    // window, engine-exact.
+    QueryDef("x83_dataset_card",
+      (s, dir) => ordered(TextAnalysis.datasetCard(
+        t(s, dir, "documents"), "source", "text", "n_chars")),
+      Some("""WITH base AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY 1),
+        uq AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_uniq_texts
+          FROM (SELECT source, md5(text) AS h FROM documents GROUP BY 1, 2)
+          GROUP BY 1),
+        lc AS (
+          SELECT source, n_chars AS len, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2),
+        cm AS (
+          SELECT source, len,
+            SUM(c) OVER (PARTITION BY source ORDER BY len
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM lc),
+        pct AS (
+          SELECT cm.source,
+            MIN(CASE WHEN cum * 2 >= b.n_docs THEN len END) AS p50_chars,
+            MIN(CASE WHEN cum * 10 >= b.n_docs * 9 THEN len END)
+              AS p90_chars
+          FROM cm JOIN base b ON cm.source = b.source
+          GROUP BY 1)
+        SELECT source, b.n_docs, b.n_tokens, u.n_uniq_texts,
+          (b.n_docs - u.n_uniq_texts) / CAST(b.n_docs AS DOUBLE)
+            AS dup_rate,
+          b.sum_chars / CAST(b.n_docs AS DOUBLE) AS mean_chars,
+          p.p50_chars, p.p90_chars
+        FROM base b
+        JOIN uq u USING (source)
+        JOIN pct p USING (source)
+        """ + orderedSql(Seq("source", "n_docs", "n_tokens",
+          "n_uniq_texts", "dup_rate", "mean_chars", "p50_chars",
+          "p90_chars")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -245,4 +245,22 @@ object DocStreams {
           out.iterator
       }
   }
+
+  /** Online PII scrub — the ingest-time twin of the batch x46 pass:
+    * every arriving document leaves with its email/IPv4 counts and the
+    * redacted text, via the same native one-pass
+    * [[graft.ops.TextAnalysis.piiScan]] kernel. Completely STATELESS
+    * (a pure per-row projection — no watermark, no state store, no
+    * shuffle), so it rides any trigger at feed rate and composes in
+    * front of the stateful detectors above: scrub first, dedup on the
+    * scrubbed text.
+    */
+  def piiScrubbed(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val scan = graft.ops.TextAnalysis.piiScan(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      scan.getField("n_emails").as("n_emails"),
+      scan.getField("n_ips").as("n_ips"),
+      scan.getField("redacted").as("redacted"))
+  }
 }

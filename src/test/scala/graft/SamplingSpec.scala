@@ -274,6 +274,56 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("dsirWeights matches a local exact-decimal fold; target-likeness orders logw") {
+    import graft.functions.SketchKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    // target (src0) speaks a/b bigrams; source speaks x/y; doc 5 mixes
+    val rows = Seq(
+      (1L, "a b a b a", "src0"), (2L, "b a b a", "src0"),
+      (3L, "x y x y x", "src1"), (4L, "y x y x", "src1"),
+      (5L, "a b x y", "src1"))
+    val dim = 4
+    val got = Sampling.dsirWeights(rows.toDF("doc_id", "text", "source"),
+        "doc_id", "text", col("source") === "src0", dim)
+      .as[(Long, Boolean, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // local recomputation with the same arithmetic contract
+    def bucket(g: String): Long =
+      SketchKernels.rollingFingerprint(UTF8String.fromString(g)) % dim
+    val feats = rows.flatMap { case (id, text, src) =>
+      val ts = text.split(" ")
+      ts.zip(ts.tail).map { case (a, b) =>
+        ((id, src == "src0", bucket(s"$a $b")), 1L) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // .toSeq first: collect on a Map would rebuild a Map and colliding
+    // buckets would overwrite instead of accumulate
+    val ct = feats.toSeq.collect { case (((_, true, b)), c) => b -> c }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cs = feats.toSeq.collect { case (((_, false, b)), c) => b -> c }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val (tt, ts0) = (ct.values.sum, cs.values.sum)
+    def lam(b: Long): BigDecimal = BigDecimal(
+      math.log((ct.getOrElse(b, 0L) + 1.0) / (tt + dim.toDouble)) -
+        math.log((cs.getOrElse(b, 0L) + 1.0) / (ts0 + dim.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = feats.groupBy(_._1._1).map { case (id, fs) =>
+      id -> fs.map { case ((_, _, b), c) => lam(b) * c }.sum.toDouble }
+    rows.foreach { case (id, _, src) =>
+      val (isT, nBg, logw) = got(id)
+      assert(isT === (src == "src0"), s"doc $id")
+      assert(nBg === rows.find(_._1 == id).get._2.split(" ").length - 1L)
+      assert(logw === expected(id), s"doc $id")
+    }
+    // the selection property DSIR exists for: pure-target docs score
+    // above the mixed doc, which scores above pure-source docs
+    assert(got(1L)._3 > got(5L)._3 && got(2L)._3 > got(5L)._3)
+    assert(got(5L)._3 > got(3L)._3 && got(5L)._3 > got(4L)._3)
+    intercept[IllegalArgumentException] {
+      Sampling.dsirWeights(rows.toDF("doc_id", "text", "source"),
+        "doc_id", "text", col("source") === "src0", 1)
+    }
+  }
+
   test("percentile gate boundaries: keepFrac 1 keeps all, singletons drop") {
     val scored = Seq(
       (1L, "a", 5.0), (2L, "a", 3.0), (3L, "a", 9.0), (4L, "a", 1.0),

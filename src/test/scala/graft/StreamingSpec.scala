@@ -335,6 +335,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online PII scrub equals the batch kernel outputs, per micro-batch") {
+    val rows = Seq(
+      (1L, "mail bob+x%y@sub.example.org via 10.1.0.250 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two a@b.co c@d.io and ip 192.168.0.1 plus 1.2.3.4"))
+    val batch = graft.streaming.DocStreams.piiScrubbed(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStreams.piiScrubbed(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_pii")
+      .start()
+    try {
+      ms.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      ms.addData(rows(2))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_pii")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.map(t => t._1 -> ((t._2, t._3))).toMap ===
+        Map(1L -> ((1L, 1L)), 2L -> ((0L, 0L)), 3L -> ((2L, 2L))))
+    } finally q.stop()
+  }
+
   test("checkpointed file sink resumes after a stop: no loss, no duplication") {
     // production ingest shape: parquet in → stateless curation →
     // parquet out with a checkpoint; kill the query mid-corpus and

@@ -76,6 +76,25 @@ class TfIdfSpec extends SparkSpec {
     assert(fps(3L).size < nGrams3 && fps(3L).size >= nGrams3 / 8)
   }
 
+  test("datasetCard: hand-computed counts, dup rate and discrete percentiles") {
+    // source A: 10 docs, lengths 1..10, two sharing identical text;
+    // source B: 3 docs, all distinct
+    val a = (1 to 10).map(i =>
+      (i.toLong, if (i <= 2) "dup text" else s"uniq $i", "A", i.toLong))
+    val b = Seq((11L, "b one", "B", 4L), (12L, "b two", "B", 6L),
+      (13L, "b three", "B", 8L))
+    val docs = (a ++ b).toDF("doc_id", "text", "source", "n_chars")
+    val got = TextAnalysis.datasetCard(docs, "source", "text", "n_chars")
+      .as[(String, Long, Long, Long, Double, Double, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // A: 10 docs, 9 uniq texts; tokens: 2×2 + 8×2 = 20; cum over
+    // lengths 1..10 → p50 at len 5 (2·5 ≥ 10), p90 at len 9 (10·9 ≥ 90)
+    assert(got("A") === (("A", 10L, 20L, 9L, 0.1,
+      (1 to 10).sum / 10.0, 5L, 9L)))
+    // B: cum 1,2,3 of n=3 → p50 at 6 (2·2 ≥ 3), p90 at 8 (10·3 ≥ 27)
+    assert(got("B") === (("B", 3L, 6L, 3L, 0.0, 6.0, 6L, 8L)))
+  }
+
   test("winnowing kernel equals the zip_with-chain spec on the fixture") {
     val docs = Tables.load(spark, sf0001, "documents")
     for ((k, w) <- Seq((4, 8), (3, 5), (2, 1))) {
