@@ -199,6 +199,50 @@ object SkewCheck {
 }
 
 /** Shared local-session builder for the scale tools (Bench's config). */
+/** 10×-growth check for the round-9 ops: times [[graft.ops.Sampling
+  * .dsirWeights]] and [[graft.ops.TextAnalysis.datasetCard]] on sf0.1 vs
+  * the shared-vocabulary 10× fixture (building `/tmp/sf1shared` via
+  * [[ScaleFixture]] if absent) and prints one JSON line with medians and
+  * the growth factors. Linear-ish growth (≈10× work on 32 threads ⇒
+  * well under 10× wall) is the pass signal; the DSIR ratio table stays
+  * dim rows at ANY corpus size, the card's exchanges stay
+  * aggregate-sized.
+  */
+object NewOpScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf1shared")
+    if (!Files.exists(Paths.get(big)))
+      ScaleFixture.main(Array(small, big, "10"))
+    val spark = Sessions.local("graft-newop-scale")
+
+    def median3(mk: () => DataFrame): Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(3)(run()).sorted.apply(1)
+    }
+    def times(dir: String): (Double, Double, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val dsir = median3(() => graft.ops.Sampling.dsirWeights(
+        docs, "doc_id", "text", col("source") === "src0", dim = 16))
+      val card = median3(() => graft.ops.TextAnalysis.datasetCard(
+        docs, "source", "text", "n_chars"))
+      (dsir, card, n)
+    }
+    val (d1, c1, n1) = times(small)
+    val (d10, c10, n10) = times(big)
+    println(f"""{"docs":[$n1,$n10],""" +
+      f""""dsir_sec":[$d1%.2f,$d10%.2f],"dsir_growth":${d10 / d1}%.2f,""" +
+      f""""card_sec":[$c1%.2f,$c10%.2f],"card_growth":${c10 / c1}%.2f}""")
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
