@@ -312,6 +312,97 @@ object Sampling {
       .select(col("doc_id"), col("is_target"), col("n_bigrams"), col("logw"))
   }
 
+  /** The offline artifact [[dsirWeights]] builds internally, exported
+    * for reuse — scoring a document STREAM (or a different corpus)
+    * against a frozen target/source contrast without recomputing the
+    * bucket statistics (the [[graft.ops.TextAnalysis.LmModel]]
+    * pattern). `lambdas(b)` is the 6-dp add-one-smoothed log-ratio of
+    * bucket `b`, INCLUDING buckets never seen in training (their
+    * smoothed ratio is what an unseen feature scores) — `dim` entries
+    * of driver state total, bounded by the [[dsirModel]] `dim` cap.
+    */
+  final case class DsirModel(lambdas: IndexedSeq[java.math.BigDecimal],
+      dim: Int)
+
+  /** Builds the frozen [[DsirModel]]: the same bucket statistics as
+    * [[dsirWeights]], collected as `dim` exact decimals. `dim` is
+    * capped at 1024 here (vs 65536 inline) because scoring embeds the
+    * table as a plan literal.
+    */
+  def dsirModel(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, dim: Int): DsirModel = {
+    require(dim >= 2 && dim <= 1024, s"dim must be in [2, 1024], got $dim")
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(targetPred.as("is_target"),
+        graft.ops.TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("is_target"),
+        explode(when(size(col("_t")) > 1,
+            sequence(lit(1), size(col("_t")) - 1))
+          .otherwise(array().cast(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType)))).as("i"),
+        col("_t"))
+      .select(col("is_target"),
+        pmod(graft.functions.HashFunctions.rollingFingerprint(
+            concat(element_at(col("_t"), col("i")), lit(" "),
+              element_at(col("_t"), col("i") + 1))),
+          lit(dim.toLong)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(not(col("is_target")), 1L).otherwise(0L)).as("cs"))
+      .collect().map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val tt = counts.values.map(_._1).sum
+    val ts = counts.values.map(_._2).sum
+    val lambdas = IndexedSeq.tabulate(dim) { b =>
+      val (ct, cs) = counts.getOrElse(b, (0L, 0L))
+      val raw = math.log((ct + 1.0) / (tt + dim.toDouble)) -
+        math.log((cs + 1.0) / (ts + dim.toDouble))
+      java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+    DsirModel(lambdas, dim)
+  }
+
+  /** Scores documents against a frozen [[DsirModel]] as ONE stateless
+    * per-row projection — no joins, no shuffles, no state — so it runs
+    * unchanged on a STREAM ([[graft.streaming.DocStreams.dsirScores]])
+    * and composes in front of any gate. The ratio table rides the plan
+    * as a `dim`-element decimal array literal (the MaxPlanCentroids
+    * bounded-literal pattern) and the per-row sum is exact decimal
+    * arithmetic, so scores are BIT-equal to the distributed
+    * [[dsirWeights]] aggregate on the same corpus (pinned in
+    * SamplingSpec). Documents with no bigram are dropped (the
+    * [[dsirWeights]] contract).
+    *
+    * Returns `(doc_id, n_bigrams, logw)`.
+    */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DsirModel): DataFrame = {
+    val lamArr = array(model.lambdas.map(l =>
+      lit(l).cast(DecimalType(18, 6))): _*)
+    val toks = graft.ops.TextAnalysis.tokens(col(textCol))
+    val buckets = transform(
+      when(size(toks) > 1, sequence(lit(1), size(toks) - 1))
+        .otherwise(array().cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType))),
+      i => pmod(graft.functions.HashFunctions.rollingFingerprint(
+          concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))),
+        lit(model.dim.toLong)))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), buckets.as("_b"))
+      .filter(size(col("_b")) >= 1)
+      .select(col("doc_id"),
+        size(col("_b")).cast(LongType).as("n_bigrams"),
+        aggregate(col("_b"),
+            lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 6)),
+            (acc, b) => acc +
+              element_at(lamArr, b.cast(
+                org.apache.spark.sql.types.IntegerType) + 1))
+          .cast(DoubleType).as("logw"))
+  }
+
   def percentileGate(df: DataFrame, idCol: String, strataCol: String,
       scoreCol: String, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,

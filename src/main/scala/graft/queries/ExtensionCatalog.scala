@@ -2539,6 +2539,57 @@ object ExtensionCatalog {
         GROUP BY 1, 2
         """ + orderedSql(Seq("doc_id", "is_target", "n_bigrams", "logw")))),
 
+    // x84 — DSIR scoring via the EXPORTED frozen model (the lmModel/
+    // lmScores pattern applied to x82): bucket stats collected once as
+    // a dim-row decimal plan literal, then every document scored in ONE
+    // stateless per-row projection — the shape that runs unchanged on a
+    // stream. Oracle = x82's arithmetic minus the is_target column;
+    // scores are bit-equal to the distributed aggregate (SamplingSpec).
+    QueryDef("x84_dsir_scored",
+      (s, dir) => {
+        val model = Sampling.dsirModel(t(s, dir, "documents"),
+          "doc_id", "text", targetPred = col("source") === "src0", dim = 16)
+        ordered(Sampling.dsirScore(t(s, dir, "documents"),
+          "doc_id", "text", model))
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id, (source = 'src0') AS is_target,
+            string_split(text, ' ') AS ts
+          FROM documents WHERE text IS NOT NULL),
+        ix AS (
+          SELECT doc_id, is_target, ts,
+            unnest(generate_series(1, len(ts) - 1)) AS i
+          FROM tok),
+        bg AS (
+          SELECT doc_id, is_target, ts[i] || ' ' || ts[i + 1] AS g
+          FROM ix),
+        feats AS (
+          SELECT doc_id, is_target,
+            ${rollingFoldSql("g")} % 16 AS bucket,
+            COUNT(*) AS cnt
+          FROM bg GROUP BY 1, 2, 3),
+        bc AS (
+          SELECT bucket,
+            CAST(SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT)
+              AS ct,
+            CAST(SUM(CASE WHEN is_target THEN 0 ELSE cnt END) AS BIGINT)
+              AS cs
+          FROM feats GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+            CAST(SUM(cs) AS BIGINT) AS ts2 FROM bc),
+        ratio AS (
+          SELECT bucket,
+            CAST(ROUND(ln((ct + 1.0) / (tt + 16.0)) -
+              ln((cs + 1.0) / (ts2 + 16.0)), 6) AS DECIMAL(18,6)) AS lam
+          FROM bc CROSS JOIN tot)
+        SELECT f.doc_id,
+          CAST(SUM(f.cnt) AS BIGINT) AS n_bigrams,
+          CAST(SUM(r.lam * f.cnt) AS DOUBLE) AS logw
+        FROM feats f JOIN ratio r USING (bucket)
+        GROUP BY 1
+        """ + orderedSql(Seq("doc_id", "n_bigrams", "logw")))),
+
     // x83 — per-source dataset audit card: docs, tokens, exact-dup
     // rate, mean + DISCRETE p50/p90 length. Percentile cutoffs are
     // pure integer arithmetic (2·cum >= n, 10·cum >= 9·n) over

@@ -263,4 +263,17 @@ object DocStreams {
       scan.getField("n_ips").as("n_ips"),
       scan.getField("redacted").as("redacted"))
   }
+
+  /** Online DSIR scoring against a frozen target/source contrast — the
+    * streaming twin of batch x84 in the production direction (model
+    * built offline via [[graft.ops.Sampling.dsirModel]], each crawl
+    * drop scored as it lands, e.g. to gate on "looks like the target
+    * domain"). [[graft.ops.Sampling.dsirScore]] is already ONE
+    * stateless per-row projection with the ratio table as a plan
+    * literal, so it applies to a streaming frame verbatim: no state,
+    * no watermark, any trigger.
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      model: graft.ops.Sampling.DsirModel): DataFrame =
+    graft.ops.Sampling.dsirScore(docs, idCol, textCol, model)
 }

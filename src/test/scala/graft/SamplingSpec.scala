@@ -324,6 +324,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("dsirScore on the frozen model is bit-equal to the distributed aggregate") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val pred = col("source") === "src0"
+    val viaAgg = Sampling.dsirWeights(docs, "doc_id", "text", pred, 16)
+      .select("doc_id", "n_bigrams", "logw")
+      .as[(Long, Long, Double)].collect().toSet
+    val model = Sampling.dsirModel(docs, "doc_id", "text", pred, 16)
+    val viaModel = Sampling.dsirScore(docs, "doc_id", "text", model)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaModel === viaAgg)
+    assert(viaModel.nonEmpty)
+    assert(model.lambdas.size === 16)
+    intercept[IllegalArgumentException] {
+      Sampling.dsirModel(docs, "doc_id", "text", pred, 2048)
+    }
+  }
+
   test("percentile gate boundaries: keepFrac 1 keeps all, singletons drop") {
     val scored = Seq(
       (1L, "a", 5.0), (2L, "a", 3.0), (3L, "a", 9.0), (4L, "a", 1.0),

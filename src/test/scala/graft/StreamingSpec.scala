@@ -365,6 +365,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online DSIR scores against a frozen model equal the batch aggregate") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"source").limit(60).cache()
+    val model = graft.ops.Sampling.dsirModel(corpus, "doc_id", "text",
+      $"source" === "src0", 16)
+    val expected = graft.ops.Sampling.dsirWeights(corpus, "doc_id", "text",
+        $"source" === "src0", 16)
+      .select("doc_id", "n_bigrams", "logw")
+      .as[(Long, Long, Double)].collect().toSet
+    val rows = corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStreams.dsirScores(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dsir")
+      .start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h: _*)
+      q.processAllAvailable()
+      ms.addData(t: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dsir")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === expected)
+    } finally {
+      q.stop()
+      corpus.unpersist()
+    }
+  }
+
   test("checkpointed file sink resumes after a stop: no loss, no duplication") {
     // production ingest shape: parquet in → stateless curation →
     // parquet out with a checkpoint; kill the query mid-corpus and
