@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
   * IMAGE payloads have a REAL pure-JVM codec ([[ImageIoCodec]]:
   * javax.imageio decode, Graphics2D resize, PNG re-encode) behind the
   * same Dataset contract — [[featurizeImages]] / [[resizeImages]].
-  * The original STUB paths ([[featurize]] / [[resize]] /
-  * [[frameSample]]) remain for the fixture's non-image payloads and
-  * for the portable span/stride oracle math (audio/video codecs are
-  * not available in this environment; their fakes stay clearly
-  * marked). Everything around either codec (schema, Encoder-backed
-  * batch shape, mapPartitions signature, partition-level batching) is
-  * the same contract.
+  * AUDIO payloads have a REAL pure-JVM codec too ([[WavCodec]]:
+  * hand-rolled RIFF/WAVE PCM chunk parser → mono mixdown → RMS /
+  * zero-cross features, [[featurizeAudio]]), and multi-frame "video"
+  * sampling is REAL over animated GIF ([[GifFrames]] +
+  * [[frameSampleGif]] — the one multi-frame container a stock JRE
+  * decodes; general video containers would need native codecs this
+  * environment lacks). The original STUB paths ([[featurize]] /
+  * [[resize]] / [[frameSample]]) remain for the fixture's non-media
+  * payloads and the portable span/stride oracle math. Everything
+  * around every codec (schema, Encoder-backed batch shape,
+  * mapPartitions signature, partition-level batching) is the same
+  * contract.
   */
 object Multimodal {
 
@@ -136,6 +141,77 @@ object Multimodal {
     }
   }
 
+  /** Decoded-audio features ([[featurizeAudio]]): format and signal
+    * stats when the payload parsed as RIFF/WAVE PCM, `decoded = false`
+    * passthrough otherwise (same skip-not-throw contract as images).
+    */
+  final case class AudioFeatures(
+      doc_id: Long, lang: String, byte_len: Long, decoded: Boolean,
+      sample_rate: Int, channels: Int, n_samples: Long,
+      duration_s: Double, rms: Double, zero_cross_rate: Double)
+
+  /** REAL audio featurization — [[WavCodec]] RIFF/WAVE PCM parse (pure
+    * JVM, no native deps) per asset inside the same mapPartitions
+    * contract: sample rate / channel count from the fmt chunk, RMS
+    * energy and zero-crossing rate over the mono mixdown. The classic
+    * cheap audio-quality gates (silence ⇒ rms ≈ 0; noise ⇒ high zcr)
+    * a speech-data pipeline filters on before expensive ASR.
+    */
+  def featurizeAudio(assets: Dataset[MediaAsset])(implicit s: SparkSession): Dataset[AudioFeatures] = {
+    import s.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        WavCodec.decode(a.payload) match {
+          case Some(w) =>
+            AudioFeatures(a.doc_id, a.lang, a.payload.length.toLong,
+              decoded = true, w.sampleRate, w.channels,
+              w.mono.length.toLong,
+              w.mono.length.toDouble / w.sampleRate,
+              WavCodec.rms(w.mono), WavCodec.zeroCrossRate(w.mono))
+          case None =>
+            AudioFeatures(a.doc_id, a.lang, a.payload.length.toLong,
+              decoded = false, 0, 0, 0L, 0.0, 0.0, 0.0)
+        }
+      }
+    }
+  }
+
+  /** One sampled, DECODED frame of a multi-frame (animated-GIF) payload
+    * ([[frameSampleGif]]) with its per-frame features.
+    */
+  final case class ImageFrame(
+      doc_id: Long, frame_idx: Int, src_frame: Int, width: Int,
+      height: Int, mean_luma: Double)
+
+  /** REAL frame sampling over multi-frame GIF payloads ([[GifFrames]]:
+    * javax.imageio reads GIF sequences frame by frame): `nFrames`
+    * evenly spaced frames are DECODED and featurized — the
+    * keyframe-sampling shape of a video curation pass, on the one
+    * multi-frame container a stock JRE can read. Undecodable payloads
+    * yield no rows (skip-not-throw); payloads with fewer frames than
+    * `nFrames` sample every frame once.
+    */
+  def frameSampleGif(assets: Dataset[MediaAsset], nFrames: Int)(implicit s: SparkSession): Dataset[ImageFrame] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    import s.implicits._
+    assets.flatMap { a =>
+      GifFrames.decode(a.payload) match {
+        case Some(frames) if frames.nonEmpty =>
+          val n = math.min(nFrames, frames.length)
+          (0 until n).map { i =>
+            // evenly spaced source indices, endpoints included
+            val src = if (n == 1) 0
+              else math.round(
+                i.toDouble * (frames.length - 1) / (n - 1)).toInt
+            val f = frames(src)
+            ImageFrame(a.doc_id, i, src, f.getWidth, f.getHeight,
+              ImageIoCodec.meanLuma(f))
+          }
+        case _ => Seq.empty
+      }
+    }
+  }
+
   /** One sampled "frame" of a video-like payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
@@ -155,6 +231,151 @@ object Multimodal {
           else math.min(a.payload.length, start + span)
         Frame(a.doc_id, i, a.payload.slice(start, end))
       }
+    }
+  }
+}
+
+/** Pure-JVM RIFF/WAVE PCM codec — a hand-rolled chunk parser (no
+  * javax.sound dependency, no native deps), the REAL audio decode
+  * behind [[Multimodal.featurizeAudio]]. Supports the integer-PCM
+  * subset (format tag 1; 8-bit unsigned / 16-bit signed
+  * little-endian — what `ffmpeg -f wav` and every sound card emit),
+  * mixes channels to mono floats in [-1, 1], and returns None on
+  * anything else: truncated files, text blobs, compressed formats —
+  * the caller's skip-not-throw contract. Chunk walking mirrors the
+  * reference's footer-first file discipline
+  * (`/root/reference/src/reader/metadata.cpp:198-243`): every length
+  * is taken from the header actually present, never assumed.
+  */
+object WavCodec {
+
+  /** Decoded PCM audio: `mono` is the channel-averaged signal. */
+  final case class WavAudio(sampleRate: Int, channels: Int,
+      mono: Array[Float])
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  def decode(payload: Array[Byte]): Option[WavAudio] = {
+    if (payload.length < 44 || tag(payload, 0) != "RIFF" ||
+        tag(payload, 8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // tag, ch, rate, bits
+    var data: Option[(Int, Int)] = None // offset, length
+    while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(payload, off)
+      val len = le32(payload, off + 4)
+      if (len < 0 || off + 8 + len > payload.length) return None
+      if (id == "fmt " && len >= 16)
+        fmt = Some((le16(payload, off + 8), le16(payload, off + 10),
+          le32(payload, off + 12), le16(payload, off + 22)))
+      else if (id == "data") data = Some((off + 8, len))
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate, bits)), Some((dOff, dLen)))
+          if ch >= 1 && rate >= 1 && (bits == 8 || bits == 16) =>
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * ch
+        val nFrames = dLen / frameBytes
+        val mono = new Array[Float](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var sum = 0.0f
+          var c = 0
+          while (c < ch) {
+            val p = dOff + i * frameBytes + c * bytesPerSample
+            sum += (if (bits == 16) le16s(payload, p) / 32768.0f
+              else ((payload(p) & 0xFF) - 128) / 128.0f)
+            c += 1
+          }
+          mono(i) = sum / ch
+          i += 1
+        }
+        Some(WavAudio(rate, ch, mono))
+      case _ => None
+    }
+  }
+
+  private def le16s(b: Array[Byte], off: Int): Short =
+    ((b(off) & 0xFF) | (b(off + 1) << 8)).toShort
+
+  /** Root-mean-square energy of the mono signal, in [0, 1]. */
+  def rms(mono: Array[Float]): Double = {
+    if (mono.isEmpty) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < mono.length) { s += mono(i).toDouble * mono(i); i += 1 }
+    math.sqrt(s / mono.length)
+  }
+
+  /** Fraction of adjacent sample pairs whose signs differ — the classic
+    * noisiness / voicing heuristic.
+    */
+  def zeroCrossRate(mono: Array[Float]): Double = {
+    if (mono.length < 2) return 0.0
+    var n = 0
+    var i = 1
+    while (i < mono.length) {
+      if ((mono(i) >= 0) != (mono(i - 1) >= 0)) n += 1
+      i += 1
+    }
+    n.toDouble / (mono.length - 1)
+  }
+}
+
+/** Pure-JVM multi-frame GIF reader (javax.imageio's GIF service
+  * provider reads sequences frame by frame) — the REAL frame-level
+  * decode behind [[Multimodal.frameSampleGif]]. Frames are composited
+  * over the previous frame when the GIF stores partial updates
+  * (restore-to-previous disposal is treated as overwrite — fine for
+  * the featurize path). None when the bytes are not a GIF.
+  */
+object GifFrames {
+  import java.awt.image.BufferedImage
+  import javax.imageio.ImageIO
+  import javax.imageio.stream.MemoryCacheImageInputStream
+
+  def decode(payload: Array[Byte]): Option[Vector[BufferedImage]] = {
+    val readers = ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    val stream = new MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(stream, false, true)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      var canvas: BufferedImage = null
+      val out = Vector.newBuilder[BufferedImage]
+      var i = 0
+      while (i < n) {
+        val frame = reader.read(i)
+        if (canvas == null) {
+          canvas = new BufferedImage(frame.getWidth, frame.getHeight,
+            BufferedImage.TYPE_INT_RGB)
+        }
+        val g = canvas.createGraphics()
+        try g.drawImage(frame, 0, 0, null) finally g.dispose()
+        val snap = new BufferedImage(canvas.getWidth, canvas.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        val g2 = snap.createGraphics()
+        try g2.drawImage(canvas, 0, 0, null) finally g2.dispose()
+        out += snap
+        i += 1
+      }
+      Some(out.result())
+    } catch {
+      case _: java.io.IOException => None
+      case _: IndexOutOfBoundsException => None
+    } finally {
+      reader.dispose()
+      stream.close()
     }
   }
 }

@@ -92,4 +92,115 @@ class MultimodalSpec extends SparkSpec {
     val expected = assets.toDF().selectExpr("sum(length(payload))").head().getLong(0)
     assert(total === expected)
   }
+
+  /** 16-bit PCM mono/stereo WAV bytes with the exact RIFF layout the
+    * codec must parse (44-byte canonical header).
+    */
+  private def wav16(rate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("real WAV codec: PCM parse, RMS, zero-cross rate, skip-not-throw") {
+    import graft.ops.{Multimodal => M, WavCodec}
+    // full-scale mono square wave at rate 8000: rms = 1, zcr = 1
+    val square = Array.tabulate[Short](800)(i =>
+      if (i % 2 == 0) 32767 else -32767)
+    // constant positive half-scale: rms = 0.5-ish exact, zcr = 0
+    val flat = Array.fill[Short](400)(16384)
+    // stereo: L = +v, R = -v → mono mixdown ≈ 0 everywhere
+    val stereo = Array.tabulate[Short](600)(i =>
+      if (i % 2 == 0) 20000 else -20000)
+    val media = Seq(
+      M.MediaAsset(1L, "en", wav16(8000, 1, square)),
+      M.MediaAsset(2L, "en", wav16(16000, 1, flat)),
+      M.MediaAsset(3L, "en", wav16(8000, 2, stereo)),
+      M.MediaAsset(4L, "en", "definitely not audio".getBytes("UTF-8")),
+      M.MediaAsset(5L, "en", wav16(8000, 1, square).take(30))) // truncated
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[M.MediaAsset])
+    val got = M.featurizeAudio(ds).collect().map(f => f.doc_id -> f).toMap
+    val sq = got(1L)
+    assert(sq.decoded && sq.sample_rate === 8000 && sq.channels === 1)
+    assert(sq.n_samples === 800L && sq.duration_s === 0.1)
+    assert(math.abs(sq.rms - 32767.0 / 32768.0) < 1e-9)
+    assert(sq.zero_cross_rate === 1.0)
+    val fl = got(2L)
+    assert(fl.decoded && fl.rms === 16384.0 / 32768.0 &&
+      fl.zero_cross_rate === 0.0)
+    val st = got(3L)
+    assert(st.decoded && st.channels === 2 && st.n_samples === 300L)
+    assert(st.rms === 0.0, "opposite-phase stereo mixes to silence")
+    assert(!got(4L).decoded && !got(5L).decoded,
+      "non-audio and truncated payloads skip, not throw")
+    // direct kernel edge: empty signal
+    assert(WavCodec.rms(Array.empty[Float]) === 0.0)
+    assert(WavCodec.zeroCrossRate(Array(0.5f)) === 0.0)
+  }
+
+  /** Animated GIF via javax.imageio's sequence writer: `lumas` solid
+    * gray frames in order.
+    */
+  private def animatedGif(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+    import javax.imageio.ImageIO
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      lumas.foreach { l =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setColor(new java.awt.Color(l, l, l))
+          g.fillRect(0, 0, w, h)
+        } finally g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  test("real GIF frame sampling: decode, even spacing, per-frame luma") {
+    import graft.ops.{Multimodal => M, GifFrames}
+    val lumas = Seq(0, 50, 100, 150, 200, 250, 30, 80, 130, 180)
+    val gif = animatedGif(20, 10, lumas)
+    assert(GifFrames.decode(gif).get.length === 10)
+    val media = Seq(
+      M.MediaAsset(1L, "en", gif),
+      M.MediaAsset(2L, "en", animatedGif(8, 8, Seq(60, 180))),
+      M.MediaAsset(3L, "en", "not a gif".getBytes("UTF-8")))
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[M.MediaAsset])
+    val got = M.frameSampleGif(ds, 4).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    // 10 frames sampled at 4: src indices round(i*9/3) = 0, 3, 6, 9
+    assert(got(1L).map(_.src_frame).toSeq === Seq(0, 3, 6, 9))
+    assert(got(1L).forall(f => f.width === 20 && f.height === 10))
+    val expectedLumas = Seq(0, 150, 30, 180)
+    got(1L).zip(expectedLumas).foreach { case (f, l) =>
+      assert(math.abs(f.mean_luma - l) <= 3.0,
+        s"frame ${f.frame_idx}: GIF-palette-quantized luma near $l") }
+    // fewer frames than requested: every frame once
+    assert(got(2L).map(_.src_frame).toSeq === Seq(0, 1))
+    assert(!got.contains(3L), "non-GIF payloads yield no rows")
+  }
 }
