@@ -367,17 +367,40 @@ object Sampling {
   /** Scores documents against a frozen [[DsirModel]] as ONE stateless
     * per-row projection — no joins, no shuffles, no state — so it runs
     * unchanged on a STREAM ([[graft.streaming.DocStreams.dsirScores]])
-    * and composes in front of any gate. The ratio table rides the plan
-    * as a `dim`-element decimal array literal (the MaxPlanCentroids
-    * bounded-literal pattern) and the per-row sum is exact decimal
-    * arithmetic, so scores are BIT-equal to the distributed
-    * [[dsirWeights]] aggregate on the same corpus (pinned in
-    * SamplingSpec). Documents with no bigram are dropped (the
-    * [[dsirWeights]] contract).
+    * and composes in front of any gate. The ratio table rides inside
+    * the native [[graft.functions.DsirKernel]] codegen expression (the
+    * MaxPlanCentroids bounded-literal pattern) which fingerprints every
+    * adjacent bigram and sums exact micro-unit log-ratios in one text
+    * scan, so scores are BIT-equal to the distributed [[dsirWeights]]
+    * aggregate on the same corpus (pinned in SamplingSpec, along with
+    * kernel ≡ the interpreted [[dsirScoreSpec]] HOF spelling).
+    * Documents with no bigram are dropped (the [[dsirWeights]]
+    * contract).
     *
     * Returns `(doc_id, n_bigrams, logw)`.
     */
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DsirModel): DataFrame = {
+    // 6-dp decimals are exact multiples of 10⁻⁶ → the kernel sums Long
+    // micro-units; the one double division at the end is bit-equal to
+    // the DECIMAL(38,6) → DOUBLE cast of the aggregate/HOF spellings
+    val lamMicros = model.lambdas.map(l =>
+      l.movePointRight(6).longValueExact())
+    val sc = graft.functions.DsirFunctions.dsirScore(col(textCol), lamMicros)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), sc.as("_s"))
+      .filter(col("_s.n_bigrams") >= 1)
+      .select(col("doc_id"), col("_s.n_bigrams").as("n_bigrams"),
+        (col("_s.logw_micros").cast(DoubleType) / lit(1000000.0))
+          .as("logw"))
+  }
+
+  /** The interpreted HOF spelling of [[dsirScore]] — kept as the
+    * executable specification the [[graft.functions.DsirKernel]]
+    * byte-scan is property-tested against (SamplingSpec pins kernel ≡
+    * spec ≡ the distributed aggregate).
+    */
+  def dsirScoreSpec(docs: DataFrame, idCol: String, textCol: String,
       model: DsirModel): DataFrame = {
     val lamArr = array(model.lambdas.map(l =>
       lit(l).cast(DecimalType(18, 6))): _*)

@@ -336,6 +336,10 @@ class SamplingSpec extends SparkSpec {
     assert(viaModel === viaAgg)
     assert(viaModel.nonEmpty)
     assert(model.lambdas.size === 16)
+    // native kernel ≡ the interpreted HOF executable spec
+    val viaSpec = Sampling.dsirScoreSpec(docs, "doc_id", "text", model)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaModel === viaSpec)
     intercept[IllegalArgumentException] {
       Sampling.dsirModel(docs, "doc_id", "text", pred, 2048)
     }
