@@ -844,6 +844,67 @@ object TextAnalysis {
         col("token_cnt") < 40 || col("avg_word_len") < lit(3.5))
   }
 
+  /** In-engine quality/domain classifier TRAINING — the missing half of
+    * [[hashClassifierScore]] (x60 runs inference over an
+    * offline-trained linear model; this trains one, completing the
+    * train → score → gate loop without leaving the engine): full-batch
+    * perceptron over hashed-unigram counts + bias,
+    * `w += lr·Σ_misclassified (2y−1)·x`, `epochs` passes.
+    *
+    * Cross-engine EXACTNESS by construction: learning rate 1/8 means
+    * every weight is an exact multiple of 10⁻⁶·125000 — ALL arithmetic
+    * (margins, update sums, weights) stays in Long micro-units, no
+    * floating point until the final display division, no libm anywhere
+    * (the perceptron's hard threshold needs no exp/sigmoid — that is
+    * WHY it is the in-engine spelling; margin ties predict 0 by the
+    * `> 0` contract).
+    *
+    * Scale design (100 TB): per epoch, one margin aggregate over the
+    * feature rows (map-side combinable), one misclassified-set join
+    * (AQE broadcasts it when training has nearly converged — the set
+    * IS the remaining error mass), one bucket-grouped update aggregate
+    * collapsing to ≤ dim+1 rows per task. Driver state = dim+1 longs
+    * per epoch (the kmeansCentroids bounded-collect pattern); weights
+    * ride each epoch's plan as a bounded literal.
+    *
+    * Returns `(bucket, w_micros, weight)` — bucket `dim` is the bias.
+    */
+  def perceptronTrain(docs: DataFrame, idCol: String, textCol: String,
+      labelPred: Column, dim: Int, epochs: Int,
+      lrMicros: Long = 125000L): DataFrame = {
+    require(dim >= 1 && dim <= 1024, s"dim must be in [1, 1024], got $dim")
+    require(epochs >= 1 && epochs <= 16,
+      s"epochs must be in [1, 16], got $epochs")
+    val spark = docs.sparkSession
+    val feats = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), labelPred.as("y"),
+        explode(concat(
+          transform(tokens(col(textCol)),
+            t => pmod(fingerprint(t), lit(dim.toLong))),
+          array(lit(dim.toLong)))).as("bucket"))
+      .groupBy("doc_id", "y", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Array.fill[Long](dim + 1)(0L)
+    (1 to epochs).foreach { _ =>
+      val wLit = array(w.toIndexedSeq.map(lit(_)): _*)
+      val margins = feats.groupBy("doc_id", "y")
+        .agg(sum(element_at(wLit,
+          (col("bucket") + 1).cast(org.apache.spark.sql.types.IntegerType))
+          * col("cnt")).as("margin"))
+      val wrong = margins.filter((col("margin") > 0L) =!= col("y"))
+        .select(col("doc_id"),
+          when(col("y"), 1L).otherwise(-1L).as("sign"))
+      val delta = feats.join(wrong, Seq("doc_id"))
+        .groupBy("bucket").agg(sum(col("sign") * col("cnt")).as("d"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      delta.foreach { case (b, d) => w(b) += lrMicros * d }
+    }
+    import spark.implicits._
+    w.zipWithIndex
+      .map { case (m, b) => (b.toLong, m, m.toDouble / 1000000.0) }
+      .toSeq.toDF("bucket", "w_micros", "weight")
+  }
+
   /** Per-source dataset audit card — the one-stop report a 100 TB
     * ingest publishes next to the corpus: document and token counts,
     * the exact-duplicate rate, and the length distribution (mean +

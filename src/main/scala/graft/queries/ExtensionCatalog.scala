@@ -2634,6 +2634,67 @@ object ExtensionCatalog {
           "n_uniq_texts", "dup_rate", "mean_chars", "p50_chars",
           "p90_chars")))),
 
+    // x85 — in-engine classifier TRAINING (the other half of x60's
+    // inference): 3 full-batch perceptron epochs over hashed-unigram
+    // counts + bias, label = "is src0" (the x82/x84 target contrast).
+    // Exact by construction — lr 1/8 keeps every weight an integer
+    // number of micro-units, so margins/updates/weights are all-Long
+    // arithmetic with NO libm (the hard threshold needs no sigmoid);
+    // the oracle unrolls the three epochs as CTE layers on the same
+    // integers. Epoch 1 degenerates to "all y=1 docs misclassified"
+    // (zero weights ⇒ margin 0 ⇒ predict 0), spelled directly.
+    QueryDef("x85_train_perceptron",
+      (s, dir) => ordered(TextAnalysis.perceptronTrain(
+        t(s, dir, "documents"), "doc_id", "text",
+        labelPred = col("source") === "src0", dim = 16, epochs = 3)),
+      Some(s"""WITH tok AS (
+          SELECT doc_id, (source = 'src0') AS y,
+            unnest(string_split(text, ' ')) AS t
+          FROM documents WHERE text IS NOT NULL),
+        feats AS (
+          SELECT doc_id, y, bucket, COUNT(*) AS cnt FROM (
+            SELECT doc_id, y, ${rollingFoldSql("t")} % 16 AS bucket
+            FROM tok
+            UNION ALL
+            SELECT doc_id, (source = 'src0') AS y, 16 AS bucket
+            FROM documents WHERE text IS NOT NULL)
+          GROUP BY 1, 2, 3),
+        w1 AS (
+          SELECT bucket,
+            125000 * SUM(CASE WHEN y THEN cnt ELSE 0 END) AS m
+          FROM feats GROUP BY 1),
+        m2 AS (
+          SELECT f.doc_id, f.y, SUM(w1.m * f.cnt) AS margin
+          FROM feats f JOIN w1 USING (bucket) GROUP BY 1, 2),
+        wr2 AS (
+          SELECT doc_id, CASE WHEN y THEN 1 ELSE -1 END AS sign
+          FROM m2 WHERE (margin > 0) <> y),
+        d2 AS (
+          SELECT f.bucket, SUM(wr2.sign * f.cnt) AS d
+          FROM feats f JOIN wr2 USING (doc_id) GROUP BY 1),
+        w2 AS (
+          SELECT w1.bucket, w1.m + 125000 * COALESCE(d2.d, 0) AS m
+          FROM w1 LEFT JOIN d2 USING (bucket)),
+        m3 AS (
+          SELECT f.doc_id, f.y, SUM(w2.m * f.cnt) AS margin
+          FROM feats f JOIN w2 USING (bucket) GROUP BY 1, 2),
+        wr3 AS (
+          SELECT doc_id, CASE WHEN y THEN 1 ELSE -1 END AS sign
+          FROM m3 WHERE (margin > 0) <> y),
+        d3 AS (
+          SELECT f.bucket, SUM(wr3.sign * f.cnt) AS d
+          FROM feats f JOIN wr3 USING (doc_id) GROUP BY 1),
+        w3 AS (
+          SELECT w2.bucket, w2.m + 125000 * COALESCE(d3.d, 0) AS m
+          FROM w2 LEFT JOIN d3 USING (bucket))
+        SELECT bucket, w_micros, weight FROM (
+          SELECT gs.bucket AS bucket,
+            CAST(COALESCE(w3.m, 0) AS BIGINT) AS w_micros,
+            CAST(COALESCE(w3.m, 0) AS BIGINT) / 1000000.0 AS weight
+          FROM (SELECT unnest(generate_series(0, 16)) AS bucket) gs
+          LEFT JOIN w3 ON gs.bucket = w3.bucket)
+        """ + orderedSql(Seq("bucket", "w_micros", "weight")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -76,6 +76,47 @@ class TfIdfSpec extends SparkSpec {
     assert(fps(3L).size < nGrams3 && fps(3L).size >= nGrams3 / 8)
   }
 
+  test("perceptronTrain matches a local integer replay and separates a toy corpus") {
+    import graft.functions.SketchKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val dim = 8
+    val rows = Seq(
+      (1L, "good clean prose here", true),
+      (2L, "good good text", true),
+      (3L, "spam spam junk junk", false),
+      (4L, "junk noise spam", false),
+      (5L, "good spam mixed", true))
+    val got = TextAnalysis.perceptronTrain(
+        rows.toDF("doc_id", "text", "lbl"), "doc_id", "text",
+        labelPred = col("lbl"), dim = dim, epochs = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // local replay of the identical integer algorithm
+    def bucket(t: String): Int =
+      (SketchKernels.rollingFingerprint(UTF8String.fromString(t)) % dim).toInt
+    val feats = rows.map { case (id, text, y) =>
+      val bs = text.split(" ").map(bucket).toSeq :+ dim
+      (id, y, bs.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val w = Array.fill[Long](dim + 1)(0L)
+    (1 to 3).foreach { _ =>
+      val wrong = feats.filter { case (_, y, f) =>
+        (f.map { case (b, c) => w(b) * c }.sum > 0L) != y }
+      val delta = new Array[Long](dim + 1)
+      wrong.foreach { case (_, y, f) =>
+        f.foreach { case (b, c) =>
+          delta(b) += (if (y) c else -c) } }
+      (0 to dim).foreach(b => w(b) += 125000L * delta(b))
+    }
+    (0 to dim).foreach(b =>
+      assert(got(b.toLong) === w(b), s"bucket $b"))
+    // the trained weights separate the unambiguous docs
+    def margin(f: Map[Int, Long]): Long =
+      f.map { case (b, c) => w(b) * c }.sum
+    assert(margin(feats(1)._3) > 0L, "pure-positive doc scores positive")
+    assert(margin(feats(2)._3) <= 0L, "pure-negative doc scores non-positive")
+  }
+
   test("datasetCard: hand-computed counts, dup rate and discrete percentiles") {
     // source A: 10 docs, lengths 1..10, two sharing identical text;
     // source B: 3 docs, all distinct
