@@ -876,6 +876,11 @@ object TextAnalysis {
     require(epochs >= 1 && epochs <= 16,
       s"epochs must be in [1, 16], got $epochs")
     val spark = docs.sparkSession
+    // feats is dim-bounded per document (≤ dim+1 rows of 4 longs — NOT
+    // corpus-text-scale), so ONE lazy checkpoint feeds every epoch's
+    // two consumers instead of re-tokenizing the corpus 2× per epoch;
+    // blocks are released before returning (the result is a
+    // driver-built table, nothing downstream references them)
     val feats = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), labelPred.as("y"),
         explode(concat(
@@ -884,21 +889,32 @@ object TextAnalysis {
           array(lit(dim.toLong)))).as("bucket"))
       .groupBy("doc_id", "y", "bucket")
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val w = Array.fill[Long](dim + 1)(0L)
-    (1 to epochs).foreach { _ =>
-      val wLit = array(w.toIndexedSeq.map(lit(_)): _*)
-      val margins = feats.groupBy("doc_id", "y")
-        .agg(sum(element_at(wLit,
-          (col("bucket") + 1).cast(org.apache.spark.sql.types.IntegerType))
-          * col("cnt")).as("margin"))
-      val wrong = margins.filter((col("margin") > 0L) =!= col("y"))
-        .select(col("doc_id"),
-          when(col("y"), 1L).otherwise(-1L).as("sign"))
-      val delta = feats.join(wrong, Seq("doc_id"))
-        .groupBy("bucket").agg(sum(col("sign") * col("cnt")).as("d"))
-        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      delta.foreach { case (b, d) => w(b) += lrMicros * d }
-    }
+    try {
+      (1 to epochs).foreach { _ =>
+        val delta = (if (w.forall(_ == 0L)) {
+          // all-zero weights ⇒ margins are identically 0 ⇒ predict 0 ⇒
+          // the misclassified set is exactly the y=1 docs: one
+          // aggregate, no margin pass, no join (exact, not a shortcut)
+          feats.filter(col("y"))
+            .groupBy("bucket").agg(sum(col("cnt")).as("d"))
+        } else {
+          val wLit = array(w.toIndexedSeq.map(lit(_)): _*)
+          val margins = feats.groupBy("doc_id", "y")
+            .agg(sum(element_at(wLit,
+              (col("bucket") + 1)
+                .cast(org.apache.spark.sql.types.IntegerType))
+              * col("cnt")).as("margin"))
+          val wrong = margins.filter((col("margin") > 0L) =!= col("y"))
+            .select(col("doc_id"),
+              when(col("y"), 1L).otherwise(-1L).as("sign"))
+          feats.join(wrong, Seq("doc_id"))
+            .groupBy("bucket").agg(sum(col("sign") * col("cnt")).as("d"))
+        }).collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        delta.foreach { case (b, d) => w(b) += lrMicros * d }
+      }
+    } finally releaseLocalCheckpoint(feats)
     import spark.implicits._
     w.zipWithIndex
       .map { case (m, b) => (b.toLong, m, m.toDouble / 1000000.0) }
