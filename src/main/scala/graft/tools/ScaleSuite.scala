@@ -225,20 +225,28 @@ object NewOpScale {
       run() // cold, discarded
       Seq.fill(3)(run()).sorted.apply(1)
     }
-    def times(dir: String): (Double, Double, Long) = {
+    def times(dir: String): (Double, Double, Double, Double, Long) = {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val n = docs.count()
       val dsir = median3(() => graft.ops.Sampling.dsirWeights(
         docs, "doc_id", "text", col("source") === "src0", dim = 16))
       val card = median3(() => graft.ops.TextAnalysis.datasetCard(
         docs, "source", "text", "n_chars"))
-      (dsir, card, n)
+      val score = median3(() => graft.ops.Sampling.dsirScore(
+        docs, "doc_id", "text", graft.ops.Sampling.dsirModel(
+          docs, "doc_id", "text", col("source") === "src0", 16)))
+      val train = median3(() => graft.ops.TextAnalysis.perceptronTrain(
+        docs, "doc_id", "text", col("source") === "src0",
+        dim = 16, epochs = 3))
+      (dsir, card, score, train, n)
     }
-    val (d1, c1, n1) = times(small)
-    val (d10, c10, n10) = times(big)
+    val (d1, c1, s1, t1, n1) = times(small)
+    val (d10, c10, s10, t10, n10) = times(big)
     println(f"""{"docs":[$n1,$n10],""" +
       f""""dsir_sec":[$d1%.2f,$d10%.2f],"dsir_growth":${d10 / d1}%.2f,""" +
-      f""""card_sec":[$c1%.2f,$c10%.2f],"card_growth":${c10 / c1}%.2f}""")
+      f""""card_sec":[$c1%.2f,$c10%.2f],"card_growth":${c10 / c1}%.2f,""" +
+      f""""score_sec":[$s1%.2f,$s10%.2f],"score_growth":${s10 / s1}%.2f,""" +
+      f""""train_sec":[$t1%.2f,$t10%.2f],"train_growth":${t10 / t1}%.2f}""")
     spark.stop()
   }
 }
