@@ -61,18 +61,57 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver scrapes stdout, which has been observed tail-truncated
-    // mid-JSON (r8's parsed:null artifact); a file copy keeps the
-    // per-query history recoverable regardless.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    def jsonLine(rows: Seq[(String, Double)]): String = {
+      val qs = rows.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val fullLine = jsonLine(results)
+    // Atomic writes: the r9 artifact was lost to a solo re-measure
+    // clobbering the committed full-suite file, so full runs and solo
+    // runs get DIFFERENT files, and both are temp-file + atomic-move.
+    def writeAtomic(name: String, content: String): Unit =
+      try {
+        val dir = java.nio.file.Paths.get(".").toAbsolutePath
+        val tmp = java.nio.file.Files.createTempFile(dir, name, ".tmp")
+        java.nio.file.Files.write(tmp, (content + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, dir.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Throwable => () }
+    if (args.isEmpty) {
+      // full suite: round-stamped durable artifact. Round = one past the
+      // newest driver-written BENCH_r{N}.json (the driver writes r{N}
+      // AFTER running us, so during round N the max on disk is N-1).
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val ns = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        if (ns.isEmpty) 0 else ns.max + 1
+      }
+      writeAtomic(s"BENCH_LOCAL_r$round.json", fullLine)
+      writeAtomic("bench_last.json", fullLine)
+    } else writeAtomic("bench_solo.json", fullLine)
+    // stdout contract: the driver captures only the LAST ~2000 bytes of
+    // the sbt run (every BENCH_r1..r9 tail is exactly 2000 chars), and
+    // sbt appends its own ~90-byte "[success] Total time" line after us
+    // — so a 121-query line can never survive the window. Emit a
+    // compact line that FITS: full total + as many slowest rows as a
+    // 1700-byte budget allows; the complete map lives in the files
+    // above.
+    val budget = 1700
+    val bySlowest = results.sortBy { case (_, v) => -v }
+    var take = bySlowest.size
+    var line = fullLine
+    while (line.length > budget && take > 1) {
+      take -= 1
+      line = jsonLine(bySlowest.take(take).sortBy(_._1))
+    }
     println(line)
     spark.stop()
   }

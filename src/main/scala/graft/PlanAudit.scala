@@ -8,8 +8,12 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    // -exec may appear anywhere; strip it before positional parsing so
+    // `PlanAudit -exec` (no dir) doesn't read the flag as the data dir
+    val exec = args.contains("-exec")
+    val rest = args.filterNot(_ == "-exec")
     val sfDir =
-      if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+      if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-plan-audit")
@@ -21,7 +25,7 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names =
-      if (args.length > 1) args.drop(1).toSeq
+      if (rest.length > 1) rest.drop(1).toSeq
       else Seq("q1_pricing_summary", "q2_project_filter", "q5_multiway_join",
         "q21_self_join", "q22_chunked_index", "x6_cosine_pairs",
         "x8_minhash_lsh", "x12_neardup_pairs", "x54_leakage_split",
@@ -31,8 +35,7 @@ object PlanAudit {
     // -exec: run each query to a noop sink first and print the FINAL
     // adaptive plan — reused shuffle stages and AQE join demotions only
     // show up post-execution
-    val exec = args.contains("-exec")
-    names.filterNot(_ == "-exec").foreach { n =>
+    names.foreach { n =>
       println(s"\n===== $n =====")
       val df = SparkEntry.queries(n)(spark, sfDir)
       if (exec) {

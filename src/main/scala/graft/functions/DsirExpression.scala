@@ -93,8 +93,12 @@ case class DsirScoreExpr(child: Expression, lamMicros: IndexedSeq[Long])
   override def nullSafeEval(text: Any): Any =
     DsirKernel.score(text.asInstanceOf[UTF8String], lamArr, lamArr.length)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val tableRef = ctx.addReferenceObj("dsirLamMicros", lamArr,
-      classOf[Array[Long]].getName)
+    // Java SOURCE type name, not the JVM binary name: classOf[...].getName
+    // is "[J", which Janino cannot parse in the generated cast — every
+    // stage containing the expression would silently fall back to
+    // interpreted eval (pinned by the codegen-compile test in
+    // KernelPropertySpec).
+    val tableRef = ctx.addReferenceObj("dsirLamMicros", lamArr, "long[]")
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.DsirKernel.score($t, $tableRef, " +
         s"${lamArr.length});")

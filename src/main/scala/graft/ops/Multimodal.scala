@@ -331,8 +331,11 @@ object WavCodec {
 
 /** Pure-JVM multi-frame GIF reader (javax.imageio's GIF service
   * provider reads sequences frame by frame) — the REAL frame-level
-  * decode behind [[Multimodal.frameSampleGif]]. Frames are composited
-  * over the previous frame when the GIF stores partial updates
+  * decode behind [[Multimodal.frameSampleGif]]. The canvas is the
+  * logical screen from the stream metadata and each frame rectangle is
+  * composited at its image-descriptor (left, top) offset over the
+  * previous frame, so optimized GIFs storing partial-update
+  * sub-rectangles land where the descriptor places them
   * (restore-to-previous disposal is treated as overwrite — fine for
   * the featurize path). None when the bytes are not a GIF.
   */
@@ -341,6 +344,46 @@ object GifFrames {
   import javax.imageio.ImageIO
   import javax.imageio.stream.MemoryCacheImageInputStream
 
+  /** (left, top) offset of frame `i` from the GIF image descriptor —
+    * optimized GIFs store partial-update sub-rectangles positioned on
+    * the logical screen; compositing them at (0,0) would paint updates
+    * in the wrong place. (0,0) when metadata is unreadable.
+    */
+  private def frameOffset(reader: javax.imageio.ImageReader,
+      i: Int): (Int, Int) =
+    try {
+      val tree = reader.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val descs = tree.getElementsByTagName("ImageDescriptor")
+      if (descs.getLength == 0) (0, 0)
+      else {
+        val d = descs.item(0).asInstanceOf[org.w3c.dom.Element]
+        (d.getAttribute("imageLeftPosition").toInt,
+          d.getAttribute("imageTopPosition").toInt)
+      }
+    } catch { case _: Exception => (0, 0) }
+
+  /** Logical screen (w, h) from the GIF stream metadata — the canvas
+    * every frame rectangle is positioned on. None when absent (then
+    * frame 0's own size is the best available canvas).
+    */
+  private def logicalScreen(
+      reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val tree = reader.getStreamMetadata()
+        .getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val descs = tree.getElementsByTagName("LogicalScreenDescriptor")
+      if (descs.getLength == 0) None
+      else {
+        val d = descs.item(0).asInstanceOf[org.w3c.dom.Element]
+        val w = d.getAttribute("logicalScreenWidth").toInt
+        val h = d.getAttribute("logicalScreenHeight").toInt
+        if (w > 0 && h > 0) Some((w, h)) else None
+      }
+    } catch { case _: Exception => None }
+
   def decode(payload: Array[Byte]): Option[Vector[BufferedImage]] = {
     val readers = ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return None
@@ -348,7 +391,7 @@ object GifFrames {
     val stream = new MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
-      reader.setInput(stream, false, true)
+      reader.setInput(stream, false, false)
       val n = reader.getNumImages(true)
       if (n <= 0) return None
       var canvas: BufferedImage = null
@@ -356,12 +399,20 @@ object GifFrames {
       var i = 0
       while (i < n) {
         val frame = reader.read(i)
+        val (left, top) = frameOffset(reader, i)
         if (canvas == null) {
-          canvas = new BufferedImage(frame.getWidth, frame.getHeight,
+          // canvas = the logical screen, so sub-rectangle frames at
+          // nonzero offsets land where the descriptor places them (and
+          // frames larger than frame 0 aren't cropped)
+          val (cw, ch) = logicalScreen(reader).getOrElse(
+            (frame.getWidth + left, frame.getHeight + top))
+          canvas = new BufferedImage(
+            math.max(cw, frame.getWidth + left),
+            math.max(ch, frame.getHeight + top),
             BufferedImage.TYPE_INT_RGB)
         }
         val g = canvas.createGraphics()
-        try g.drawImage(frame, 0, 0, null) finally g.dispose()
+        try g.drawImage(frame, left, top, null) finally g.dispose()
         val snap = new BufferedImage(canvas.getWidth, canvas.getHeight,
           BufferedImage.TYPE_INT_RGB)
         val g2 = snap.createGraphics()

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -670,16 +670,22 @@ object TextAnalysis {
       case _ => ()
     }
 
-  /** The previous [[lmQuality]] call's checkpointed model, released when
-    * the next call starts — the Clusters round pattern, bounding block
-    * retention at one model per session no matter how many times a
-    * bench/pipeline loop re-scores. Consequence (documented contract): a
-    * returned lmQuality frame is valid until the NEXT lmQuality call;
+  /** The previous [[lmQuality]] call's checkpointed model PER
+    * SparkSession, released when that session's next call starts — the
+    * Clusters round pattern, bounding block retention at one model per
+    * session no matter how many times a bench/pipeline loop re-scores.
+    * Keyed by session (weak keys, so a stopped session's entry is
+    * collectable) rather than one JVM-global slot: with a global slot,
+    * lmQuality(B) would release the blocks still backing a live frame
+    * returned by lmQuality(A) in another session or interleaved
+    * pipeline. Consequence (documented contract): a returned lmQuality
+    * frame is valid until the SAME session's next lmQuality call;
     * anything longer-lived should build an [[LmModel]] and `release()`
     * it explicitly.
     */
   private val lastLmCheckpoint =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, DataFrame]())
 
   def lmQuality(docs: DataFrame, idCol: String, textCol: String,
       tokenize: Column => Column = tokens,
@@ -688,7 +694,7 @@ object TextAnalysis {
     val pr = bigramRows(docs, idCol, textCol, tokenize)
     val model = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .localCheckpoint(eager = false)
-    Option(lastLmCheckpoint.getAndSet(model))
+    Option(lastLmCheckpoint.put(docs.sparkSession, model))
       .foreach(releaseLocalCheckpoint)
     val ts = lmTokenStats(model)
     val vocab = ts.agg(count(lit(1)).cast(DoubleType).as("vsz"))

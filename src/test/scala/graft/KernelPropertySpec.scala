@@ -175,6 +175,32 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("DsirScoreExpr codegen compiles and matches interpreted eval") {
+    // Regression pin for the "[J" reference-type bug: addReferenceObj
+    // with a JVM binary array name makes Janino reject the generated
+    // cast, silently demoting every containing stage to interpreted
+    // eval. GenerateUnsafeProjection throws on compile failure, so a
+    // codegen regression fails HERE rather than hiding behind fallback.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    val lam = IndexedSeq.tabulate(16)(i => (i * 1000001L) - 7000000L)
+    val expr = graft.functions.DsirScoreExpr(
+      BoundReference(0, StringType, nullable = true), lam)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws if codegen broken
+    (1 to 50).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val words = List.fill(1 + rnd.nextInt(12))("w" + rnd.nextInt(9))
+      val text = UTF8String.fromString(words.mkString(" "))
+      val viaCodegen = proj(InternalRow(text)).getStruct(0, 2)
+      val viaEval = expr.eval(InternalRow(text))
+        .asInstanceOf[InternalRow]
+      assert(viaCodegen.getLong(0) === viaEval.getLong(0), s"seed=$seed")
+      assert(viaCodegen.getLong(1) === viaEval.getLong(1), s"seed=$seed")
+    }
+  }
+
   test("srp signature flips no bits under positive scaling") {
     // sign(dot(c*v, h)) == sign(dot(v, h)) for c > 0 — scaling a vector
     // must not move it across any hyperplane

@@ -203,4 +203,61 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).map(_.src_frame).toSeq === Seq(0, 1))
     assert(!got.contains(3L), "non-GIF payloads yield no rows")
   }
+
+  test("GIF partial-update frames composite at their descriptor offset") {
+    import graft.ops.GifFrames
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    import java.awt.image.BufferedImage
+    // frame 0: full 20x20 dark canvas; frame 1: a 10x10 bright
+    // sub-rectangle whose image descriptor places it at (10, 10) — an
+    // optimized partial update. Composited at (0, 0) (the pre-fix bug)
+    // the bright patch lands top-LEFT; at the descriptor offset it
+    // lands bottom-RIGHT.
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      def gray(w: Int, h: Int, l: Int): BufferedImage = {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(l, l, l)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        img
+      }
+      writer.writeToSequence(
+        new IIOImage(gray(20, 20, 10), null, null),
+        writer.getDefaultWriteParam)
+      val patch = gray(10, 10, 200)
+      val md = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(patch),
+        writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", "10")
+      desc.setAttribute("imageTopPosition", "10")
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new IIOImage(patch, null, md),
+        writer.getDefaultWriteParam)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    val frames = GifFrames.decode(bos.toByteArray).get
+    assert(frames.length === 2)
+    assert(frames.forall(f => f.getWidth === 20 && f.getHeight === 20),
+      "canvas is the logical screen, not the sub-rectangle")
+    // palette quantization keeps solid grays near-exact; compare coarsely
+    def luma(img: BufferedImage, x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    }
+    val f1 = frames(1)
+    assert(luma(f1, 15, 15) > 100, "patch composited at its (10,10) offset")
+    assert(luma(f1, 2, 2) < 60, "top-left keeps the dark base frame")
+    assert(luma(f1, 15, 2) < 60 && luma(f1, 2, 15) < 60,
+      "patch covers ONLY its sub-rectangle")
+  }
 }
