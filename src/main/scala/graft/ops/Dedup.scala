@@ -371,8 +371,16 @@ object Dedup {
       minJaccard: Double, k: Int, numHashes: Int = 64, bands: Int = 16,
       blockCol: Column = lit(0)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: the symmetrize union below consumes the verified
+    // pairs TWICE, and without a barrier each branch re-runs the whole
+    // LSH + exact-verify subtree (the expensive part — the token arrays
+    // re-join and re-merge per branch). The checkpointed frame is tiny
+    // (id, id, jaccard), so this is the lmModel small-data precedent,
+    // not the x45 fat-payload anti-case; measured 2.44 s -> see
+    // BENCH_LOCAL.md r10. Blocks are freed by the ContextCleaner when
+    // the returned frame is unreferenced.
     val pairs = nearDupPairs(docs, idCol, tokenSetCol, minJaccard,
-      numHashes, bands, blockCol)
+      numHashes, bands, blockCol).localCheckpoint(eager = false)
     val sym = pairs.select(col("a_id").as("doc_id"),
         col("b_id").as("nbr_id"), col("jaccard"))
       .union(pairs.select(col("b_id").as("doc_id"),

@@ -74,6 +74,30 @@ class PlanQualitySpec extends SparkSpec {
       "x74 lost the WindowGroupLimit partial top-k")
   }
 
+  test("round-10 plan gates: x39 one-scan pin and x74 checkpoint barrier") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    // x39's ReuseExchange pin (the always-true tf >= 1 guard keeping
+    // column pruning from specializing the df branch) only shows in the
+    // FINALIZED adaptive plan — run the query, then assert the reuse,
+    // so a Catalyst upgrade that silently re-splits the corpus scan
+    // fails here instead of costing a second scan at 100 TB.
+    val df = SparkEntry.queries("x39_tfidf_topk")(spark, sf0001)
+    val rdd = df.queryExecution.toRdd
+    spark.sparkContext.runJob(rdd,
+      (it: Iterator[InternalRow]) => { while (it.hasNext) it.next(); () })
+    val finalized = df.queryExecution.executedPlan.toString
+    assert(finalized.contains("ReusedExchange"),
+      s"x39 re-split the corpus scan (ReuseExchange pin regressed):\n$finalized")
+    // x74's symmetrize union reads the verified pairs through a
+    // localCheckpoint barrier: the LSH + exact-verify subtree must NOT
+    // appear in (and hence be re-run by) the query's own plan — only
+    // the checkpointed RDD, consumed twice, plus the rank window.
+    val x74 = SparkEntry.queries("x74_knn_neardups")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x74.contains("Join"),
+      s"x74 lost its checkpoint barrier — the verify subtree would run twice:\n$x74")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
