@@ -931,6 +931,137 @@ object TextAnalysis {
       .toSeq.toDF("bucket", "w_micros", "weight")
   }
 
+  /** In-engine BPE merge induction — learns the top-`k` byte-pair-
+    * encoding merges from the corpus, completing the tokenizer story:
+    * the engine CONSUMES tokenizers everywhere (x14 applies fixed
+    * merges, x70 plugs tokenizers into every text op); this PRODUCES
+    * one from the data, the way training pipelines derive their vocab.
+    *
+    * Algorithm (classic corpus BPE): collapse the corpus to its word
+    * frequency table; start from character symbols; repeat k times —
+    * count adjacent symbol pairs weighted by word count, merge the most
+    * frequent pair (ties: lexicographically smallest) everywhere,
+    * leftmost-first non-overlapping.
+    *
+    * Engine-portable EXACTNESS: a word's segmentation rides as a
+    * DOUBLE-SPACE-joined, space-padded symbol string ("  l  o  w  "),
+    * so applying a merge is a plain-string `replace(" s1  s2 ", " s1s2 ")`
+    * — leftmost non-overlapping global replace has identical semantics
+    * in Spark, DuckDB, and java.lang.String, and a match consumes one
+    * space from each side's double-space delimiter, which is exactly
+    * the zero-width boundary the classic regex spelling needs
+    * lookarounds for (RE2 has none — this spelling needs NO regex at
+    * all). All counts are exact Longs; no floating point anywhere.
+    *
+    * Scale design (100 TB): the corpus collapses to the VOCABULARY
+    * table (distinct word, count) in one map-side-combinable aggregate
+    * — every round thereafter runs over vocab-bounded rows, never
+    * corpus rows. Per round: one adjacent-pair aggregate (map-side
+    * combinable) + a 1-row argmax collect; the chosen merge rides the
+    * next round's plan as a string literal; driver state = the k
+    * learned merges. The vocab table is checkpointed once and the k
+    * `replace` layers stack as pure projections on it. ADAPTIVE small
+    * path (the [[Clusters.connectedComponents]] take-probe precedent):
+    * when the whole vocabulary fits under `smallVocabThreshold`, the
+    * k rounds run as a driver loop over the probed rows — exact same
+    * integer algorithm (pinned in TfIdfSpec), zero per-round jobs.
+    *
+    * Returns `(merge_rank, s1, s2, pair_count)`, `merge_rank` 1-based
+    * in learn order; fewer than k rows when the corpus runs dry.
+    */
+  def bpeLearnMerges(docs: DataFrame, textCol: String, k: Int,
+      tokenize: Column => Column = tokens,
+      smallVocabThreshold: Int = 1 << 17): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokenize(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("  "),
+        regexp_replace(col("w"), "(.)", "$1  ")).as("sym"), col("cnt"))
+    def result(ms: Seq[(Long, String, String, Long)]): DataFrame =
+      ms.toDF("merge_rank", "s1", "s2", "pair_count")
+    if (smallVocabThreshold > 0) {
+      val probe = vocab.take(smallVocabThreshold + 1)
+      if (probe.length <= smallVocabThreshold)
+        return result(localBpeMerges(
+          probe.map(r => (r.getString(0), r.getLong(1))), k))
+    }
+    val base = vocab.localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    try {
+      var cur = base
+      var r = 1
+      var done = false
+      while (r <= k && !done) {
+        // bind the split array as an attribute BEFORE the lambda — a
+        // captured EXPRESSION re-evaluates per element (the r6 HOF
+        // trap); zip_with(a[1..n-1], a[2..n]) forms the adjacent pairs
+        val withArr = cur.select(col("cnt"),
+          split(trim(col("sym")), "  ").as("a"))
+        val n1 = greatest(size(col("a")) - 1, lit(0))
+        val top = withArr.select(col("cnt"),
+            explode(zip_with(
+              slice(col("a"), lit(1), n1), slice(col("a"), lit(2), n1),
+              (x, y) => struct(x.as("s1"), y.as("s2")))).as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("s1").asc, col("s2").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (s1, s2, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r.toLong, s1, s2, c))
+          cur = cur.withColumn("sym", replace(col("sym"),
+            lit(s" $s1  $s2 "), lit(s" $s1$s2 ")))
+          r += 1
+        }
+      }
+    } finally releaseLocalCheckpoint(base)
+    result(merges.toSeq)
+  }
+
+  /** Driver-side BPE over a collected vocabulary — bit-identical to the
+    * distributed loop (same double-space strings, same
+    * `String.replace` leftmost non-overlapping semantics, same
+    * (count desc, s1, s2) tie-break; equivalence pinned in TfIdfSpec).
+    */
+  private def localBpeMerges(words: Array[(String, Long)],
+      k: Int): Seq[(Long, String, String, Long)] = {
+    var syms = words
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val pc = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      syms.foreach { case (s, c) =>
+        val parts = s.trim.split("  ")
+        var i = 0
+        while (i + 1 < parts.length) {
+          val key = (parts(i), parts(i + 1))
+          pc.update(key, pc.getOrElse(key, 0L) + c)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((s1, s2), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r.toLong, s1, s2, c))
+        syms = syms.map { case (s, cn) =>
+          (s.replace(s" $s1  $s2 ", s" $s1$s2 "), cn)
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Per-source dataset audit card — the one-stop report a 100 TB
     * ingest publishes next to the corpus: document and token counts,
     * the exact-duplicate rate, and the length distribution (mean +

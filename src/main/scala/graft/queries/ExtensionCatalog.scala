@@ -2695,6 +2695,50 @@ object ExtensionCatalog {
           LEFT JOIN w3 ON gs.bucket = w3.bucket)
         """ + orderedSql(Seq("bucket", "w_micros", "weight")))),
 
+    // x86 — in-engine BPE merge induction: top-10 learned merges over
+    // the documents corpus (TextAnalysis.bpeLearnMerges — the producing
+    // half of x14's merge application). The oracle unrolls the 10 merge
+    // rounds as CTE layers (the x85 pattern) on the identical
+    // double-space symbol strings: plain-string replace IS the merge
+    // application in both engines, so every layer is engine-exact
+    // integer arithmetic.
+    QueryDef("x86_bpe_merges",
+      (s, dir) => ordered(TextAnalysis.bpeLearnMerges(
+        t(s, dir, "documents"), "text", k = 10)),
+      Some {
+        val k = 10
+        val init = """s0 AS (
+          SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS sym,
+            cnt
+          FROM (
+            SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(string_split(text, ' ')) AS t
+              FROM documents WHERE text IS NOT NULL)
+            WHERE t <> '' GROUP BY 1))"""
+        val layers = (1 to k).map { r =>
+          s"""p$r AS (
+            SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+              SELECT list_extract(l, i) AS s1,
+                list_extract(l, i + 1) AS s2, cnt FROM (
+                SELECT cnt, l,
+                  unnest(generate_series(1, len(l) - 1)) AS i
+                FROM (SELECT string_split(trim(sym), '  ') AS l, cnt
+                      FROM s${r - 1})))
+            GROUP BY 1, 2),
+          m$r AS (SELECT s1, s2, c FROM p$r
+                  ORDER BY c DESC, s1, s2 LIMIT 1),
+          s$r AS (
+            SELECT replace(sym, ' ' || m.s1 || '  ' || m.s2 || ' ',
+              ' ' || m.s1 || m.s2 || ' ') AS sym, cnt
+            FROM s${r - 1}, m$r m)"""
+        }
+        val rows = (1 to k).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_rank, s1, s2, " +
+            s"c AS pair_count FROM m$r").mkString(" UNION ALL ")
+        s"WITH $init, ${layers.mkString(", ")} SELECT * FROM ($rows) " +
+          orderedSql(Seq("merge_rank", "s1", "s2", "pair_count"))
+      }),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -392,6 +392,43 @@ class TfIdfSpec extends SparkSpec {
     assert(rebuilt === Map(1L -> doc, 2L -> "a b", 3L -> ""))
   }
 
+  test("bpeLearnMerges: hand-computed merges, driver path ≡ distributed path") {
+    // reference corpus (BPE-paper flavor): expected merges computed by
+    // hand — (e,w) 6 wins first, chains to "newest"; ties broken
+    // (count desc, s1 asc, s2 asc)
+    val docs = Seq(
+      (1L, "low low lower newest newest newest"),
+      (2L, "wide wider new new newest")).toDF("doc_id", "text")
+    val expected = Seq(
+      (1L, "e", "w", 6L), (2L, "n", "ew", 6L), (3L, "e", "s", 4L),
+      (4L, "es", "t", 4L), (5L, "new", "est", 4L), (6L, "l", "o", 3L))
+    val viaDriver = TextAnalysis.bpeLearnMerges(docs, "text", k = 6)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaDriver === expected)
+    // smallVocabThreshold = 0 forces the distributed per-round loop —
+    // must be bit-identical to the driver short-circuit
+    val viaDistributed = TextAnalysis.bpeLearnMerges(docs, "text", k = 6,
+        smallVocabThreshold = 0)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaDistributed === expected)
+    // overlap semantics: leftmost non-overlapping — "aaaaa" counts 4
+    // (a,a) pairs but merges only twice, leaving [aa, aa, a]; round 2
+    // then ties (aa,aa) with (aa,a) at 2 and the (s1, s2) tie-break
+    // picks (aa, a)
+    val runs = Seq((1L, "aaaaa aaaaa")).toDF("doc_id", "text")
+    val gotRuns = TextAnalysis.bpeLearnMerges(runs, "text", k = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(gotRuns === Seq((1L, "a", "a", 8L), (2L, "aa", "a", 2L)))
+    val gotRunsDist = TextAnalysis.bpeLearnMerges(runs, "text", k = 2,
+        smallVocabThreshold = 0)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(gotRunsDist === gotRuns)
+    // k larger than the corpus supports: runs dry, returns fewer rows
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeLearnMerges(tiny, "text", k = 10)
+      .count() === 1L)
+  }
+
   test("fixture ranks are dense from 1, scores non-increasing per doc") {
     val docs = Tables.load(spark, sf0001, "documents")
     val rows = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 3)
