@@ -1062,6 +1062,133 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Frozen char-trigram language-ID model — [[langTrigramModel]]'s
+    * export, the [[graft.ops.Sampling.DsirModel]] pattern applied to
+    * language identification: `langs` sorted ascending (the arg-max
+    * tie-break order), `lamMicros(li)(b)` the 6-dp add-one-smoothed
+    * trigram-bucket log-probability of language `li` in micro-units,
+    * INCLUDING never-seen buckets (their smoothed value is what an
+    * unseen trigram scores). Driver state = `langs.size × dim` longs,
+    * bounded by the train-time caps.
+    */
+  final case class LangTrigramModel(langs: IndexedSeq[String],
+      lamMicros: IndexedSeq[IndexedSeq[Long]], dim: Int)
+
+  /** TRAINS the frozen [[LangTrigramModel]] from a labeled corpus —
+    * the upgrade path from [[langId]]'s fixed marker voting
+    * (x3) to a model the corpus itself fits, the way production
+    * pipelines train fastText-style identifiers on labeled seed data.
+    * Per language: hashed char-trigram counts (portable rolling
+    * fingerprint of each 3-char window mod `dim` — the x4/x51/x82
+    * fold) → add-one-smoothed log-probability per bucket,
+    * `ln((cnt+1)/(total+dim))` rounded to 6 dp (the x73/x82 ln
+    * precedent, exact micro-units thereafter).
+    *
+    * Scale: per doc ONE [[graft.functions.LangIdKernel.trigramCounts]]
+    * kernel scan to a dim-length count vector, then one map-side-
+    * combinable `vector_sum` aggregate — the corpus never explodes to
+    * trigram rows (the per-row-op-goes-native rule; the interpreted
+    * explode spelling cost 2.1 s vs 0.6 s at sf0.1). The collect is
+    * bounded by `nLangs × dim` (≤ 64 × 1024 — the MaxPlanCentroids
+    * bounded-collect pattern).
+    */
+  def langTrigramModel(docs: DataFrame, langCol: String, textCol: String,
+      dim: Int): LangTrigramModel = {
+    require(dim >= 2 && dim <= 1024, s"dim must be in [2, 1024], got $dim")
+    val counts = docs
+      .filter(col(textCol).isNotNull && col(langCol).isNotNull &&
+        length(col(textCol)) >= 3)
+      .select(col(langCol).as("lang"),
+        graft.functions.LangIdFunctions.trigramCounts(
+          col(textCol), dim).as("_c"))
+      .groupBy("lang")
+      .agg(graft.functions.VectorFunctions.vectorSum(col("_c")).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .toMap
+    val langs = counts.keys.toIndexedSeq.sorted
+    require(langs.nonEmpty, "no language has a document with >= 3 chars")
+    require(langs.size <= 64,
+      s"plan-literal model supports <= 64 languages, got ${langs.size}")
+    val lam = langs.map { lg =>
+      // counts are integral by construction; doubles are exact < 2^53
+      val cs = counts(lg).map(_.toLong)
+      val tot = cs.sum
+      IndexedSeq.tabulate(dim) { b =>
+        java.math.BigDecimal.valueOf(
+            math.log((cs(b) + 1.0) / (tot + dim.toDouble)))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact()
+      }
+    }
+    LangTrigramModel(langs, lam, dim)
+  }
+
+  /** Scores documents against a frozen [[LangTrigramModel]] as ONE
+    * stateless per-row projection — no joins, no shuffles, no state —
+    * so it runs unchanged on a STREAM
+    * ([[graft.streaming.DocStreams.langIdScores]]). The L×dim table
+    * rides inside the native [[graft.functions.LangIdKernel]] codegen
+    * expression; every language is scored in the same single text scan
+    * and the arg-max (ties → lexicographically smallest language) is
+    * taken in-kernel. Documents with fewer than 3 code points (no
+    * trigram) are dropped.
+    *
+    * Returns `(doc_id, lang_pred, n_trigrams, logp)`; `logp` is the
+    * winning language's total log-probability.
+    */
+  def langIdScore(docs: DataFrame, idCol: String, textCol: String,
+      model: LangTrigramModel): DataFrame = {
+    val flat = model.lamMicros.flatten
+    val langsLit = array(model.langs.map(lit(_)): _*)
+    val sc = graft.functions.LangIdFunctions.langScore(
+      col(textCol), flat, model.dim, model.langs.size)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), sc.as("_s"))
+      .filter(col("_s.n_trigrams") >= 1)
+      .select(col("doc_id"),
+        element_at(langsLit, col("_s.best_idx") + 1).as("lang_pred"),
+        col("_s.n_trigrams").as("n_trigrams"),
+        (col("_s.best_micros").cast(DoubleType) / lit(1000000.0))
+          .as("logp"))
+  }
+
+  /** The distributed join-window spelling of [[langIdScore]] — the
+    * executable specification the [[graft.functions.LangIdKernel]]
+    * one-scan is property-tested against (TokenizerSpec), and the
+    * shape the DuckDB oracle mirrors: explode trigram buckets, join
+    * the L×dim model table, per-(doc, lang) micro-unit sums, arg-max
+    * by (sum desc, lang asc).
+    */
+  def langIdScoreSpec(docs: DataFrame, idCol: String, textCol: String,
+      model: LangTrigramModel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mrows = model.langs.zipWithIndex.flatMap { case (lg, li) =>
+      (0 until model.dim).map(b => (lg, b.toLong, model.lamMicros(li)(b)))
+    }
+    val mdf = broadcast(mrows.toDF("lang", "bucket", "m"))
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) >= 3)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - 2)).as("i"),
+        col(textCol).as("_t"))
+      .select(col("doc_id"),
+        pmod(graft.functions.HashFunctions.rollingFingerprint(
+          substr(col("_t"), col("i"), lit(3))),
+          lit(model.dim.toLong)).as("bucket"))
+      .join(mdf, Seq("bucket"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("m")).as("s"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("s").desc, col("lang").asc)))
+      .filter(col("_rk") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"),
+        col("n_trigrams"),
+        (col("s").cast(DoubleType) / lit(1000000.0)).as("logp"))
+  }
+
   /** Per-source dataset audit card — the one-stop report a 100 TB
     * ingest publishes next to the corpus: document and token counts,
     * the exact-duplicate rate, and the length distribution (mean +

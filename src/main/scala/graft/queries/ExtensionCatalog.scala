@@ -2739,6 +2739,64 @@ object ExtensionCatalog {
           orderedSql(Seq("merge_rank", "s1", "s2", "pair_count"))
       }),
 
+    // x87 — TRAINED char-trigram language ID: fit the frozen per-lang
+    // hashed-trigram model on the labeled corpus (the x84 frozen-model
+    // pattern), score every doc in one stateless kernel projection,
+    // arg-max with (score desc, lang asc) tie-break. All integer
+    // micro-units after the 6-dp ln rounding (x73/x82 precedent); the
+    // oracle builds the identical L×dim model in CTEs and arg-maxes
+    // with the same tie-break.
+    QueryDef("x87_lang_id_trained",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = TextAnalysis.langTrigramModel(
+          docs, "lang", "text", dim = 64)
+        ordered(TextAnalysis.langIdScore(docs, "doc_id", "text", model))
+      },
+      Some(s"""WITH tri AS (
+          SELECT lang, ${rollingFoldSql("substr(text, i, 3)")} % 64
+            AS bucket
+          FROM (SELECT lang, text,
+              unnest(generate_series(1, len(text) - 2)) AS i
+            FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
+              AND len(text) >= 3)),
+        counts AS (
+          SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tri GROUP BY 1, 2),
+        totals AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS t
+          FROM tri GROUP BY 1),
+        model AS (
+          SELECT t.lang, gs.bucket,
+            CAST(CAST(round(
+              ln((COALESCE(c.c, 0) + 1) / CAST(t.t + 64 AS DOUBLE)), 6)
+              AS DECIMAL(18, 6)) * 1000000 AS BIGINT) AS m
+          FROM totals t
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) gs
+          LEFT JOIN counts c ON c.lang = t.lang AND c.bucket = gs.bucket),
+        dtri AS (
+          SELECT doc_id, ${rollingFoldSql("substr(text, i, 3)")} % 64
+            AS bucket
+          FROM (SELECT doc_id, text,
+              unnest(generate_series(1, len(text) - 2)) AS i
+            FROM documents WHERE text IS NOT NULL AND len(text) >= 3)),
+        scored AS (
+          SELECT d.doc_id, m.lang,
+            CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+            CAST(SUM(m.m) AS BIGINT) AS s
+          FROM dtri d JOIN model m ON d.bucket = m.bucket
+          GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, lang AS lang_pred, n_trigrams,
+            s / 1000000.0 AS logp,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY s DESC, lang ASC) AS rk
+          FROM scored)
+        SELECT doc_id, lang_pred, n_trigrams, logp FROM best WHERE rk = 1
+        """ + orderedSql(Seq("doc_id", "lang_pred", "n_trigrams",
+          "logp")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

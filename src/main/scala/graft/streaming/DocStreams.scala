@@ -276,4 +276,18 @@ object DocStreams {
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
       model: graft.ops.Sampling.DsirModel): DataFrame =
     graft.ops.Sampling.dsirScore(docs, idCol, textCol, model)
+
+  /** Online language ID against a frozen trained trigram model — the
+    * streaming twin of batch x87 (model fit offline on labeled seed
+    * data via [[graft.ops.TextAnalysis.langTrigramModel]], each
+    * arriving document tagged at feed rate, e.g. to route or gate by
+    * language before the per-language pipelines).
+    * [[graft.ops.TextAnalysis.langIdScore]] is already ONE stateless
+    * per-row kernel projection with the L×dim table as a plan literal,
+    * so it applies to a streaming frame verbatim: no state, no
+    * watermark, any trigger.
+    */
+  def langIdScores(docs: DataFrame, idCol: String, textCol: String,
+      model: graft.ops.TextAnalysis.LangTrigramModel): DataFrame =
+    graft.ops.TextAnalysis.langIdScore(docs, idCol, textCol, model)
 }

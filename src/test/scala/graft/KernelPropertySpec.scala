@@ -201,6 +201,29 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("LangScoreExpr codegen compiles and matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    val dim = 8
+    val nLangs = 3
+    val lam = IndexedSeq.tabulate(nLangs * dim)(i => (i * 37L) - 500L)
+    val expr = graft.functions.LangScoreExpr(
+      BoundReference(0, StringType, nullable = true), lam, dim, nLangs)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    (1 to 50).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val text = UTF8String.fromString(
+        List.fill(rnd.nextInt(30))(('a' + rnd.nextInt(26)).toChar).mkString)
+      val viaCodegen = proj(InternalRow(text)).getStruct(0, 3)
+      val viaEval = expr.eval(InternalRow(text)).asInstanceOf[InternalRow]
+      assert(viaCodegen.getLong(0) === viaEval.getLong(0), s"seed=$seed")
+      assert(viaCodegen.getInt(1) === viaEval.getInt(1), s"seed=$seed")
+      assert(viaCodegen.getLong(2) === viaEval.getLong(2), s"seed=$seed")
+    }
+  }
+
   test("srp signature flips no bits under positive scaling") {
     // sign(dot(c*v, h)) == sign(dot(v, h)) for c > 0 — scaling a vector
     // must not move it across any hyperplane

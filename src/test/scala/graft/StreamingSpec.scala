@@ -400,6 +400,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("online language ID against a frozen model equals the batch projection") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", $"text").limit(60).cache()
+    val model = graft.ops.TextAnalysis.langTrigramModel(
+      corpus, "lang", "text", 32)
+    val expected = graft.ops.TextAnalysis.langIdScore(
+        corpus, "doc_id", "text", model)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val rows = corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStreams.langIdScores(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_langid")
+      .start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h: _*)
+      q.processAllAvailable()
+      ms.addData(t: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_langid")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed === expected)
+    } finally {
+      q.stop()
+      corpus.unpersist()
+    }
+  }
+
   test("checkpointed file sink resumes after a stop: no loss, no duplication") {
     // production ingest shape: parquet in → stateless curation →
     // parquet out with a checkpoint; kill the query mid-corpus and

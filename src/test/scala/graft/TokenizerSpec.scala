@@ -173,4 +173,60 @@ class TokenizerSpec extends SparkSpec {
         s"hashed gram cardinality vs string grams for $toks")
     }
   }
+
+  test("langTrigramModel + langIdScore: local integer replay on a toy corpus") {
+    import spark.implicits._
+    import graft.functions.SketchKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val dim = 8
+    val rows = Seq(
+      (1L, "aa", "the cat sat on the mat"),
+      (2L, "aa", "the rat ate the hat"),
+      (3L, "zz", "zum zug zoo zig zag"),
+      (4L, "zz", "zip zap zug zum"),
+      (5L, "aa", "no"))                      // < 3 chars: excluded + dropped
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.langTrigramModel(docs, "lang", "text", dim)
+    assert(model.langs === IndexedSeq("aa", "zz"))
+    // independent replay: trigram buckets via the portable fold
+    def buckets(s: String): Seq[Int] =
+      (0 to s.length - 3).map(i => (SketchKernels.rollingFingerprint(
+        UTF8String.fromString(s.substring(i, i + 3))) % dim).toInt)
+    def lam(langDocs: Seq[String]): IndexedSeq[Long] = {
+      val bs = langDocs.flatMap(buckets)
+      IndexedSeq.tabulate(dim) { b =>
+        val c = bs.count(_ == b)
+        java.math.BigDecimal.valueOf(
+            math.log((c + 1.0) / (bs.size + dim.toDouble)))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact()
+      }
+    }
+    assert(model.lamMicros(0) === lam(rows.filter(_._2 == "aa")
+      .map(_._3).filter(_.length >= 3)))
+    assert(model.lamMicros(1) === lam(rows.filter(_._2 == "zz").map(_._3)))
+    val got = TextAnalysis.langIdScore(docs, "doc_id", "text", model)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains(5L), "docs with < 3 chars are dropped")
+    // self-scoring separates the two character distributions
+    assert(got(1L)._2 === "aa" && got(2L)._2 === "aa")
+    assert(got(3L)._2 === "zz" && got(4L)._2 === "zz")
+    // replay doc 3's score exactly
+    val s3 = buckets(rows(2)._3).map(b => model.lamMicros(1)(b)).sum
+    assert(got(3L)._3 === buckets(rows(2)._3).size.toLong)
+    assert(got(3L)._4 === s3.toDouble / 1000000.0)
+  }
+
+  test("langIdScore kernel equals the distributed join-window spec on the fixture") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf0001, "documents")
+    val model = TextAnalysis.langTrigramModel(docs, "lang", "text", 32)
+    val viaKernel = TextAnalysis.langIdScore(docs, "doc_id", "text", model)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val viaSpec = TextAnalysis.langIdScoreSpec(docs, "doc_id", "text", model)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(viaKernel.nonEmpty)
+    assert(viaKernel === viaSpec)
+  }
 }
