@@ -1025,6 +1025,37 @@ object TextAnalysis {
     result(merges.toSeq)
   }
 
+  /** BPE ENCODING with a learned merge list — the apply step
+    * completing [[bpeLearnMerges]]' train step. The whole document is
+    * double-space-joined per CHARACTER (including its word-separator
+    * spaces), then the merges replay in learned order as plain-string
+    * replaces. Word boundaries need no special casing: an original
+    * space becomes a SPACE-SYMBOL flanked by double spaces, and since
+    * learned merge sides are never the space symbol (training
+    * tokenizes first), no merge pattern can span it — chars of
+    * adjacent words sit ≥5 spaces apart while a pattern requires
+    * exactly 2. The invariant "each symbol + double space" survives
+    * every replace, so non-space symbols are exactly the maximal
+    * non-space runs of the final string.
+    */
+  def bpeEncodeSym(text: Column, merges: Seq[(String, String)]): Column = {
+    val init = concat(lit("  "), regexp_replace(text, "(.)", "$1  "))
+    merges.foldLeft(init) { case (c, (a, b)) =>
+      replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+  }
+
+  /** BPE token count of `text` under the learned `merges` — the count
+    * of non-space symbols in [[bpeEncodeSym]]'s segmentation (space
+    * symbols are separators, not tokens).
+    */
+  def bpeTokenCountLearned(text: Column,
+      merges: Seq[(String, String)]): Column = {
+    val t = trim(bpeEncodeSym(text, merges))
+    when(t === "", 0L)
+      .otherwise(size(split(t, " +")).cast(LongType))
+  }
+
   /** Driver-side BPE over a collected vocabulary — bit-identical to the
     * distributed loop (same double-space strings, same
     * `String.replace` leftmost non-overlapping semantics, same

@@ -2739,6 +2739,85 @@ object ExtensionCatalog {
           orderedSql(Seq("merge_rank", "s1", "s2", "pair_count"))
       }),
 
+    // x88 — BPE ENCODE with the corpus-learned merges: the composed
+    // train→apply tokenizer loop (x86 learns the merge table, this
+    // segments every document with it) reported as per-source BPE
+    // token counts + the chars-per-token compression ratio — the
+    // number a tokenizer-training run actually publishes. The learned
+    // merges ride as plain-string replace literals (the x86 argument);
+    // word boundaries survive because the doc's own spaces become
+    // space-symbols no learned pattern can span. The oracle re-learns
+    // the same merges in the x86 CTE layers, then applies them in 10
+    // doc-level replace layers on the same strings.
+    QueryDef("x88_bpe_encoded",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = TextAnalysis.bpeLearnMerges(docs, "text", k = 10)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        ordered(docs.filter(col("text").isNotNull)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast(LongType)).as("sum_chars"),
+            sum(TextAnalysis.bpeTokenCountLearned(col("text"), merges))
+              .as("sum_bpe_tokens"))
+          .withColumn("chars_per_token",
+            col("sum_chars").cast(DoubleType) /
+              col("sum_bpe_tokens").cast(DoubleType)))
+      },
+      Some {
+        val k = 10
+        val init = """s0 AS (
+          SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS sym,
+            cnt
+          FROM (
+            SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(string_split(text, ' ')) AS t
+              FROM documents WHERE text IS NOT NULL)
+            WHERE t <> '' GROUP BY 1))"""
+        val learn = (1 to k).map { r =>
+          s"""p$r AS (
+            SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+              SELECT list_extract(l, i) AS s1,
+                list_extract(l, i + 1) AS s2, cnt FROM (
+                SELECT cnt, l,
+                  unnest(generate_series(1, len(l) - 1)) AS i
+                FROM (SELECT string_split(trim(sym), '  ') AS l, cnt
+                      FROM s${r - 1})))
+            GROUP BY 1, 2),
+          m$r AS (SELECT s1, s2, c FROM p$r
+                  ORDER BY c DESC, s1, s2 LIMIT 1),
+          s$r AS (
+            SELECT replace(sym, ' ' || m.s1 || '  ' || m.s2 || ' ',
+              ' ' || m.s1 || m.s2 || ' ') AS sym, cnt
+            FROM s${r - 1}, m$r m)"""
+        }
+        val d0 = """d0 AS (
+          SELECT source, len(text) AS nch,
+            '  ' || regexp_replace(text, '(.)', '\1  ', 'g') AS sym
+          FROM documents WHERE text IS NOT NULL)"""
+        val apply = (1 to k).map { r =>
+          s"""d$r AS (
+            SELECT source, nch,
+              replace(sym, ' ' || m.s1 || '  ' || m.s2 || ' ',
+                ' ' || m.s1 || m.s2 || ' ') AS sym
+            FROM d${r - 1}, m$r m)"""
+        }
+        s"WITH $init, ${learn.mkString(", ")}, $d0, " +
+          s"${apply.mkString(", ")} " +
+          """SELECT source, n_docs, sum_chars, sum_bpe_tokens,
+            sum_chars / CAST(sum_bpe_tokens AS DOUBLE) AS chars_per_token
+          FROM (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(nch) AS BIGINT) AS sum_chars,
+              CAST(SUM(CASE WHEN trim(sym) = '' THEN 0
+                ELSE len(string_split_regex(trim(sym), ' +')) END)
+                AS BIGINT) AS sum_bpe_tokens
+            FROM d""" + k + " GROUP BY 1) " +
+          orderedSql(Seq("source", "n_docs", "sum_chars",
+            "sum_bpe_tokens", "chars_per_token"))
+      }),
+
     // x87 — TRAINED char-trigram language ID: fit the frozen per-lang
     // hashed-trigram model on the labeled corpus (the x84 frozen-model
     // pattern), score every doc in one stateless kernel projection,

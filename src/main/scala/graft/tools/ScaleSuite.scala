@@ -251,6 +251,86 @@ object NewOpScale {
   }
 }
 
+/** 10×-growth check for the heavy LSH tail (x74 per-doc top-k
+  * near-dups, x64 cross-source overlap matrix — the two most expensive
+  * suite rows, previously absent from any growth suite) and the
+  * round-10 ops (x86 BPE induction, x87 trained lang-ID), on sf0.1 vs
+  * the shared-vocabulary 10× fixture. NOTE the unigram regime is the
+  * DECLARED candidate-dense worst case (ScaleCheck r8: pair volume
+  * grows 47× at 10× docs because the ~31-type vocabulary makes nearly
+  * every intra-block pair a candidate) — super-linear wall growth HERE
+  * measures that saturation, not a bucket-skew failure; the 5-shingle
+  * production regime's volume stays candidate-sparse (247k pairs at
+  * 50k docs). Big-dir reps default to 1 (these are minute-scale rows;
+  * the cold run is still discarded).
+  */
+object HeavyOpScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf1shared")
+    val bigReps = args.lift(2).map(_.toInt).getOrElse(1)
+    if (!Files.exists(Paths.get(big)))
+      ScaleFixture.main(Array(small, big, "10"))
+    val spark = Sessions.local("graft-heavyop-scale")
+
+    def medianN(reps: Int)(mk: () => DataFrame): Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(reps)(run()).sorted.apply(reps / 2)
+    }
+    def times(dir: String, reps: Int)
+        : (Double, Double, Double, Double, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val uni = docs.select(col("doc_id"), col("source"),
+        Dedup.tokenSet(col("text")).as("tok"))
+      val knn = medianN(reps)(() => Dedup.knnNearDups(
+        uni, "doc_id", "tok", 0.9, k = 5,
+        numHashes = 96, bands = 24, blockCol = col("source")))
+      // the x64 shape: deterministic half-sample, UNBLOCKED near-dup
+      // matrix, per-source-pair rollup
+      val overlap = medianN(reps)(() => {
+        val half = docs
+          .filter(graft.ops.Sampling.keepPredicate(col("doc_id"), 0.5))
+          .select(col("doc_id"), col("source"),
+            Dedup.tokenSet(col("text")).as("tok"))
+        val src = half.select(col("doc_id"), col("source"))
+        Dedup.nearDupPairs(half, "doc_id", "tok", 0.9,
+            numHashes = 96, bands = 24)
+          .join(src.select(col("doc_id").as("a_id"),
+            col("source").as("_sa")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"),
+            col("source").as("_sb")), "b_id")
+          .select(least(col("_sa"), col("_sb")).as("source_a"),
+            greatest(col("_sa"), col("_sb")).as("source_b"),
+            col("jaccard"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      })
+      val bpe = medianN(reps)(() =>
+        graft.ops.TextAnalysis.bpeLearnMerges(docs, "text", k = 10))
+      val lang = medianN(reps)(() => {
+        val m = graft.ops.TextAnalysis.langTrigramModel(
+          docs, "lang", "text", 64)
+        graft.ops.TextAnalysis.langIdScore(docs, "doc_id", "text", m)
+      })
+      (knn, overlap, bpe, lang, n)
+    }
+    val (k1, o1, b1, l1, n1) = times(small, 3)
+    val (k10, o10, b10, l10, n10) = times(big, bigReps)
+    println(f"""{"docs":[$n1,$n10],""" +
+      f""""knn_sec":[$k1%.2f,$k10%.2f],"knn_growth":${k10 / k1}%.2f,""" +
+      f""""overlap_sec":[$o1%.2f,$o10%.2f],"overlap_growth":${o10 / o1}%.2f,""" +
+      f""""bpe_sec":[$b1%.2f,$b10%.2f],"bpe_growth":${b10 / b1}%.2f,""" +
+      f""""lang_sec":[$l1%.2f,$l10%.2f],"lang_growth":${l10 / l1}%.2f}""")
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -429,6 +429,28 @@ class TfIdfSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("bpeEncodeSym applies learned merges per word: hand-computed token counts") {
+    // merges after k=3 on the corpus above: (e,w), (n,ew), (e,s).
+    // Hand segmentation: low=3  lower=5  newest=new|es|t=3  wide=4
+    // wider=5  new=1 — word-separator spaces are excluded and block
+    // cross-word merges
+    val docs = Seq(
+      (1L, "low low lower newest newest newest"),
+      (2L, "wide wider new new newest")).toDF("doc_id", "text")
+    val merges = Seq(("e", "w"), ("n", "ew"), ("e", "s"))
+    val got = docs.select($"doc_id",
+        TextAnalysis.bpeTokenCountLearned($"text", merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> (3 + 3 + 5 + 3 + 3 + 3).toLong,
+      2L -> (4 + 5 + 1 + 1 + 3).toLong))
+    // empty and single-char texts
+    val edge = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+    val gotEdge = edge.select($"doc_id",
+        TextAnalysis.bpeTokenCountLearned($"text", merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotEdge === Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("fixture ranks are dense from 1, scores non-increasing per doc") {
     val docs = Tables.load(spark, sf0001, "documents")
     val rows = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 3)
