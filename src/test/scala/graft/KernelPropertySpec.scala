@@ -224,6 +224,65 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("every custom scalar expression codegen-compiles and matches eval") {
+    // The DsirScoreExpr lesson generalized: a doGenCode that emits
+    // invalid Java demotes its whole stage to interpreted eval
+    // SILENTLY — results stay right, performance quietly dies. This
+    // sweep forces Janino compilation of every custom scalar kernel
+    // (GenerateUnsafeProjection throws on compile failure) and pins
+    // codegen output == interpreted eval on a sample row.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types._
+    import graft.functions._
+    val arrStr = arr(Seq("ab", "cd", "ab", "ef"))
+    val arrLong = new GenericArrayData(Array[Any](1L, -2L, 3L))
+    val arrDouble = new GenericArrayData(Array[Any](0.5, -1.5, 2.0))
+    val str = UTF8String.fromString("hello world a@b.co 1.2.3.4 hello")
+    def br(i: Int, t: DataType) = BoundReference(i, t, nullable = true)
+    val as = ArrayType(StringType)
+    val al = ArrayType(LongType)
+    val ad = ArrayType(DoubleType)
+    // (label, expression over input slots, input row)
+    val row3 = InternalRow(arrStr, str, arrLong)
+    val rowV = InternalRow(arrDouble, arrDouble, arrLong)
+    val cases: Seq[(String, Expression, InternalRow)] = Seq(
+      ("SimHash64", SimHash64(br(0, as)), row3),
+      ("MinHashSig", MinHashSig(br(0, as), 8), row3),
+      ("NGramHashes", NGramHashes(br(0, as), 2, keepPartial = true), row3),
+      ("WindowMinDistinct", WindowMinDistinct(br(0, as), 2), row3),
+      ("RollingFingerprint", RollingFingerprint(br(1, StringType)), row3),
+      ("PiiScan", PiiScan(br(1, StringType)), row3),
+      ("WsTokens", WsTokens(br(1, StringType)), row3),
+      ("FoldTokens", FoldTokens(br(0, as)), row3),
+      ("PortableSimHash32", PortableSimHash32(br(0, as)), row3),
+      ("PortableMinHashSig", PortableMinHashSig(br(0, as), 4), row3),
+      ("PortableSrpSig", PortableSrpSig(br(2, al), 8, 3), row3),
+      ("RepeatedGramStarts", RepeatedGramStarts(br(0, as), 2), row3),
+      ("ScrubTokens", ScrubTokens(br(0, as), br(2, al), 2), row3),
+      ("TrigramCounts", TrigramCountsExpr(br(1, StringType), 8), row3),
+      ("DotProduct", DotProduct(br(0, ad), br(1, ad)), rowV),
+      ("SrpSignature", SrpSignature(br(0, ad), 42L), rowV),
+      ("SetJaccard", SetJaccard(br(0, as), br(0, as)), row3),
+      ("SigAgreement", SigAgreement(br(2, al), br(2, al)), row3))
+    cases.foreach { case (label, expr, input) =>
+      assert(expr.checkInputDataTypes().isSuccess, s"$label input types")
+      val proj =
+        try GenerateUnsafeProjection.generate(Seq(expr))
+        catch { case e: Throwable =>
+          fail(s"$label codegen failed to compile: ${e.getMessage}") }
+      val viaCodegen = proj(input).get(0, expr.dataType)
+      val viaEval = expr.eval(input)
+      // unsafe vs generic representations differ for arrays/structs —
+      // compare through a common projection of the interpreted value
+      val viaEvalUnsafe = GenerateUnsafeProjection.generate(
+        Seq(br(0, expr.dataType)))(InternalRow(viaEval))
+        .get(0, expr.dataType)
+      assert(viaCodegen === viaEvalUnsafe, s"$label codegen != eval")
+    }
+  }
+
   test("srp signature flips no bits under positive scaling") {
     // sign(dot(c*v, h)) == sign(dot(v, h)) for c > 0 — scaling a vector
     // must not move it across any hyperplane
