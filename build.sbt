@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the bench JSON from the tail of the
+// sbt run output. sbt's default LoggedOutput routes the forked
+// process's stdout through the logger, stamping every line with
+// "[info] " — which breaks a strict JSON parse of the line. Inherit
+// the child's stdout raw, and drop the trailing "[success] Total time"
+// line so the JSON line is the last thing printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
