@@ -401,6 +401,45 @@ object TextAnalysis {
       regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
       lit(ipv4Pattern), lit("<IP>"))
 
+  /** HTML main-content extraction — the trafilatura/jusText curation
+    * stage as one deterministic text-density rule (strip script/style/
+    * comments, split on tags, decode the five standard entities, keep
+    * blocks of >= 30 code points whose alphanumeric density is >= 1/2).
+    * Returns `struct(n_blocks, n_kept, main_text)`. Runs as the native
+    * codegen [[graft.functions.HtmlKernel]] scan — one pass over the
+    * markup instead of the spec's three whole-document regex passes +
+    * tag split + per-fragment HOF chain. Pure per-row projection:
+    * zero shuffle, scales linearly, stays inside whole-stage codegen.
+    */
+  def htmlMainContent(html: Column): Column =
+    graft.functions.HtmlFunctions.htmlMainContent(html)
+
+  /** The regex/HOF spelling of [[htmlMainContent]] — the executable
+    * specification the kernel is property-pinned against
+    * (KernelPropertySpec) and the exact shape the x89 DuckDB oracle
+    * runs (Java/RE2-common constructs only: no backreferences, which
+    * is why script and style strip as two sequential passes).
+    */
+  def htmlMainContentSpec(html: Column): Column = {
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", ""),
+      "(?s)<style[^>]*>.*?</style>", ""),
+      "(?s)<!--.*?-->", "")
+    val decoded = (f: Column) =>
+      replace(replace(replace(replace(replace(f,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+        lit("&amp;"), lit("&"))
+    val frags = transform(split(cleaned, "<[^>]*>", -1),
+      f => trim(decoded(f)))
+    val blocks = filter(frags, t => length(t) > 0)
+    val kept = filter(blocks, t => length(t) >= 30 &&
+      length(regexp_replace(t, "[^A-Za-z0-9]", "")) * 2 >= length(t))
+    struct(size(blocks).cast(LongType).as("n_blocks"),
+      size(kept).cast(LongType).as("n_kept"),
+      array_join(kept, "\n").as("main_text"))
+  }
+
   /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03): hash every k-token gram, slide a window of `w`
     * consecutive gram hashes, keep each window's MINIMUM, distinct the
@@ -674,18 +713,28 @@ object TextAnalysis {
     * SparkSession, released when that session's next call starts — the
     * Clusters round pattern, bounding block retention at one model per
     * session no matter how many times a bench/pipeline loop re-scores.
-    * Keyed by session (weak keys, so a stopped session's entry is
-    * collectable) rather than one JVM-global slot: with a global slot,
-    * lmQuality(B) would release the blocks still backing a live frame
-    * returned by lmQuality(A) in another session or interleaved
-    * pipeline. Consequence (documented contract): a returned lmQuality
-    * frame is valid until the SAME session's next lmQuality call;
-    * anything longer-lived should build an [[LmModel]] and `release()`
-    * it explicitly.
+    * Keyed by session rather than one JVM-global slot: with a global
+    * slot, lmQuality(B) would release the blocks still backing a live
+    * frame returned by lmQuality(A) in another session or interleaved
+    * pipeline. NOTE the value DataFrame strongly references its own
+    * session, so weak keys alone would never collect an entry; stopped
+    * sessions are purged explicitly on each call instead (the entry is
+    * only a plan + session handle — its cached blocks died with the
+    * session's executors, so a purge needs no unpersist). Consequence
+    * (documented contract): a returned lmQuality frame is valid until
+    * the SAME session's next lmQuality call; anything longer-lived
+    * should build an [[LmModel]] and `release()` it explicitly.
     */
   private val lastLmCheckpoint =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+  private def purgeStoppedLmSessions(): Unit =
+    // iteration over a synchronizedMap view needs the map's own lock
+    lastLmCheckpoint.synchronized {
+      lastLmCheckpoint.entrySet().removeIf(e =>
+        e.getKey == null || e.getKey.sparkContext.isStopped)
+    }
 
   def lmQuality(docs: DataFrame, idCol: String, textCol: String,
       tokenize: Column => Column = tokens,
@@ -694,6 +743,7 @@ object TextAnalysis {
     val pr = bigramRows(docs, idCol, textCol, tokenize)
     val model = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .localCheckpoint(eager = false)
+    purgeStoppedLmSessions()
     Option(lastLmCheckpoint.put(docs.sparkSession, model))
       .foreach(releaseLocalCheckpoint)
     val ts = lmTokenStats(model)
@@ -980,7 +1030,7 @@ object TextAnalysis {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(concat(lit("  "),
-        regexp_replace(col("w"), "(.)", "$1  ")).as("sym"), col("cnt"))
+        regexp_replace(col("w"), "(?s)(.)", "$1  ")).as("sym"), col("cnt"))
     def result(ms: Seq[(Long, String, String, Long)]): DataFrame =
       ms.toDF("merge_rank", "s1", "s2", "pair_count")
     if (smallVocabThreshold > 0) {
@@ -1039,7 +1089,9 @@ object TextAnalysis {
     * non-space runs of the final string.
     */
   def bpeEncodeSym(text: Column, merges: Seq[(String, String)]): Column = {
-    val init = concat(lit("  "), regexp_replace(text, "(.)", "$1  "))
+    // (?s): '.' must also match line terminators, or a newline would
+    // get no padding and glue onto the next character's symbol
+    val init = concat(lit("  "), regexp_replace(text, "(?s)(.)", "$1  "))
     merges.foldLeft(init) { case (c, (a, b)) =>
       replace(c, lit(s" $a  $b "), lit(s" $a$b "))
     }
@@ -1060,7 +1112,24 @@ object TextAnalysis {
     * distributed loop (same double-space strings, same
     * `String.replace` leftmost non-overlapping semantics, same
     * (count desc, s1, s2) tie-break; equivalence pinned in TfIdfSpec).
+    * The s1/s2 tie-break compares UTF-8 BYTES, not Java chars: the
+    * distributed loop's `orderBy(s1.asc)` is UTF8String's unsigned
+    * byte order (== code-point order), which disagrees with UTF-16
+    * code-unit order for supplementary characters vs U+E000–U+FFFF.
     */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
   private def localBpeMerges(words: Array[(String, Long)],
       k: Int): Seq[(Long, String, String, Long)] = {
     var syms = words
@@ -1082,7 +1151,14 @@ object TextAnalysis {
       }
       if (pc.isEmpty) done = true
       else {
-        val ((s1, s2), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        val ((s1, s2), c) = pc.min(Ordering.fromLessThan[
+            ((String, String), Long)] { case (((a1, a2), n1), ((b1, b2), n2)) =>
+          if (n1 != n2) n1 > n2
+          else {
+            val c1 = utf8Compare(a1, b1)
+            if (c1 != 0) c1 < 0 else utf8Compare(a2, b2) < 0
+          }
+        })
         out += ((r.toLong, s1, s2, c))
         syms = syms.map { case (s, cn) =>
           (s.replace(s" $s1  $s2 ", s" $s1$s2 "), cn)

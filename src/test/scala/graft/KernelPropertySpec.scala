@@ -159,6 +159,68 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("HtmlKernel equals the regex/HOF spec spelling on adversarial strings and the fixture") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val keepable = "real sentence content with enough letters to pass both tests"
+    val adversarial = Seq(
+      "", "<", ">", "<>", "<p>", "plain text only " + keepable,
+      s"<p>$keepable</p>", "<p>short</p>",
+      // unterminated script swallows nothing (regex needs the closer)
+      s"<script>var x=1; <p>$keepable</p>",
+      "<script type=\"x\">a</script>ok<style a=b>z</style>" + keepable,
+      // <scriptx> matches <script[^>]*> — header run includes the x
+      s"<scriptx>$keepable</scriptx>",
+      "<script</script>x</script>" + keepable,
+      "<!-- a <!-- b --> c -->" + keepable, "<!-- unterminated " + keepable,
+      s"a < b $keepable continues past the stray bracket",
+      "&amp;lt; literal then &lt;tag&gt; &quot;q&quot; &#39;s&#39; " + keepable,
+      s"<a>x</a><b>y</b><em>$keepable</em>",
+      "| home | about | privacy | terms | login | $$$ | ### | !!! |",
+      "a" * 30, "a" * 29, // length boundary
+      ("a" * 15) + ("!" * 15), ("a" * 14) + ("!" * 16), // density boundary
+      s"<p>multi\nline ${keepable}\nwith terminators</p>",
+      s"<p >attr space</p><p/>$keepable<hr/>",
+      "héllo wörld " + keepable + " 𐀀 done")
+    val df = adversarial.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "html")
+    df.select($"id", TextAnalysis.htmlMainContent($"html").as("k"),
+        TextAnalysis.htmlMainContentSpec($"html").as("s"))
+      .collect().foreach { r =>
+        assert(r.get(1) === r.get(2),
+          s"id=${r.getLong(0)} html='${adversarial(r.getLong(0).toInt)}'")
+      }
+    // absolute pins, not just kernel ≡ spec: strip/entity/density rules
+    def run(s: String): (Long, Long, String) = {
+      val r = df.sparkSession.range(1).select(
+        TextAnalysis.htmlMainContent(lit(s)).as("x"))
+        .select("x.n_blocks", "x.n_kept", "x.main_text")
+        .as[(Long, Long, String)].head()
+      r
+    }
+    assert(run(s"<script>var x=1; <p>$keepable</p>") ===
+      ((2L, 1L, keepable))) // "var x=1;" block + kept paragraph
+    assert(run("&amp;lt; x &lt;y&gt; " + keepable) ===
+      ((1L, 1L, "&lt; x <y> " + keepable))) // &amp; decodes LAST
+    assert(run("a" * 30) === ((1L, 1L, "a" * 30)))
+    assert(run("a" * 29) === ((1L, 0L, "")))
+    assert(run(("a" * 15) + ("!" * 15))._2 === 1L) // exactly half alnum
+    assert(run(("a" * 14) + ("!" * 16))._2 === 0L)
+    // the fixture, wrapped the x89 way (a smaller page, same shapes)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull)
+    val page = concat(lit("<html><script>s(\"x\")</script><div>nav | "),
+      $"source", lit("</div><p>"), $"text",
+      lit(" &amp; tail</p><!-- c --><p>"), substring($"text", 1, 50),
+      lit("</p></html>"))
+    val mism = docs.select(
+        TextAnalysis.htmlMainContent(page).as("k"),
+        TextAnalysis.htmlMainContentSpec(page).as("s"))
+      .filter(not($"k" <=> $"s")).count()
+    assert(mism === 0L)
+  }
+
   test("windowMinDistinct equals the brute-force sliding min on generated arrays") {
     (1 to 300).foreach { seed =>
       val rnd = new scala.util.Random(seed)
@@ -254,6 +316,7 @@ class KernelPropertySpec extends SparkSpec {
       ("WindowMinDistinct", WindowMinDistinct(br(0, as), 2), row3),
       ("RollingFingerprint", RollingFingerprint(br(1, StringType)), row3),
       ("PiiScan", PiiScan(br(1, StringType)), row3),
+      ("HtmlMainContent", HtmlMainContent(br(1, StringType)), row3),
       ("WsTokens", WsTokens(br(1, StringType)), row3),
       ("FoldTokens", FoldTokens(br(0, as)), row3),
       ("PortableSimHash32", PortableSimHash32(br(0, as)), row3),
@@ -280,6 +343,72 @@ class KernelPropertySpec extends SparkSpec {
         Seq(br(0, expr.dataType)))(InternalRow(viaEval))
         .get(0, expr.dataType)
       assert(viaCodegen === viaEvalUnsafe, s"$label codegen != eval")
+    }
+  }
+
+  test("every custom aggregate survives serialize/merge round-trips; eval unsafe-projects") {
+    // The scalar sweep's counterpart for the TypedImperativeAggregates
+    // (VERDICT r10 item 6). These never Janino-compile an update loop
+    // (ObjectHashAggregate runs them interpreted by design), so the
+    // failure modes to pin are different: a serialize/deserialize that
+    // drops buffer state only shows up when partial aggregation ships
+    // buffers between stages, and an eval output that
+    // GenerateUnsafeProjection can't project dies only at runtime
+    // inside the agg operator's result projection. x52's GK sketch is
+    // Spark's own percentile_approx — built-in, nothing to pin here.
+    // Inputs are chosen deterministic-by-construction: groups under
+    // every cap (DocFreq arrival-order cap exact below cap,
+    // HeavyHitters exact below k) and dyadic doubles (exact FP sums),
+    // so shard-split + merge must equal the single-pass fold exactly.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types._
+    import graft.functions._
+    def br(t: DataType) = BoundReference(0, t, nullable = true)
+    val as = ArrayType(StringType)
+    val ad = ArrayType(DoubleType)
+    val arrStrRows = Seq(arr(Seq("ab", "cd")), arr(Seq("cd", "ef", "gh")),
+      null, arr(Seq("ab"))).map(v => InternalRow(v))
+    val strRows = Seq("ab", "cd", "cd", null, "ef").map(s =>
+      InternalRow(if (s == null) null else UTF8String.fromString(s)))
+    val longRows = Seq(9L, 1L, 5L, 5L).map(v => InternalRow(Long.box(v)))
+    val vecRows = Seq(Array(1.0, 2.0), Array(0.5, -1.0), Array(3.0, 4.0))
+      .map(a => InternalRow(new GenericArrayData(a.asInstanceOf[Array[Double]])))
+    val cases: Seq[(String, TypedImperativeAggregate[_], Seq[InternalRow])] = Seq(
+      ("MinHashAgg", MinHashAgg(br(as), 8), arrStrRows),
+      ("SimHashAgg", SimHashAgg(br(as)), arrStrRows),
+      ("DocFreqAgg", DocFreqAgg(br(LongType), 8), longRows),
+      ("MinIdsAgg", MinIdsAgg(br(LongType), 3), longRows),
+      ("PairCountAgg", PairCountAgg(br(LongType)), longRows),
+      ("HeavyHittersAgg", HeavyHittersAgg(br(StringType), 4), strRows),
+      ("VectorSumAgg", VectorSumAgg(br(ad)), vecRows))
+    cases.foreach { case (label, agg0, rows) =>
+      val agg = agg0.asInstanceOf[TypedImperativeAggregate[Any]]
+      assert(agg.checkInputDataTypes().isSuccess, s"$label input types")
+      def fold(rs: Seq[InternalRow]): Any =
+        rs.foldLeft(agg.createAggregationBuffer())((b, r) => agg.update(b, r))
+      def unsafe(v: Any) =
+        try GenerateUnsafeProjection.generate(
+          Seq(br(agg.dataType)))(InternalRow(v)).copy()
+        catch { case e: Throwable =>
+          fail(s"$label eval output failed to unsafe-project: ${e.getMessage}") }
+      val expected = unsafe(agg.eval(fold(rows)))
+      // ship-one-buffer path: serialize → deserialize → eval
+      val revived = agg.deserialize(agg.serialize(fold(rows)))
+      assert(unsafe(agg.eval(revived)) === expected, s"$label roundtrip eval")
+      // partial-aggregation path: two shards round-tripped, then merged
+      val (h, t) = rows.splitAt(rows.size / 2)
+      val merged = agg.merge(
+        agg.deserialize(agg.serialize(fold(h))),
+        agg.deserialize(agg.serialize(fold(t))))
+      assert(unsafe(agg.eval(merged)) === expected, s"$label merge != single fold")
+      // merging an empty shard (a partition with no rows) is identity
+      val withEmpty = agg.merge(
+        agg.deserialize(agg.serialize(fold(rows))),
+        agg.deserialize(agg.serialize(agg.createAggregationBuffer())))
+      assert(unsafe(agg.eval(withEmpty)) === expected, s"$label empty-merge")
     }
   }
 

@@ -429,6 +429,39 @@ class TfIdfSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("bpeLearnMerges: non-BMP tie-break is UTF-8 byte order on both paths") {
+    // U+10000 (surrogate pair D800 DC00) sorts BEFORE U+E000 in Java's
+    // UTF-16 code-unit order but AFTER it in UTF-8 byte (code-point)
+    // order — Spark's orderBy and DuckDB both use the latter, so the
+    // driver short-circuit must too. The two candidate pairs tie at
+    // count 1 and differ only in s1.
+    val supp = "𐀀" // U+10000
+    val pua = ""        // U+E000
+    val docs = Seq((1L, s"${supp}x ${pua}x")).toDF("doc_id", "text")
+    val expected = Seq((1L, pua, "x", 1L), (2L, supp, "x", 1L))
+    val viaDriver = TextAnalysis.bpeLearnMerges(docs, "text", k = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaDriver === expected)
+    val viaDistributed = TextAnalysis.bpeLearnMerges(docs, "text", k = 2,
+        smallVocabThreshold = 0)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaDistributed === expected)
+  }
+
+  test("bpeEncodeSym pads line terminators like any other char (DOTALL)") {
+    // pre-fix, '.' skipped '\n' so "a\nb" glued into [a, \nb]; the
+    // documented invariant is one symbol per character
+    val docs = Seq((1L, "a\nb"), (2L, "\n"), (3L, "a\r\u2028b"))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        TextAnalysis.bpeTokenCountLearned($"text", Nil).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // only U+0020 is the word separator; \n, \r and U+2028 (all
+    // excluded by a non-DOTALL '.') are ordinary symbols, so
+    // "a\r\u2028b" counts [a, \r, \u2028, b] = 4
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 4L))
+  }
+
   test("bpeEncodeSym applies learned merges per word: hand-computed token counts") {
     // merges after k=3 on the corpus above: (e,w), (n,ew), (e,s).
     // Hand segmentation: low=3  lower=5  newest=new|es|t=3  wide=4
