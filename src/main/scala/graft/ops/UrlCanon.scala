@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** C4-style URL canonicalization + per-domain dedup/cap — the crawl-side
+  * curation stage upstream of text dedup (C4 and RefinedWeb both key
+  * their URL dedup and per-host budgets on a canonical URL form).
+  *
+  * [[canonicalizeUrl]] is a pure per-row projection chain of built-in
+  * string functions (codegen, zero shuffle, scales linearly):
+  *
+  *  1. drop the `#fragment`;
+  *  2. lowercase scheme and host (the `scheme://authority` prefix),
+  *     leaving path/query case intact;
+  *  3. drop a leading `www.` host label;
+  *  4. strip tracking parameters (`utm_*`, `gclid`, `fbclid`) wherever
+  *     they sit in the query string, fixing `?`/`&` stitching;
+  *  5. drop a single trailing `/`.
+  *
+  * Java and RE2 agree on every construct used (no backreferences in
+  * PATTERNS — group references in REPLACEMENTS are `$1` vs `\1`
+  * spelling but identical semantics), so the DuckDB oracle runs the
+  * same chain verbatim.
+  */
+object UrlCanon {
+
+  private val Tracking = "(utm_[a-z]+|gclid|fbclid)"
+
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([^:/?#]+://[^/?#]*)", 1)),
+      regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*(.*)", 1))
+    val noWww = regexp_replace(lowered,
+      "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    val noTrkMid = regexp_replace(noWww, s"&$Tracking=[^&#]*", "")
+    val noTrkFirst = regexp_replace(noTrkMid,
+      s"\\?$Tracking=[^&#]*&", "?")
+    val noTrkOnly = regexp_replace(noTrkFirst,
+      s"\\?$Tracking=[^&#]*$$", "")
+    regexp_replace(noTrkOnly, "/$", "")
+  }
+
+  /** Registrable-host extraction from an already-canonical URL. */
+  def urlDomain(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** URL-level dedup + per-domain cap: collapse to one row per
+    * canonical URL (keeping the smallest id as the survivor and the
+    * duplicate count), then keep the first `cap` URLs per domain in
+    * (first id, canonical URL) order. One aggregate exchange for the
+    * dedup, one partitioned rank window for the cap — both keyed, both
+    * parallel; nothing touches the driver.
+    */
+  def dedupWithDomainCap(urls: DataFrame, idCol: String, urlCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val canon = urls.select(col(idCol).as("_id"),
+      canonicalizeUrl(col(urlCol)).as("canon_url"))
+    val deduped = canon.groupBy("canon_url")
+      .agg(min(col("_id")).as("first_doc"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("domain", urlDomain(col("canon_url")))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("first_doc").asc, col("canon_url").asc)
+    deduped
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= cap)
+      .select(col("domain"), col("canon_url"), col("first_doc"),
+        col("n_docs"), col("rk"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, UrlCanon}
 
 /** North-star extension queries (beyond the reference's own surface, per
   * BASELINE.json): dedup family, similarity search, text analysis,
@@ -2708,7 +2708,7 @@ object ExtensionCatalog {
       Some {
         val k = 10
         val init = """s0 AS (
-          SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS sym,
+          SELECT '  ' || regexp_replace(w, '(?s)(.)', '\1  ', 'g') AS sym,
             cnt
           FROM (
             SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -2768,7 +2768,7 @@ object ExtensionCatalog {
       Some {
         val k = 10
         val init = """s0 AS (
-          SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS sym,
+          SELECT '  ' || regexp_replace(w, '(?s)(.)', '\1  ', 'g') AS sym,
             cnt
           FROM (
             SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -2794,7 +2794,7 @@ object ExtensionCatalog {
         }
         val d0 = """d0 AS (
           SELECT source, len(text) AS nch,
-            '  ' || regexp_replace(text, '(.)', '\1  ', 'g') AS sym
+            '  ' || regexp_replace(text, '(?s)(.)', '\1  ', 'g') AS sym
           FROM documents WHERE text IS NOT NULL)"""
         val apply = (1 to k).map { r =>
           s"""d$r AS (
@@ -2875,6 +2875,179 @@ object ExtensionCatalog {
         SELECT doc_id, lang_pred, n_trigrams, logp FROM best WHERE rk = 1
         """ + orderedSql(Seq("doc_id", "lang_pred", "n_trigrams",
           "logp")))),
+
+    // x89 — HTML main-content extraction (the trafilatura/jusText
+    // curation stage; VERDICT r10 item 3): the fixture has no raw HTML,
+    // so each document is wrapped in a deterministic HTML-ish page
+    // (title/style/script/nav/headline/paragraphs/ad/comment/footer —
+    // the same concat in both engines), then the one text-density rule
+    // extracts the main content. Spark runs the single-pass
+    // HtmlKernel codegen scan; the oracle runs the identical rule in
+    // its regex/HOF spelling (kernel ≡ spec property-pinned in
+    // KernelPropertySpec). Boilerplate blocks (nav/ad/footer/title)
+    // fail the >=30-code-point or half-alnum-density test; the
+    // headline and both body paragraphs pass; script/style/comment
+    // content never reaches a block at all.
+    QueryDef("x89_main_content",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        val html = concat(
+          lit("<html><head><title>"), col("source"), lit("</title>"),
+          lit("<style>body{margin:0}</style>"),
+          lit("<script>var q=\""), col("lang"),
+          lit("\"; if(q<\"zz\"){q=q+\"&amp;\"}</script>"),
+          lit("</head><body>"),
+          lit("<div id=\"nav\">home | docs | "), col("source"),
+          lit("</div>"),
+          lit("<h1>"), substring(col("text"), 1, 40), lit("</h1>"),
+          lit("<p>"), substring(col("text"), 1, 120),
+          lit(" &amp; tail &lt;"), col("lang"), lit("&gt;</p>"),
+          lit("<div class=\"ad\">$$ !! ## "),
+          (col("doc_id") % 100).cast(StringType), lit("</div>"),
+          lit("<!-- hidden "), col("source"), lit(" -->"),
+          lit("<p>"), substring(col("text"), 41, 100), lit("</p>"),
+          lit("<div>(c) 2026 | all rights</div>"),
+          lit("</body></html>"))
+        val ex = TextAnalysis.htmlMainContent(html)
+        ordered(d.select(col("doc_id"),
+          ex.getField("n_blocks").as("n_blocks"),
+          ex.getField("n_kept").as("n_kept"),
+          length(ex.getField("main_text")).cast(LongType).as("kept_chars"),
+          ex.getField("main_text").as("main_text")))
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            '<html><head><title>' || source || '</title>' ||
+            '<style>body{margin:0}</style>' ||
+            '<script>var q="' || lang ||
+            '"; if(q<"zz"){q=q+"&amp;"}</script>' ||
+            '</head><body>' ||
+            '<div id="nav">home | docs | ' || source || '</div>' ||
+            '<h1>' || substr(text, 1, 40) || '</h1>' ||
+            '<p>' || substr(text, 1, 120) ||
+            ' &amp; tail &lt;' || lang || '&gt;</p>' ||
+            '<div class="ad">$$ !! ## ' ||
+            CAST(doc_id % 100 AS VARCHAR) || '</div>' ||
+            '<!-- hidden ' || source || ' -->' ||
+            '<p>' || substr(text, 41, 100) || '</p>' ||
+            '<div>(c) 2026 | all rights</div>' ||
+            '</body></html>' AS html
+          FROM documents WHERE text IS NOT NULL),
+        f AS (
+          SELECT doc_id, list_transform(
+            string_split_regex(
+              regexp_replace(regexp_replace(regexp_replace(html,
+                '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                '(?s)<!--.*?-->', '', 'g'),
+              '<[^>]*>'),
+            x -> trim(replace(replace(replace(replace(replace(x,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&amp;', '&'), ' ')) AS fr
+          FROM h),
+        k AS (
+          SELECT doc_id,
+            list_filter(fr, t -> len(t) > 0) AS blocks,
+            list_filter(fr, t -> len(t) >= 30 AND
+              2 * len(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
+                >= len(t)) AS kept
+          FROM f)
+        SELECT doc_id,
+          CAST(len(blocks) AS BIGINT) AS n_blocks,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          CAST(len(array_to_string(kept, chr(10))) AS BIGINT)
+            AS kept_chars,
+          array_to_string(kept, chr(10)) AS main_text
+        FROM k
+        """ + orderedSql(Seq("doc_id", "n_blocks", "n_kept",
+          "kept_chars", "main_text")))),
+
+    // x90 — URL canonicalization + per-domain dedup/cap (C4/RefinedWeb
+    // crawl curation; VERDICT r10 item 4): the fixture has no URL
+    // column, so each document gets a deterministic messy URL (mixed
+    // scheme/host case, optional WWW, tracking params in every query
+    // position, optional fragment — same concat in both engines). The
+    // canonicalize step is a pure zero-shuffle projection chain; dedup
+    // is one keyed aggregate; the cap is one PARTITIONED rank window
+    // (keyed by the derived domain — the x57 per-source-cap shape).
+    QueryDef("x90_url_canonical",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        val idm = (m: Int) => (col("doc_id") % m).cast(StringType)
+        val scheme = when(col("doc_id") % 3 === 0, lit("HTTPS://"))
+          .when(col("doc_id") % 3 === 1, lit("http://"))
+          .otherwise(lit("Https://"))
+        val www = when(col("doc_id") % 2 === 0, lit("WWW."))
+          .otherwise(lit(""))
+        val qs = when(col("doc_id") % 4 === 0,
+            concat(lit("?utm_source=feed&id="), idm(5),
+              lit("&utm_campaign=x")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("?id="), idm(5), lit("&gclid=abc123")))
+          .when(col("doc_id") % 4 === 2, concat(lit("?id="), idm(5)))
+          .otherwise(lit(""))
+        val frag = when(col("doc_id") % 5 === 0,
+          concat(lit("#sec"), idm(3))).otherwise(lit(""))
+        val url = concat(scheme, www, upper(col("source")),
+          lit(".Example.COM/d/"), idm(40), qs, frag)
+        ordered(UrlCanon.dedupWithDomainCap(
+          d.select(col("doc_id"), url.as("url")),
+          "doc_id", "url", cap = 3))
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+                  WHEN doc_id % 3 = 1 THEN 'http://'
+                  ELSE 'Https://' END) ||
+            (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+            upper(source) || '.Example.COM/d/' ||
+            CAST(doc_id % 40 AS VARCHAR) ||
+            (CASE WHEN doc_id % 4 = 0 THEN
+                    '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+                      || '&utm_campaign=x'
+                  WHEN doc_id % 4 = 1 THEN
+                    '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&gclid=abc123'
+                  WHEN doc_id % 4 = 2 THEN
+                    '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                  ELSE '' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN
+                    '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE '' END) AS url
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                      '^([^:/?#]+://[^/?#]*)', 1)) ||
+                    regexp_extract(regexp_replace(url, '#.*', ''),
+                      '^[^:/?#]+://[^/?#]*(.*)', 1),
+                    '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
+                  '&(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+                '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '?'),
+              '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*$', '') AS curl0
+          FROM u),
+        c2 AS (
+          SELECT doc_id, regexp_replace(curl0, '/$', '') AS canon_url
+          FROM c),
+        d AS (
+          SELECT canon_url, MIN(doc_id) AS first_doc,
+            COUNT(*) AS n_docs
+          FROM c2 GROUP BY canon_url),
+        r AS (
+          SELECT regexp_extract(canon_url,
+              '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS domain,
+            canon_url, first_doc, n_docs,
+            row_number() OVER (PARTITION BY regexp_extract(canon_url,
+              '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+              ORDER BY first_doc, canon_url) AS rk
+          FROM d)
+        SELECT domain, canon_url, first_doc, n_docs, rk
+        FROM r WHERE rk <= 3
+        """ + orderedSql(Seq("domain", "canon_url", "first_doc",
+          "n_docs", "rk")))),
 
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked

@@ -290,4 +290,50 @@ object DocStreams {
   def langIdScores(docs: DataFrame, idCol: String, textCol: String,
       model: graft.ops.TextAnalysis.LangTrigramModel): DataFrame =
     graft.ops.TextAnalysis.langIdScore(docs, idCol, textCol, model)
+
+  /** Online BPE token counting under a FROZEN learned merge list — the
+    * streaming twin of batch x88's encode side (merges trained offline
+    * via [[graft.ops.TextAnalysis.bpeLearnMerges]], each arriving
+    * document's token count computed at feed rate, e.g. for live
+    * token-budget accounting before packing).
+    * [[graft.ops.TextAnalysis.bpeTokenCountLearned]] is a stateless
+    * zero-shuffle projection chain (the merge list is a plan literal),
+    * so it applies to a streaming frame verbatim: no state, no
+    * watermark, any trigger.
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), col(textCol),
+      graft.ops.TextAnalysis.bpeTokenCountLearned(col(textCol), merges)
+        .as("n_bpe_tokens"))
+
+  /** Online HTML main-content extraction — the ingest-time twin of
+    * batch x89 (strip boilerplate the moment a crawled page arrives,
+    * before any downstream text op sees it). The
+    * [[graft.ops.TextAnalysis.htmlMainContent]] kernel is one
+    * stateless per-row projection, so it applies to a streaming frame
+    * verbatim: no state, no watermark, any trigger.
+    */
+  def mainContent(docs: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val ex = graft.ops.TextAnalysis.htmlMainContent(col(htmlCol))
+    docs.select(col(idCol),
+      ex.getField("n_blocks").as("n_blocks"),
+      ex.getField("n_kept").as("n_kept"),
+      ex.getField("main_text").as("main_text"))
+  }
+
+  /** Online URL canonicalization — the ingest-time half of batch x90
+    * (the per-domain dedup/cap stays a batch op: it needs the corpus;
+    * the canonical form and domain are pure per-row projections a feed
+    * can stamp at arrival, e.g. to route by domain or pre-key a
+    * downstream dedup).
+    */
+  def canonicalUrls(docs: DataFrame, idCol: String, urlCol: String)
+      : DataFrame = {
+    val canon = graft.ops.UrlCanon.canonicalizeUrl(col(urlCol))
+    docs.select(col(idCol), col(urlCol),
+      canon.as("canon_url"),
+      graft.ops.UrlCanon.urlDomain(canon).as("domain"))
+  }
 }

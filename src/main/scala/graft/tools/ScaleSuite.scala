@@ -331,6 +331,73 @@ object HeavyOpScale {
   }
 }
 
+/** 10×-growth check for the round-11 ops (x89 HTML main-content
+  * extraction, x90 URL canonicalization + per-domain cap) on sf0.1 vs
+  * the shared-vocabulary 10× fixture. Both are expected stage-floor
+  * flat-to-linear: x89 is a pure per-row kernel projection
+  * (embarrassingly parallel, zero shuffle), x90 is projections + one
+  * keyed aggregate + one partitioned rank window whose exchanges carry
+  * only (url, id) pairs.
+  */
+object R11OpScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf1shared")
+    if (!Files.exists(Paths.get(big)))
+      ScaleFixture.main(Array(small, big, "10"))
+    val spark = Sessions.local("graft-r11op-scale")
+
+    def median3(mk: () => DataFrame): Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(3)(run()).sorted.apply(1)
+    }
+    def times(dir: String): (Double, Double, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+      val n = docs.count()
+      // the x89 shape: fixture page wrap + the one-pass kernel
+      val html = median3(() => {
+        val page = concat(lit("<html><head><title>t</title>"),
+          lit("<style>b{c:0}</style><script>var q=1;</script></head>"),
+          lit("<body><div>nav | "), col("source"), lit("</div><p>"),
+          col("text"), lit(" &amp; tail</p><!-- c --><p>"),
+          substring(col("text"), 41, 100), lit("</p></body></html>"))
+        val ex = graft.ops.TextAnalysis.htmlMainContent(page)
+        docs.select(col("doc_id"),
+          ex.getField("n_blocks").as("n_blocks"),
+          ex.getField("n_kept").as("n_kept"),
+          ex.getField("main_text").as("main_text"))
+      })
+      // the x90 shape: messy URL synth + canonicalize + dedup/cap
+      val url = median3(() => {
+        val raw = concat(
+          when(col("doc_id") % 3 === 0, lit("HTTPS://WWW."))
+            .otherwise(lit("http://")),
+          upper(col("source")), lit(".Example.COM/d/"),
+          (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("?utm_source=feed&id="),
+              (col("doc_id") % 5).cast("string"))).otherwise(lit("")))
+        graft.ops.UrlCanon.dedupWithDomainCap(
+          docs.select(col("doc_id"), raw.as("url")),
+          "doc_id", "url", cap = 3)
+      })
+      (html, url, n)
+    }
+    val (h1, u1, n1) = times(small)
+    val (h10, u10, n10) = times(big)
+    println(f"""{"docs":[$n1,$n10],""" +
+      f""""html_sec":[$h1%.2f,$h10%.2f],"html_growth":${h10 / h1}%.2f,""" +
+      f""""url_sec":[$u1%.2f,$u10%.2f],"url_growth":${u10 / u1}%.2f}""")
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

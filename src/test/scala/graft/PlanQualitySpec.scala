@@ -98,6 +98,29 @@ class PlanQualitySpec extends SparkSpec {
       s"x74 lost its checkpoint barrier — the verify subtree would run twice:\n$x74")
   }
 
+  test("round-11 plan shapes: x89 zero-shuffle kernel, x90 capped window shapes") {
+    def phys(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+    // x89: the extraction is a pure per-row projection — the only
+    // exchange is the final presentation sort
+    val x89 = phys("x89_main_content")
+    val exchanges89 = "Exchange".r.findAllIn(x89).length
+    assert(exchanges89 <= 2, // rangepartitioning sort (+AQE read)
+      s"x89 plans $exchanges89 exchanges — extraction should not shuffle:\n$x89")
+    assert(x89.contains("HtmlMainContent") ||
+      x89.toLowerCase.contains("htmlmaincontent"),
+      "x89 lost the native kernel projection")
+    // x90: the dedup aggregate must be partial (map-side combine
+    // before its exchange), and the domain-cap window partitioned
+    val x90 = phys("x90_url_canonical")
+    assert(x90.contains("partial_min") || x90.contains("partial min") ||
+      "HashAggregate".r.findAllIn(x90).length >= 2,
+      s"x90 lost the partial aggregate:\n$x90")
+    assert(!x90.contains("No Partition Defined"),
+      "x90 window lost its domain partitioning")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)

@@ -434,6 +434,88 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("online BPE token counts under frozen merges equal the batch projection") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+      .limit(60).cache()
+    val merges = graft.ops.TextAnalysis.bpeLearnMerges(corpus, "text", k = 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val expected = corpus.select($"doc_id", $"text",
+        graft.ops.TextAnalysis.bpeTokenCountLearned($"text", merges)
+          .as("n_bpe_tokens"))
+      .as[(Long, String, Long)].collect().toSet
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStreams.bpeTokenCounts(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", merges)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_bpe")
+      .start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h: _*)
+      q.processAllAvailable()
+      ms.addData(t: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_bpe")
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed === expected)
+      assert(streamed.nonEmpty)
+    } finally {
+      q.stop()
+      corpus.unpersist()
+    }
+  }
+
+  test("online HTML extraction and URL canonicalization equal their batch projections") {
+    // both are stateless per-row kernels/projection chains — the pin is
+    // that the STREAMING frame yields bit-identical rows, any batching
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).limit(40)
+      .select($"doc_id",
+        concat(lit("<html><script>s()</script><div>nav | x</div><p>"),
+          $"text", lit(" &amp; t</p></html>")).as("html"),
+        concat(lit("HTTPS://WWW."), upper($"source"),
+          lit(".Ex.COM/d/"), ($"doc_id" % 7).cast("string"),
+          lit("?utm_source=a&id=1#f")).as("url"))
+      .cache()
+    val expectedHtml = graft.streaming.DocStreams.mainContent(
+        corpus, "doc_id", "html")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val expectedUrl = graft.streaming.DocStreams.canonicalUrls(
+        corpus, "doc_id", "url")
+      .as[(Long, String, String, String)].collect().toSet
+    val rows = corpus.as[(Long, String, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "html", "url")
+    val q1 = graft.streaming.DocStreams.mainContent(stream, "doc_id", "html")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_html").start()
+    val q2 = graft.streaming.DocStreams.canonicalUrls(stream, "doc_id", "url")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_url").start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      ms.addData(t: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("stream_html")
+        .as[(Long, Long, Long, String)].collect().toSet === expectedHtml)
+      assert(spark.table("stream_url")
+        .as[(Long, String, String, String)].collect().toSet === expectedUrl)
+      assert(expectedHtml.nonEmpty && expectedUrl.nonEmpty)
+    } finally {
+      q1.stop(); q2.stop()
+      corpus.unpersist()
+    }
+  }
+
   test("checkpointed file sink resumes after a stop: no loss, no duplication") {
     // production ingest shape: parquet in → stateless curation →
     // parquet out with a checkpoint; kill the query mid-corpus and

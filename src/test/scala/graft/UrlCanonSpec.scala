@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.UrlCanon
+
+/** Hand-computed canonicalizations + dedup/cap behavior for the x90
+  * URL curation stage.
+  */
+class UrlCanonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toSeq.toDF("u")
+      .select(UrlCanon.canonicalizeUrl($"u").as("c"))
+      .as[String].collect().toSeq
+
+  test("canonicalizeUrl: hand-computed forms") {
+    assert(canon(
+      "HTTPS://WWW.Ex.COM/Path/To?utm_source=a&id=3&utm_campaign=b#frag",
+      "http://ex.com/?utm_a=1",
+      "Https://EX.com/CaseSensitive/Path",
+      "https://www.a.com/x?gclid=z&id=1&fbclid=q",
+      "https://a.com/x?id=1&id=2",
+      "https://WWW.a.com#only-frag",
+      "http://wwwx.com/keeps-host",
+      "https://a.com/trailing/",
+      "not a url") === Seq(
+      // scheme+host fold, www strip, tracking params out of every
+      // position, fragment gone, path case preserved
+      "https://ex.com/Path/To?id=3",
+      "http://ex.com", // tracking-only query then trailing slash
+      "https://ex.com/CaseSensitive/Path",
+      "https://a.com/x?id=1",
+      "https://a.com/x?id=1&id=2", // non-tracking params untouched
+      "https://a.com",
+      "http://wwwx.com/keeps-host", // www strip needs the dot
+      "https://a.com/trailing",
+      "")) // no scheme://host prefix -> canonical form is empty
+  }
+
+  test("dedupWithDomainCap: survivor ids, duplicate counts, per-domain rank cap") {
+    // three raw spellings of ONE canonical a.com/x; two more a.com urls
+    // (cap 2 keeps the first two by survivor id); one b.com url
+    val urls = Seq(
+      (10L, "https://a.com/x"),
+      (7L, "HTTPS://WWW.a.com/x#f"),
+      (12L, "https://a.com/x?utm_source=z"),
+      (3L, "https://a.com/y"),
+      (9L, "https://a.com/z"),
+      (5L, "http://b.com/q")).toDF("doc_id", "url")
+    val got = UrlCanon.dedupWithDomainCap(urls, "doc_id", "url", cap = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a.com", "https://a.com/y", 3L, 1L, 1L),
+      ("a.com", "https://a.com/x", 7L, 3L, 2L),
+      ("b.com", "http://b.com/q", 5L, 1L, 1L)))
+    // a.com/z (first_doc 9) fell to the cap; scheme is not part of the
+    // domain key, so http and https b-urls would share one budget
+  }
+}
