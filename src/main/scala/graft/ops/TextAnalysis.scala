@@ -440,6 +440,92 @@ object TextAnalysis {
       array_join(kept, "\n").as("main_text"))
   }
 
+  /** The nine Gopher quality signals in one native codegen scan — see
+    * [[graft.functions.GopherKernel]] for the shared conventions
+    * (single-space words, 8-word lines, code-point lengths).
+    * `struct(n_words, sum_word_len, n_alpha_words, n_stop, n_hash,
+    * n_ellipsis, n_lines, n_bullet_lines, n_ellipsis_lines)`.
+    */
+  def gopherSignals(text: Column): Column =
+    graft.functions.GopherFunctions.gopherSignals(text)
+
+  /** The HOF/replace spelling of [[gopherSignals]] — the executable
+    * specification the kernel is property-pinned against
+    * (KernelPropertySpec) and the exact shape the x91 DuckDB oracle
+    * runs: one split, five HOF passes over it, two whole-text replace
+    * diffs, and the 8-word line index walk.
+    */
+  def gopherSignalsSpec(text: Column): Column = {
+    val toks = split(text, " ", -1)
+    val n = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) =>
+      acc + length(t).cast(LongType))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast(LongType)
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+      .cast(LongType)
+    val nHash = (length(text) -
+      length(replace(text, lit("#"), lit("")))).cast(LongType)
+    val nEllipsis = ((length(text) -
+      length(replace(text, lit("..."), lit("")))) / 3).cast(LongType)
+    val nLines = floor((n.cast(LongType) + lit(7L)) / lit(8L))
+      .cast(LongType)
+    val lineIdx = sequence(lit(0), ((n + lit(7)) / lit(8))
+      .cast(IntegerType) - lit(1))
+    val firstTok = (i: Column) => element_at(toks, i * lit(8) + lit(1))
+    val lastTok = (i: Column) =>
+      element_at(toks, least(i * lit(8) + lit(8), n))
+    val nBullet = size(filter(lineIdx, i =>
+      firstTok(i).substr(lit(1), lit(1)).isin("-", "*"))).cast(LongType)
+    val nEllLines = size(filter(lineIdx, i =>
+      lastTok(i).endsWith("..."))).cast(LongType)
+    struct(n.cast(LongType).as("n_words"), sumLen.as("sum_word_len"),
+      nAlpha.as("n_alpha_words"), nStop.as("n_stop"),
+      nHash.as("n_hash"), nEllipsis.as("n_ellipsis"),
+      nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
+      nEllLines.as("n_ellipsis_lines"))
+  }
+
+  /** Gopher rule-suite verdict per document (Rae et al. 2021, App. A —
+    * the standard pre-training quality gate): the nine kernel signals
+    * projected to the published thresholds. A document FAILS a rule
+    * when: word count outside [50, 100000]; mean word length outside
+    * [3, 10]; symbol-to-word ratio (`#` + `...`) above 0.1; more than
+    * 90% of lines bullet-started; more than 30% of lines
+    * ellipsis-ended; fewer than 80% of words alphabetic; fewer than 2
+    * stopword hits. `pass_flag = 1` iff no rule fails. Pure per-row
+    * projection over the one kernel scan: zero shuffle, linear scale,
+    * whole-stage codegen. All ratios are exact-integer / exact-integer
+    * IEEE divisions, bit-deterministic across engines.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sel = docs.select(col(idCol), gopherSignals(col(textCol)).as("g"))
+      .select(col(idCol), col("g.*"))
+    val mean = col("sum_word_len").cast(DoubleType) / col("n_words")
+    val sym = (col("n_hash") + col("n_ellipsis")).cast(DoubleType) /
+      col("n_words")
+    val alpha = col("n_alpha_words").cast(DoubleType) / col("n_words")
+    val bullet = col("n_bullet_lines").cast(DoubleType) / col("n_lines")
+    val ellipsis = col("n_ellipsis_lines").cast(DoubleType) /
+      col("n_lines")
+    val flags = Seq(
+      col("n_words") < 50L || col("n_words") > 100000L,
+      mean < 3.0 || mean > 10.0,
+      sym > 0.1,
+      bullet > 0.9,
+      ellipsis > 0.3,
+      alpha < 0.8,
+      col("n_stop") < 2L)
+    val nFlags = flags.map(f => when(f, 1L).otherwise(0L)).reduce(_ + _)
+    sel.select(col(idCol), col("n_words"),
+      mean.as("mean_word_len"), sym.as("symbol_ratio"),
+      alpha.as("alpha_frac"), bullet.as("bullet_frac"),
+      ellipsis.as("ellipsis_frac"), col("n_stop").as("stop_hits"),
+      nFlags.as("n_flags"),
+      when(nFlags === 0L, 1L).otherwise(0L).as("pass_flag"))
+  }
+
   /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03): hash every k-token gram, slide a window of `w`
     * consecutive gram hashes, keep each window's MINIMUM, distinct the

@@ -3049,6 +3049,92 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("domain", "canon_url", "first_doc",
           "n_docs", "rk")))),
 
+    // x91 — the full Gopher quality rule suite (Rae et al. 2021,
+    // App. A) as one native kernel scan + threshold projection. The
+    // fixture text is plain prose, so a deterministic decoration (the
+    // x89 wrap precedent, same CASE in both engines) gives the
+    // symbol/bullet/ellipsis rules real bite: every 5th doc gets a
+    // `# ` prefix and ` ...` suffix, the next residue a `- ` bullet
+    // prefix. Lines are 8-word groups (shared convention — see
+    // GopherKernel). Zero shuffle: one projection chain, plan-gated.
+    QueryDef("x91_gopher_rules",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        val deco = when(col("doc_id") % 5 === 0,
+            concat(lit("# "), col("text"), lit(" ...")))
+          .when(col("doc_id") % 5 === 1, concat(lit("- "), col("text")))
+          .otherwise(col("text"))
+        ordered(TextAnalysis.gopherRules(
+          d.select(col("doc_id"), deco.as("text")), "doc_id", "text"))
+      },
+      Some(s"""WITH deco AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN '# ' || text || ' ...'
+              WHEN doc_id % 5 = 1 THEN '- ' || text
+              ELSE text END AS text
+          FROM documents WHERE text IS NOT NULL),
+        tk AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks
+          FROM deco),
+        s1 AS (
+          SELECT doc_id, toks,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(toks, t -> len(t)))
+              AS BIGINT) AS sum_word_len,
+            CAST(len(list_filter(toks,
+              t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+            CAST(len(list_filter(toks,
+              t -> t IN ${sqlList(TextAnalysis.stopwords)}))
+              AS BIGINT) AS n_stop,
+            CAST(len(text) - len(replace(text, '#', ''))
+              AS BIGINT) AS n_hash,
+            CAST((len(text) - len(replace(text, '...', ''))) / 3
+              AS BIGINT) AS n_ellipsis
+          FROM tk),
+        s2 AS (
+          SELECT *, CAST(FLOOR((n_words + 7) / 8.0) AS BIGINT) AS n_lines
+          FROM s1),
+        s3 AS (
+          SELECT doc_id, n_words, sum_word_len, n_alpha, n_stop, n_hash,
+            n_ellipsis, n_lines,
+            CAST(len(list_filter(range(0, n_lines),
+              i -> substr(toks[CAST(8*i+1 AS INTEGER)], 1, 1)
+                IN ('-', '*'))) AS BIGINT) AS n_bullet,
+            CAST(len(list_filter(range(0, n_lines),
+              i -> ends_with(toks[CAST(least(8*i+8, n_words) AS INTEGER)],
+                '...'))) AS BIGINT) AS n_ell_lines
+          FROM s2),
+        r AS (
+          SELECT doc_id, n_words,
+            CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+            CAST(n_hash + n_ellipsis AS DOUBLE) / n_words AS symbol_ratio,
+            CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+            CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+            CAST(n_ell_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+            n_stop AS stop_hits
+          FROM s3),
+        f AS (
+          SELECT *,
+            CAST((CASE WHEN n_words < 50 OR n_words > 100000
+                THEN 1 ELSE 0 END)
+              + (CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                THEN 1 ELSE 0 END)
+              + (CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END)
+              + (CASE WHEN bullet_frac > 0.9 THEN 1 ELSE 0 END)
+              + (CASE WHEN ellipsis_frac > 0.3 THEN 1 ELSE 0 END)
+              + (CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END)
+              + (CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_flags
+          FROM r)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+          bullet_frac, ellipsis_frac, stop_hits, n_flags,
+          CAST(CASE WHEN n_flags = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS pass_flag
+        FROM f
+        """ + orderedSql(Seq("doc_id", "n_words", "mean_word_len",
+          "symbol_ratio", "alpha_frac", "bullet_frac", "ellipsis_frac",
+          "stop_hits", "n_flags", "pass_flag")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -323,6 +323,17 @@ object DocStreams {
       ex.getField("main_text").as("main_text"))
   }
 
+  /** Online Gopher quality gate — the ingest-time twin of batch x91
+    * (stamp the rule-suite verdict the moment a document arrives, e.g.
+    * to drop obvious junk before it costs downstream compute).
+    * [[graft.ops.TextAnalysis.gopherRules]] is one stateless kernel
+    * scan + threshold projection, so it applies to a streaming frame
+    * verbatim: no state, no watermark, any trigger.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    graft.ops.TextAnalysis.gopherRules(docs, idCol, textCol)
+
   /** Online URL canonicalization — the ingest-time half of batch x90
     * (the per-domain dedup/cap stays a batch op: it needs the corpus;
     * the canonical form and domain are pure per-row projections a feed

@@ -221,6 +221,81 @@ class KernelPropertySpec extends SparkSpec {
     assert(mism === 0L)
   }
 
+  test("GopherKernel equals the HOF/replace spec spelling on adversarial strings and the fixture") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    // the two stopword spellings must be the same set — the kernel
+    // hard-codes it, the spec reads TextAnalysis.stopwords
+    assert(graft.functions.GopherKernel.stopwords ===
+      TextAnalysis.stopwords.toSet)
+    val adversarial = Seq(
+      "", " ", "  ", "the", "a", "the a and of in is",
+      "- bullet start", "* star start", "-", "*", "-x", "“-” quoted",
+      "# one # two ##", "...", "....", ".....", "......", "..",
+      "ends with ...", "mid...dle", "a.b.c", ". . .",
+      "- one two three four five six seven eight - nine", // 2nd line bullet
+      "one two three four five six seven end... next line goes on...",
+      "tab\tand\nnewline are not separators",
+      "héllo wörld ünïcode", "𐀀 𐀀𐀀 supplementary", "𐀀...",
+      (1 to 120).map(i => "w" + i).mkString(" "), // >100 words, 15 lines
+      (1 to 57).map(_ => "-").mkString(" "), // 8 lines, all bullet starts
+      (1 to 16).map(_ => "x...").mkString(" "), // every line ends ...
+      "double  space   runs make empty words",
+      "trailing space ", " leading", "#.#.#...##..")
+    val df = adversarial.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    df.select($"id", TextAnalysis.gopherSignals($"text").as("k"),
+        TextAnalysis.gopherSignalsSpec($"text").as("s"))
+      .collect().foreach { r =>
+        assert(r.get(1) === r.get(2),
+          s"id=${r.getLong(0)} text='${adversarial(r.getLong(0).toInt)}'")
+      }
+    // generated strings over the interesting alphabet (spaces, dots,
+    // hashes, bullets, stopwords, unicode, empty-word runs)
+    val atoms = Array("the", "a", "in", "word", "x", "-", "*", "--",
+      "#", "##", "...", "....", "w...", "...w", ".", "..", "",
+      "héllo", "𐀀", "a.b", "longerword")
+    (1 to 300).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val s = List.fill(rnd.nextInt(25))(atoms(rnd.nextInt(atoms.length)))
+        .mkString(" ")
+      val row = df.sparkSession.range(1).select(
+        TextAnalysis.gopherSignals(lit(s)).as("k"),
+        TextAnalysis.gopherSignalsSpec(lit(s)).as("s")).head()
+      assert(row.get(0) === row.get(1), s"seed=$seed text='$s'")
+    }
+    // absolute pins — thresholds and conventions, not just kernel ≡ spec
+    def run(s: String): Seq[Long] = {
+      val r = df.sparkSession.range(1).select(
+        TextAnalysis.gopherSignals(lit(s)).as("x")).select("x.*").head()
+      (0 until 9).map(r.getLong)
+    }
+    // "the a ..." → 3 words (lens 3+1+3), 2 alpha, 2 stop, 1 ellipsis,
+    // 1 line, no bullet, final word ends the line with ...
+    assert(run("the a ...") === Seq(3L, 7L, 2L, 2L, 0L, 1L, 1L, 0L, 1L))
+    // 9 words → 2 lines; word 9 starts line 2 with '-'; line 1's 8th
+    // word ends with "..."; "....." counts ONE non-overlapping "..."
+    assert(run("w1 w2 w3 w4 w5 w6 w7 end... -") ===
+      Seq(9L, 21L, 8L, 0L, 0L, 1L, 2L, 1L, 1L))
+    // supplementary char is ONE code point; "#" counts anywhere
+    assert(run("𐀀# a#b") === Seq(2L, 5L, 1L, 0L, 2L, 0L, 1L, 0L, 0L))
+    // empty words from double spaces count as words of length 0
+    assert(run("a  b") === Seq(3L, 2L, 2L, 1L, 0L, 0L, 1L, 0L, 0L))
+    // the fixture, decorated the x91 way
+    val docs = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull)
+    val deco = when($"doc_id" % 5 === 0,
+        concat(lit("# "), $"text", lit(" ...")))
+      .when($"doc_id" % 5 === 1, concat(lit("- "), $"text"))
+      .otherwise($"text")
+    val mism = docs.select(
+        TextAnalysis.gopherSignals(deco).as("k"),
+        TextAnalysis.gopherSignalsSpec(deco).as("s"))
+      .filter(not($"k" <=> $"s")).count()
+    assert(mism === 0L)
+  }
+
   test("windowMinDistinct equals the brute-force sliding min on generated arrays") {
     (1 to 300).foreach { seed =>
       val rnd = new scala.util.Random(seed)
@@ -317,6 +392,7 @@ class KernelPropertySpec extends SparkSpec {
       ("RollingFingerprint", RollingFingerprint(br(1, StringType)), row3),
       ("PiiScan", PiiScan(br(1, StringType)), row3),
       ("HtmlMainContent", HtmlMainContent(br(1, StringType)), row3),
+      ("GopherSignals", GopherSignals(br(1, StringType)), row3),
       ("WsTokens", WsTokens(br(1, StringType)), row3),
       ("FoldTokens", FoldTokens(br(0, as)), row3),
       ("PortableSimHash32", PortableSimHash32(br(0, as)), row3),

@@ -119,6 +119,14 @@ class PlanQualitySpec extends SparkSpec {
       s"x90 lost the partial aggregate:\n$x90")
     assert(!x90.contains("No Partition Defined"),
       "x90 window lost its domain partitioning")
+    // x91: one kernel scan + threshold projection — pure per-row, the
+    // only exchange is the final presentation sort
+    val x91 = phys("x91_gopher_rules")
+    val exchanges91 = "Exchange".r.findAllIn(x91).length
+    assert(exchanges91 <= 2, // rangepartitioning sort (+AQE read)
+      s"x91 plans $exchanges91 exchanges — the rule suite should not shuffle:\n$x91")
+    assert(x91.toLowerCase.contains("gophersignals"),
+      "x91 lost the native kernel projection")
   }
 
   test("no declared query plans an unpartitioned window or cartesian product") {

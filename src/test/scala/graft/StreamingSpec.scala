@@ -471,6 +471,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("online Gopher quality gate equals the batch rule suite") {
+    // stateless kernel scan + threshold projection — bit-identical
+    // rows from the streaming frame, any batching
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).limit(40)
+      .select($"doc_id",
+        when($"doc_id" % 5 === 0, concat(lit("# "), $"text", lit(" ...")))
+          .when($"doc_id" % 5 === 1, concat(lit("- "), $"text"))
+          .otherwise($"text").as("text"))
+      .cache()
+    val expected = graft.streaming.DocStreams.gopherRules(
+        corpus, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocStreams.gopherRules(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_gopher").start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h: _*)
+      q.processAllAvailable()
+      ms.addData(t: _*)
+      q.processAllAvailable()
+      assert(spark.table("stream_gopher")
+        .collect().map(_.toSeq).toSet === expected)
+      assert(expected.nonEmpty)
+    } finally {
+      q.stop()
+      corpus.unpersist()
+    }
+  }
+
   test("online HTML extraction and URL canonicalization equal their batch projections") {
     // both are stateless per-row kernels/projection chains — the pin is
     // that the STREAMING frame yields bit-identical rows, any batching
