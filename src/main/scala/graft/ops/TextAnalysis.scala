@@ -851,6 +851,43 @@ object TextAnalysis {
           .cast(DoubleType) / count(lit(1))).as("avg_nll"))
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): rank every
+    * document by its [[lmQuality]] score WITHIN its language and split
+    * each language into head/middle/tail terciles — the standard
+    * per-language quality stratification a crawl-curation pipeline
+    * keeps/weights by (CCNet trains on head+middle, drops tail).
+    * Tercile assignment is exact `ntile(3)` over the deterministic
+    * total order `(avg_nll asc, id asc)` — identical SQL-standard
+    * semantics in Spark and DuckDB (first `n mod 3` terciles take the
+    * extra rows), and `avg_nll` itself is bit-deterministic across
+    * engines (the x73 decimal-routed contract), so the oracle matches
+    * exactly. Documents with no bigrams (null text or < 2 tokens)
+    * have no score and are out of contract, as in x73.
+    *
+    * Scale: the one per-language window sort is the declared cost
+    * (the x77 percentile-gate shape); at corpus scale CCNet itself
+    * uses sampled cutoffs — swap the ntile for cutoffs from the x52
+    * mergeable GK quantile sketch and a broadcast range compare when
+    * a full per-language sort is too hot. Exchanges carry only
+    * (id, lang, score) rows, never documents.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmQuality(docs, idCol, textCol)
+    val withLang = scored.join(
+      docs.select(col(idCol).as("doc_id"), col(langCol)), Seq("doc_id"))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_nll").asc, col("doc_id").asc)
+    withLang
+      .select(col("doc_id"), col(langCol), col("n_bigrams"),
+        col("avg_nll"), ntile(3).over(w).as("t"))
+      .select(col("doc_id"), col(langCol), col("n_bigrams"),
+        col("avg_nll"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** The offline model [[lmQuality]] builds internally, exported for
     * reuse — e.g. scoring a document STREAM against a frozen corpus
     * model ([[graft.streaming.DocStreams.lmScores]]). `vocabSize` is

@@ -3135,6 +3135,55 @@ object ExtensionCatalog {
           "symbol_ratio", "alpha_frac", "bullet_frac", "ellipsis_frac",
           "stop_hits", "n_flags", "pass_flag")))),
 
+    // x92 — CCNet-style per-language perplexity terciles (Wenzek et
+    // al. 2020): the x73 bigram-LM score stratified head/middle/tail
+    // within each language by exact ntile(3) over the deterministic
+    // (avg_nll, doc_id) order. avg_nll is the x73 bit-deterministic
+    // decimal-routed double, ntile is SQL-standard in both engines,
+    // so the full composition is oracle-exact. The per-lang window is
+    // partitioned (plan-gated globally); exchanges carry only
+    // (id, lang, score) rows.
+    QueryDef("x92_ccnet_buckets",
+      (s, dir) => ordered(TextAnalysis.ccnetBuckets(
+        t(s, dir, "documents"), "doc_id", "text", "lang")),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        pr AS (
+          SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+            unnest(t[2:len(t)]) AS w2
+          FROM toks),
+        big AS (SELECT w1, w2, COUNT(*) AS cb FROM pr GROUP BY w1, w2),
+        prefix AS (SELECT w1, SUM(cb) AS cu FROM big GROUP BY w1),
+        vocab AS (
+          SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz FROM (
+            SELECT w1 AS w FROM big UNION ALL SELECT w2 AS w FROM big)),
+        scored AS (
+          SELECT pr.doc_id,
+            ROUND(-ln(CAST(big.cb + 1 AS DOUBLE)
+              / (prefix.cu + vocab.vsz)), 6) AS nlp
+          FROM pr JOIN big USING (w1, w2)
+          JOIN prefix USING (w1)
+          CROSS JOIN vocab),
+        doc AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+              AS avg_nll
+          FROM scored GROUP BY doc_id),
+        lng AS (
+          SELECT d.doc_id, dd.lang, d.n_bigrams, d.avg_nll
+          FROM doc d JOIN documents dd USING (doc_id)),
+        nt AS (
+          SELECT *, ntile(3) OVER (
+            PARTITION BY lang ORDER BY avg_nll, doc_id) AS t
+          FROM lng)
+        SELECT doc_id, lang, n_bigrams, avg_nll,
+          CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+        FROM nt
+        """ + orderedSql(Seq("doc_id", "lang", "n_bigrams", "avg_nll",
+          "bucket")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

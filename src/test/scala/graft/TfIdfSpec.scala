@@ -31,6 +31,32 @@ class TfIdfSpec extends SparkSpec {
     assert(got(1L)._2 < got(2L)._2)
   }
 
+  test("ccnetBuckets: tercile sizes, boundary order, and full coverage per lang") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val got = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3),
+        r.getString(4)))
+    assert(got.nonEmpty)
+    // every scored doc (>= 1 bigram) is bucketed exactly once
+    val scored = TextAnalysis.lmQuality(docs, "doc_id", "text").count()
+    assert(got.length.toLong === scored)
+    assert(got.map(_._1).distinct.length === got.length)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      val ordered = Seq("head", "middle", "tail").map(sizes.getOrElse(_, 0))
+      // ntile contract: sizes differ by at most 1, larger terciles first
+      assert(ordered.max - ordered.min <= 1, s"lang=$lang sizes=$sizes")
+      assert(ordered.head >= ordered(1) && ordered(1) >= ordered(2),
+        s"lang=$lang sizes=$sizes")
+      // boundary monotonicity: head scores <= middle scores <= tail
+      def scores(b: String) = rows.filter(_._4 == b).map(_._3)
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").max <= scores("middle").min, s"lang=$lang")
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").max <= scores("tail").min, s"lang=$lang")
+    }
+  }
+
   test("PII scrub: counts and redaction on crafted edge cases") {
     val d = Seq(
       (1L, "mail bob.smith+x@sub.example.org then 192.168.1.254 end"),
