@@ -3184,6 +3184,90 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "lang", "n_bigrams", "avg_nll",
           "bucket")))),
 
+    // x93 — product-quantization ANN (Jégou et al., PAMI 2011): 4
+    // subspaces × 16 dims, per-subspace codebooks from stride-50 seeds
+    // + 2 Lloyd rounds, every vector encoded to 4 codes, query
+    // answered by ADC table lookups. Unlike x37 this is EXACT
+    // cross-engine (no rounding hedge): vectors snap to the x79
+    // integer grid, means are exact integer sums / one division,
+    // squared diffs round at 6 dp into DECIMAL(18,6) before every
+    // sum, assignment ties break (dist, cell). The oracle unrolls the
+    // identical training + encode + ADC computation, generated
+    // per-subspace below.
+    QueryDef("x93_pq_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+          numSub = 4, subDim = 16, seedStride = 50, iters = 2)
+        ordered(Similarity.pqTopK(emb, "vec_id", "embedding", model,
+          queryId = 0L, k = 10))
+      },
+      Some {
+        val numSub = 4; val subDim = 16; val stride = 50; val iters = 2
+        def subCte(m: Int): String = {
+          val lo = m * subDim + 1; val hi = (m + 1) * subDim
+          s"""sub$m AS (
+            SELECT vec_id AS id,
+              (list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+              )[$lo:$hi] AS sub
+            FROM embeddings)"""
+        }
+        def cb0(m: Int): String = s"""cb0m$m AS (
+            SELECT id AS cell,
+              list_transform(sub, x -> CAST(x AS DOUBLE)) AS cv
+            FROM sub$m WHERE id % $stride = 0)"""
+        def distAssign(tag: String, m: Int, cb: String): String =
+          s"""d${tag}m$m AS (
+            SELECT b.id AS id, c.cell AS cell,
+              SUM(CAST(ROUND(
+                (b.sub[i.i] - c.cv[i.i]) * (b.sub[i.i] - c.cv[i.i]), 6)
+                AS DECIMAL(18,6))) AS dist
+            FROM sub$m b CROSS JOIN $cb c
+            CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) i
+            GROUP BY b.id, c.cell),
+          a${tag}m$m AS (
+            SELECT id, cell FROM (
+              SELECT id, cell, row_number() OVER (
+                PARTITION BY id ORDER BY dist, cell) AS rk
+              FROM d${tag}m$m) WHERE rk = 1)"""
+        def mean(it: Int, m: Int): String = s"""cb${it}m$m AS (
+            SELECT cell, list(mv ORDER BY pos) AS cv FROM (
+              SELECT a.cell AS cell, i.i AS pos,
+                CAST(SUM(b.sub[i.i]) AS DOUBLE) / COUNT(*) AS mv
+              FROM a${it}m$m a JOIN sub$m b USING (id)
+              CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) i
+              GROUP BY a.cell, i.i) GROUP BY cell)"""
+        val train = (0 until numSub).flatMap { m =>
+          Seq(subCte(m), cb0(m)) ++ (1 to iters).flatMap(it =>
+            Seq(distAssign(it.toString, m, s"cb${it - 1}m$m"), mean(it, m)))
+        }
+        val enc = (0 until numSub).map(m =>
+          distAssign("f", m, s"cb${iters}m$m"))
+        val qt = (0 until numSub).map(m =>
+          s"qtm$m AS (SELECT cell, dist FROM dfm$m WHERE id = 0)")
+        val codeCols = (0 until numSub)
+          .map(m => s"a$m.cell AS code$m").mkString(", ")
+        val encJoin = (1 until numSub)
+          .map(m => s"JOIN afm$m a$m USING (id)").mkString(" ")
+        val qtJoin = (0 until numSub)
+          .map(m => s"JOIN qtm$m q$m ON e.code$m = q$m.cell").mkString(" ")
+        val adcSum = (0 until numSub).map(m => s"q$m.dist").mkString(" + ")
+        val outCodes = (0 until numSub).map(m => s"e.code$m").mkString(", ")
+        s"""WITH ${(train ++ enc ++ qt).mkString(",\n")},
+          enc AS (
+            SELECT a0.id AS id, $codeCols
+            FROM afm0 a0 $encJoin)
+          SELECT * FROM (
+            SELECT e.id AS id, $outCodes,
+              CAST($adcSum AS DOUBLE) AS adc_dist
+            FROM enc e $qtJoin
+            WHERE e.id <> 0
+            ORDER BY adc_dist, id LIMIT 10)
+          """ + orderedSql(Seq("id") ++
+            (0 until numSub).map(m => s"code$m") :+ "adc_dist")
+      }),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).
