@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Dev-only DuckDB oracle timing (BASELINE.md protocol: in-process,
+sequential, 1 cold + median of 5 warm runs per query).
+
+Usage: python3 scripts/duck_time.py <sf_dir> <verify_out_dir> [names...]
+
+Reads <verify_out_dir>/oracle_sql.json and times the named queries (all
+if none given). NOT part of the shipped library.
+"""
+import json
+import statistics
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+    for name in (names or sorted(oracle)):
+        sql = oracle[name]
+        con.execute(sql).fetchall()  # cold, discarded
+        runs = []
+        for _ in range(5):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            runs.append(time.time() - t0)
+        print(f"{name}: {statistics.median(runs):.2f}s "
+              f"(runs {' '.join(f'{r:.2f}' for r in runs)})")
+
+
+if __name__ == "__main__":
+    main()

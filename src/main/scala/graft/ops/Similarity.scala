@@ -375,16 +375,16 @@ object Similarity {
   // vectors again.
   //
   // Cross-engine exactness (tightening x37's "far from any decision
-  // boundary" robustness argument into a guarantee): vectors snap to
-  // the x79 integer grid (floor(x*1000), exact in both engines), so
-  // every Lloyd mean is an exact integer SUM (order-free) divided
-  // once (one IEEE op, identical bits); every squared diff is per-row
-  // fixed-operand IEEE, rounded at 6 dp into DECIMAL(18,6) before any
-  // SUM (the x73 discipline), so assignments, codes and ADC sums are
-  // bit-deterministic in Spark AND DuckDB — the oracle unrolls the
-  // identical computation and hash-matches exactly.
-
-  private val PqDec = DecimalType(18, 6)
+  // boundary" robustness argument into a guarantee): the whole
+  // pipeline is INTEGER arithmetic. Vectors snap to the x79 grid
+  // (floor(x*1000), exact in both engines); centroids live on a
+  // 1000×-finer integer grid — the ONLY non-integer op anywhere is
+  // the per-coordinate mean rounding round(1000·Σa/n, 0), a single
+  // correctly-rounded IEEE division + the ROUND both engines share
+  // (the x73 contract; exact .5 midpoints agree too — Java HALF_UP
+  // and C round() both round away from zero). Distances
+  // Σ(1000·a − C)² and ADC sums are exact Longs, so assignments,
+  // codes and distances hash-match the oracle bit-for-bit.
 
   /** The x79 exact integer grid: `floor(x * 1000)` per coordinate. */
   private def pqGrid(vec: Column): Column =
@@ -393,42 +393,30 @@ object Similarity {
   private def pqSubvec(grid: Column, m: Int, subDim: Int): Column =
     slice(grid, m * subDim + 1, subDim)
 
-  /** Squared L2 distance between an integer-grid subvector and a
-    * literal centroid as an exact DECIMAL(18,6): per-element
-    * `round((a-b)^2, 6)` then an exact decimal fold (fold order
-    * irrelevant — decimal addition is exact).
-    */
-  private def pqSqDist(sub: Column, cv: Array[Double]): Column = {
-    val diffs = zip_with(sub, array(cv.toIndexedSeq.map(lit): _*),
-      (a, b) => round((a - b) * (a - b), 6).cast(PqDec))
-    aggregate(diffs, lit(0).cast(PqDec), (acc, d) => (acc + d).cast(PqDec))
-  }
-
-  /** argmin cell over a literal codebook with the deterministic
-    * `(dist, cell)` tie-break — a zero-shuffle per-row projection
-    * (struct ordering is field-by-field, so `array_min` IS the
-    * tie-broken argmin).
-    */
-  private def pqNearest(sub: Column, cb: Array[(Long, Array[Double])]): Column =
-    array_min(array(cb.toIndexedSeq.map { case (cell, cv) =>
-      struct(pqSqDist(sub, cv).as("d"), lit(cell).as("cell"))
-    }: _*)).getField("cell")
-
-  /** A trained PQ model: one `(cell, centroid)` codebook per subspace,
-    * each bounded by [[MaxPlanCentroids]] (codes assign as plan-literal
-    * projections, the x37 contract).
+  /** A trained PQ model: one milli-grid integer codebook per subspace
+    * ([[graft.functions.PqBook]]), each bounded by
+    * [[MaxPlanCentroids]] (codes assign as plan-bound projections, the
+    * x37 contract).
     */
   final case class PqModel(subDim: Int,
-      codebooks: IndexedSeq[Array[(Long, Array[Double])]])
+      codebooks: IndexedSeq[graft.functions.PqBook])
+
+  /** The numSub code columns for a grid vector — ONE
+    * [[graft.functions.PqKernel]] codegen scan (a tight Long loop; the
+    * HOF spelling of the same argmin ran 30× slower interpreted).
+    */
+  private def pqCodes(grid: Column, model: PqModel): Column =
+    graft.functions.PqFunctions.pqCodes(grid, model.codebooks,
+      model.subDim)
 
   /** Train per-subspace codebooks: stride seeds (cell id = seed vector
     * id, the x37 convention), `iters` Lloyd rounds with exact
-    * integer-grid means. Cells that keep no vectors drop (standard
-    * Lloyd). Each round is ONE job: all subspaces' assignments are
-    * per-row plan-literal projections (no shuffle), and all subspaces
-    * share one map-side-combinable `(m, cell, pos)` mean aggregate
-    * whose result — bounded by numSub × cells × subDim — is the only
-    * driver collect.
+    * integer-grid means snapped to the milli grid. Cells that keep no
+    * vectors drop (standard Lloyd). Per round: assignment is one
+    * zero-shuffle kernel projection, and all subspaces share one
+    * map-side-combinable `(m, cell, pos)` mean aggregate whose result
+    * — bounded by numSub × cells × subDim — is the only driver
+    * collect.
     */
   def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
       numSub: Int, subDim: Int, seedStride: Int, iters: Int): PqModel = {
@@ -436,92 +424,88 @@ object Similarity {
       "need numSub/subDim/seedStride >= 1 and iters >= 0")
     val base = vectors.select(col(idCol).cast(LongType).as("id"),
       pqGrid(col(vecCol)).as("q"))
-    var books: IndexedSeq[Array[(Long, Array[Double])]] =
-      (0 until numSub).map { m =>
-        collectCentroids(
-          base.filter(col("id") % seedStride === 0)
-            .select(col("id").as("cell"),
-              transform(pqSubvec(col("q"), m, subDim),
-                x => x.cast(DoubleType)).as("cv")))
-      }
+    val seeds = base.filter(col("id") % seedStride === 0)
+      .select(col("id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(seeds.nonEmpty, "no PQ seeds: seedStride matched no ids")
+    require(seeds.length <= MaxPlanCentroids,
+      "PQ seed set exceeds MaxPlanCentroids — raise seedStride")
+    var model = PqModel(subDim, (0 until numSub).map { m =>
+      graft.functions.PqBook(seeds.map(_._1),
+        seeds.map(_._2.slice(m * subDim, (m + 1) * subDim)
+          .map(_ * 1000L)))
+    })
     for (_ <- 1 to iters) {
-      val assigned = base.select(col("id") +: col("q") +:
-        (0 until numSub).map(m =>
-          pqNearest(pqSubvec(col("q"), m, subDim), books(m)).as(s"c$m")): _*)
+      val assigned = base.select(col("q"),
+        pqCodes(col("q"), model).as("codes"))
       val expl = (0 until numSub).map { m =>
-        assigned.select(lit(m).as("m"), col(s"c$m").as("cell"),
+        assigned.select(lit(m).as("m"),
+          element_at(col("codes"), m + 1).as("cell"),
           posexplode(pqSubvec(col("q"), m, subDim)).as(Seq("pos", "v")))
       }.reduce(_ union _)
       val rows = expl.groupBy("m", "cell", "pos")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .select(col("m"), col("cell"), col("pos"),
-          (col("s").cast(DoubleType) / col("n")).as("mv"))
+          round(lit(1000.0) * col("s") / col("n"), 0).cast(LongType)
+            .as("mc"))
         .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-      books = (0 until numSub).map { m =>
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      model = PqModel(subDim, (0 until numSub).map { m =>
         val cells = rows.filter(_._1 == m).groupBy(_._2).toSeq
           .map { case (cell, ps) =>
-            val arr = new Array[Double](subDim)
+            val arr = new Array[Long](subDim)
             ps.foreach(p => arr(p._3) = p._4)
             (cell, arr)
-          }.sortBy(_._1).toArray
+          }.sortBy(_._1)
         require(cells.length <= MaxPlanCentroids,
           s"PQ codebook for subspace $m exceeds MaxPlanCentroids")
-        cells
-      }
+        graft.functions.PqBook(cells.map(_._1).toArray,
+          cells.map(_._2).toArray)
+      })
     }
-    PqModel(subDim, books)
+    model
   }
 
   /** Encode + ADC top-k against a trained [[PqModel]]: every vector's
-    * codes are a zero-shuffle plan-literal projection; the query's
-    * per-subspace distance tables are computed ONCE by the engine
-    * itself (a one-row job over the same expressions — table semantics
-    * can never drift from the scan's) and folded back in as literal
-    * maps; the approximate distance is the exact decimal sum of the
-    * looked-up entries. Returns
+    * codes are one zero-shuffle kernel projection; the query's
+    * per-subspace distance tables are exact-Long driver arithmetic
+    * through the kernel's own [[graft.functions.PqKernel.sqDist]] (the
+    * two can't drift) folded in as literal maps; the approximate
+    * distance is the exact Long sum of the looked-up entries. Returns
     * `(id, code0..code{numSub-1}, adc_dist)`, the k nearest by
-    * `(adc_dist, id)`.
+    * `(adc_dist, id)` — the orderBy+limit fuses to
+    * TakeOrderedAndProject (per-partition cut).
     */
   def pqTopK(vectors: DataFrame, idCol: String, vecCol: String,
       model: PqModel, queryId: Long, k: Int): DataFrame = {
     val numSub = model.codebooks.length
     val base = vectors.select(col(idCol).cast(LongType).as("id"),
       pqGrid(col(vecCol)).as("q"))
-    val sp = vectors.sparkSession
-    import sp.implicits._
     val qRows = base.filter(col("id") === queryId)
       .select(col("q")).collect()
     require(qRows.nonEmpty, s"PQ query id $queryId not found")
-    val qGrid = qRows.head.getSeq[Long](0)
-    val tableCols = for {
-      m <- 0 until numSub
-      (cell, cv) <- model.codebooks(m)
-    } yield pqSqDist(pqSubvec(col("q"), m, model.subDim), cv)
-      .as(s"t_${m}_$cell")
-    val tRow = Seq(Tuple1(qGrid)).toDF("q").select(tableCols.toIndexedSeq: _*)
-      .collect().head
-    val tables: IndexedSeq[Map[Long, java.math.BigDecimal]] =
-      (0 until numSub).map { m =>
-        model.codebooks(m).zipWithIndex.map { case ((cell, _), i) =>
-          cell -> tRow.getDecimal(
-            (0 until m).map(model.codebooks(_).length).sum + i)
-        }.toMap
-      }
-    val coded = base.select(col("id") +:
-      (0 until numSub).map(m =>
-        pqNearest(pqSubvec(col("q"), m, model.subDim), model.codebooks(m))
-          .as(s"code$m")): _*)
+    val qGrid = qRows.head.getSeq[Long](0).toArray
+    val tables: IndexedSeq[Map[Long, Long]] = (0 until numSub).map { m =>
+      val sub = qGrid.slice(m * model.subDim, (m + 1) * model.subDim)
+      val b = model.codebooks(m)
+      b.cells.indices.map(i =>
+        b.cells(i) -> graft.functions.PqKernel.sqDist(sub, b.cents(i)))
+        .toMap
+    }
+    val coded = base
+      .select(col("id"), pqCodes(col("q"), model).as("codes"))
+      .select(col("id") +: (0 until numSub).map(m =>
+        element_at(col("codes"), m + 1).as(s"code$m")): _*)
     val adc = (0 until numSub).map { m =>
-      val entries = model.codebooks(m).toIndexedSeq.flatMap {
-        case (cell, _) => Seq(lit(cell), lit(tables(m)(cell)).cast(PqDec))
-      }
+      val entries = model.codebooks(m).cells.toIndexedSeq.flatMap(cell =>
+        Seq(lit(cell), lit(tables(m)(cell))))
       element_at(map(entries: _*), col(s"code$m"))
-    }.reduce[Column]((a, b) => (a + b).cast(PqDec))
+    }.reduce[Column](_ + _)
     coded.filter(col("id") =!= queryId)
       .select(col("id") +:
         (0 until numSub).map(m => col(s"code$m")) :+
-        adc.cast(DoubleType).as("adc_dist"): _*)
+        adc.as("adc_dist"): _*)
       .orderBy(col("adc_dist").asc, col("id").asc)
       .limit(k)
   }

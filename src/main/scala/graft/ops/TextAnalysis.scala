@@ -744,6 +744,26 @@ object TextAnalysis {
     * sequence guard matters: sequence(1, 0) counts DOWN, so
     * single-token docs need the explicit empty array.
     */
+  /** [[bigramRows]] with one carried-through column (as `carry`) —
+    * the online CCNet gate needs the language riding next to each
+    * bigram so the per-doc fold can bucket without a second join.
+    */
+  private[graft] def bigramRowsWith(docs: DataFrame, idCol: String,
+      textCol: String, carryCol: String,
+      tokenize: Column => Column): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(carryCol).as("carry"),
+        tokenize(col(textCol)).as("_t"))
+    toks.select(col("doc_id"), col("carry"),
+        explode(when(size(col("_t")) > 1,
+            sequence(lit(1), size(col("_t")) - 1))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"),
+        col("_t"))
+      .select(col("doc_id"), col("carry"),
+        element_at(col("_t"), col("i")).as("w1"),
+        element_at(col("_t"), col("i") + 1).as("w2"))
+  }
+
   private[graft] def bigramRows(docs: DataFrame, idCol: String,
       textCol: String, tokenize: Column => Column): DataFrame = {
     val toks = docs.filter(col(textCol).isNotNull)
@@ -850,6 +870,25 @@ object TextAnalysis {
         (sum(col("nlp").cast(DecimalType(18, 6)))
           .cast(DoubleType) / count(lit(1))).as("avg_nll"))
   }
+
+  /** The frozen per-language tercile cutoffs of [[ccnetBuckets]]:
+    * `(max avg_nll in head, max avg_nll in head+middle)` per
+    * language — what an online gate compares arriving documents
+    * against ([[graft.streaming.DocStreams.ccnetGate]]). One bounded
+    * collect (a row per language; head is never empty under ntile, so
+    * the +inf fallbacks are belt-and-braces).
+    */
+  def ccnetCutoffs(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): Map[String, (Double, Double)] =
+    ccnetBuckets(docs, idCol, textCol, langCol)
+      .groupBy(col(langCol))
+      .agg(max(when(col("bucket") === "head", col("avg_nll"))).as("c1"),
+        max(when(col("bucket") =!= "tail", col("avg_nll"))).as("c2"))
+      .collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) Double.PositiveInfinity else r.getDouble(1),
+        if (r.isNullAt(2)) Double.PositiveInfinity else r.getDouble(2))))
+      .toMap
 
   /** CCNet-style perplexity buckets (Wenzek et al. 2020): rank every
     * document by its [[lmQuality]] score WITHIN its language and split

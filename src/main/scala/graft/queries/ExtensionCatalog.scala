@@ -3186,13 +3186,13 @@ object ExtensionCatalog {
 
     // x93 — product-quantization ANN (Jégou et al., PAMI 2011): 4
     // subspaces × 16 dims, per-subspace codebooks from stride-50 seeds
-    // + 2 Lloyd rounds, every vector encoded to 4 codes, query
-    // answered by ADC table lookups. Unlike x37 this is EXACT
-    // cross-engine (no rounding hedge): vectors snap to the x79
-    // integer grid, means are exact integer sums / one division,
-    // squared diffs round at 6 dp into DECIMAL(18,6) before every
-    // sum, assignment ties break (dist, cell). The oracle unrolls the
-    // identical training + encode + ADC computation, generated
+    // + 2 Lloyd rounds, every vector encoded to 4 codes by the
+    // PqKernel codegen scan, query answered by ADC table lookups.
+    // Unlike x37 this is EXACT cross-engine: vectors snap to the x79
+    // integer grid, centroids to the 1000×-finer milli grid (the one
+    // rounded division both engines share), distances and ADC sums
+    // are exact Longs, ties break (dist, cell). The oracle unrolls
+    // the identical training + encode + ADC computation, generated
     // per-subspace below.
     QueryDef("x93_pq_ann",
       (s, dir) => {
@@ -3215,14 +3215,13 @@ object ExtensionCatalog {
         }
         def cb0(m: Int): String = s"""cb0m$m AS (
             SELECT id AS cell,
-              list_transform(sub, x -> CAST(x AS DOUBLE)) AS cv
+              list_transform(sub, x -> x * 1000) AS cv
             FROM sub$m WHERE id % $stride = 0)"""
         def distAssign(tag: String, m: Int, cb: String): String =
           s"""d${tag}m$m AS (
             SELECT b.id AS id, c.cell AS cell,
-              SUM(CAST(ROUND(
-                (b.sub[i.i] - c.cv[i.i]) * (b.sub[i.i] - c.cv[i.i]), 6)
-                AS DECIMAL(18,6))) AS dist
+              SUM((1000 * b.sub[i.i] - c.cv[i.i])
+                * (1000 * b.sub[i.i] - c.cv[i.i])) AS dist
             FROM sub$m b CROSS JOIN $cb c
             CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) i
             GROUP BY b.id, c.cell),
@@ -3232,9 +3231,10 @@ object ExtensionCatalog {
                 PARTITION BY id ORDER BY dist, cell) AS rk
               FROM d${tag}m$m) WHERE rk = 1)"""
         def mean(it: Int, m: Int): String = s"""cb${it}m$m AS (
-            SELECT cell, list(mv ORDER BY pos) AS cv FROM (
+            SELECT cell, list(mc ORDER BY pos) AS cv FROM (
               SELECT a.cell AS cell, i.i AS pos,
-                CAST(SUM(b.sub[i.i]) AS DOUBLE) / COUNT(*) AS mv
+                CAST(ROUND(1000.0 * SUM(b.sub[i.i]) / COUNT(*), 0)
+                  AS BIGINT) AS mc
               FROM a${it}m$m a JOIN sub$m b USING (id)
               CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) i
               GROUP BY a.cell, i.i) GROUP BY cell)"""
@@ -3260,7 +3260,7 @@ object ExtensionCatalog {
             FROM afm0 a0 $encJoin)
           SELECT * FROM (
             SELECT e.id AS id, $outCodes,
-              CAST($adcSum AS DOUBLE) AS adc_dist
+              CAST($adcSum AS BIGINT) AS adc_dist
             FROM enc e $qtJoin
             WHERE e.id <> 0
             ORDER BY adc_dist, id LIMIT 10)

@@ -27,6 +27,9 @@ case class ContaminationHit(train_id: Long, eval_id: Long, n_shared: Long)
   */
 case class DocLmScore(doc_id: Long, n_bigrams: Long, avg_nll: Double)
 
+case class DocCcnetBucket(doc_id: Long, lang: String, n_bigrams: Long,
+  avg_nll: Double, bucket: String)
+
 /** Streaming document-pipeline surface: ONLINE near-duplicate detection.
   *
   * A training-data ingest doesn't get to re-run batch dedup over the
@@ -217,6 +220,57 @@ object DocStreams {
               .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
             Iterator.single(DocLmScore(doc, nlps.size.toLong,
               sum.toDouble / nlps.size))
+          }
+      }
+  }
+
+  /** Online CCNet gate — the ingest-time twin of batch x92: each
+    * arriving document is scored against the FROZEN corpus LM (the
+    * [[lmScores]] machinery, bit-identical to batch on shared
+    * bigrams) and bucketed head/middle/tail against FROZEN
+    * per-language tercile cutoffs
+    * ([[graft.ops.TextAnalysis.ccnetCutoffs]], computed offline).
+    * Bucket assignment matches batch exactly when no two documents
+    * tie on a cutoff score (batch ntile splits such ties by doc_id;
+    * the gate sends both to the lower bucket). Unknown or null
+    * languages bucket `tail` — conservative: an ungated language
+    * shouldn't sneak into head.
+    */
+  def ccnetGate(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, model: graft.ops.TextAnalysis.LmModel,
+      cutoffs: Map[String, (Double, Double)]): Dataset[DocCcnetBucket] = {
+    import docs.sparkSession.implicits._
+    val pr = graft.ops.TextAnalysis.bigramRowsWith(docs, idCol, textCol,
+      langCol, model.tokenize)
+    val nlp = round(-log(
+      (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("cu"), lit(0L)).cast("double") +
+          lit(model.vocabSize))), 6)
+    pr.join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(model.prefixes), Seq("w1"), "left")
+      .select(col("doc_id"), col("carry"), nlp.as("nlp"))
+      .as[(Long, String, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[(Long, String, Double)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val nlps = rows.map(_._3).toSeq
+            val sum = nlps.map(d => BigDecimal(d)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+            val avg = sum.toDouble / nlps.size
+            val bucket = cutoffs.get(key._2) match {
+              case Some((c1, c2)) =>
+                if (avg <= c1) "head"
+                else if (avg <= c2) "middle"
+                else "tail"
+              case None => "tail"
+            }
+            Iterator.single(DocCcnetBucket(key._1, key._2,
+              nlps.size.toLong, avg, bucket))
           }
       }
   }

@@ -398,6 +398,92 @@ object R11OpScale {
   }
 }
 
+/** 10×-growth check for the round-11 batch-2 ops: x91 Gopher rules
+  * (per-row kernel), x92 CCNet buckets (LM build + per-lang window),
+  * x93 PQ (train + encode + ADC). Documents ops use the shared-vocab
+  * sf1shared fixture; PQ uses a synthesized 10× embedding fixture
+  * (id-shifted copies with a small deterministic per-copy perturbation
+  * so codebooks actually move). One JSON line.
+  */
+object R11bOpScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf1shared")
+    if (!Files.exists(Paths.get(big)))
+      ScaleFixture.main(Array(small, big, "10"))
+    val spark = Sessions.local("graft-r11b-scale")
+
+    val pq10 = "/tmp/pq10"
+    if (!Files.exists(Paths.get(s"$pq10/embeddings.parquet"))) {
+      val e = spark.read.parquet(s"$small/embeddings.parquet")
+      (0 until 10).map { c =>
+        e.select((col("vec_id") + c * 10000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(1.0f + c * 0.003f)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$pq10/embeddings.parquet")
+    }
+
+    def median3(mk: () => DataFrame): Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(3)(run()).sorted.apply(1)
+    }
+
+    def docTimes(dir: String): (Double, Double, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+      val n = docs.count()
+      // the x91 shape: decoration + the one-pass kernel + thresholds
+      val gopher = median3(() => {
+        val deco = when(col("doc_id") % 5 === 0,
+            concat(lit("# "), col("text"), lit(" ...")))
+          .when(col("doc_id") % 5 === 1, concat(lit("- "), col("text")))
+          .otherwise(col("text"))
+        graft.ops.TextAnalysis.gopherRules(
+          docs.select(col("doc_id"), deco.as("text")), "doc_id", "text")
+      })
+      // the x92 shape: corpus LM + per-lang tercile window
+      val ccnet = median3(() =>
+        graft.ops.TextAnalysis.ccnetBuckets(
+          docs.select(col("doc_id"), col("text"), col("lang")),
+          "doc_id", "text", "lang"))
+      (gopher, ccnet, n)
+    }
+    // stride scales with the data so the CODEBOOK stays fixed (40
+    // cells) — the realistic PQ regime: k constant, corpus grows, so
+    // train/encode work should grow linearly with rows only
+    def pqTime(dir: String, stride: Int): (Double, Long) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val sec = median3(() => {
+        val model = graft.ops.Similarity.pqTrain(
+          emb, "vec_id", "embedding",
+          numSub = 4, subDim = 16, seedStride = stride, iters = 2)
+        graft.ops.Similarity.pqTopK(
+          emb, "vec_id", "embedding", model, 0L, 10)
+      })
+      (sec, n)
+    }
+
+    val (g1, c1, n1) = docTimes(small)
+    val (g10, c10, n10) = docTimes(big)
+    val (p1, e1) = pqTime(small, 50)
+    val (p10, e10) = pqTime(pq10, 500)
+    println(f"""{"docs":[$n1,$n10],"vecs":[$e1,$e10],""" +
+      f""""gopher_sec":[$g1%.2f,$g10%.2f],"gopher_growth":${g10 / g1}%.2f,""" +
+      f""""ccnet_sec":[$c1%.2f,$c10%.2f],"ccnet_growth":${c10 / c1}%.2f,""" +
+      f""""pq_sec":[$p1%.2f,$p10%.2f],"pq_growth":${p10 / p1}%.2f}""")
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

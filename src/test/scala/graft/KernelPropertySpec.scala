@@ -404,6 +404,10 @@ class KernelPropertySpec extends SparkSpec {
       ("DotProduct", DotProduct(br(0, ad), br(1, ad)), rowV),
       ("SrpSignature", SrpSignature(br(0, ad), 42L), rowV),
       ("SetJaccard", SetJaccard(br(0, as), br(0, as)), row3),
+      ("PqAssignCodes", PqAssignCodes(br(2, al),
+        Seq(PqBook(Array(1L, 2L),
+          Array(Array(900L, -2100L, 3200L), Array(1000L, -2000L, 3000L)))),
+        3), row3),
       ("SigAgreement", SigAgreement(br(2, al), br(2, al)), row3))
     cases.foreach { case (label, expr, input) =>
       assert(expr.checkInputDataTypes().isSuccess, s"$label input types")

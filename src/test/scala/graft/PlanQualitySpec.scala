@@ -127,6 +127,17 @@ class PlanQualitySpec extends SparkSpec {
       s"x91 plans $exchanges91 exchanges — the rule suite should not shuffle:\n$x91")
     assert(x91.toLowerCase.contains("gophersignals"),
       "x91 lost the native kernel projection")
+    // x93: encode is one kernel projection, the cut is a
+    // TakeOrderedAndProject (per-partition top-k) — the only exchange
+    // is the final presentation sort
+    val x93 = phys("x93_pq_ann")
+    assert(x93.contains("TakeOrderedAndProject"),
+      s"x93 lost the per-partition top-k cut:\n$x93")
+    assert(x93.toLowerCase.contains("pqassigncodes"),
+      "x93 lost the native assignment kernel")
+    val exchanges93 = "Exchange".r.findAllIn(x93).length
+    assert(exchanges93 <= 2, // rangepartitioning sort (+AQE read)
+      s"x93 plans $exchanges93 exchanges:\n$x93")
   }
 
   test("no declared query plans an unpartitioned window or cartesian product") {

@@ -41,48 +41,46 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("PQ: local replay matches encode+ADC; top-k cuts per partition") {
-    import java.math.{BigDecimal => JBD, RoundingMode}
     val model = Similarity.pqTrain(emb, "vec_id", "embedding",
       numSub = 4, subDim = 16, seedStride = 50, iters = 2)
     assert(model.codebooks.length === 4)
-    model.codebooks.foreach(cb => assert(cb.nonEmpty))
+    model.codebooks.foreach(cb => assert(cb.cells.nonEmpty))
     val got = Similarity.pqTopK(emb, "vec_id", "embedding", model, 0L, 10)
     // the top-k must cut per partition before any exchange (the
     // orderBy+limit fuses to TakeOrderedAndProject)
     assert(got.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
     val rows = got.collect().map(r => (r.getLong(0),
-      (1 to 4).map(r.getLong).toList, r.getDouble(5))).toSeq
+      (1 to 4).map(r.getLong).toList, r.getLong(5))).toSeq
     // independent local replay of grid → codes → ADC over the trained
-    // codebooks (same arithmetic contract: exact grid, HALF_UP 6 dp,
-    // exact decimal sums, (dist, cell) tie-break)
+    // codebooks (the exact-Long contract: milli-grid centroids,
+    // D = Σ(1000a − C)², (dist, cell) tie-break)
     val vecs = emb.select($"vec_id", $"embedding")
       .as[(Long, Array[Float])].collect()
       .map { case (id, v) =>
         id -> v.map(x => math.floor(x.toDouble * 1000).toLong) }.toMap
-    def sq(sub: Array[Long], cv: Array[Double]): JBD =
+    def sq(sub: Array[Long], cv: Array[Long]): Long =
       sub.indices.map { i =>
-        val d = sub(i) - cv(i)
-        JBD.valueOf(d * d).setScale(6, RoundingMode.HALF_UP)
-      }.foldLeft(JBD.ZERO.setScale(6))(_ add _)
-    def codeOf(q: Array[Long], m: Int): Long =
-      model.codebooks(m).map { case (cell, cv) =>
-        (BigDecimal(sq(q.slice(m * 16, m * 16 + 16), cv)), cell)
-      }.min._2
+        val d = 1000L * sub(i) - cv(i); d * d
+      }.sum
+    def codeOf(q: Array[Long], m: Int): Long = {
+      val b = model.codebooks(m)
+      b.cells.indices.map(i =>
+        (sq(q.slice(m * 16, m * 16 + 16), b.cents(i)), b.cells(i))).min._2
+    }
     val q0 = vecs(0L)
-    val tables = (0 until 4).map(m => model.codebooks(m).map {
-      case (cell, cv) => cell -> sq(q0.slice(m * 16, m * 16 + 16), cv)
-    }.toMap)
+    val tables = (0 until 4).map { m =>
+      val b = model.codebooks(m)
+      b.cells.indices.map(i =>
+        b.cells(i) -> sq(q0.slice(m * 16, m * 16 + 16), b.cents(i))).toMap
+    }
     val local = vecs.toSeq.filter(_._1 != 0L).map { case (id, q) =>
       val codes = (0 until 4).map(m => codeOf(q, m)).toList
-      val adc = codes.zipWithIndex
-        .map { case (c, m) => tables(m)(c) }
-        .foldLeft(JBD.ZERO.setScale(6))(_ add _)
-      (id, codes, adc.doubleValue)
+      (id, codes, codes.zipWithIndex.map { case (c, m) => tables(m)(c) }.sum)
     }.sortBy(r => (r._3, r._1)).take(10)
     assert(rows === local)
     // ADC distances are non-negative and the cut is ascending
-    assert(rows.forall(_._3 >= 0.0))
+    assert(rows.forall(_._3 >= 0L))
     assert(rows.map(_._3) === rows.map(_._3).sorted)
   }
 
