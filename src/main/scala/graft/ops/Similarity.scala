@@ -420,10 +420,19 @@ object Similarity {
     */
   def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
       numSub: Int, subDim: Int, seedStride: Int, iters: Int): PqModel = {
-    require(numSub >= 1 && subDim >= 1 && seedStride >= 1 && iters >= 0,
-      "need numSub/subDim/seedStride >= 1 and iters >= 0")
     val base = vectors.select(col(idCol).cast(LongType).as("id"),
       pqGrid(col(vecCol)).as("q"))
+    pqTrainOnGrid(base, numSub, subDim, seedStride, iters)
+  }
+
+  /** [[pqTrain]] over an already-gridded `(id, q)` frame — the reuse
+    * point for residual quantization ([[ivfPqTrain]] feeds residual
+    * grids through the identical trainer).
+    */
+  private def pqTrainOnGrid(base: DataFrame, numSub: Int, subDim: Int,
+      seedStride: Int, iters: Int): PqModel = {
+    require(numSub >= 1 && subDim >= 1 && seedStride >= 1 && iters >= 0,
+      "need numSub/subDim/seedStride >= 1 and iters >= 0")
     val seeds = base.filter(col("id") % seedStride === 0)
       .select(col("id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -437,13 +446,18 @@ object Similarity {
           .map(_ * 1000L)))
     })
     for (_ <- 1 to iters) {
+      // ONE scan feeds every subspace's mean: explode the whole grid
+      // and derive (m, pos) from the position — a per-subspace union
+      // would re-read the base numSub times per round
       val assigned = base.select(col("q"),
         pqCodes(col("q"), model).as("codes"))
-      val expl = (0 until numSub).map { m =>
-        assigned.select(lit(m).as("m"),
-          element_at(col("codes"), m + 1).as("cell"),
-          posexplode(pqSubvec(col("q"), m, subDim)).as(Seq("pos", "v")))
-      }.reduce(_ union _)
+      val mCol = floor(col("p") / subDim).cast(IntegerType)
+      val expl = assigned
+        .select(posexplode(col("q")).as(Seq("p", "v")), col("codes"))
+        .select(mCol.as("m"),
+          element_at(col("codes"), mCol + 1).as("cell"),
+          pmod(col("p"), lit(subDim)).cast(IntegerType).as("pos"),
+          col("v"))
       val rows = expl.groupBy("m", "cell", "pos")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .select(col("m"), col("cell"), col("pos"),
@@ -477,22 +491,33 @@ object Similarity {
     * `(adc_dist, id)` — the orderBy+limit fuses to
     * TakeOrderedAndProject (per-partition cut).
     */
-  def pqTopK(vectors: DataFrame, idCol: String, vecCol: String,
-      model: PqModel, queryId: Long, k: Int): DataFrame = {
-    val numSub = model.codebooks.length
-    val base = vectors.select(col(idCol).cast(LongType).as("id"),
-      pqGrid(col(vecCol)).as("q"))
+  private def pqQueryGrid(base: DataFrame, queryId: Long): Array[Long] = {
     val qRows = base.filter(col("id") === queryId)
       .select(col("q")).collect()
     require(qRows.nonEmpty, s"PQ query id $queryId not found")
-    val qGrid = qRows.head.getSeq[Long](0).toArray
-    val tables: IndexedSeq[Map[Long, Long]] = (0 until numSub).map { m =>
+    qRows.head.getSeq[Long](0).toArray
+  }
+
+  /** The query's per-subspace ADC tables — bounded driver arithmetic
+    * through the kernel's own sqDist (the two can't drift).
+    */
+  private def pqAdcTables(model: PqModel, qGrid: Array[Long])
+      : IndexedSeq[Map[Long, Long]] =
+    model.codebooks.indices.map { m =>
       val sub = qGrid.slice(m * model.subDim, (m + 1) * model.subDim)
       val b = model.codebooks(m)
       b.cells.indices.map(i =>
         b.cells(i) -> graft.functions.PqKernel.sqDist(sub, b.cents(i)))
         .toMap
     }
+
+  def pqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, queryId: Long, k: Int): DataFrame = {
+    val numSub = model.codebooks.length
+    val base = vectors.select(col(idCol).cast(LongType).as("id"),
+      pqGrid(col(vecCol)).as("q"))
+    val qGrid = pqQueryGrid(base, queryId)
+    val tables = pqAdcTables(model, qGrid)
     val coded = base
       .select(col("id"), pqCodes(col("q"), model).as("codes"))
       .select(col("id") +: (0 until numSub).map(m =>
@@ -506,6 +531,171 @@ object Similarity {
       .select(col("id") +:
         (0 until numSub).map(m => col(s"code$m")) :+
         adc.as("adc_dist"): _*)
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(k)
+  }
+
+  /** PQ recall QA (the x76 analog for x93): how much of the TRUE
+    * top-k does the ADC answer recover? Ground truth is exact
+    * squared-L2 top-k on the SAME integer grid the codes were trained
+    * on (an exact Long fold, so both engines agree bit-for-bit and
+    * the report isolates quantization loss from arithmetic noise).
+    * Returns one row `(k, n_hits, recall)` — the go/no-go a team
+    * checks before swapping raw vectors for codes at corpus scale.
+    */
+  def pqRecall(vectors: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, queryId: Long, k: Int): DataFrame = {
+    val base = vectors.select(col(idCol).cast(LongType).as("id"),
+      pqGrid(col(vecCol)).as("q"))
+    val qGrid = pqQueryGrid(base, queryId)
+    val tables = pqAdcTables(model, qGrid)
+    val qLit = array(qGrid.toIndexedSeq.map(lit): _*)
+    val codes = pqCodes(col("q"), model)
+    val adcCol = model.codebooks.indices.map { m =>
+      val entries = model.codebooks(m).cells.toIndexedSeq.flatMap(cell =>
+        Seq(lit(cell), lit(tables(m)(cell))))
+      element_at(map(entries: _*), element_at(codes, m + 1))
+    }.reduce[Column](_ + _)
+    // ONE scan computes both rankings' inputs (codes + the exact Long
+    // fold); the checkpoint pins it so the two top-k cuts and the
+    // 10×10 join replay tiny materialized rows, not the pipeline
+    val scored = base.filter(col("id") =!= queryId)
+      .select(col("id"), adcCol.as("ad"),
+        aggregate(zip_with(col("q"), qLit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, d) => acc + d).as("ed"))
+      .localCheckpoint()
+    val adcTop = scored.orderBy(col("ad").asc, col("id").asc)
+      .limit(k).select(col("id"))
+    val exactTop = scored.orderBy(col("ed").asc, col("id").asc)
+      .limit(k).select(col("id"))
+    adcTop.join(exactTop, "id").agg(count(lit(1)).as("n_hits"))
+      .select(lit(k.toLong).as("k"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / k).as("recall"))
+  }
+
+  // -------- IVF-PQ (x95): residual quantization within coarse cells --
+  //
+  // The canonical billion-scale ANN layout (FAISS IVFPQ; Jégou et al.
+  // PAMI 2011 §V): a coarse k-means partitions the corpus into cells;
+  // each vector stores only its cell id + the PQ codes of its RESIDUAL
+  // (vector − cell centroid); a query probes its nProbe closest cells
+  // and ranks candidates by ADC over per-cell residual tables. The
+  // inverted-list pruning is what makes 100 TB search tractable: a
+  // probe touches nProbe/k of the corpus, and codes are bytes.
+  //
+  // Same all-integer contract as x93, two rounded divisions total:
+  // the coarse Lloyd mean (milli centroids) and the residual re-grid
+  // round((1000g − C)/1000) — both the x73 ROUND both engines share;
+  // everything else (coarse assignment, PQ training on residual grids,
+  // codes, per-cell ADC tables, final sums) is exact Long arithmetic.
+
+  final case class IvfPqModel(coarse: graft.functions.PqBook,
+      subDim: Int, pq: PqModel)
+
+  /** The residual-grid frame `(id, cell, q)` for a coarse model:
+    * cell = nearest coarse centroid (PqKernel, zero shuffle), q =
+    * round((1000·g − C_cell)/1000) per coordinate — the residual
+    * snapped back to grid scale so the x93 kernel contract (and its
+    * Long bounds) apply unchanged.
+    */
+  private def residualGrid(vectors: DataFrame, idCol: String,
+      vecCol: String, coarse: graft.functions.PqBook, dim: Int)
+      : DataFrame = {
+    val base = vectors.select(col(idCol).cast(LongType).as("id"),
+      pqGrid(col(vecCol)).as("g"))
+    val coarseModel = PqModel(dim, IndexedSeq(coarse))
+    val centMap = map(coarse.cells.toIndexedSeq.zipWithIndex.flatMap {
+      case (cell, i) => Seq(lit(cell),
+        array(coarse.cents(i).toIndexedSeq.map(lit): _*))
+    }: _*)
+    base
+      .select(col("id"), col("g"),
+        element_at(pqCodes(col("g"), coarseModel), 1).as("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("g"), element_at(centMap, col("cell")),
+          (g, c) => round((g * lit(1000L) - c) / lit(1000.0), 0)
+            .cast(LongType)).as("q"))
+  }
+
+  /** Train the IVF-PQ model: coarse codebook via [[pqTrain]] with ONE
+    * full-dim "subspace" (stride seeds, `coarseIters` Lloyd rounds),
+    * then the x93 trainer verbatim over the residual grids (a SHARED
+    * PQ codebook across cells — the standard IVFPQ layout).
+    */
+  def ivfPqTrain(vectors: DataFrame, idCol: String, vecCol: String,
+      coarseStride: Int, coarseIters: Int, numSub: Int, subDim: Int,
+      pqStride: Int, pqIters: Int): IvfPqModel = {
+    val dim = numSub * subDim
+    val coarse = pqTrain(vectors, idCol, vecCol, 1, dim,
+      coarseStride, coarseIters).codebooks.head
+    val resid = residualGrid(vectors, idCol, vecCol, coarse, dim)
+    IvfPqModel(coarse, subDim,
+      pqTrainOnGrid(resid.select(col("id"), col("q")),
+        numSub, subDim, pqStride, pqIters))
+  }
+
+  /** IVF-PQ search: probe the query's `nProbe` closest coarse cells
+    * (driver-side exact-Long arithmetic over the bounded coarse book),
+    * keep only vectors living in probed cells (the inverted-list
+    * prune — a partition-local filter), rank them by ADC over
+    * PER-CELL residual tables (the query's residual differs per
+    * probed cell, so each cell gets its own numSub×k table — all
+    * exact Longs through the kernel's own sqDist). Returns
+    * `(id, cell, code0.., adc_dist)`, the k nearest by
+    * `(adc_dist, id)`; TakeOrderedAndProject cuts per partition.
+    */
+  def ivfPqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel, queryId: Long, k: Int, nProbe: Int)
+      : DataFrame = {
+    val numSub = model.pq.codebooks.length
+    val dim = numSub * model.subDim
+    val base = vectors.select(col(idCol).cast(LongType).as("id"),
+      pqGrid(col(vecCol)).as("g"))
+    val qRows = base.filter(col("id") === queryId)
+      .select(col("g")).collect()
+    require(qRows.nonEmpty, s"IVF-PQ query id $queryId not found")
+    val qg = qRows.head.getSeq[Long](0).toArray
+    // probe: (dist, cell) over the coarse book, exact Longs
+    val probed = model.coarse.cells.indices
+      .map(i => (graft.functions.PqKernel.sqDist(qg, model.coarse.cents(i)),
+        model.coarse.cells(i), i))
+      .sorted.take(nProbe)
+    // per probed cell: the query's residual grid and its ADC tables
+    val tables: Map[Long, IndexedSeq[Map[Long, Long]]] =
+      probed.map { case (_, cell, ci) =>
+        val cv = model.coarse.cents(ci)
+        val rq = Array.tabulate(dim) { i =>
+          BigDecimal(((1000L * qg(i) - cv(i)) / 1000.0))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+        cell -> (0 until numSub).map { m =>
+          val sub = rq.slice(m * model.subDim, (m + 1) * model.subDim)
+          val b = model.pq.codebooks(m)
+          b.cells.indices.map(i =>
+            b.cells(i) -> graft.functions.PqKernel.sqDist(sub, b.cents(i)))
+            .toMap
+        }
+      }.toMap
+    val resid = residualGrid(vectors, idCol, vecCol, model.coarse, dim)
+    val coded = resid
+      .filter(col("cell").isin(probed.map(_._2): _*) &&
+        col("id") =!= queryId)
+      .select(col("id"), col("cell"),
+        pqCodes(col("q"), model.pq).as("codes"))
+      .select(col("id") +: col("cell") +: (0 until numSub).map(m =>
+        element_at(col("codes"), m + 1).as(s"code$m")): _*)
+    val adc = (0 until numSub).map { m =>
+      probed.map { case (_, cell, _) =>
+        val entries = model.pq.codebooks(m).cells.toIndexedSeq
+          .flatMap(c => Seq(lit(c), lit(tables(cell)(m)(c))))
+        (cell, element_at(map(entries: _*), col(s"code$m")))
+      }.foldLeft(lit(null).cast(LongType)) { case (acc, (cell, e)) =>
+        when(col("cell") === cell, e).otherwise(acc)
+      }
+    }.reduce[Column](_ + _)
+    coded
+      .select(col("id") +: col("cell") +: (0 until numSub).map(m =>
+        col(s"code$m")) :+ adc.as("adc_dist"): _*)
       .orderBy(col("adc_dist").asc, col("id").asc)
       .limit(k)
   }

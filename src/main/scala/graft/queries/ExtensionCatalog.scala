@@ -46,6 +46,218 @@ object ExtensionCatalog {
   private val classifierWeights: Seq[Double] =
     Seq.tabulate(16)(i => (i - 8) / 8.0)
 
+  /** Generated DuckDB oracle for the x93/x94 PQ pair — ONE builder so
+    * the two oracles can't drift. Mirrors the engine's all-integer
+    * contract: the x79 grid, milli-grid centroids (the single rounded
+    * division), exact-Long distances/ADC, (dist, cell) ties.
+    */
+  private object PqOracleSql {
+    val numSub = 4; val subDim = 16; val stride = 50; val iters = 2
+
+    private def subCte(m: Int): String = {
+      val lo = m * subDim + 1; val hi = (m + 1) * subDim
+      s"""sub$m AS (
+        SELECT vec_id AS id,
+          (list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+          )[$lo:$hi] AS sub
+        FROM embeddings)"""
+    }
+    private def cb0(m: Int): String = s"""cb0m$m AS (
+        SELECT id AS cell,
+          list_transform(sub, x -> x * 1000) AS cv
+        FROM sub$m WHERE id % $stride = 0)"""
+    private def distAssign(tag: String, m: Int, cb: String): String =
+      s"""d${tag}m$m AS (
+        SELECT b.id AS id, c.cell AS cell,
+          SUM((1000 * b.sub[i.i] - c.cv[i.i])
+            * (1000 * b.sub[i.i] - c.cv[i.i])) AS dist
+        FROM sub$m b CROSS JOIN $cb c
+        CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) i
+        GROUP BY b.id, c.cell),
+      a${tag}m$m AS (
+        SELECT id, cell FROM (
+          SELECT id, cell, row_number() OVER (
+            PARTITION BY id ORDER BY dist, cell) AS rk
+          FROM d${tag}m$m) WHERE rk = 1)"""
+    private def mean(it: Int, m: Int): String = s"""cb${it}m$m AS (
+        SELECT cell, list(mc ORDER BY pos) AS cv FROM (
+          SELECT a.cell AS cell, i.i AS pos,
+            CAST(ROUND(1000.0 * SUM(b.sub[i.i]) / COUNT(*), 0)
+              AS BIGINT) AS mc
+          FROM a${it}m$m a JOIN sub$m b USING (id)
+          CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) i
+          GROUP BY a.cell, i.i) GROUP BY cell)"""
+
+    private val withCtes: String = {
+      val train = (0 until numSub).flatMap { m =>
+        Seq(subCte(m), cb0(m)) ++ (1 to iters).flatMap(it =>
+          Seq(distAssign(it.toString, m, s"cb${it - 1}m$m"), mean(it, m)))
+      }
+      val enc = (0 until numSub).map(m =>
+        distAssign("f", m, s"cb${iters}m$m"))
+      val qt = (0 until numSub).map(m =>
+        s"qtm$m AS (SELECT cell, dist FROM dfm$m WHERE id = 0)")
+      val codeCols = (0 until numSub)
+        .map(m => s"a$m.cell AS code$m").mkString(", ")
+      val encJoin = (1 until numSub)
+        .map(m => s"JOIN afm$m a$m USING (id)").mkString(" ")
+      (train ++ enc ++ qt).mkString(",\n") + s""",
+        enc AS (
+          SELECT a0.id AS id, $codeCols
+          FROM afm0 a0 $encJoin)"""
+    }
+
+    private val adcSelect: String = {
+      val qtJoin = (0 until numSub)
+        .map(m => s"JOIN qtm$m q$m ON e.code$m = q$m.cell").mkString(" ")
+      val adcSum = (0 until numSub).map(m => s"q$m.dist").mkString(" + ")
+      val outCodes = (0 until numSub).map(m => s"e.code$m").mkString(", ")
+      s"""SELECT e.id AS id, $outCodes,
+          CAST($adcSum AS BIGINT) AS adc_dist
+        FROM enc e $qtJoin
+        WHERE e.id <> 0
+        ORDER BY adc_dist, id LIMIT 10"""
+    }
+
+    val x93: String = s"WITH $withCtes SELECT * FROM ($adcSelect) "
+
+    val x94: String = s"""WITH $withCtes,
+      adc AS ($adcSelect),
+      grid AS (
+        SELECT vec_id AS id, list_transform(embedding,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+        FROM embeddings),
+      exd AS (
+        SELECT b.id AS id,
+          SUM((b.g[i.i] - q.g[i.i]) * (b.g[i.i] - q.g[i.i])) AS d
+        FROM grid b CROSS JOIN (SELECT g FROM grid WHERE id = 0) q
+        CROSS JOIN (SELECT unnest(generate_series(1, ${numSub * subDim}))
+          AS i) i
+        WHERE b.id <> 0
+        GROUP BY b.id),
+      ex AS (SELECT id FROM exd ORDER BY d, id LIMIT 10)
+      SELECT CAST(10 AS BIGINT) AS k, COUNT(*) AS n_hits,
+        CAST(COUNT(*) AS DOUBLE) / 10 AS recall
+      FROM adc JOIN ex USING (id) """
+  }
+
+  /** Generated DuckDB oracle for x95 IVF-PQ — mirrors the engine's
+    * all-integer contract end to end: coarse Lloyd (milli centroids,
+    * the one rounded mean), residual re-grid round((1000g−C)/1000),
+    * the x93 trainer over residual grids, per-probed-cell ADC tables,
+    * exact-Long sums, (dist, cell) ties everywhere.
+    */
+  private object IvfPqOracleSql {
+    val numSub = 4; val subDim = 16; val dim = numSub * subDim
+    val coarseStride = 100; val pqStride = 50; val nProbe = 2
+
+    /** distance+argmin CTE pair over `(id, <vc>)` rows vs `(cell, cv)`
+      * books, `d` dims — shared by the coarse and residual stages.
+      */
+    private def distAssign(dTag: String, aTag: String, from: String,
+        vc: String, cb: String, d: Int): String =
+      s"""$dTag AS (
+        SELECT b.id AS id, c.cell AS cell,
+          SUM((1000 * b.$vc[i.i] - c.cv[i.i])
+            * (1000 * b.$vc[i.i] - c.cv[i.i])) AS dist
+        FROM $from b CROSS JOIN $cb c
+        CROSS JOIN (SELECT unnest(generate_series(1, $d)) AS i) i
+        GROUP BY b.id, c.cell),
+      $aTag AS (
+        SELECT id, cell FROM (
+          SELECT id, cell, row_number() OVER (
+            PARTITION BY id ORDER BY dist, cell) AS rk
+          FROM $dTag) WHERE rk = 1)"""
+
+    private def meanCte(out: String, assign: String, from: String,
+        vc: String, d: Int): String = s"""$out AS (
+        SELECT cell, list(mc ORDER BY pos) AS cv FROM (
+          SELECT a.cell AS cell, i.i AS pos,
+            CAST(ROUND(1000.0 * SUM(b.$vc[i.i]) / COUNT(*), 0)
+              AS BIGINT) AS mc
+          FROM $assign a JOIN $from b USING (id)
+          CROSS JOIN (SELECT unnest(generate_series(1, $d)) AS i) i
+          GROUP BY a.cell, i.i) GROUP BY cell)"""
+
+    val sql: String = {
+      val coarse = Seq(
+        s"""gg AS (
+          SELECT vec_id AS id, list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+          FROM embeddings)""",
+        s"""ccb0 AS (
+          SELECT id AS cell, list_transform(g, x -> x * 1000) AS cv
+          FROM gg WHERE id % $coarseStride = 0)""",
+        distAssign("cd1", "ca1", "gg", "g", "ccb0", dim),
+        meanCte("ccb1", "ca1", "gg", "g", dim),
+        distAssign("cdf", "caf", "gg", "g", "ccb1", dim),
+        s"""resid AS (
+          SELECT b.id AS id, a.cell AS cell,
+            list_transform(generate_series(1, $dim), i ->
+              CAST(ROUND((1000 * b.g[i] - c.cv[i]) / 1000.0, 0)
+                AS BIGINT)) AS q
+          FROM gg b JOIN caf a USING (id)
+          JOIN ccb1 c ON a.cell = c.cell)""")
+      val residBooks = (0 until numSub).flatMap { m =>
+        val lo = m * subDim + 1; val hi = (m + 1) * subDim
+        Seq(
+          s"""rsub$m AS (
+            SELECT id, (q)[$lo:$hi] AS sub FROM resid)""",
+          s"""rcb0m$m AS (
+            SELECT id AS cell, list_transform(sub, x -> x * 1000) AS cv
+            FROM rsub$m WHERE id % $pqStride = 0)""",
+          distAssign(s"rd1m$m", s"ra1m$m", s"rsub$m", "sub",
+            s"rcb0m$m", subDim),
+          meanCte(s"rcb1m$m", s"ra1m$m", s"rsub$m", "sub", subDim),
+          distAssign(s"rdfm$m", s"rafm$m", s"rsub$m", "sub",
+            s"rcb1m$m", subDim))
+      }
+      val probe = Seq(
+        s"""qc AS (
+          SELECT cell FROM cdf WHERE id = 0
+          ORDER BY dist, cell LIMIT $nProbe)""",
+        s"""qres AS (
+          SELECT p.cell AS cell,
+            list_transform(generate_series(1, $dim), i ->
+              CAST(ROUND((1000 * q.g[i] - c.cv[i]) / 1000.0, 0)
+                AS BIGINT)) AS rq
+          FROM qc p JOIN ccb1 c ON p.cell = c.cell
+          CROSS JOIN (SELECT g FROM gg WHERE id = 0) q)""") ++
+        (0 until numSub).map { m =>
+          val lo = m * subDim + 1; val hi = (m + 1) * subDim
+          s"""tt$m AS (
+            SELECT r.cell AS pcell, c.cell AS code,
+              SUM((1000 * ((r.rq)[$lo:$hi])[i.i] - c.cv[i.i])
+                * (1000 * ((r.rq)[$lo:$hi])[i.i] - c.cv[i.i])) AS dist
+            FROM qres r CROSS JOIN rcb1m$m c
+            CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) i
+            GROUP BY r.cell, c.cell)"""
+        }
+      val encJoin = (0 until numSub)
+        .map(m => s"JOIN rafm$m r$m USING (id)").mkString(" ")
+      val codeCols = (0 until numSub)
+        .map(m => s"r$m.cell AS code$m").mkString(", ")
+      val tJoin = (0 until numSub)
+        .map(m => s"JOIN tt$m ON tt$m.pcell = c.cell " +
+          s"AND tt$m.code = c.code$m").mkString(" ")
+      val adcSum = (0 until numSub).map(m => s"tt$m.dist").mkString(" + ")
+      val outCodes = (0 until numSub).map(m => s"c.code$m").mkString(", ")
+      s"""WITH ${(coarse ++ residBooks ++ probe).mkString(",\n")},
+        enc AS (
+          SELECT caf.id AS id, caf.cell AS cell, $codeCols
+          FROM caf $encJoin),
+        cand AS (
+          SELECT e.* FROM enc e JOIN qc ON e.cell = qc.cell
+          WHERE e.id <> 0)
+        SELECT * FROM (
+          SELECT c.id AS id, c.cell AS cell, $outCodes,
+            CAST($adcSum AS BIGINT) AS adc_dist
+          FROM cand c $tJoin
+          ORDER BY adc_dist, id LIMIT 10) """
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // x1 — token statistics per source (text analysis: token counting).
@@ -3202,71 +3414,45 @@ object ExtensionCatalog {
         ordered(Similarity.pqTopK(emb, "vec_id", "embedding", model,
           queryId = 0L, k = 10))
       },
-      Some {
-        val numSub = 4; val subDim = 16; val stride = 50; val iters = 2
-        def subCte(m: Int): String = {
-          val lo = m * subDim + 1; val hi = (m + 1) * subDim
-          s"""sub$m AS (
-            SELECT vec_id AS id,
-              (list_transform(embedding,
-                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
-              )[$lo:$hi] AS sub
-            FROM embeddings)"""
-        }
-        def cb0(m: Int): String = s"""cb0m$m AS (
-            SELECT id AS cell,
-              list_transform(sub, x -> x * 1000) AS cv
-            FROM sub$m WHERE id % $stride = 0)"""
-        def distAssign(tag: String, m: Int, cb: String): String =
-          s"""d${tag}m$m AS (
-            SELECT b.id AS id, c.cell AS cell,
-              SUM((1000 * b.sub[i.i] - c.cv[i.i])
-                * (1000 * b.sub[i.i] - c.cv[i.i])) AS dist
-            FROM sub$m b CROSS JOIN $cb c
-            CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) i
-            GROUP BY b.id, c.cell),
-          a${tag}m$m AS (
-            SELECT id, cell FROM (
-              SELECT id, cell, row_number() OVER (
-                PARTITION BY id ORDER BY dist, cell) AS rk
-              FROM d${tag}m$m) WHERE rk = 1)"""
-        def mean(it: Int, m: Int): String = s"""cb${it}m$m AS (
-            SELECT cell, list(mc ORDER BY pos) AS cv FROM (
-              SELECT a.cell AS cell, i.i AS pos,
-                CAST(ROUND(1000.0 * SUM(b.sub[i.i]) / COUNT(*), 0)
-                  AS BIGINT) AS mc
-              FROM a${it}m$m a JOIN sub$m b USING (id)
-              CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) i
-              GROUP BY a.cell, i.i) GROUP BY cell)"""
-        val train = (0 until numSub).flatMap { m =>
-          Seq(subCte(m), cb0(m)) ++ (1 to iters).flatMap(it =>
-            Seq(distAssign(it.toString, m, s"cb${it - 1}m$m"), mean(it, m)))
-        }
-        val enc = (0 until numSub).map(m =>
-          distAssign("f", m, s"cb${iters}m$m"))
-        val qt = (0 until numSub).map(m =>
-          s"qtm$m AS (SELECT cell, dist FROM dfm$m WHERE id = 0)")
-        val codeCols = (0 until numSub)
-          .map(m => s"a$m.cell AS code$m").mkString(", ")
-        val encJoin = (1 until numSub)
-          .map(m => s"JOIN afm$m a$m USING (id)").mkString(" ")
-        val qtJoin = (0 until numSub)
-          .map(m => s"JOIN qtm$m q$m ON e.code$m = q$m.cell").mkString(" ")
-        val adcSum = (0 until numSub).map(m => s"q$m.dist").mkString(" + ")
-        val outCodes = (0 until numSub).map(m => s"e.code$m").mkString(", ")
-        s"""WITH ${(train ++ enc ++ qt).mkString(",\n")},
-          enc AS (
-            SELECT a0.id AS id, $codeCols
-            FROM afm0 a0 $encJoin)
-          SELECT * FROM (
-            SELECT e.id AS id, $outCodes,
-              CAST($adcSum AS BIGINT) AS adc_dist
-            FROM enc e $qtJoin
-            WHERE e.id <> 0
-            ORDER BY adc_dist, id LIMIT 10)
-          """ + orderedSql(Seq("id") ++
-            (0 until numSub).map(m => s"code$m") :+ "adc_dist")
-      }),
+      Some(PqOracleSql.x93 + orderedSql(Seq("id") ++
+        (0 until PqOracleSql.numSub).map(m => s"code$m") :+ "adc_dist"))),
+
+    // x94 — PQ recall QA (the x76 analog for x93): ADC top-10 vs the
+    // TRUE squared-L2 top-10 on the same integer grid (exact Long fold
+    // in both engines — the report isolates quantization loss from
+    // arithmetic noise). One row (k, n_hits, recall): the go/no-go
+    // before swapping raw vectors for codes at corpus scale.
+    QueryDef("x94_pq_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+          numSub = 4, subDim = 16, seedStride = 50, iters = 2)
+        ordered(Similarity.pqRecall(emb, "vec_id", "embedding", model,
+          queryId = 0L, k = 10))
+      },
+      Some(PqOracleSql.x94 +
+        orderedSql(Seq("k", "n_hits", "recall")))),
+
+    // x95 — IVF-PQ ANN (FAISS IVFPQ; Jégou et al. PAMI 2011 §V): the
+    // canonical billion-scale layout — coarse k-means cells, each
+    // vector stored as cell id + PQ codes of its RESIDUAL, query
+    // probes its 2 closest cells and ranks candidates by ADC over
+    // per-cell residual tables. Same all-integer contract as x93
+    // (two shared rounded divisions: coarse mean, residual re-grid);
+    // the generated oracle unrolls coarse train → residuals → the
+    // x93 trainer → probe → per-cell tables identically.
+    QueryDef("x95_ivfpq_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val model = Similarity.ivfPqTrain(emb, "vec_id", "embedding",
+          coarseStride = 100, coarseIters = 1, numSub = 4, subDim = 16,
+          pqStride = 50, pqIters = 1)
+        ordered(Similarity.ivfPqTopK(emb, "vec_id", "embedding", model,
+          queryId = 0L, k = 10, nProbe = 2))
+      },
+      Some(IvfPqOracleSql.sql + orderedSql(Seq("id", "cell") ++
+        (0 until IvfPqOracleSql.numSub).map(m => s"code$m") :+
+        "adc_dist"))),
 
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked

@@ -472,14 +472,32 @@ object R11bOpScale {
       (sec, n)
     }
 
+    // same fixed-codebook regime for IVF-PQ: coarse cells and PQ
+    // codebooks constant, corpus grows 10×
+    def ivfPqTime(dir: String, cStride: Int, pStride: Int)
+        : Double = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      median3(() => {
+        val model = graft.ops.Similarity.ivfPqTrain(
+          emb, "vec_id", "embedding", coarseStride = cStride,
+          coarseIters = 1, numSub = 4, subDim = 16,
+          pqStride = pStride, pqIters = 1)
+        graft.ops.Similarity.ivfPqTopK(
+          emb, "vec_id", "embedding", model, 0L, 10, nProbe = 2)
+      })
+    }
+
     val (g1, c1, n1) = docTimes(small)
     val (g10, c10, n10) = docTimes(big)
     val (p1, e1) = pqTime(small, 50)
     val (p10, e10) = pqTime(pq10, 500)
+    val iv1 = ivfPqTime(small, 100, 50)
+    val iv10 = ivfPqTime(pq10, 1000, 500)
     println(f"""{"docs":[$n1,$n10],"vecs":[$e1,$e10],""" +
       f""""gopher_sec":[$g1%.2f,$g10%.2f],"gopher_growth":${g10 / g1}%.2f,""" +
       f""""ccnet_sec":[$c1%.2f,$c10%.2f],"ccnet_growth":${c10 / c1}%.2f,""" +
-      f""""pq_sec":[$p1%.2f,$p10%.2f],"pq_growth":${p10 / p1}%.2f}""")
+      f""""pq_sec":[$p1%.2f,$p10%.2f],"pq_growth":${p10 / p1}%.2f,""" +
+      f""""ivfpq_sec":[$iv1%.2f,$iv10%.2f],"ivfpq_growth":${iv10 / iv1}%.2f}""")
     spark.stop()
   }
 }

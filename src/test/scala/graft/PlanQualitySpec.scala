@@ -138,6 +138,16 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges93 = "Exchange".r.findAllIn(x93).length
     assert(exchanges93 <= 2, // rangepartitioning sort (+AQE read)
       s"x93 plans $exchanges93 exchanges:\n$x93")
+    // x95: the inverted-list prune must reach the scan side (a Filter
+    // on the coarse cell BEFORE ranking), codes stay a kernel
+    // projection, the cut is per-partition
+    val x95 = phys("x95_ivfpq_ann")
+    assert(x95.contains("TakeOrderedAndProject"),
+      s"x95 lost the per-partition top-k cut:\n$x95")
+    assert(x95.toLowerCase.contains("pqassigncodes"),
+      "x95 lost the native assignment kernel")
+    assert(x95.toLowerCase.contains("filter"),
+      "x95 lost the probed-cell prune filter")
   }
 
   test("no declared query plans an unpartitioned window or cartesian product") {

@@ -84,6 +84,70 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_._3) === rows.map(_._3).sorted)
   }
 
+  test("IVF-PQ: local replay matches probe+residual+encode+ADC") {
+    val model = Similarity.ivfPqTrain(emb, "vec_id", "embedding",
+      coarseStride = 100, coarseIters = 1, numSub = 4, subDim = 16,
+      pqStride = 50, pqIters = 1)
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding", model,
+      0L, 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (2 to 5).map(r.getLong).toList, r.getLong(6))).toSeq
+    // independent local replay over the trained model (exact Longs;
+    // the two rounded divisions replayed via the BigDecimal HALF_UP
+    // twin of both engines' ROUND)
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1000).toLong) }.toMap
+    def sqD(a: Array[Long], c: Array[Long]): Long =
+      a.indices.map { i => val d = 1000L * a(i) - c(i); d * d }.sum
+    def coarseCell(g: Array[Long]): Long =
+      model.coarse.cells.indices
+        .map(i => (sqD(g, model.coarse.cents(i)), model.coarse.cells(i)))
+        .min._2
+    def residual(g: Array[Long]): Array[Long] = {
+      val ci = model.coarse.cells.indexOf(coarseCell(g))
+      val cv = model.coarse.cents(ci)
+      Array.tabulate(g.length)(i =>
+        BigDecimal((1000L * g(i) - cv(i)) / 1000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    def codes(rq: Array[Long]): List[Long] =
+      (0 until 4).map { m =>
+        val sub = rq.slice(m * 16, (m + 1) * 16)
+        val b = model.pq.codebooks(m)
+        b.cells.indices.map(i => (sqD(sub, b.cents(i)), b.cells(i))).min._2
+      }.toList
+    val q0 = vecs(0L)
+    val probed = model.coarse.cells.indices
+      .map(i => (sqD(q0, model.coarse.cents(i)), model.coarse.cells(i)))
+      .sorted.take(2).map(_._2)
+    val tables = probed.map { cell =>
+      val ci = model.coarse.cells.indexOf(cell)
+      val cv = model.coarse.cents(ci)
+      val rq = Array.tabulate(q0.length)(i =>
+        BigDecimal((1000L * q0(i) - cv(i)) / 1000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      cell -> (0 until 4).map { m =>
+        val sub = rq.slice(m * 16, (m + 1) * 16)
+        val b = model.pq.codebooks(m)
+        b.cells.indices.map(i => b.cells(i) -> sqD(sub, b.cents(i))).toMap
+      }
+    }.toMap
+    val local = vecs.toSeq
+      .filter { case (id, g) => id != 0L && probed.contains(coarseCell(g)) }
+      .map { case (id, g) =>
+        val cell = coarseCell(g)
+        val cs = codes(residual(g))
+        val adc = cs.zipWithIndex.map { case (c, m) => tables(cell)(m)(c) }.sum
+        (id, cell, cs, adc)
+      }.sortBy(r => (r._4, r._1)).take(10)
+    assert(got === local)
+    // the prune is real: every candidate lives in a probed cell
+    assert(got.map(_._2).toSet.subsetOf(probed.toSet))
+    assert(got.nonEmpty)
+  }
+
   test("sign-LSH recalls every planted near-duplicate, no false positives") {
     // planted corpus: 200 deterministic pseudo-random 64-dim vectors,
     // ids 1000+i are tiny perturbations of i → cosine ≈ 0.999
