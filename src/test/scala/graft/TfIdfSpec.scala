@@ -57,6 +57,25 @@ class TfIdfSpec extends SparkSpec {
     }
   }
 
+  test("curation funnel: monotone shrink, stage 0 equals the raw corpus") {
+    val rows = SparkEntry.queries("x96_curation_funnel")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      Seq("0_raw", "1_extracted", "2_quality", "3_final"))
+    // each stage only removes documents/tokens
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"${b._1} grew docs over ${a._1}")
+      assert(b._3 <= a._3, s"${b._1} grew tokens over ${a._1}")
+    }
+    // stage 0 is the raw corpus
+    val docs = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull)
+    assert(rows.head._2 === docs.count())
+    // the pipeline actually discriminates (and doesn't drop everything)
+    assert(rows.last._2 > 0L && rows.last._2 < rows.head._2)
+  }
+
   test("PII scrub: counts and redaction on crafted edge cases") {
     val d = Seq(
       (1L, "mail bob.smith+x@sub.example.org then 192.168.1.254 end"),
