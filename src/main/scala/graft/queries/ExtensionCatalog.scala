@@ -258,6 +258,147 @@ object ExtensionCatalog {
     }
   }
 
+  /** Shared x96/x97 funnel pieces — ONE builder for the Spark stages
+    * and ONE CTE chain for the oracles, so the funnel and its packed
+    * continuation cannot drift.
+    */
+  private def funnelStages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val raw = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val page = concat(lit("<html><head><title>"), col("source"),
+      lit("</title><style>a{b:c}</style>" +
+        "<script>var q=1;</script></head><body><div>nav | home | "),
+      col("source"), lit("</div><p>"), col("text"),
+      lit("</p><div>$$ ## !!</div><!-- c --></body></html>"))
+    val ex = TextAnalysis.htmlMainContent(page)
+    val extracted = raw.select(col("doc_id"), col("lang"),
+        ex.getField("n_kept").as("n_kept"),
+        ex.getField("main_text").as("mt"))
+      .filter(col("n_kept") >= 1L)
+    val passIds = TextAnalysis.gopherRules(
+        extracted.select(col("doc_id"), col("mt")), "doc_id", "mt")
+      .filter(col("pass_flag") === 1L).select(col("doc_id"))
+    val quality = extracted.join(passIds, "doc_id")
+    val keepIds = TextAnalysis.ccnetBuckets(quality, "doc_id", "mt", "lang")
+      .filter(col("bucket") =!= "tail").select(col("doc_id"))
+    val fin = quality.join(keepIds, "doc_id")
+    (raw, extracted, quality, fin)
+  }
+
+  /** The raw→e1→e2→e3 oracle CTE chain of the funnel (x89 extraction,
+    * x91 Gopher gate, x73+ntile CCNet keep — each the proven spelling
+    * verbatim).
+    */
+  private val funnelCtes: String = s"""raw AS (
+          SELECT doc_id, source, lang, text
+          FROM documents WHERE text IS NOT NULL),
+        h AS (
+          SELECT doc_id, lang,
+            '<html><head><title>' || source ||
+            '</title><style>a{b:c}</style>' ||
+            '<script>var q=1;</script></head><body><div>nav | home | '
+            || source || '</div><p>' || text ||
+            '</p><div>$$$$ ## !!</div><!-- c --></body></html>' AS html
+          FROM raw),
+        f AS (
+          SELECT doc_id, lang, list_transform(
+            string_split_regex(
+              regexp_replace(regexp_replace(regexp_replace(html,
+                '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                '(?s)<!--.*?-->', '', 'g'),
+              '<[^>]*>'),
+            x -> trim(replace(replace(replace(replace(replace(x,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&amp;', '&'), ' ')) AS fr
+          FROM h),
+        ext AS (
+          SELECT doc_id, lang,
+            array_to_string(list_filter(fr, t -> len(t) >= 30 AND
+              2 * len(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
+                >= len(t)), chr(10)) AS mt,
+            len(list_filter(fr, t -> len(t) >= 30 AND
+              2 * len(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
+                >= len(t))) AS n_kept
+          FROM f),
+        e1 AS (SELECT doc_id, lang, mt FROM ext WHERE n_kept >= 1),
+        gtk AS (
+          SELECT doc_id, mt, string_split(mt, ' ') AS toks FROM e1),
+        g1 AS (
+          SELECT doc_id, toks,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(toks, t -> len(t)))
+              AS BIGINT) AS swl,
+            CAST(len(list_filter(toks,
+              t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+            CAST(len(list_filter(toks,
+              t -> t IN ${sqlList(TextAnalysis.stopwords)}))
+              AS BIGINT) AS n_stop,
+            CAST(len(mt) - len(replace(mt, '#', ''))
+              AS BIGINT) AS n_hash,
+            CAST((len(mt) - len(replace(mt, '...', ''))) / 3
+              AS BIGINT) AS n_ell
+          FROM gtk),
+        g2 AS (
+          SELECT *, CAST(FLOOR((n_words + 7) / 8.0) AS BIGINT) AS n_lines
+          FROM g1),
+        g3 AS (
+          SELECT doc_id, n_words, swl, n_alpha, n_stop, n_hash, n_ell,
+            n_lines,
+            CAST(len(list_filter(range(0, n_lines),
+              i -> substr(toks[CAST(8*i+1 AS INTEGER)], 1, 1)
+                IN ('-', '*'))) AS BIGINT) AS n_bul,
+            CAST(len(list_filter(range(0, n_lines),
+              i -> ends_with(toks[CAST(least(8*i+8, n_words) AS INTEGER)],
+                '...'))) AS BIGINT) AS n_ellline
+          FROM g2),
+        q AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, n_words, n_stop,
+              CAST(swl AS DOUBLE) / n_words AS mwl,
+              CAST(n_hash + n_ell AS DOUBLE) / n_words AS sym,
+              CAST(n_alpha AS DOUBLE) / n_words AS af,
+              CAST(n_bul AS DOUBLE) / n_lines AS bf,
+              CAST(n_ellline AS DOUBLE) / n_lines AS ef
+            FROM g3)
+          WHERE NOT (n_words < 50 OR n_words > 100000)
+            AND NOT (mwl < 3.0 OR mwl > 10.0) AND NOT (sym > 0.1)
+            AND NOT (bf > 0.9) AND NOT (ef > 0.3) AND NOT (af < 0.8)
+            AND NOT (n_stop < 2)),
+        e2 AS (SELECT e1.* FROM e1 JOIN q USING (doc_id)),
+        ctk AS (SELECT doc_id, string_split(mt, ' ') AS t FROM e2),
+        cpr AS (
+          SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+            unnest(t[2:len(t)]) AS w2
+          FROM ctk),
+        cbig AS (SELECT w1, w2, COUNT(*) AS cb FROM cpr GROUP BY w1, w2),
+        cpre AS (SELECT w1, SUM(cb) AS cu FROM cbig GROUP BY w1),
+        cvoc AS (
+          SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz FROM (
+            SELECT w1 AS w FROM cbig UNION ALL SELECT w2 AS w FROM cbig)),
+        csc AS (
+          SELECT cpr.doc_id,
+            ROUND(-ln(CAST(cbig.cb + 1 AS DOUBLE)
+              / (cpre.cu + cvoc.vsz)), 6) AS nlp
+          FROM cpr JOIN cbig USING (w1, w2)
+          JOIN cpre USING (w1)
+          CROSS JOIN cvoc),
+        cdoc AS (
+          SELECT doc_id,
+            CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+              AS avg_nll
+          FROM csc GROUP BY doc_id),
+        cl AS (
+          SELECT d.doc_id, e.lang, d.avg_nll
+          FROM cdoc d JOIN e2 e USING (doc_id)),
+        cnt AS (
+          SELECT doc_id, ntile(3) OVER (
+            PARTITION BY lang ORDER BY avg_nll, doc_id) AS tt
+          FROM cl),
+        e3 AS (
+          SELECT e2.* FROM e2 JOIN cnt USING (doc_id) WHERE cnt.tt <= 2)"""
+
   val all: Seq[QueryDef] = Seq(
 
     // x1 — token statistics per source (text analysis: token counting).
@@ -3465,26 +3606,7 @@ object ExtensionCatalog {
     // Every stage reuses the proven oracle spelling verbatim.
     QueryDef("x96_curation_funnel",
       (s, dir) => {
-        val raw = t(s, dir, "documents").filter(col("text").isNotNull)
-          .select(col("doc_id"), col("source"), col("lang"), col("text"))
-        val page = concat(lit("<html><head><title>"), col("source"),
-          lit("</title><style>a{b:c}</style>" +
-            "<script>var q=1;</script></head><body><div>nav | home | "),
-          col("source"), lit("</div><p>"), col("text"),
-          lit("</p><div>$$ ## !!</div><!-- c --></body></html>"))
-        val ex = TextAnalysis.htmlMainContent(page)
-        val extracted = raw.select(col("doc_id"), col("lang"),
-            ex.getField("n_kept").as("n_kept"),
-            ex.getField("main_text").as("mt"))
-          .filter(col("n_kept") >= 1L)
-        val passIds = TextAnalysis.gopherRules(
-            extracted.select(col("doc_id"), col("mt")), "doc_id", "mt")
-          .filter(col("pass_flag") === 1L).select(col("doc_id"))
-        val quality = extracted.join(passIds, "doc_id")
-        val keepIds = TextAnalysis.ccnetBuckets(
-            quality, "doc_id", "mt", "lang")
-          .filter(col("bucket") =!= "tail").select(col("doc_id"))
-        val fin = quality.join(keepIds, "doc_id")
+        val (raw, extracted, quality, fin) = funnelStages(s, dir)
         def stage(name: String, df: DataFrame, tc: Column): DataFrame =
           df.agg(count(lit(1)).as("n_docs"),
             coalesce(sum(size(split(tc, " ", -1)).cast(LongType)),
@@ -3496,114 +3618,7 @@ object ExtensionCatalog {
           .unionAll(stage("2_quality", quality, col("mt")))
           .unionAll(stage("3_final", fin, col("mt"))))
       },
-      Some(s"""WITH raw AS (
-          SELECT doc_id, source, lang, text
-          FROM documents WHERE text IS NOT NULL),
-        h AS (
-          SELECT doc_id, lang,
-            '<html><head><title>' || source ||
-            '</title><style>a{b:c}</style>' ||
-            '<script>var q=1;</script></head><body><div>nav | home | '
-            || source || '</div><p>' || text ||
-            '</p><div>$$$$ ## !!</div><!-- c --></body></html>' AS html
-          FROM raw),
-        f AS (
-          SELECT doc_id, lang, list_transform(
-            string_split_regex(
-              regexp_replace(regexp_replace(regexp_replace(html,
-                '(?s)<script[^>]*>.*?</script>', '', 'g'),
-                '(?s)<style[^>]*>.*?</style>', '', 'g'),
-                '(?s)<!--.*?-->', '', 'g'),
-              '<[^>]*>'),
-            x -> trim(replace(replace(replace(replace(replace(x,
-              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-              '&#39;', ''''), '&amp;', '&'), ' ')) AS fr
-          FROM h),
-        ext AS (
-          SELECT doc_id, lang,
-            array_to_string(list_filter(fr, t -> len(t) >= 30 AND
-              2 * len(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
-                >= len(t)), chr(10)) AS mt,
-            len(list_filter(fr, t -> len(t) >= 30 AND
-              2 * len(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
-                >= len(t))) AS n_kept
-          FROM f),
-        e1 AS (SELECT doc_id, lang, mt FROM ext WHERE n_kept >= 1),
-        gtk AS (
-          SELECT doc_id, mt, string_split(mt, ' ') AS toks FROM e1),
-        g1 AS (
-          SELECT doc_id, toks,
-            CAST(len(toks) AS BIGINT) AS n_words,
-            CAST(list_sum(list_transform(toks, t -> len(t)))
-              AS BIGINT) AS swl,
-            CAST(len(list_filter(toks,
-              t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-            CAST(len(list_filter(toks,
-              t -> t IN ${sqlList(TextAnalysis.stopwords)}))
-              AS BIGINT) AS n_stop,
-            CAST(len(mt) - len(replace(mt, '#', ''))
-              AS BIGINT) AS n_hash,
-            CAST((len(mt) - len(replace(mt, '...', ''))) / 3
-              AS BIGINT) AS n_ell
-          FROM gtk),
-        g2 AS (
-          SELECT *, CAST(FLOOR((n_words + 7) / 8.0) AS BIGINT) AS n_lines
-          FROM g1),
-        g3 AS (
-          SELECT doc_id, n_words, swl, n_alpha, n_stop, n_hash, n_ell,
-            n_lines,
-            CAST(len(list_filter(range(0, n_lines),
-              i -> substr(toks[CAST(8*i+1 AS INTEGER)], 1, 1)
-                IN ('-', '*'))) AS BIGINT) AS n_bul,
-            CAST(len(list_filter(range(0, n_lines),
-              i -> ends_with(toks[CAST(least(8*i+8, n_words) AS INTEGER)],
-                '...'))) AS BIGINT) AS n_ellline
-          FROM g2),
-        q AS (
-          SELECT doc_id FROM (
-            SELECT doc_id, n_words, n_stop,
-              CAST(swl AS DOUBLE) / n_words AS mwl,
-              CAST(n_hash + n_ell AS DOUBLE) / n_words AS sym,
-              CAST(n_alpha AS DOUBLE) / n_words AS af,
-              CAST(n_bul AS DOUBLE) / n_lines AS bf,
-              CAST(n_ellline AS DOUBLE) / n_lines AS ef
-            FROM g3)
-          WHERE NOT (n_words < 50 OR n_words > 100000)
-            AND NOT (mwl < 3.0 OR mwl > 10.0) AND NOT (sym > 0.1)
-            AND NOT (bf > 0.9) AND NOT (ef > 0.3) AND NOT (af < 0.8)
-            AND NOT (n_stop < 2)),
-        e2 AS (SELECT e1.* FROM e1 JOIN q USING (doc_id)),
-        ctk AS (SELECT doc_id, string_split(mt, ' ') AS t FROM e2),
-        cpr AS (
-          SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
-            unnest(t[2:len(t)]) AS w2
-          FROM ctk),
-        cbig AS (SELECT w1, w2, COUNT(*) AS cb FROM cpr GROUP BY w1, w2),
-        cpre AS (SELECT w1, SUM(cb) AS cu FROM cbig GROUP BY w1),
-        cvoc AS (
-          SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz FROM (
-            SELECT w1 AS w FROM cbig UNION ALL SELECT w2 AS w FROM cbig)),
-        csc AS (
-          SELECT cpr.doc_id,
-            ROUND(-ln(CAST(cbig.cb + 1 AS DOUBLE)
-              / (cpre.cu + cvoc.vsz)), 6) AS nlp
-          FROM cpr JOIN cbig USING (w1, w2)
-          JOIN cpre USING (w1)
-          CROSS JOIN cvoc),
-        cdoc AS (
-          SELECT doc_id,
-            CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-              AS avg_nll
-          FROM csc GROUP BY doc_id),
-        cl AS (
-          SELECT d.doc_id, e.lang, d.avg_nll
-          FROM cdoc d JOIN e2 e USING (doc_id)),
-        cnt AS (
-          SELECT doc_id, ntile(3) OVER (
-            PARTITION BY lang ORDER BY avg_nll, doc_id) AS tt
-          FROM cl),
-        e3 AS (
-          SELECT e2.* FROM e2 JOIN cnt USING (doc_id) WHERE cnt.tt <= 2)
+      Some(s"""WITH $funnelCtes
         SELECT * FROM (
           SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
             CAST(COALESCE(SUM(len(string_split(text, ' '))), 0)
@@ -3622,6 +3637,43 @@ object ExtensionCatalog {
           FROM e3)
         """ + orderedSql(Seq("stage", "n_docs", "sum_tokens")))),
 
+    // x97 — curated corpus → TRAINING SEQUENCES: the x96 funnel's
+    // final head+middle set packed greedily into 2048-token sequences
+    // (the x66 packing contract over the funnel survivors' extracted
+    // text) — the last hop from raw crawl to what a training job
+    // actually loads. Shared funnel CTEs/builder with x96 (can't
+    // drift); the packing is the x66 window-cumsum spelling over e3.
+    QueryDef("x97_funnel_pack",
+      (s, dir) => {
+        val (_, _, _, fin) = funnelStages(s, dir)
+        ordered(TextAnalysis.packSequences(
+          fin.select(col("doc_id"), col("mt")), "doc_id", "mt",
+          seqLen = 2048))
+      },
+      Some(s"""WITH $funnelCtes,
+        b AS (
+          SELECT doc_id,
+            CAST(len(string_split(mt, ' ')) AS BIGINT) AS n_tokens
+          FROM e3),
+        r AS (
+          SELECT doc_id, n_tokens,
+            CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_tok
+          FROM b)
+        SELECT doc_id, n_tokens, start_tok,
+          CAST(FLOOR(start_tok / 2048) AS BIGINT) AS seq_id,
+          CAST(start_tok % 2048 AS BIGINT) AS seq_pos,
+          CAST(FLOOR((start_tok + n_tokens - 1) / 2048) AS BIGINT)
+            - CAST(FLOOR(start_tok / 2048) AS BIGINT) + 1 AS n_seqs
+        FROM r
+        """ + orderedSql(Seq("doc_id", "n_tokens", "start_tok",
+          "seq_id", "seq_pos", "n_seqs")))),
+
+    // x11 — footer inspection (reference R2 footer deserialize): row
+    // counts read from Parquet footers only (no data scan), cross-checked
+    // against the oracle's full COUNT(*).
+// placeholder removed
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).
