@@ -502,6 +502,50 @@ object R11bOpScale {
   }
 }
 
+/** 10×-growth check for the round-11 batch-4 funnel pair: x96 (HTML
+  * extract → Gopher gate → CCNet keep, audited per stage) and x97 (the
+  * funnel survivors packed into 2048-token training sequences). Times
+  * the DECLARED catalog queries verbatim — the measured shape IS the
+  * shipped query, funnel builder included — on sf0.1 vs the shared-
+  * vocab 10× fixture. One JSON line.
+  */
+object R11dOpScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf1shared")
+    if (!Files.exists(Paths.get(big)))
+      ScaleFixture.main(Array(small, big, "10"))
+    val spark = Sessions.local("graft-r11d-scale")
+
+    def median3(mk: () => DataFrame): Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(3)(run()).sorted.apply(1)
+    }
+    def times(dir: String): (Double, Double, Long) = {
+      val n = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull).count()
+      val funnel = median3(() =>
+        graft.queries.ExtensionCatalog
+          .queries("x96_curation_funnel")(spark, dir))
+      val pack = median3(() =>
+        graft.queries.ExtensionCatalog
+          .queries("x97_funnel_pack")(spark, dir))
+      (funnel, pack, n)
+    }
+    val (f1, p1, n1) = times(small)
+    val (f10, p10, n10) = times(big)
+    println(f"""{"docs":[$n1,$n10],""" +
+      f""""funnel_sec":[$f1%.2f,$f10%.2f],"funnel_growth":${f10 / f1}%.2f,""" +
+      f""""pack_sec":[$p1%.2f,$p10%.2f],"pack_growth":${p10 / p1}%.2f}""")
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
