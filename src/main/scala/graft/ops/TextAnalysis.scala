@@ -321,6 +321,92 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** BM25 top-k retrieval (Robertson/Okapi, the Lucene `+1` idf
+    * variant so every contribution is positive) for a literal query
+    * term list — the "find the strongest matches in the corpus"
+    * search primitive layered on the same tf/df statistics as
+    * [[tfIdfTopK]] and the x62 inverted index.
+    *
+    * Per matched `(doc, term)` the contribution is one per-row IEEE
+    * expression — `ROUND(idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * 6)` — rounded then routed through DECIMAL(18,6) for the per-doc
+    * sum, so the score is bit-deterministic cross-engine (the x39
+    * log-portability + moneySum precedents combined). Ties at the
+    * cutoff break on `doc_id`.
+    *
+    * Scale design (100 TB): the token explode is filtered to the
+    * query terms BEFORE its aggregate, so the only corpus-sized
+    * shuffle carries query-term hits only; `df` (≤ |query| rows) and
+    * the (N, avgdl) one-row stats frame ride the plan as broadcasts;
+    * the final cut is a TakeOrdered, never a global sort. No driver
+    * state beyond the query-term literal.
+    *
+    * Returns `(doc_id, dl, n_hit, score)`, the top `k` by
+    * `(score DESC, doc_id)`.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast(LongType).as("dl"),
+      tokens(col(textCol)).as("toks"))
+    val stats = base.agg(
+      count(lit(1)).cast(DoubleType).as("_n"),
+      (sum(col("dl")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("_avgdl"))
+    val tf = base.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val k1p1 = k1 + 1.0
+    val contrib = tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        round(log((col("_n") - col("df") + 0.5) / (col("df") + 0.5)
+            + 1.0) *
+          (col("tf") * k1p1) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") /
+            col("_avgdl"))), 6)
+          .cast(DecimalType(18, 6)).as("c"))
+    contrib.groupBy("doc_id", "dl")
+      .agg(count(lit(1)).cast(LongType).as("n_hit"),
+        sum(col("c")).cast(DecimalType(18, 6)).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Blocklist gate (C4/UT1 shape): count frozen-phrase hits per
+    * document with the [[graft.functions.BlocklistKernel]] one-pass
+    * scan and keep the hit-free docs. Substring semantics with
+    * replace-count occurrence counting (non-overlapping,
+    * left-to-right) — phrase lists encode word boundaries with their
+    * own spaces. Pure per-row projection: zero shuffle, no state
+    * beyond the bounded pattern literal.
+    *
+    * Returns `(doc_id, n_hits, keep)` with `keep = 1` iff no hit.
+    */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.BlocklistFunctions
+          .blocklistHits(col(textCol), patterns).as("n_hits"))
+      .withColumn("keep",
+        when(col("n_hits") === 0L, lit(1L)).otherwise(lit(0L)))
+
+  /** Executable spec for [[graft.functions.BlocklistKernel]]: the
+    * portable HOF spelling — per pattern
+    * `(len(text) − len(replace(text, p, ''))) / len(p)`, summed via
+    * `aggregate` — that the kernel is property-pinned against (and
+    * the oracle spells verbatim). Integer-valued by construction, so
+    * the double division is exact.
+    */
+  def blocklistHitsSpec(text: Column, patterns: Seq[String]): Column =
+    aggregate(
+      array(patterns.map(lit): _*), lit(0L),
+      (acc, p) => acc + ((length(text) - length(replace(text, p, lit(""))))
+        / length(p)).cast(LongType))
+
   /** Vocabulary coverage / OOV-rate scoring — the "will my tokenizer
     * cover this corpus?" check run before committing a vocabulary:
     * build the top-`k` corpus vocabulary (by occurrence count, token

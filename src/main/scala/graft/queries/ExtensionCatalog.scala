@@ -40,6 +40,11 @@ object ExtensionCatalog {
       s"c -> CAST(ord(c) AS BIGINT))), " +
       s"(acc, c) -> (acc * 31 + c) % 2147483648)"
 
+  /** x99's frozen blocklist: one multi-word phrase, one rare token,
+    * one never-occurring pattern (the zero-count path).
+    */
+  private val blockPats: Seq[String] = Seq("slow table", "dup", "zzz")
+
   /** x60's offline-trained stand-in weight vector (dim 16, exact binary
     * fractions so the SQL literal parses to the identical doubles).
     */
@@ -3669,6 +3674,69 @@ object ExtensionCatalog {
         FROM r
         """ + orderedSql(Seq("doc_id", "n_tokens", "start_tok",
           "seq_id", "seq_pos", "n_seqs")))),
+
+    // x98 — BM25 top-k retrieval for a literal query-term list (one
+    // rare term, three common ones) — the corpus-search primitive over
+    // the same tf/df statistics as x39/x62. Per-(doc,term)
+    // contribution is per-row IEEE rounded at 6 dp, the per-doc sum is
+    // DECIMAL-routed, the cut is (score DESC, doc_id) — deterministic
+    // cross-engine end to end.
+    QueryDef("x98_bm25_search",
+      (s, dir) => ordered(TextAnalysis.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "window", "dup"),
+        k1 = 1.2, b = 0.75, k = 12)),
+      Some {
+        val k1 = 1.2; val k1p1 = k1 + 1.0
+        s"""WITH base AS (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+            string_split(text, ' ') AS toks
+          FROM documents),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM base),
+        tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+        tf AS (
+          SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok WHERE term IN ('hash', 'join', 'window', 'dup')
+          GROUP BY doc_id, dl, term),
+        dfreq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+          FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id AS doc_id, tf.dl AS dl,
+            CAST(ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+              (tf * $k1p1) /
+              (tf + $k1 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+              AS DECIMAL(18,6)) AS c
+          FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+        SELECT * FROM (
+          SELECT doc_id, dl, CAST(COUNT(*) AS BIGINT) AS n_hit,
+            CAST(SUM(c) AS DECIMAL(18,6)) AS score
+          FROM contrib GROUP BY doc_id, dl
+          ORDER BY score DESC, doc_id LIMIT 12)
+        """ + orderedSql(Seq("doc_id", "dl", "n_hit", "score"))
+      }),
+
+    // x99 — blocklist gate (C4/UT1 stage): frozen-phrase hit counts +
+    // keep flag per doc, one BlocklistKernel scan (replace-count
+    // contract; 'zzz' never occurs — the zero-count path is live).
+    QueryDef("x99_blocklist",
+      (s, dir) => ordered(TextAnalysis.blocklistFilter(
+        t(s, dir, "documents"), "doc_id", "text", blockPats)),
+      Some {
+        val sumExpr = blockPats.map(p =>
+          s"(len(text) - len(replace(text, '$p', ''))) / ${p.length}")
+          .mkString(" + ")
+        s"""SELECT doc_id, n_hits,
+          CAST(CASE WHEN n_hits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM (
+          SELECT doc_id, CAST($sumExpr AS BIGINT) AS n_hits
+          FROM documents)
+        """ + orderedSql(Seq("doc_id", "n_hits", "keep"))
+      }),
 
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked

@@ -388,6 +388,17 @@ object DocStreams {
       : DataFrame =
     graft.ops.TextAnalysis.gopherRules(docs, idCol, textCol)
 
+  /** Online blocklist gate — the ingest-time twin of batch x99 (stamp
+    * hit counts and the keep flag the moment a document arrives; C4
+    * drops such pages before any other stage runs).
+    * [[graft.ops.TextAnalysis.blocklistFilter]] is one stateless
+    * kernel scan over a frozen pattern literal, so it applies to a
+    * streaming frame verbatim: no state, no watermark, any trigger.
+    */
+  def blocklistFlags(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame =
+    graft.ops.TextAnalysis.blocklistFilter(docs, idCol, textCol, patterns)
+
   /** Online URL canonicalization — the ingest-time half of batch x90
     * (the per-domain dedup/cap stays a batch op: it needs the corpus;
     * the canonical form and domain are pure per-row projections a feed

@@ -221,6 +221,55 @@ class KernelPropertySpec extends SparkSpec {
     assert(mism === 0L)
   }
 
+  test("BlocklistKernel equals the HOF/replace spec spelling; replace-count pins") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val pats = Seq("aa", "aba", "slow table", "é𐀀", "zzz")
+    val adversarial = Seq(
+      "", "a", "aa", "aaa", "aaaa", "aaaaa", // non-overlap boundaries
+      "ababa abab aba", // self-overlapping alternation
+      "slow table slow  table slowtable slow tables",
+      "aaslow tableaa", // hits at pattern boundaries interleaved
+      "é𐀀é𐀀 x é 𐀀 é𐀀", // supplementary + combining-free unicode
+      "zz z zz", "edge aa", "aa edge", "aa")
+    val df = adversarial.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    df.select($"id",
+        graft.functions.BlocklistFunctions
+          .blocklistHits($"text", pats).as("k"),
+        TextAnalysis.blocklistHitsSpec($"text", pats).as("s"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) === r.getLong(2),
+          s"id=${r.getLong(0)} text='${adversarial(r.getLong(0).toInt)}'")
+      }
+    // absolute replace-count pins (non-overlapping, left-to-right,
+    // each pattern counted on the ORIGINAL text)
+    def hits(text: String, ps: Seq[String]): Long =
+      spark.range(1).select(graft.functions.BlocklistFunctions
+        .blocklistHits(lit(text), ps).as("h")).as[Long].head()
+    assert(hits("aaaa", Seq("aa")) === 2L)
+    assert(hits("aaa", Seq("aa")) === 1L)
+    assert(hits("ababa", Seq("aba")) === 1L)
+    assert(hits("aaaa", Seq("aa", "aaa")) === 3L) // independent counts
+    assert(hits("", Seq("aa")) === 0L)
+    assert(hits("é𐀀é𐀀", Seq("é𐀀")) === 2L)
+    // the fixture: kernel ≡ spec everywhere, and the x99 gate keeps
+    // exactly the zero-hit docs
+    val docs = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull)
+    val fixPats = Seq("slow table", "dup", "zzz")
+    val mism = docs.select(
+        graft.functions.BlocklistFunctions
+          .blocklistHits($"text", fixPats).as("k"),
+        TextAnalysis.blocklistHitsSpec($"text", fixPats).as("s"))
+      .filter(not($"k" <=> $"s")).count()
+    assert(mism === 0L)
+    val gate = TextAnalysis.blocklistFilter(docs, "doc_id", "text", fixPats)
+    assert(gate.filter(($"keep" === 1L) =!= ($"n_hits" === 0L)).count() === 0L)
+    assert(gate.filter($"n_hits" > 0L).count() > 0L) // gate is live
+  }
+
   test("GopherKernel equals the HOF/replace spec spelling on adversarial strings and the fixture") {
     import org.apache.spark.sql.functions._
     import graft.ops.TextAnalysis
@@ -408,7 +457,9 @@ class KernelPropertySpec extends SparkSpec {
         Seq(PqBook(Array(1L, 2L),
           Array(Array(900L, -2100L, 3200L), Array(1000L, -2000L, 3000L)))),
         3), row3),
-      ("SigAgreement", SigAgreement(br(2, al), br(2, al)), row3))
+      ("SigAgreement", SigAgreement(br(2, al), br(2, al)), row3),
+      ("BlocklistHits", BlocklistHits(br(1, StringType),
+        Seq("hello", "lo wo", "absent")), row3))
     cases.foreach { case (label, expr, input) =>
       assert(expr.checkInputDataTypes().isSuccess, s"$label input types")
       val proj =

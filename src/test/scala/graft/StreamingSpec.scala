@@ -434,6 +434,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("online blocklist gate equals the batch x99 projection") {
+    val pats = Seq("slow table", "dup", "zzz")
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+      .limit(60).cache()
+    val expected = graft.ops.TextAnalysis.blocklistFilter(
+        corpus, "doc_id", "text", pats)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.exists(_._2 > 0L)) // the gate fires on the fixture
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStreams.blocklistFlags(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", pats)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_blocklist")
+      .start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h: _*)
+      q.processAllAvailable()
+      ms.addData(t: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_blocklist")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === expected)
+    } finally {
+      q.stop()
+      corpus.unpersist()
+    }
+  }
+
   test("online BPE token counts under frozen merges equal the batch projection") {
     val corpus = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"text").filter($"text".isNotNull)

@@ -548,4 +548,45 @@ class TfIdfSpec extends SparkSpec {
       }
     }
   }
+
+  test("bm25TopK: hand-computed scores, n_hit, and doc_id tie-break at the cut") {
+    // d3 and d4 are identical -> equal scores; k=3 must cut d4 (higher id)
+    val docs = Seq((1L, "q q x"), (2L, "q y"), (3L, "y y y"),
+      (4L, "y y y")).toDF("doc_id", "text")
+    // the operator's exact arithmetic: N=4, avgdl=11/4, k1=1.2, b=0.75
+    def c(tf: Long, df: Long, dl: Long): BigDecimal = {
+      val n = 4.0; val avgdl = 11.0 / 4.0
+      val raw = math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq("q", "y"), k1 = 1.2, b = 0.75, k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3))))
+      .toMap
+    // df(q)=2 over {d1,d2}; df(y)=3 over {d2,d3,d4}
+    val expected = Map(
+      1L -> (3L, 1L, c(2, 2, 3)),
+      2L -> (2L, 2L, c(1, 2, 2) + c(1, 3, 2)),
+      3L -> (3L, 1L, c(3, 3, 3)))
+    assert(got === expected) // d4 cut on the (score DESC, doc_id) tie
+    // the multi-term doc outranks the high-tf common-term docs here
+    assert(got(2L)._3 > got(1L)._3 && got(1L)._3 > got(3L)._3)
+  }
+
+  test("bm25TopK: docs without any query term never appear; k bounds rows") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      queryTerms = Seq("dup"), k1 = 1.2, b = 0.75, k = 5).collect()
+    assert(got.length <= 5 && got.nonEmpty)
+    assert(got.forall(_.getLong(2) === 1L)) // n_hit: single-term query
+    // every returned doc really contains the term
+    val ids = got.map(_.getLong(0)).toSet
+    val withTerm = docs.filter(array_contains(split(col("text"), " "),
+      "dup")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(withTerm))
+  }
 }
