@@ -264,6 +264,65 @@ object Dedup {
           s => s.getField("chunk"))).as("kept_text"))
   }
 
+  /** ExactSubstr-style duplicated-SPAN removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the span-level complement of document dedup): any `k`-token
+    * span occurring in ≥ 2 DISTINCT documents survives only in the
+    * lowest-`doc_id` document; every other occurrence's token
+    * positions are scrubbed, overlapping duplicated spans unioning
+    * per document. Within-document repeats are untouched (that is
+    * [[TextAnalysis]]'s self-repetition scrub); cross-document
+    * span sharing is what this pass kills — the "same boilerplate
+    * paragraph in 10 000 pages" case that document-level near-dup
+    * leaves behind.
+    *
+    * Spans are keyed by the md5 of the space-joined gram (the x49
+    * portable-shingle idiom), so the oracle spells the identical
+    * keys; the reference algorithm's suffix array is replaced by the
+    * shuffle-friendly fingerprint group — the standard distributed
+    * formulation (suffix arrays don't shard; fingerprint buckets
+    * do).
+    *
+    * Scale design (100 TB): shuffles carry only `(fp, doc_id, p)`
+    * rows — never text; the duplicated-key table prunes to
+    * `min ≠ max` with plain partial min/max (the x45 spelling, no
+    * countDistinct expand); per-document covered positions come from
+    * a map-side-deduping `collect_set` bounded by document length;
+    * the rejoin against the corpus is one id-keyed left join.
+    *
+    * Returns one row per input document:
+    * `(doc_id, n_tokens, n_removed, kept_text)`.
+    */
+  def exactSubstrScrub(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "span length k must be >= 1")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val sh = base.select(col("doc_id"),
+      posexplode(transform(
+        TextAnalysis.ngrams(col("toks"), k, keepPartial = false),
+        g => md5(g))))
+      .toDF("doc_id", "p", "fp")
+    val firsts = sh.groupBy("fp")
+      .agg(min(col("doc_id")).as("first_id"), max(col("doc_id")).as("_mx"))
+      .filter(col("first_id") < col("_mx"))
+      .select(col("fp"), col("first_id"))
+    val rem = sh.join(firsts, "fp")
+      .filter(col("doc_id") =!= col("first_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("_rem"))
+    base.join(rem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        when(col("_rem").isNull, 0L)
+          .otherwise(size(col("_rem")).cast(LongType)).as("n_removed"),
+        concat_ws(" ", filter(col("toks"), (_, i) =>
+          coalesce(not(array_contains(col("_rem"), i)), lit(true))))
+          .as("kept_text"))
+  }
+
   /** Incremental exact-KEY dedup of an arriving batch against an
     * already-ingested corpus, Bloom-pruned — the "drop re-crawled
     * documents at ingest" primitive. Three stages, none of which

@@ -3738,6 +3738,41 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "n_hits", "keep"))
       }),
 
+    // x100 — ExactSubstr duplicated-span scrub (Lee et al. 2022 shape):
+    // any 8-token span in >= 2 docs survives only in the lowest doc_id;
+    // other occurrences' positions are scrubbed (overlaps unioned).
+    // Span keys are the x49 portable md5 grams, so the oracle spells
+    // identical keys; within-doc-only repeats are untouched.
+    QueryDef("x100_exact_substr",
+      (s, dir) => ordered(Dedup.exactSubstrScrub(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, i AS p,
+            md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS fp
+          FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
+            FROM base)),
+        firsts AS (
+          SELECT fp, MIN(doc_id) AS first_id
+          FROM sh GROUP BY fp HAVING MIN(doc_id) < MAX(doc_id)),
+        covraw AS (
+          SELECT doc_id, unnest(generate_series(p, p + 7)) AS pos
+          FROM sh JOIN firsts USING (fp) WHERE doc_id <> first_id),
+        rem AS (
+          SELECT doc_id, list_sort(list(DISTINCT pos)) AS rempos
+          FROM covraw GROUP BY doc_id)
+        SELECT b.doc_id AS doc_id,
+          CAST(len(b.toks) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(len(r.rempos), 0) AS BIGINT) AS n_removed,
+          COALESCE(array_to_string(list_transform(
+            list_filter(range(len(b.toks)),
+              i -> NOT list_contains(COALESCE(r.rempos, []), i)),
+            i -> b.toks[i + 1]), ' '), '') AS kept_text
+        FROM base b LEFT JOIN rem r USING (doc_id)
+        """ + orderedSql(Seq("doc_id", "n_tokens", "n_removed",
+          "kept_text")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -347,4 +347,25 @@ class DedupSpec extends SparkSpec {
       .map(r => r._1 -> r._4).toMap
     assert(at3(1L) === "" && at3(4L) === "p q")
   }
+
+  test("exactSubstrScrub: keep-first spans, overlap union, within-doc repeats safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),           // keeper of all shared spans
+      (2L, "z z a b c d e f g h x"),          // shares d1's p0 span at p=2
+      (3L, "q r s t u v w x y"),              // no duplicated span
+      (4L, "m n o p q r s t m n o p q r s t"),// within-doc repeat ONLY
+      (5L, "a b c d e f g h i j k")           // shares d1 p0..p2 -> union 0..9
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.exactSubstrScrub(docs, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((10L, 0L, "a b c d e f g h i j"))) // keeper untouched
+    assert(got(2L) === ((11L, 8L, "z z x")))               // span 2..9 scrubbed
+    assert(got(3L) === ((9L, 0L, "q r s t u v w x y")))
+    assert(got(4L) === ((16L, 0L,
+      "m n o p q r s t m n o p q r s t")))                 // same-doc only: kept
+    assert(got(5L) === ((11L, 10L, "k")))                  // 0..7∪1..8∪2..9
+  }
 }
