@@ -132,6 +132,61 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass md5-hex k-grams — the PORTABLE gram key (the x49/x100
+    * oracle spelling `md5(array_to_string(toks[i+1:i+k], ' '))`) as a
+    * flat JVM loop: token bytes are materialized once, each window
+    * digests bytes directly (separator included), and the hex encode
+    * writes straight into the output UTF8String — replacing the
+    * interpreted `transform(ngrams(...), md5)` HOF chain, which
+    * survives as the executable spec (property-pinned in
+    * KernelPropertySpec). Null elements vanish from their windows'
+    * grams exactly as concat_ws drops them. keepPartial=false
+    * semantics only (what every md5-gram consumer uses): sub-k arrays
+    * yield no grams.
+    */
+  def ngramMd5(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val tb = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) {
+      tb(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](m)
+    var p = 0
+    while (p < m) {
+      md.reset()
+      var first = true
+      var j = p
+      val end = p + n
+      while (j < end) {
+        if (tb(j) != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(tb(j))
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexDigits((d(b) >> 4) & 0xF)
+        hex(2 * b + 1) = HexDigits(d(b) & 0xF)
+        b += 1
+      }
+      out(p) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val HexDigits: Array[Byte] =
+    "0123456789abcdef".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
   /** The engine's portable rolling fingerprint — byte-for-byte the
     * arithmetic of [[graft.ops.TextAnalysis.fingerprint]]'s documented
     * fold (acc·31 + codepoint, mod 2³¹ — codePointAt matches both
@@ -276,6 +331,28 @@ case class NGramHashes(child: Expression, n: Int, keepPartial: Boolean)
       s"${ev.value} = graft.functions.SketchKernels.ngramHashes(" +
         s"$a, $n, $keepPartial);")
   override protected def withNewChildInternal(newChild: Expression): NGramHashes =
+    copy(child = newChild)
+}
+
+/** md5-hex k-grams over an array<string>; see [[SketchKernels.ngramMd5]].
+  * Null array → null.
+  */
+case class NGramMd5(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_md5 requires array<string>, got ${other.catalogString}")
+    }
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.ngramMd5(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.ngramMd5($a, $n);")
+  override protected def withNewChildInternal(newChild: Expression): NGramMd5 =
     copy(child = newChild)
 }
 
@@ -463,6 +540,9 @@ object HashFunctions {
       NGramHashes(ColumnBridge.expression(tokens), n, keepPartial))
   def rollingFingerprint(s: Column): Column =
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(s)))
+  /** md5-hex k-grams (keepPartial=false), the portable gram key. */
+  def ngramMd5(tokens: Column, n: Int): Column =
+    ColumnBridge.column(NGramMd5(ColumnBridge.expression(tokens), n))
   /** Distinct width-`w` sliding-window minima, first-occurrence order. */
   def windowMinDistinct(hashes: Column, w: Int): Column =
     ColumnBridge.column(

@@ -298,11 +298,13 @@ object Dedup {
     require(k >= 1, "span length k must be >= 1")
     val base = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
+    // lazy barrier: the (fp, doc_id, p) rows feed BOTH the min/max
+    // frequency aggregate and the join probe — without it the
+    // scan + ngram + md5 subtree runs twice (the x74/x94 fold)
     val sh = base.select(col("doc_id"),
-      posexplode(transform(
-        TextAnalysis.ngrams(col("toks"), k, keepPartial = false),
-        g => md5(g))))
+      posexplode(graft.functions.HashFunctions.ngramMd5(col("toks"), k)))
       .toDF("doc_id", "p", "fp")
+      .localCheckpoint(eager = false)
     val firsts = sh.groupBy("fp")
       .agg(min(col("doc_id")).as("first_id"), max(col("doc_id")).as("_mx"))
       .filter(col("first_id") < col("_mx"))

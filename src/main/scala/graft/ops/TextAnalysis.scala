@@ -642,8 +642,8 @@ object TextAnalysis {
     require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
     docs.select(col(idCol).as("doc_id"),
         explode(graft.functions.HashFunctions.windowMinDistinct(
-          transform(ngrams(tokens(col(textCol)), k, keepPartial = false),
-            g => md5(g)), w)).as("fp"))
+          graft.functions.HashFunctions.ngramMd5(
+            tokens(col(textCol)), k), w)).as("fp"))
   }
 
   /** The zip_with-chain spelling of [[winnowingFingerprints]] — kept as

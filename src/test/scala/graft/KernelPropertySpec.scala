@@ -270,6 +270,40 @@ class KernelPropertySpec extends SparkSpec {
     assert(gate.filter($"n_hits" > 0L).count() > 0L) // gate is live
   }
 
+  test("NGramMd5 kernel equals the transform(ngrams, md5) spec spelling") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val cases: Seq[Seq[String]] = Seq(
+      Seq(), Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("", "", ""), Seq("a", "", "b"), // empty tokens keep separators
+      Seq("héllo", "wörld", "𐀀sup", "x"),
+      Seq("a b", "c"), // token containing a space (gram ambiguity is OK:
+                       // both spellings join the same way)
+      (1 to 40).map(i => s"t$i"))
+    for (k <- Seq(1, 2, 4, 8)) {
+      val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "toks")
+      val rows = df.select($"id",
+          graft.functions.HashFunctions.ngramMd5($"toks", k).as("kern"),
+          transform(TextAnalysis.ngrams($"toks", k, keepPartial = false),
+            g => md5(g)).as("spec"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](2),
+          s"k=$k id=${r.getLong(0)}")
+      }
+    }
+    // null elements vanish from their windows' grams, like concat_ws
+    val withNull = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b') AS toks")
+    val r = withNull.select(
+      graft.functions.HashFunctions.ngramMd5($"toks", 2).as("kern"),
+      transform(TextAnalysis.ngrams($"toks", 2, keepPartial = false),
+        g => md5(g)).as("spec")).head()
+    assert(r.getSeq[String](0) === r.getSeq[String](1))
+  }
+
   test("GopherKernel equals the HOF/replace spec spelling on adversarial strings and the fixture") {
     import org.apache.spark.sql.functions._
     import graft.ops.TextAnalysis
@@ -459,7 +493,8 @@ class KernelPropertySpec extends SparkSpec {
         3), row3),
       ("SigAgreement", SigAgreement(br(2, al), br(2, al)), row3),
       ("BlocklistHits", BlocklistHits(br(1, StringType),
-        Seq("hello", "lo wo", "absent")), row3))
+        Seq("hello", "lo wo", "absent")), row3),
+      ("NGramMd5", NGramMd5(br(0, as), 2), row3))
     cases.foreach { case (label, expr, input) =>
       assert(expr.checkInputDataTypes().isSuccess, s"$label input types")
       val proj =
