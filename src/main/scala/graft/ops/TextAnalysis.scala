@@ -957,6 +957,67 @@ object TextAnalysis {
           .cast(DoubleType) / count(lit(1))).as("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM quality score — the
+    * [[lmQuality]] shape with the smoothing the real CCNet/KenLM
+    * stack uses (Chen & Goodman 1999 absolute discounting with
+    * continuation probabilities) instead of add-one:
+    *
+    * `P(w2|w1) = (c(w1,w2) − d)/c(w1)
+    *           + (d · N1+(w1,·)/c(w1)) · (N1+(·,w2)/B)`
+    *
+    * with `d = 0.75`, `N1+(w1,·)` the distinct successors of `w1`,
+    * `N1+(·,w2)` the distinct predecessors of `w2`, and `B` the
+    * bigram-type count. Only corpus-observed bigrams are scored (the
+    * x73 contract — scored docs come from the model corpus), so
+    * `c ≥ 1 > d` and every probability is strictly in (0, 1):
+    * `-ln(P)` is finite positive. Every factor is an exact Long; the
+    * per-bigram probability is one per-row IEEE expression rounded at
+    * 6 dp and the per-doc mean routes through DECIMAL(18,6) — the
+    * full x73 determinism contract, so the oracle matches bit-wise.
+    *
+    * Shares [[lmQuality]]'s one-checkpoint-per-session release slot
+    * (same documented contract: a returned frame is valid until the
+    * same session's next lm call).
+    *
+    * Scale: the bigram-type model builds in one map-side-combinable
+    * aggregate off one checkpointed compute; `cu`/`np`/`bt` are
+    * model-sized (vocabulary², in practice vastly smaller) aggregates
+    * of it; exchanges carry (w1, w2, counts) only.
+    *
+    * Returns `(doc_id, n_bigrams, avg_nll)`.
+    */
+  def knLmQuality(docs: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column = tokens,
+      broadcastHintMaxInputBytes: BigInt = LmBroadcastHintMaxInputBytes)
+      : DataFrame = {
+    val pr = bigramRows(docs, idCol, textCol, tokenize)
+    val model = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(eager = false)
+    purgeStoppedLmSessions()
+    Option(lastLmCheckpoint.put(docs.sparkSession, model))
+      .foreach(releaseLocalCheckpoint)
+    val cu = model.groupBy("w1")
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1f"))
+    val np = model.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val bt = model.agg(count(lit(1)).as("bt"))
+    val scored = model.join(cu, "w1").join(np, "w2")
+      .crossJoin(broadcast(bt))
+      .select(col("w1"), col("w2"),
+        round(-log(
+          ((col("cb") - 0.75) / col("cu")) +
+          (((lit(0.75) * col("n1f")) / col("cu")) *
+            (col("n1p").cast(DoubleType) / col("bt")))), 6).as("nlp"))
+    val modelSide =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          broadcastHintMaxInputBytes) broadcast(scored)
+      else scored
+    pr.join(modelSide, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nlp").cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("avg_nll"))
+  }
+
   /** The frozen per-language tercile cutoffs of [[ccnetBuckets]]:
     * `(max avg_nll in head, max avg_nll in head+middle)` per
     * language — what an online gate compares arriving documents

@@ -3773,6 +3773,46 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "n_tokens", "n_removed",
           "kept_text")))),
 
+    // x101 — interpolated Kneser–Ney bigram LM quality (the smoothing
+    // the real CCNet/KenLM stack uses, upgrading x73's add-one):
+    // absolute discount d=0.75 + continuation probabilities. Observed-
+    // bigram scoring only (the x73 contract), so P is strictly in
+    // (0,1); per-bigram IEEE rounded at 6 dp, per-doc mean
+    // DECIMAL-routed.
+    QueryDef("x101_kn_lm_quality",
+      (s, dir) => ordered(TextAnalysis.knLmQuality(
+        t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        pr AS (
+          SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+            unnest(t[2:len(t)]) AS w2
+          FROM toks),
+        big AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+          FROM pr GROUP BY w1, w2),
+        cuv AS (
+          SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu,
+            CAST(COUNT(*) AS BIGINT) AS n1f
+          FROM big GROUP BY w1),
+        np AS (
+          SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p
+          FROM big GROUP BY w2),
+        bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM big),
+        scored AS (
+          SELECT pr.doc_id,
+            ROUND(-ln(((big.cb - 0.75) / cuv.cu) +
+              (((0.75 * cuv.n1f) / cuv.cu) *
+                (CAST(np.n1p AS DOUBLE) / bt.bt))), 6) AS nlp
+          FROM pr JOIN big USING (w1, w2) JOIN cuv USING (w1)
+          JOIN np USING (w2) CROSS JOIN bt)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS avg_nll
+        FROM scored GROUP BY doc_id
+        """ + orderedSql(Seq("doc_id", "n_bigrams", "avg_nll")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -31,6 +31,33 @@ class TfIdfSpec extends SparkSpec {
     assert(got(1L)._2 < got(2L)._2)
   }
 
+  test("knLmQuality: hand-computed Kneser-Ney scores on a tiny corpus") {
+    // corpus: d1 = "a b a b", d2 = "a b c"
+    // cb: (a,b)=3 (b,a)=1 (b,c)=1; cu(a)=3 n1f(a)=1; cu(b)=2 n1f(b)=2
+    // n1p: a=1 b=1 c=1; B=3 bigram types; d=0.75
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.knLmQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def nll(p: Double): Double = BigDecimal(-math.log(p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = ((3 - 0.75) / 3.0) + (((0.75 * 1) / 3.0) * (1.0 / 3.0))
+    val pBA = ((1 - 0.75) / 2.0) + (((0.75 * 2) / 2.0) * (1.0 / 3.0))
+    val pBC = pBA // symmetric counts
+    assert(got(1L)._1 === 3L && got(2L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - (2 * nll(pAB) + nll(pBA)) / 3) < 1e-9)
+    assert(math.abs(got(2L)._2 - (nll(pAB) + nll(pBC)) / 2) < 1e-9)
+    // every observed-bigram probability is strictly in (0,1):
+    // the high-continuation doc scores better (lower nll)
+    assert(got(1L)._2 > 0.0 && got(2L)._2 > 0.0)
+    assert(got(1L)._2 < got(2L)._2)
+    // the discounted path orders the same corpus as add-one here, but
+    // with a LOWER nll for the frequent bigram (less mass stolen)
+    val addOne = TextAnalysis.lmQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L)._2 < addOne(1L))
+  }
+
   test("ccnetBuckets: tercile sizes, boundary order, and full coverage per lang") {
     val docs = Tables.load(spark, sf0001, "documents")
     val got = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "lang")
