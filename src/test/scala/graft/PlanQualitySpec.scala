@@ -150,6 +150,40 @@ class PlanQualitySpec extends SparkSpec {
       "x95 lost the probed-cell prune filter")
   }
 
+  test("round-11 batch-5/6 plan shapes: x98 broadcast+TakeOrdered, x99 zero-shuffle, x100 kernel") {
+    def phys(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+    // x98: the cut is a per-partition top-k, and the df/stats model
+    // sides ride as broadcasts — a shuffle join there would move the
+    // corpus for a <= |query|-row table
+    val x98 = phys("x98_bm25_search")
+    assert(x98.contains("TakeOrderedAndProject"),
+      s"x98 lost the per-partition top-k cut:\n$x98")
+    assert(x98.contains("BroadcastHashJoin"),
+      s"x98 lost the broadcast df join:\n$x98")
+    assert(!x98.contains("SortMergeJoin"),
+      s"x98 degraded a model join to a shuffle join:\n$x98")
+    // x99: one kernel scan — the only exchange is the final
+    // presentation sort
+    val x99 = phys("x99_blocklist")
+    val exchanges99 = "Exchange".r.findAllIn(x99).length
+    assert(exchanges99 <= 2, // rangepartitioning sort (+AQE read)
+      s"x99 plans $exchanges99 exchanges — the gate should not shuffle:\n$x99")
+    assert(x99.toLowerCase.contains("blocklisthits"),
+      "x99 lost the native kernel scan")
+    // x100: the (fp, id, p) rows must come from the ONE checkpointed
+    // compute (the barrier shows as an ExistingRDD scan); the NGramMd5
+    // kernel itself is behind the barrier, so its plan presence is
+    // gated on x49 below, which runs the same kernel un-checkpointed
+    val x100 = phys("x100_exact_substr")
+    assert(x100.toLowerCase.contains("existingrdd"),
+      s"x100 lost its localCheckpoint barrier:\n$x100")
+    val x49 = phys("x49_winnowing")
+    assert(x49.toLowerCase.contains("ngrammd5"),
+      "x49/x100 lost the NGramMd5 kernel")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
