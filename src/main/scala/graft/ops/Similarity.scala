@@ -975,4 +975,67 @@ object Similarity {
         (coalesce(col("n_match"), lit(0L)).cast(DoubleType) / k)
           .as("recall"))
   }
+
+  /** Top principal direction of the embedding second-moment matrix by
+    * power iteration — the whitening/centering direction SemDeDup-style
+    * embedding pipelines strip before cosine clustering (dominant
+    * directions are corpus boilerplate, not meaning). ALL-INTEGER
+    * (the x93 contract): vectors snap to the x79 grid, the uncentered
+    * second-moment matrix `S = Σ g gᵀ` accumulates in exact Longs via
+    * one position-pair explode + partial-aggregating SUM (the PQ
+    * trainer's explode-and-sum shape — 4096 keys for dim 64, map-side
+    * combined), and each of the `iters` matvec+renormalize rounds is
+    * exact integer arithmetic: `w = S·v`, then
+    * `v ← sign(w) · ((2·scale·|w| + m) div (2·m))`, `m = max|w|` —
+    * floor division of NON-NEGATIVE operands, which truncating and
+    * flooring engines evaluate identically, so the oracle unrolls the
+    * same rounds bit-for-bit. If a round's `w` is all-zero the vector
+    * collapses to zero (and stays there) in both engines.
+    *
+    * Scale design (100 TB): the corpus-touching stage is the ONE
+    * aggregate (dim² Long cells, map-side combined); the collected
+    * matrix and the iteration are model-sized driver state (dim²
+    * Longs — the kmeans-centroid/PQ-codebook precedent), never
+    * corpus-sized. Long-overflow headroom: |S_ij| ≤ N·10⁶-ish grid
+    * units — beyond ~10¹¹ vectors pre-scale S entries by a rounded
+    * division before iterating (documented trade, same contract).
+    *
+    * Returns `(comp, v)` — the `dim` components of the scaled
+    * direction, `|v| ≤ scale`.
+    */
+  def topPrincipalComponent(emb: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 3, scale: Long = 100L): DataFrame = {
+    require(iters >= 1 && scale >= 1L, "need iters >= 1 and scale >= 1")
+    val grid = transform(toDouble(col(vecCol)),
+      x => floor(x * 1000).cast(LongType))
+    val s = emb.filter(col(vecCol).isNotNull)
+      .select(posexplode(grid), grid.as("g"))
+      .toDF("i", "gi", "g")
+      .select(col("i"), col("gi"), posexplode(col("g")))
+      .toDF("i", "gi", "j", "gj")
+      .select(col("i"), col("j"), (col("gi") * col("gj")).as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("s"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    val dim = if (s.isEmpty) 0 else s.keysIterator.map(_._1).max + 1
+    var v = Array.fill(dim)(scale)
+    var t = 0
+    while (t < iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < dim) { acc += s.getOrElse((i, j), 0L) * v(j); j += 1 }
+        acc
+      }
+      val m = if (dim == 0) 0L else w.map(math.abs).max
+      v =
+        if (m == 0L) Array.fill(dim)(0L)
+        else w.map(x => math.signum(x) *
+          ((2L * scale * math.abs(x) + m) / (2L * m)))
+      t += 1
+    }
+    val sp = emb.sparkSession
+    import sp.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("comp", "v")
+  }
 }

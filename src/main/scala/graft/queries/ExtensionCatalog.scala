@@ -45,6 +45,46 @@ object ExtensionCatalog {
     */
   private val blockPats: Seq[String] = Seq("slow table", "dup", "zzz")
 
+  /** Generated DuckDB oracle for x102 — the power-iteration unroll
+    * under the all-integer contract: x79 grid, exact-Long
+    * second-moment matrix, and per round the non-negative floor
+    * division `(2·scale·|w| + m) // (2·m)` both engines evaluate
+    * identically (floor ≡ truncate on non-negative operands).
+    */
+  private object TopPcOracleSql {
+    val dim = 64; val iters = 3; val scale = 100
+    def sql: String = {
+      val rounds = (1 to iters).map { r =>
+        s"""w$r AS (
+          SELECT s.i AS j, CAST(SUM(s.s * v${r - 1}.v) AS BIGINT) AS w
+          FROM s JOIN v${r - 1} ON s.j = v${r - 1}.j GROUP BY s.i),
+        m$r AS (SELECT MAX(ABS(w)) AS m FROM w$r),
+        v$r AS (
+          SELECT j, CAST(CASE WHEN m = 0 THEN 0
+            WHEN w >= 0 THEN (2 * $scale * w + m) // (2 * m)
+            ELSE -((2 * $scale * (-w) + m) // (2 * m)) END AS BIGINT) AS v
+          FROM w$r CROSS JOIN m$r)"""
+      }.mkString(",\n")
+      s"""WITH g AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS gv
+          FROM embeddings WHERE embedding IS NOT NULL),
+        p AS (
+          SELECT a.i AS i, b.j AS j, gv[a.i] * gv[b.j] AS prod
+          FROM g,
+            (SELECT unnest(generate_series(1, $dim)) AS i) a,
+            (SELECT unnest(generate_series(1, $dim)) AS j) b),
+        s AS (
+          SELECT i - 1 AS i, j - 1 AS j, CAST(SUM(prod) AS BIGINT) AS s
+          FROM p GROUP BY 1, 2),
+        v0 AS (SELECT unnest(generate_series(0, ${dim - 1})) AS j,
+          CAST($scale AS BIGINT) AS v),
+        $rounds
+        SELECT CAST(j AS BIGINT) AS comp, v FROM v$iters
+        """
+    }
+  }
+
   /** x60's offline-trained stand-in weight vector (dim 16, exact binary
     * fractions so the SQL literal parses to the identical doubles).
     */
@@ -3812,6 +3852,17 @@ object ExtensionCatalog {
             AS avg_nll
         FROM scored GROUP BY doc_id
         """ + orderedSql(Seq("doc_id", "n_bigrams", "avg_nll")))),
+
+    // x102 — top principal direction of the embedding second-moment
+    // matrix by power iteration (SemDeDup-style whitening prep): the
+    // corpus-touching stage is ONE map-side-combined dim² aggregate;
+    // the 3 matvec+renormalize rounds are exact integer arithmetic
+    // both engines unroll identically.
+    QueryDef("x102_top_pc",
+      (s, dir) => ordered(Similarity.topPrincipalComponent(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = TopPcOracleSql.iters, scale = TopPcOracleSql.scale.toLong)),
+      Some(TopPcOracleSql.sql + orderedSql(Seq("comp", "v")))),
 
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked

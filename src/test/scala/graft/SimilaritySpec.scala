@@ -503,4 +503,42 @@ class SimilaritySpec extends SparkSpec {
     assert(dd.filter(!$"is_rep").count() > 0L)
     dd.unpersist()
   }
+
+  test("topPrincipalComponent: distributed S equals local, direction finds the dominant axis") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 vectors hugging axis 0 (alternating sign), small noise on the
+    // other axes -> dominant second-moment direction is e0
+    val dim = 4
+    val vecs = (0 until 40).map { n =>
+      val sign = if (n % 2 == 0) 1.0f else -1.0f
+      (n.toLong, Array.tabulate(dim)(d =>
+        if (d == 0) 0.8f * sign
+        else 0.02f * ((n * 7 + d * 3) % 5 - 2)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val iters = 6; val scale = 1000L
+    val got = graft.ops.Similarity.topPrincipalComponent(
+        df, "vec_id", "embedding", iters, scale)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    // exactness: replay the SAME integer algorithm locally from the
+    // grid floors -- pins the distributed aggregate == local S
+    val grids = vecs.map(_._2.map(x => math.floor(x.toDouble * 1000).toLong))
+    val sMat = Array.tabulate(dim, dim)((i, j) =>
+      grids.map(g => g(i) * g(j)).sum)
+    var v = Array.fill(dim)(scale)
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => sMat(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      v = if (m == 0L) Array.fill(dim)(0L)
+      else w.map(x => math.signum(x) *
+        ((2L * scale * math.abs(x) + m) / (2L * m)))
+    }
+    assert(got === v.zipWithIndex.map { case (x, i) => i -> x }.toMap)
+    // the direction is the dominant axis: |v0| = scale, others tiny
+    assert(math.abs(got(0)) === scale)
+    (1 until dim).foreach(d =>
+      assert(math.abs(got(d)) < scale / 10, s"component $d too large"))
+  }
 }
