@@ -27,6 +27,8 @@ case class ContaminationHit(train_id: Long, eval_id: Long, n_shared: Long)
   */
 case class DocLmScore(doc_id: Long, n_bigrams: Long, avg_nll: Double)
 
+case class SpanHit(doc_id: Long, n_spans: Long, n_covered: Long)
+
 case class DocCcnetBucket(doc_id: Long, lang: String, n_bigrams: Long,
   avg_nll: Double, bucket: String)
 
@@ -387,6 +389,52 @@ object DocStreams {
   def gopherRules(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame =
     graft.ops.TextAnalysis.gopherRules(docs, idCol, textCol)
+
+  /** Online ExactSubstr span flags against a FROZEN corpus — the
+    * ingest-time half of batch x100 (an arriving document sharing any
+    * `k`-token span with the existing corpus is by construction a
+    * cross-document duplicate span: flag its spans before it enters
+    * the training set). The static side is the corpus's distinct
+    * md5-gram table (the x49/x100 portable key); the stream side's
+    * [[graft.functions.SketchKernels.ngramMd5]] positions join
+    * stream-static per micro-batch, and the per-document rollup —
+    * span hits + distinct covered token positions (overlaps unioned,
+    * the x100 contract) — runs in one keyed-state pass with the
+    * standing atomic-arrival boolean guard (re-delivery emits
+    * nothing).
+    */
+  def exactSubstrHits(docs: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      k: Int): Dataset[SpanHit] = {
+    import docs.sparkSession.implicits._
+    val corpusFp = corpus
+      .select(explode(array_distinct(
+        graft.functions.HashFunctions.ngramMd5(
+          split(col(corpusTextCol), " ", -1), k))).as("fp"))
+      .distinct()
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.HashFunctions.ngramMd5(
+          split(col(textCol), " ", -1), k)))
+      .toDF("doc_id", "p", "fp")
+      .join(corpusFp, "fp")
+      .select(col("doc_id"), col("p"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, Int)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val ps = rows.map(_._2).toArray
+            val covered = mutable.SortedSet.empty[Int]
+            ps.foreach(p => (p until p + k).foreach(covered += _))
+            Iterator.single(SpanHit(id, ps.length.toLong,
+              covered.size.toLong))
+          }
+      }
+  }
 
   /** Online blocklist gate — the ingest-time twin of batch x99 (stamp
     * hit counts and the keep flag the moment a document arrives; C4

@@ -468,6 +468,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("online ExactSubstr span flags equal the batch join + rollup") {
+    val k = 5
+    val all = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull).cache()
+    val corpus = all.filter($"doc_id" < 40L)
+    val arriving = all.filter($"doc_id" >= 40L)
+    // batch expectation: the same stream-static join, rolled up locally
+    // with the identical span-union arithmetic
+    val corpusFp = corpus.select(explode(array_distinct(
+        graft.functions.HashFunctions.ngramMd5(
+          split($"text", " ", -1), k))).as("fp")).distinct()
+    val hits = arriving.select($"doc_id",
+        posexplode(graft.functions.HashFunctions.ngramMd5(
+          split($"text", " ", -1), k)))
+      .toDF("doc_id", "p", "fp")
+      .join(corpusFp, "fp")
+      .select($"doc_id", $"p").as[(Long, Int)].collect()
+    assert(hits.nonEmpty) // the fixture shares spans across the split
+    val expected = hits.groupBy(_._1).map { case (id, rows) =>
+      val covered = rows.flatMap(r => r._2 until r._2 + k).distinct
+      (id, rows.length.toLong, covered.length.toLong)
+    }.toSet
+    val rows = arriving.as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStreams.exactSubstrHits(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        corpus, "doc_id", "text", k)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_exact_substr")
+      .start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h: _*)
+      q.processAllAvailable()
+      ms.addData(t: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_exact_substr")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === expected)
+    } finally {
+      q.stop()
+      all.unpersist()
+    }
+  }
+
   test("online BPE token counts under frozen merges equal the batch projection") {
     val corpus = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"text").filter($"text".isNotNull)
