@@ -546,6 +546,56 @@ object R11dOpScale {
   }
 }
 
+/** 10×-growth check for the round-11 batch-7 ops: x101 KN LM quality
+  * (docs, sf1shared fixture) and x102 power-iteration top PC
+  * (embeddings, the R11bOpScale pq10 fixture). Times the declared
+  * query shapes verbatim. One JSON line.
+  */
+object R11eOpScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf1shared")
+    if (!Files.exists(Paths.get(big)))
+      ScaleFixture.main(Array(small, big, "10"))
+    val spark = Sessions.local("graft-r11e-scale")
+    val pq10 = "/tmp/pq10"
+    if (!Files.exists(Paths.get(s"$pq10/embeddings.parquet"))) {
+      val e = spark.read.parquet(s"$small/embeddings.parquet")
+      (0 until 10).map { c =>
+        e.select((col("vec_id") + c * 10000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(1.0f + c * 0.003f)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$pq10/embeddings.parquet")
+    }
+
+    def median3(mk: () => DataFrame): Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(3)(run()).sorted.apply(1)
+    }
+    def kn(dir: String): Double = median3(() =>
+      graft.ops.TextAnalysis.knLmQuality(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull), "doc_id", "text"))
+    def pc(dir: String): Double = median3(() =>
+      graft.ops.Similarity.topPrincipalComponent(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding"))
+    val (k1, k10) = (kn(small), kn(big))
+    val (p1, p10) = (pc(small), pc(pq10))
+    println(f"""{"kn_sec":[$k1%.2f,$k10%.2f],"kn_growth":${k10 / k1}%.2f,""" +
+      f""""pc_sec":[$p1%.2f,$p10%.2f],"pc_growth":${p10 / p1}%.2f}""")
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
