@@ -264,6 +264,54 @@ object Dedup {
           s => s.getField("chunk"))).as("kept_text"))
   }
 
+  /** Asymmetric CONTAINMENT dedup — the "small document swallowed by a
+    * big one" case (quotes, excerpts, page-plus-boilerplate reposts)
+    * that symmetric-Jaccard near-dup structurally misses: a 50-token
+    * doc fully inside a 5000-token doc has Jaccard ≈ 0.01 but
+    * containment 1.0. For each document A, find the best host B in
+    * its block: `C(A→B) = |set(A) ∩ set(B)| / |set(A)|` maximized over
+    * `B ≠ A`, keeping hits with `C ≥ minContainment` (rank ties break
+    * on `b_id`; `containment` is one IEEE division of exact longs —
+    * cross-engine deterministic).
+    *
+    * Scale design (100 TB): pair generation is the x34/x64 inverted
+    * shape — explode DISTINCT tokens, shuffle on `(block, token)`
+    * carrying id-only rows, count shared tokens per pair with one
+    * partial-aggregating groupBy — never a block self-join of
+    * documents; the per-A rank cut is a partitioned window
+    * (WindowGroupLimit applies). Hot tokens are the known hazard of
+    * the inverted shape: cap or drop df-top tokens first (the x38
+    * capped-contamination precedent) when the corpus vocabulary is
+    * adversarial.
+    *
+    * Returns `(a_id, b_id, shared, containment)` — at most one row
+    * per contained document.
+    */
+  def containmentTopHost(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minContainment: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      "minContainment must be in (0, 1]")
+    val sets = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+        .as("tok"))
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("na"))
+    val shared = sets.toDF("a_id", "block", "tok")
+      .join(sets.toDF("b_id", "block", "tok"), Seq("block", "tok"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    val scored = shared
+      .join(sizes.select(col("id").as("a_id"), col("na")), "a_id")
+      .select(col("a_id"), col("b_id"), col("shared"),
+        (col("shared").cast(DoubleType) / col("na")).as("containment"))
+      .filter(col("containment") >= minContainment)
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("containment").desc, col("b_id").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
+
   /** ExactSubstr-style duplicated-SPAN removal (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" —
     * the span-level complement of document dedup): any `k`-token

@@ -247,6 +247,65 @@ object Sampling {
         col("draw_tokens").cast(DoubleType) / col("n_tokens"))
   }
 
+  /** UniMax-style token-budget allocation (Chung et al. 2023): split a
+    * total token budget across strata so no stratum repeats more than
+    * `maxEpochs` times, giving the freed-up budget to the strata that
+    * can absorb it — the standard fix for temperature sampling
+    * over-repeating small languages/sources. ALL-INTEGER closed form
+    * of the waterfilling, the exact contract BOTH engines spell:
+    * sort strata by `(cap, stratum)` with `cap = maxEpochs·c`;
+    * `kstar = max{rk : cap_rk·(n−rk+1) ≤ B − (pfx_rk − cap_rk)}`
+    * (0 when none qualifies); ranks ≤ kstar take their cap, the rest
+    * share `B − pfx_kstar` as floor-division base + one extra token to
+    * the first `remainder` ranks. Every quantity is an exact Long
+    * (floor division and modulo on non-negative operands — truncating
+    * and flooring engines agree); `epochs` is the one IEEE division.
+    * If the budget exceeds the corpus capacity the surplus stays
+    * unallocated (documented; every stratum is capped).
+    *
+    * Scale: one map-side-combinable per-stratum aggregate; the
+    * waterfilling runs on the collected strata table (model-sized —
+    * the x35 strata precedent), emitted back as a literal frame.
+    *
+    * Returns `(stratum, n_tokens, cap, alloc, epochs)`.
+    */
+  def unimaxAllocation(docs: DataFrame, strataCol: String, textCol: String,
+      tokenBudget: Long, maxEpochs: Long): DataFrame = {
+    require(tokenBudget >= 0L && maxEpochs >= 1L,
+      "need tokenBudget >= 0 and maxEpochs >= 1")
+    val per = docs.filter(col(textCol).isNotNull)
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(sum(graft.ops.TextAnalysis.tokenCount(col(textCol)))
+        .cast(LongType).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sorted = per.map { case (s, c) => (s, c, maxEpochs * c) }
+      .sortBy { case (s, _, cap) => (cap, s) }
+    val n = sorted.length
+    val pfx = sorted.scanLeft(0L)(_ + _._3).tail // inclusive prefix sums
+    var kstar = 0
+    var rk = 1
+    while (rk <= n) {
+      val cap = sorted(rk - 1)._3
+      if (cap * (n - rk + 1) <= tokenBudget - (pfx(rk - 1) - cap)) kstar = rk
+      rk += 1
+    }
+    val pk = if (kstar == 0) 0L else pfx(kstar - 1)
+    val free = n - kstar
+    val fair = if (free > 0) (tokenBudget - pk) / free else 0L
+    val rem = if (free > 0) (tokenBudget - pk) % free else 0L
+    val out = sorted.zipWithIndex.map { case ((s, c, cap), i) =>
+      val r = i + 1
+      val alloc =
+        if (r <= kstar) cap
+        else if (r - kstar <= rem) fair + 1L
+        else fair
+      (s, c, cap, alloc, alloc.toDouble / c)
+    }
+    val sp = docs.sparkSession
+    import sp.implicits._
+    out.toSeq.toDF("stratum", "n_tokens", "cap", "alloc", "epochs")
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every document by how much more likely its hashed-bigram features

@@ -3864,6 +3864,85 @@ object ExtensionCatalog {
         iters = TopPcOracleSql.iters, scale = TopPcOracleSql.scale.toLong)),
       Some(TopPcOracleSql.sql + orderedSql(Seq("comp", "v")))),
 
+    // x103 — asymmetric containment dedup (best host per contained
+    // doc): |A∩B|/|A| >= 0.5 within source blocks — the quote/excerpt
+    // case symmetric Jaccard misses. Pair generation is the inverted
+    // (block, token) id-only join; rank cut is a partitioned window.
+    QueryDef("x103_containment",
+      (s, dir) => ordered(Dedup.containmentTopHost(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        minContainment = 0.5)),
+      Some("""WITH base AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT) AS shared,
+            CAST(len(a.tok) AS BIGINT) AS na
+          FROM base a JOIN base b
+            ON a.source = b.source AND a.doc_id <> b.doc_id),
+        c AS (
+          SELECT a_id, b_id, shared,
+            CAST(shared AS DOUBLE) / na AS containment
+          FROM p WHERE CAST(shared AS DOUBLE) / na >= 0.5),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+            ORDER BY containment DESC, b_id) AS rk
+          FROM c)
+        SELECT a_id, b_id, shared, containment FROM r WHERE rk = 1
+        """ + orderedSql(Seq("a_id", "b_id", "shared", "containment")))),
+
+    // x104 — UniMax token-budget waterfilling (epoch-capped budget
+    // split): the all-integer closed form spelled identically in both
+    // engines (sorted caps, the max-rank condition, floor-division
+    // base + one-token remainder). E=3, B=70000 caps the two smallest
+    // sources on this fixture and splits a 7-token remainder — every
+    // branch of the contract is live.
+    QueryDef("x104_unimax",
+      (s, dir) => ordered(Sampling.unimaxAllocation(
+        t(s, dir, "documents"), "source", "text",
+        tokenBudget = 70000L, maxEpochs = 3L)),
+      Some("""WITH per AS (
+          SELECT source AS stratum,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS c
+          FROM documents WHERE text IS NOT NULL GROUP BY source),
+        m AS (SELECT stratum, c, 3 * c AS cap FROM per),
+        r AS (
+          SELECT *,
+            CAST(ROW_NUMBER() OVER (ORDER BY cap, stratum) AS BIGINT)
+              AS rk,
+            CAST(SUM(cap) OVER (ORDER BY cap, stratum
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pfx,
+            CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM m),
+        k AS (
+          SELECT COALESCE(MAX(CASE
+            WHEN cap * (n - rk + 1) <= 70000 - (pfx - cap) THEN rk END),
+            0) AS kstar FROM r),
+        kp AS (
+          SELECT kstar,
+            COALESCE((SELECT pfx FROM r WHERE rk = kstar), 0) AS pk,
+            (SELECT MAX(n) FROM r) AS n FROM k),
+        b AS (
+          SELECT kstar, pk,
+            CASE WHEN n > kstar
+              THEN (70000 - pk) // (n - kstar) ELSE 0 END AS fair,
+            CASE WHEN n > kstar
+              THEN (70000 - pk) % (n - kstar) ELSE 0 END AS rem
+          FROM kp)
+        SELECT stratum, c AS n_tokens, cap,
+          CAST(CASE WHEN rk <= kstar THEN cap
+            WHEN rk - kstar <= rem THEN fair + 1 ELSE fair END
+            AS BIGINT) AS alloc,
+          CAST(CASE WHEN rk <= kstar THEN cap
+            WHEN rk - kstar <= rem THEN fair + 1 ELSE fair END
+            AS DOUBLE) / c AS epochs
+        FROM r CROSS JOIN b
+        """ + orderedSql(Seq("stratum", "n_tokens", "cap", "alloc",
+          "epochs")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -368,4 +368,23 @@ class DedupSpec extends SparkSpec {
       "m n o p q r s t m n o p q r s t")))                 // same-doc only: kept
     assert(got(5L) === ((11L, 10L, "k")))                  // 0..7∪1..8∪2..9
   }
+
+  test("containmentTopHost: asymmetric hits, tie-break, sub-threshold absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "s"), // big host
+      (2L, "a b c", "s"),               // fully contained in d1
+      (3L, "a b x", "s"),               // 2/3 in d1 AND in d2 -> tie on b_id
+      (4L, "y z", "s")                  // shares nothing
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.Dedup.containmentTopHost(
+        docs, "doc_id", "text", "source", minContainment = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      2L -> ((1L, 3L, 1.0)),       // full containment despite Jaccard 0.3
+      3L -> ((1L, 2L, 2.0 / 3.0))  // tie vs d2 broken on lower b_id
+    )) // d1 (0.3 max) and d4 (no overlap) are absent
+  }
 }

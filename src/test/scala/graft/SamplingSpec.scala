@@ -361,4 +361,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.percentileGate(scored, "doc_id", "source", "score", 0.0)
     }
   }
+
+  test("unimaxAllocation: caps, fair share, remainder token, surplus budget") {
+    import spark.implicits._
+    def doc(id: Long, s: String, nTok: Int) =
+      (id, s, Seq.fill(nTok)("w").mkString(" "))
+    val docs = Seq(doc(1, "a", 10), doc(2, "b", 100), doc(3, "c", 200))
+      .toDF("doc_id", "source", "text")
+    def run(budget: Long) = graft.ops.Sampling.unimaxAllocation(
+        docs, "source", "text", budget, maxEpochs = 3L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // B=500: a caps at 30 (3 epochs), b/c split 470 -> 235 each
+    assert(run(500L) === Map(
+      "a" -> ((10L, 30L, 30L, 3.0)),
+      "b" -> ((100L, 300L, 235L, 2.35)),
+      "c" -> ((200L, 600L, 235L, 1.175))))
+    // B=501: the 1-token remainder goes to the lower-rank free stratum
+    val r501 = run(501L)
+    assert(r501("b")._3 === 236L && r501("c")._3 === 235L)
+    // surplus budget: every stratum capped, surplus unallocated
+    assert(run(2000L).values.map(_._3).sum === 930L)
+    assert(run(2000L).values.forall(v => v._3 === v._2))
+    // fair share below every cap: nothing capped, floor-division split
+    val r60 = run(60L)
+    assert(r60.values.map(_._3).sum === 60L)
+    assert(r60.values.forall(v => v._3 === 20L))
+  }
 }
