@@ -376,6 +376,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-drift report: per-token contribution to the KL divergence
+    * `KL(p‖q)` between two snapshots' add-one-smoothed unigram
+    * distributions (`p` = old, `q` = new, both smoothed over the UNION
+    * vocabulary) — the "did this crawl drop change what the corpus
+    * looks like?" monitor a data team reads between snapshots, with
+    * the tokens DRIVING the drift ranked by their signed contribution
+    * `p·ln(p/q)` (positive = token lost mass, negative = gained).
+    *
+    * Determinism: counts are exact Longs; each contribution is ONE
+    * per-row IEEE expression over them rounded at 6 dp (the x39 ln
+    * precedent) — the oracle spells the identical tree.
+    *
+    * Scale: two map-side-combinable token-count aggregates (vocab-
+    * sized results, never corpus-sized), one full-outer join of the
+    * two vocab tables, one one-row stats frame riding as a broadcast.
+    *
+    * Returns `(token, c_old, c_new, contrib)` — one row per union-
+    * vocabulary token.
+    */
+  def corpusKlReport(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.filter(col(textCol).isNotNull)
+        .select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(as))
+    val j = counts(oldDocs, "_c1")
+      .join(counts(newDocs, "_c2"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("_c1"), lit(0L)).as("c_old"),
+        coalesce(col("_c2"), lit(0L)).as("c_new"))
+    val stats = j.agg(sum(col("c_old")).as("_n1"),
+      sum(col("c_new")).as("_n2"), count(lit(1)).as("_v"))
+    val p = (col("c_old") + 1) / (col("_n1") + col("_v"))
+    val q = (col("c_new") + 1) / (col("_n2") + col("_v"))
+    j.crossJoin(broadcast(stats))
+      .select(col("token"), col("c_old"), col("c_new"),
+        round(p * log(p / q), 6).as("contrib"))
+  }
+
   /** Blocklist gate (C4/UT1 shape): count frozen-phrase hits per
     * document with the [[graft.functions.BlocklistKernel]] one-pass
     * scan and keep the hit-free docs. Substring semantics with

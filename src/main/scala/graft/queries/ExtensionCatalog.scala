@@ -3943,6 +3943,52 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("stratum", "n_tokens", "cap", "alloc",
           "epochs")))),
 
+    // x105 — corpus-drift KL report between snapshots (the x69
+    // snapshot pair reused): per-token signed contribution to
+    // KL(old‖new) over add-one-smoothed unigram distributions on the
+    // union vocabulary — which tokens drive the drift.
+    QueryDef("x105_corpus_kl",
+      (s, dir) => {
+        val v1 = t(s, dir, "documents")
+        val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .union(v1.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        ordered(TextAnalysis.corpusKlReport(v1, v2, "text"))
+      },
+      Some("""WITH v2 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+              AS text
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text
+          FROM documents WHERE doc_id % 11 = 0),
+        c1 AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL) GROUP BY w),
+        c2 AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w
+            FROM v2 WHERE text IS NOT NULL) GROUP BY w),
+        j AS (
+          SELECT COALESCE(c1.w, c2.w) AS token,
+            COALESCE(c1.c, 0) AS c_old, COALESCE(c2.c, 0) AS c_new
+          FROM c1 FULL OUTER JOIN c2 ON c1.w = c2.w),
+        st AS (
+          SELECT CAST(SUM(c_old) AS BIGINT) AS n1,
+            CAST(SUM(c_new) AS BIGINT) AS n2,
+            CAST(COUNT(*) AS BIGINT) AS v FROM j)
+        SELECT token, c_old, c_new,
+          ROUND(((c_old + 1) / (n1 + v)) *
+            ln(((c_old + 1) / (n1 + v)) / ((c_new + 1) / (n2 + v))), 6)
+            AS contrib
+        FROM j CROSS JOIN st
+        """ + orderedSql(Seq("token", "c_old", "c_new", "contrib")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -58,6 +58,25 @@ class TfIdfSpec extends SparkSpec {
     assert(got(1L)._2 < addOne(1L))
   }
 
+  test("corpusKlReport: hand-computed contributions; identical snapshots are zero") {
+    val v1 = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a b b")).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusKlReport(v1, v2, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // union vocab {a,b}, V=2, N1=N2=3: p(a)=3/5, q(a)=2/5; p(b)=2/5, q(b)=3/5
+    assert(got === Map(
+      "a" -> ((2L, 1L, r6(0.6 * math.log(0.6 / 0.4)))),
+      "b" -> ((1L, 2L, r6(0.4 * math.log(0.4 / 0.6))))))
+    // total KL > 0 for drifted snapshots; exactly 0 token-wise when equal
+    assert(got.values.map(_._3).sum > 0.0)
+    val same = TextAnalysis.corpusKlReport(v1, v1, "text")
+      .collect().map(_.getDouble(3))
+    assert(same.forall(_ === 0.0))
+  }
+
   test("ccnetBuckets: tercile sizes, boundary order, and full coverage per lang") {
     val docs = Tables.load(spark, sf0001, "documents")
     val got = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "lang")
