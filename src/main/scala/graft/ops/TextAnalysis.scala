@@ -376,6 +376,32 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** The frozen accent-fold table for [[normalizeText]] — an EXPLICIT
+    * `translate` mapping (Latin-1 + common Latin Extended-A accented
+    * letters → ASCII), not a library's NFD/strip-accents semantics:
+    * both engines own `translate`, so the fold is deterministic by
+    * construction with no unicode-library divergence surface
+    * (İ-style special casings are simply not in the table).
+    */
+  val AccentFrom: String =
+    "àáâãäåèéêëìíîïòóôõöùúûüýÿçñāēīōūăĕĭŏŭšžćłđ"
+  val AccentTo: String =
+    "aaaaaaeeeeiiiiooooouuuuyycnaeiouaeiouszcld"
+
+  /** Text normalization — the standard pre-tokenization stage (CCNet
+    * lowercases/folds before LM scoring; dedup keys normalize before
+    * hashing): `lower → translate(accent fold) → collapse
+    * [ \t\n\r]+ runs to one space → trim`. A pure chain of FOUR
+    * codegen built-ins (no kernel needed — the functions-not-UDFs
+    * rule), spelled identically in the oracle. Case folding relies on
+    * the engines' shared simple mappings over the characters the fold
+    * table covers; anything outside passes through untouched.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      translate(lower(text), AccentFrom, AccentTo),
+      "[ \t\n\r]+", " "))
+
   /** Corpus-drift report: per-token contribution to the KL divergence
     * `KL(p‖q)` between two snapshots' add-one-smoothed unigram
     * distributions (`p` = old, `q` = new, both smoothed over the UNION

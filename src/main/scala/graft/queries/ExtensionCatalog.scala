@@ -3989,6 +3989,47 @@ object ExtensionCatalog {
         FROM j CROSS JOIN st
         """ + orderedSql(Seq("token", "c_old", "c_new", "contrib")))),
 
+    // x106 — text normalization (the CCNet pre-LM / pre-dedup-key
+    // stage): lower → explicit translate accent fold → whitespace-run
+    // collapse → trim, as a pure chain of codegen built-ins. The
+    // fixture is ASCII, so each doc gets a deterministic accented +
+    // messy-whitespace decoration (the x91 precedent) — every path of
+    // the contract is live in the oracle comparison.
+    QueryDef("x106_normalize",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val page = when(col("doc_id") % 3 === 0,
+            concat(lit("ÀÉÎÕÜ  Çà\t"), col("text"), lit("  ")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit("\n\nhÉllo wÖrld")))
+          .otherwise(col("text"))
+        val norm = TextAnalysis.normalizeText(page)
+        ordered(docs.select(col("doc_id"), norm.as("norm_text"),
+          length(norm).cast(LongType).as("n_chars")))
+      },
+      Some {
+        val from = TextAnalysis.AccentFrom
+        val to = TextAnalysis.AccentTo
+        s"""WITH page AS (
+          SELECT doc_id, CASE
+            WHEN doc_id % 3 = 0
+              THEN 'ÀÉÎÕÜ  Çà' || chr(9) || text || '  '
+            WHEN doc_id % 3 = 1
+              THEN text || chr(10) || chr(10) || 'hÉllo wÖrld'
+            ELSE text END AS t
+          FROM documents),
+        n AS (
+          SELECT doc_id, trim(regexp_replace(
+            translate(lower(t), '$from', '$to'),
+            '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g'))
+            AS norm_text
+          FROM page)
+        SELECT doc_id, norm_text,
+          CAST(len(norm_text) AS BIGINT) AS n_chars
+        FROM n
+        """ + orderedSql(Seq("doc_id", "norm_text", "n_chars"))
+      }),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -77,6 +77,23 @@ class TfIdfSpec extends SparkSpec {
     assert(same.forall(_ === 0.0))
   }
 
+  test("normalizeText: absolute pins for fold, collapse, trim, pass-through") {
+    def n(s: String): String = spark.range(1)
+      .select(TextAnalysis.normalizeText(lit(s)).as("x"))
+      .collect().head.getString(0)
+    assert(n("HeLLo WoRLD") === "hello world")
+    assert(n("H\u00c9llo  W\u00d6rld") === "hello world")
+    assert(n("\u00c0\u00c9\u00ce\u00d5\u00dc \u00c7\u00e0") === "aeiou ca")
+    assert(n("a\tb\n\nc\rd") === "a b c d")
+    assert(n("  lead and trail  ") === "lead and trail")
+    assert(n("") === "")
+    assert(n(" \t\n ") === "")
+    // outside the fold table: passes through (documented contract)
+    assert(n("stra\u00dfe \u00f8re") === "stra\u00dfe \u00f8re")
+    // the fold table is positionally aligned
+    assert(TextAnalysis.AccentFrom.length === TextAnalysis.AccentTo.length)
+  }
+
   test("ccnetBuckets: tercile sizes, boundary order, and full coverage per lang") {
     val docs = Tables.load(spark, sf0001, "documents")
     val got = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "lang")
