@@ -121,6 +121,59 @@ object Multimodal {
     }
   }
 
+  final case class ImageHashRow(doc_id: Long, ahash: Long, decoded: Boolean)
+
+  /** Deterministic 64×64 four-quadrant PNG per document (quadrant q's
+    * gray level = `(doc_id%40 · 53 + q·17) % 256`) — the generated-
+    * raster fixture for the image-dedup path: the pattern is an exact
+    * arithmetic function of doc_id, so an oracle can predict the
+    * [[ImageIoCodec.aHash64]] of the REAL encode→decode round trip
+    * analytically (solid quadrants make every 8×8 aHash cell equal
+    * its quadrant's gray). 40 patterns over the corpus → genuine
+    * hash-duplicate groups.
+    */
+  def syntheticQuadImages(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    import java.awt.image.BufferedImage
+    docs.select(col("doc_id"), col("lang")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, lang) =>
+          val pid = (id % 40L).toInt
+          val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+          val gfx = img.createGraphics()
+          try {
+            var q = 0
+            while (q < 4) {
+              val g = (pid * 53 + q * 17) % 256
+              gfx.setColor(new java.awt.Color(g, g, g))
+              gfx.fillRect((q % 2) * 32, (q / 2) * 32, 32, 32)
+              q += 1
+            }
+          } finally gfx.dispose()
+          MediaAsset(id, lang, ImageIoCodec.encodePng(img))
+        }
+      }
+  }
+
+  /** Perceptual aHash per asset — decode + [[ImageIoCodec.aHash64]],
+    * skip-not-throw on undecodable payloads (the featurizeImages
+    * contract). The hash is the exact-dedup/banding key for image
+    * dedup at corpus scale: group equal hashes, or band the 64 bits
+    * for hamming-tolerant buckets (the x8 LSH shape).
+    */
+  def imageAHashes(assets: Dataset[MediaAsset])(implicit s: SparkSession): Dataset[ImageHashRow] = {
+    import s.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        ImageIoCodec.decode(a.payload) match {
+          case Some(img) =>
+            ImageHashRow(a.doc_id, ImageIoCodec.aHash64(img), decoded = true)
+          case None => ImageHashRow(a.doc_id, 0L, decoded = false)
+        }
+      }
+    }
+  }
+
   /** REAL image resize: decode → aspect-preserving scale so the longer
     * edge is at most `maxDim` → PNG re-encode. Payloads that do not
     * decode (or already fit) pass through byte-identical.
@@ -495,5 +548,52 @@ object ImageIoCodec {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** 64-bit average hash (aHash) — the classic perceptual image
+    * fingerprint (bit i = "8×8-grid cell i is at least as bright as
+    * the whole image"), the LAION-style image-dedup key. ALL-INTEGER
+    * contract so an analytic oracle can predict it for generated
+    * rasters: per-pixel luma is the exact integer `(r + g + b) / 3`
+    * (truncating), grid cells are the floor-boundary partition
+    * `cell = (y·8)/h · 8 + (x·8)/w`, and the brightness test is the
+    * exact cross-multiplication `cellSum·totalPx ≥ totalSum·cellPx`
+    * (no floating-point averages anywhere). Row-major bit order,
+    * bit i = `1L << i`. Overflow headroom: the cross-product is
+    * ≤ 255·px² — safe beyond 100-megapixel rasters.
+    */
+  def aHash64(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellPx = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+          (rgb & 0xFF)) / 3
+        val c = cy * 8 + cx
+        cellSum(c) += luma
+        cellPx(c) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var totalSum = 0L
+    var totalPx = 0L
+    var i = 0
+    while (i < 64) { totalSum += cellSum(i); totalPx += cellPx(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cellPx(i) > 0L && cellSum(i) * totalPx >= totalSum * cellPx(i))
+        hash |= 1L << i
+      i += 1
+    }
+    hash
   }
 }

@@ -4030,6 +4030,56 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "norm_text", "n_chars"))
       }),
 
+    // x107 — perceptual image-hash dedup (LAION-style): deterministic
+    // four-quadrant PNGs per doc go through the REAL encode → decode →
+    // aHash64 pipeline; equal hashes group to a canonical id. The
+    // oracle predicts each hash ANALYTICALLY from the generator
+    // arithmetic (solid quadrants make every aHash cell equal its
+    // quadrant gray; bit test is exact-integer 4·g_q ≥ Σg), so a wrong
+    // codec, wrong cell partition, or wrong bit order all hash-fail.
+    QueryDef("x107_image_hash_dedup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val assets = Multimodal.syntheticQuadImages(t(s, dir, "documents"))
+        val hashes = Multimodal.imageAHashes(assets).toDF()
+          .select(col("doc_id"), col("ahash"))
+        val groups = hashes.groupBy("ahash")
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("group_n"))
+        ordered(hashes.join(groups, "ahash")
+          .select(col("doc_id"), col("ahash"), col("canonical_id"),
+            col("group_n")))
+      },
+      Some {
+        val maskTL = 0x0F0F0F0FL; val maskTR = 0xF0F0F0F0L
+        val maskBL = 0x0F0F0F0F00000000L; val maskBR = 0xF0F0F0F000000000L
+        val sum = "g0 + g1 + g2 + g3"
+        s"""WITH q AS (
+          SELECT doc_id,
+            ((doc_id % 40) * 53 + 0) % 256 AS g0,
+            ((doc_id % 40) * 53 + 17) % 256 AS g1,
+            ((doc_id % 40) * 53 + 34) % 256 AS g2,
+            ((doc_id % 40) * 53 + 51) % 256 AS g3
+          FROM documents),
+        h AS (
+          SELECT doc_id, CAST(
+            (CASE WHEN 4 * g0 >= $sum THEN $maskTL ELSE 0 END) +
+            (CASE WHEN 4 * g1 >= $sum THEN $maskTR ELSE 0 END) +
+            (CASE WHEN 4 * g2 >= $sum THEN $maskBL ELSE 0 END) +
+            (CASE WHEN 4 * g3 >= $sum THEN $maskBR ELSE 0 END)
+            AS BIGINT) AS ahash
+          FROM q),
+        d AS (
+          SELECT ahash, MIN(doc_id) AS canonical_id,
+            CAST(COUNT(*) AS BIGINT) AS group_n
+          FROM h GROUP BY ahash)
+        SELECT h.doc_id AS doc_id, h.ahash AS ahash,
+          d.canonical_id AS canonical_id, d.group_n AS group_n
+        FROM h JOIN d USING (ahash)
+        """ + orderedSql(Seq("doc_id", "ahash", "canonical_id",
+          "group_n"))
+      }),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -260,4 +260,50 @@ class MultimodalSpec extends SparkSpec {
     assert(luma(f1, 15, 2) < 60 && luma(f1, 2, 15) < 60,
       "patch covers ONLY its sub-rectangle")
   }
+
+  test("aHash64: absolute pins, encode/decode round trip, skip-not-throw") {
+    import java.awt.image.BufferedImage
+    import graft.ops.{ImageIoCodec, Multimodal}
+    def fill(img: BufferedImage, x0: Int, y0: Int, w: Int, h: Int,
+        g: Int): Unit = {
+      val gfx = img.createGraphics()
+      try {
+        gfx.setColor(new java.awt.Color(g, g, g))
+        gfx.fillRect(x0, y0, w, h)
+      } finally gfx.dispose()
+    }
+    // solid image: every cell equals the mean -> all 64 bits set
+    val solid = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    fill(solid, 0, 0, 64, 64, 128)
+    assert(ImageIoCodec.aHash64(solid) === -1L)
+    // left half bright, right half dark: cells cx 0..3 set per row
+    // -> low nibble of every byte = 0x0F pattern
+    val half = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    fill(half, 0, 0, 32, 64, 200)
+    fill(half, 32, 0, 32, 64, 20)
+    assert(ImageIoCodec.aHash64(half) === 0x0F0F0F0F0F0F0F0FL)
+    // non-multiple-of-8 dims: floor-boundary cells, still total order
+    val odd = new BufferedImage(50, 30, BufferedImage.TYPE_INT_RGB)
+    fill(odd, 0, 0, 50, 30, 77)
+    assert(ImageIoCodec.aHash64(odd) === -1L) // solid -> all bits again
+    // PNG round trip preserves the hash exactly (lossless)
+    val rt = ImageIoCodec.decode(ImageIoCodec.encodePng(half)).get
+    assert(ImageIoCodec.aHash64(rt) === 0x0F0F0F0F0F0F0F0FL)
+    // undecodable payload -> decoded=false, not a thrown task
+    import s.implicits._
+    val junk = Seq(graft.ops.Multimodal.MediaAsset(9L, "en",
+      Array[Byte](1, 2, 3))).toDS()
+    val row = Multimodal.imageAHashes(junk).collect().head
+    assert(!row.decoded && row.ahash === 0L)
+    // the generated quad fixture matches the analytic hash
+    val docs = Seq((7L, "en", "t")).toDF("doc_id", "lang", "text")
+    val gen = Multimodal.imageAHashes(
+      Multimodal.syntheticQuadImages(docs)).collect().head
+    val pid = 7; val gs = (0 until 4).map(q => (pid * 53 + q * 17) % 256)
+    val expected = Seq(0x0F0F0F0FL, 0xF0F0F0F0L,
+      0x0F0F0F0F00000000L, 0xF0F0F0F000000000L)
+      .zipWithIndex.map { case (m, q) =>
+        if (4 * gs(q) >= gs.sum) m else 0L }.sum
+    assert(gen.decoded && gen.ahash === expected)
+  }
 }
