@@ -174,6 +174,104 @@ object Multimodal {
     }
   }
 
+  /** 64-bit energy-envelope hash of decoded PCM audio — the audio
+    * analog of [[ImageIoCodec.aHash64]] (bit k = "segment k is at
+    * least as loud as the whole clip"), the cheap perceptual key for
+    * audio dedup. ALL-INTEGER contract: each mono float is mapped
+    * back to its exact 16-bit integer (`round(x·32768)` — lossless
+    * for integer-PCM-decoded values, which are exact multiples of
+    * 2⁻¹⁵), segments are the floor-boundary partition
+    * `seg = i·64/n`, and the loudness test is the exact
+    * cross-multiplication `segSum·n ≥ totalSum·segN` over absolute
+    * sample values. Row-major bit order, bit k = `1L << k`; clips
+    * shorter than 64 samples hash their present segments only.
+    */
+  def audioEnergyHash64(wav: WavCodec.WavAudio): Long = {
+    val n = wav.mono.length
+    if (n == 0) return 0L
+    val segSum = new Array[Long](64)
+    val segN = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val k = (i.toLong * 64L / n).toInt
+      val r = math.abs(math.round(wav.mono(i) * 32768f).toLong)
+      segSum(k) += r
+      segN(k) += 1L
+      i += 1
+    }
+    var totalSum = 0L
+    var k = 0
+    while (k < 64) { totalSum += segSum(k); k += 1 }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (segN(k) > 0L && segSum(k) * n >= totalSum * segN(k))
+        hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Deterministic 16-bit mono square-wave WAV per document: 4
+    * quarters of 512 samples, quarter q's amplitude
+    * `((doc_id%25 · 31 + q·7) % 100) · 300` — the generated-clip
+    * fixture for the audio-dedup path: amplitudes are exact
+    * arithmetic of doc_id, |sample| is constant per quarter, so an
+    * oracle predicts [[audioEnergyHash64]] of the REAL encode→decode
+    * round trip analytically. 25 patterns → genuine duplicate groups.
+    */
+  def syntheticSquareWavs(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("lang")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, lang) =>
+          val pid = (id % 25L).toInt
+          val nSamples = 2048
+          val data = new Array[Byte](nSamples * 2)
+          var i = 0
+          while (i < nSamples) {
+            val q = i / 512
+            val amp = ((pid * 31 + q * 7) % 100) * 300
+            val v = if (i % 2 == 0) amp else -amp
+            data(2 * i) = (v & 0xFF).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          def le32(v: Int): Unit = {
+            bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+            bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+          }
+          def le16(v: Int): Unit = {
+            bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+          }
+          bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+          bos.write("WAVE".getBytes("US-ASCII"))
+          bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+          le16(1); le16(1); le32(16000); le32(32000); le16(2); le16(16)
+          bos.write("data".getBytes("US-ASCII")); le32(data.length)
+          bos.write(data)
+          MediaAsset(id, lang, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Energy hash per audio asset — decode + [[audioEnergyHash64]],
+    * skip-not-throw on undecodable payloads.
+    */
+  def audioEnergyHashes(assets: Dataset[MediaAsset])(implicit s: SparkSession): Dataset[ImageHashRow] = {
+    import s.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        WavCodec.decode(a.payload) match {
+          case Some(wav) =>
+            ImageHashRow(a.doc_id, audioEnergyHash64(wav), decoded = true)
+          case None => ImageHashRow(a.doc_id, 0L, decoded = false)
+        }
+      }
+    }
+  }
+
   /** REAL image resize: decode → aspect-preserving scale so the longer
     * edge is at most `maxDim` → PNG re-encode. Payloads that do not
     * decode (or already fit) pass through byte-identical.

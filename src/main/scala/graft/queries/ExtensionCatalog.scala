@@ -4080,6 +4080,55 @@ object ExtensionCatalog {
           "group_n"))
       }),
 
+    // x108 — audio energy-hash dedup (the x107 pattern for sound):
+    // deterministic square-wave WAVs go through the REAL RIFF/PCM
+    // encode → decode → energy-hash pipeline; the oracle predicts
+    // each hash analytically from the amplitude arithmetic (constant
+    // |sample| per quarter ⇒ bit ⟺ 4·a_q ≥ Σa, the ×300 amplitude
+    // scale cancelling in the cross-multiplication).
+    QueryDef("x108_audio_hash_dedup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val assets = Multimodal.syntheticSquareWavs(t(s, dir, "documents"))
+        val hashes = Multimodal.audioEnergyHashes(assets).toDF()
+          .select(col("doc_id"), col("ahash").as("ehash"))
+        val groups = hashes.groupBy("ehash")
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("group_n"))
+        ordered(hashes.join(groups, "ehash")
+          .select(col("doc_id"), col("ehash"), col("canonical_id"),
+            col("group_n")))
+      },
+      Some {
+        val m0 = 0xFFFFL; val m1 = 0xFFFF0000L
+        val m2 = 0xFFFF00000000L; val m3 = 0xFFFF000000000000L
+        val sum = "a0 + a1 + a2 + a3"
+        s"""WITH q AS (
+          SELECT doc_id,
+            ((doc_id % 25) * 31 + 0) % 100 AS a0,
+            ((doc_id % 25) * 31 + 7) % 100 AS a1,
+            ((doc_id % 25) * 31 + 14) % 100 AS a2,
+            ((doc_id % 25) * 31 + 21) % 100 AS a3
+          FROM documents),
+        h AS (
+          SELECT doc_id, CAST(
+            (CASE WHEN 4 * a0 >= $sum THEN $m0 ELSE 0 END) +
+            (CASE WHEN 4 * a1 >= $sum THEN $m1 ELSE 0 END) +
+            (CASE WHEN 4 * a2 >= $sum THEN $m2 ELSE 0 END) +
+            (CASE WHEN 4 * a3 >= $sum THEN $m3 ELSE 0 END)
+            AS BIGINT) AS ehash
+          FROM q),
+        d AS (
+          SELECT ehash, MIN(doc_id) AS canonical_id,
+            CAST(COUNT(*) AS BIGINT) AS group_n
+          FROM h GROUP BY ehash)
+        SELECT h.doc_id AS doc_id, h.ehash AS ehash,
+          d.canonical_id AS canonical_id, d.group_n AS group_n
+        FROM h JOIN d USING (ehash)
+        """ + orderedSql(Seq("doc_id", "ehash", "canonical_id",
+          "group_n"))
+      }),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

@@ -306,4 +306,30 @@ class MultimodalSpec extends SparkSpec {
         if (4 * gs(q) >= gs.sum) m else 0L }.sum
     assert(gen.decoded && gen.ahash === expected)
   }
+
+  test("audioEnergyHash64: absolute pins, round trip, short clips, junk") {
+    import graft.ops.{Multimodal, WavCodec}
+    import s.implicits._
+    // the generated fixture matches the analytic hash for one doc
+    val docs = Seq((11L, "en", "t")).toDF("doc_id", "lang", "text")
+    val gen = Multimodal.audioEnergyHashes(
+      Multimodal.syntheticSquareWavs(docs)).collect().head
+    val pid = 11; val as = (0 until 4).map(q => (pid * 31 + q * 7) % 100)
+    val expected = Seq(0xFFFFL, 0xFFFF0000L, 0xFFFF00000000L,
+      0xFFFF000000000000L).zipWithIndex.map { case (m, q) =>
+        if (4 * as(q) >= as.sum) m else 0L }.sum
+    assert(gen.decoded && gen.ahash === expected)
+    // silence: every segment ties the global mean -> all 64 bits
+    val silent = WavCodec.WavAudio(16000, 1, new Array[Float](2048))
+    assert(Multimodal.audioEnergyHash64(silent) === -1L)
+    // clip shorter than 64 samples: only present segments hash
+    val tiny = WavCodec.WavAudio(16000, 1, Array.fill(4)(0.5f))
+    val h = Multimodal.audioEnergyHash64(tiny)
+    assert(java.lang.Long.bitCount(h) === 4) // 4 samples -> 4 segments
+    // junk payload: decoded=false, not a thrown task
+    val junk = Seq(Multimodal.MediaAsset(9L, "en",
+      Array[Byte](82, 73, 70, 70))).toDS()
+    val row = Multimodal.audioEnergyHashes(junk).collect().head
+    assert(!row.decoded && row.ahash === 0L)
+  }
 }
