@@ -154,7 +154,7 @@ object SketchKernels {
       tb(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Local.get()
     val out = new Array[Any](m)
     var p = 0
     while (p < m) {
@@ -186,6 +186,13 @@ object SketchKernels {
 
   private val HexDigits: Array[Byte] =
     "0123456789abcdef".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  // one digest instance per task thread — getInstance per ROW would
+  // pay a provider lookup in the hot loop
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   /** The engine's portable rolling fingerprint — byte-for-byte the
     * arithmetic of [[graft.ops.TextAnalysis.fingerprint]]'s documented

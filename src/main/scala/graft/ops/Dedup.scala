@@ -292,9 +292,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(minContainment > 0.0 && minContainment <= 1.0,
       "minContainment must be in (0, 1]")
-    val sets = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol))))
-        .as("tok"))
+    val sets = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(blockCol).as("block"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+          .as("tok"))
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("na"))
     val shared = sets.toDF("a_id", "block", "tok")
       .join(sets.toDF("b_id", "block", "tok"), Seq("block", "tok"))
@@ -344,8 +345,10 @@ object Dedup {
   def exactSubstrScrub(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "span length k must be >= 1")
-    val base = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("toks"))
+    // null text is out of contract (size(null) = -1 vs SQL null-skip)
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
     // lazy barrier: the (fp, doc_id, p) rows feed BOTH the min/max
     // frequency aggregate and the join probe — without it the
     // scan + ngram + md5 subtree runs twice (the x74/x94 fold)

@@ -347,9 +347,12 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
-    val base = docs.select(col(idCol).as("doc_id"),
-      size(tokens(col(textCol))).cast(LongType).as("dl"),
-      tokens(col(textCol)).as("toks"))
+    // null text is out of contract (size(null) = -1 would poison the
+    // avgdl stats; SQL engines instead null-skip) — filter explicitly
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast(LongType).as("dl"),
+        tokens(col(textCol)).as("toks"))
     val stats = base.agg(
       count(lit(1)).cast(DoubleType).as("_n"),
       (sum(col("dl")).cast(DoubleType) /

@@ -3732,7 +3732,7 @@ object ExtensionCatalog {
           SELECT doc_id,
             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
             string_split(text, ' ') AS toks
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         stats AS (
           SELECT CAST(COUNT(*) AS DOUBLE) AS n,
             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
@@ -3787,7 +3787,8 @@ object ExtensionCatalog {
       (s, dir) => ordered(Dedup.exactSubstrScrub(
         t(s, dir, "documents"), "doc_id", "text", k = 8)),
       Some("""WITH base AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
         sh AS (
           SELECT doc_id, i AS p,
             md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS fp
@@ -3875,7 +3876,7 @@ object ExtensionCatalog {
       Some("""WITH base AS (
           SELECT doc_id, source,
             list_distinct(string_split(text, ' ')) AS tok
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         p AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
             CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT) AS shared,
