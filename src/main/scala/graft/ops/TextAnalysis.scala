@@ -1267,6 +1267,30 @@ object TextAnalysis {
           .cast(LongType) - col("seq_id") + lit(1L))
   }
 
+  /** Curriculum variant of [[packSequences]]: pack by an EXPLICIT
+    * total order instead of doc_id — e.g. `(avg_nll, doc_id)` packs
+    * easy-to-hard under a difficulty score (curriculum learning's
+    * data-side half). `d` must carry a Long `n_tokens` column and the
+    * `orderCols`, which must form a deterministic total order (ties
+    * must be broken — end with the id). Same two-pass PrefixSum shape
+    * as [[packSequences]] (no global window anywhere), same output
+    * contract: input columns + `(start_tok, seq_id, seq_pos,
+    * n_seqs)`.
+    */
+  def packSequencesOrdered(d: DataFrame, orderCols: Seq[String],
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val run = PrefixSum.withRunningLongSum(d, orderCols, "n_tokens",
+      "_run")
+    run.withColumn("start_tok", col("_run") - col("n_tokens"))
+      .drop("_run")
+      .withColumn("seq_id", floor(col("start_tok") / seqLen).cast(LongType))
+      .withColumn("seq_pos", col("start_tok") % seqLen)
+      .withColumn("n_seqs",
+        floor((col("start_tok") + col("n_tokens") - 1) / seqLen)
+          .cast(LongType) - col("seq_id") + lit(1L))
+  }
+
   /** Per-document quality signals; flag = low-quality heuristic. */
   def withQualitySignals(df: DataFrame, text: Column, nChars: Column): DataFrame = {
     val toks = tokens(text)

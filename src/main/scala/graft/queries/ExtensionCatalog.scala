@@ -45,6 +45,35 @@ object ExtensionCatalog {
     */
   private val blockPats: Seq[String] = Seq("slow table", "dup", "zzz")
 
+  /** The x73 add-one bigram-LM scoring chain — ONE spelling shared by
+    * x73 and x109 (`lmq` = `(doc_id, n_bigrams, avg_nll)`), so the
+    * curriculum pack cannot drift from the score it packs by.
+    */
+  private val lmQualityCtes: String = """toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        pr AS (
+          SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+            unnest(t[2:len(t)]) AS w2
+          FROM toks),
+        big AS (SELECT w1, w2, COUNT(*) AS cb FROM pr GROUP BY w1, w2),
+        prefix AS (SELECT w1, SUM(cb) AS cu FROM big GROUP BY w1),
+        vocab AS (
+          SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz FROM (
+            SELECT w1 AS w FROM big UNION ALL SELECT w2 AS w FROM big)),
+        scoredlm AS (
+          SELECT pr.doc_id,
+            ROUND(-ln(CAST(big.cb + 1 AS DOUBLE)
+              / (prefix.cu + vocab.vsz)), 6) AS nlp
+          FROM pr JOIN big USING (w1, w2)
+          JOIN prefix USING (w1)
+          CROSS JOIN vocab),
+        lmq AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+              AS avg_nll
+          FROM scoredlm GROUP BY doc_id)"""
+
   /** Generated DuckDB oracle for x102 — the power-iteration unroll
     * under the all-integer contract: x79 grid, exact-Long
     * second-moment matrix, and per round the non-negative floor
@@ -2510,29 +2539,8 @@ object ExtensionCatalog {
     QueryDef("x73_lm_quality",
       (s, dir) => ordered(TextAnalysis.lmQuality(
         t(s, dir, "documents"), "doc_id", "text")),
-      Some("""WITH toks AS (
-          SELECT doc_id, string_split(text, ' ') AS t
-          FROM documents WHERE text IS NOT NULL),
-        pr AS (
-          SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
-            unnest(t[2:len(t)]) AS w2
-          FROM toks),
-        big AS (SELECT w1, w2, COUNT(*) AS cb FROM pr GROUP BY w1, w2),
-        prefix AS (SELECT w1, SUM(cb) AS cu FROM big GROUP BY w1),
-        vocab AS (
-          SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz FROM (
-            SELECT w1 AS w FROM big UNION ALL SELECT w2 AS w FROM big)),
-        scored AS (
-          SELECT pr.doc_id,
-            ROUND(-ln(CAST(big.cb + 1 AS DOUBLE)
-              / (prefix.cu + vocab.vsz)), 6) AS nlp
-          FROM pr JOIN big USING (w1, w2)
-          JOIN prefix USING (w1)
-          CROSS JOIN vocab)
-        SELECT doc_id, COUNT(*) AS n_bigrams,
-          CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-            AS avg_nll
-        FROM scored GROUP BY doc_id
+      Some(s"""WITH $lmQualityCtes
+        SELECT doc_id, n_bigrams, avg_nll FROM lmq
         """ + orderedSql(Seq("doc_id", "n_bigrams", "avg_nll")))),
 
     // x74 — per-document top-k nearest near-duplicates (the dedup
@@ -4129,6 +4137,41 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "ehash", "canonical_id",
           "group_n"))
       }),
+
+    // x109 — CURRICULUM packing: the x66 packing contract ordered
+    // easy→hard by the x73 perplexity score (avg_nll asc, doc_id
+    // tie-break) instead of doc_id — curriculum learning's data-side
+    // half. Shares the lmQualityCtes spelling with x73 (can't drift);
+    // the cumsum is the same no-global-window two-pass shape.
+    QueryDef("x109_curriculum_pack",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = TextAnalysis.lmQuality(docs, "doc_id", "text")
+        val d = scored.select(col("doc_id"), col("avg_nll"))
+          .join(docs.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")), "doc_id")
+        ordered(TextAnalysis.packSequencesOrdered(
+          d, Seq("avg_nll", "doc_id"), seqLen = 2048))
+      },
+      Some(s"""WITH $lmQualityCtes,
+        b AS (
+          SELECT lmq.doc_id AS doc_id, lmq.avg_nll AS avg_nll,
+            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+          FROM lmq JOIN documents d ON lmq.doc_id = d.doc_id),
+        r AS (
+          SELECT doc_id, avg_nll, n_tokens,
+            CAST(SUM(n_tokens) OVER (ORDER BY avg_nll, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_tok
+          FROM b)
+        SELECT doc_id, avg_nll, n_tokens, start_tok,
+          CAST(FLOOR(start_tok / 2048) AS BIGINT) AS seq_id,
+          CAST(start_tok % 2048 AS BIGINT) AS seq_pos,
+          CAST(FLOOR((start_tok + n_tokens - 1) / 2048) AS BIGINT)
+            - CAST(FLOOR(start_tok / 2048) AS BIGINT) + 1 AS n_seqs
+        FROM r
+        """ + orderedSql(Seq("doc_id", "avg_nll", "n_tokens",
+          "start_tok", "seq_id", "seq_pos", "n_seqs")))),
 
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked

@@ -57,4 +57,21 @@ class PrefixSumSpec extends SparkSpec {
     }
     assert(run.length === 5000)
   }
+
+  test("packSequencesOrdered: explicit order drives start_tok; spans exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // curriculum order (score, doc_id): d2(0.1) < d1(0.5,id1) < d3(0.5,id3)
+    val d = Seq((1L, 0.5, 4L), (2L, 0.1, 2L), (3L, 0.5, 3L))
+      .toDF("doc_id", "score", "n_tokens")
+    val got = graft.ops.TextAnalysis.packSequencesOrdered(
+        d, Seq("score", "doc_id"), seqLen = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got(2L) === ((0L, 0L, 0L, 1L))) // easiest packs first
+    assert(got(1L) === ((2L, 0L, 2L, 2L))) // spans tokens 2..5 -> 2 seqs
+    assert(got(3L) === ((6L, 1L, 2L, 2L))) // spans 6..8 -> seqs 1..2
+  }
 }
