@@ -45,6 +45,45 @@ object ExtensionCatalog {
     */
   private val blockPats: Seq[String] = Seq("slow table", "dup", "zzz")
 
+  /** Generated portable-MinHash LSH candidate chain (base → digs →
+    * sig → banded → cand) — ONE spelling shared by x43 and x110, so
+    * the recall QA measures exactly the candidate generator x43
+    * proves.
+    */
+  private object PortableLshSql {
+    def chain(k: Int, bands: Int): String = {
+      val rows = k / bands
+      val digsList = (0 until k / 4)
+        .map(s => s"list_transform(toks, t -> md5('$s|' || t))")
+        .mkString("[", ", ", "]")
+      val sigList = (0 until k)
+        .map(i => s"list_min(list_transform(digs[${i / 4 + 1}], " +
+          s"d -> substr(d, ${(i % 4) * 8 + 1}, 8)))")
+        .mkString("[", ", ", "]")
+      val bandSel = (0 until bands).map { bnd =>
+        val key = (bnd * rows until (bnd + 1) * rows)
+          .map(i => s"sig[${i + 1}]").mkString(" || ")
+        s"SELECT doc_id, source, $bnd AS band_id, $key AS band_key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""base AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        digs AS (SELECT doc_id, source, $digsList AS digs FROM base),
+        sig AS (SELECT doc_id, source, $sigList AS sig FROM digs),
+        banded AS ($bandSel),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM banded a JOIN banded b
+            ON a.source = b.source AND a.band_id = b.band_id
+              AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id)"""
+    }
+    def estExpr(k: Int): String = (1 to k)
+      .map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+  }
+
   /** The x73 add-one bigram-LM scoring chain — ONE spelling shared by
     * x73 and x109 (`lmq` = `(doc_id, n_bigrams, avg_nll)`), so the
     * curriculum pack cannot drift from the score it packs by.
@@ -1515,35 +1554,9 @@ object ExtensionCatalog {
         t(s, dir, "documents"), "doc_id", "text",
         minEst = 1.0, k = 8, bands = 4, blockCol = col("source"))),
       Some {
-        val k = 8; val bands = 4; val rows = k / bands
-        val digsList = (0 until k / 4)
-          .map(s => s"list_transform(toks, t -> md5('$s|' || t))")
-          .mkString("[", ", ", "]")
-        val sigList = (0 until k)
-          .map(i => s"list_min(list_transform(digs[${i / 4 + 1}], " +
-            s"d -> substr(d, ${(i % 4) * 8 + 1}, 8)))")
-          .mkString("[", ", ", "]")
-        val bandSel = (0 until bands).map { bnd =>
-          val key = (bnd * rows until (bnd + 1) * rows)
-            .map(i => s"sig[${i + 1}]").mkString(" || ")
-          s"SELECT doc_id, source, $bnd AS band_id, $key AS band_key FROM sig"
-        }.mkString(" UNION ALL ")
-        val estExpr = (1 to k)
-          .map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH base AS (
-            SELECT doc_id, source,
-              list_distinct(string_split(text, ' ')) AS toks
-            FROM documents),
-          digs AS (SELECT doc_id, source, $digsList AS digs FROM base),
-          sig AS (SELECT doc_id, source, $sigList AS sig FROM digs),
-          banded AS ($bandSel),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-            FROM banded a JOIN banded b
-              ON a.source = b.source AND a.band_id = b.band_id
-                AND a.band_key = b.band_key
-            WHERE a.doc_id < b.doc_id)
+        val k = 8; val bands = 4
+        val estExpr = PortableLshSql.estExpr(k)
+        s"""WITH ${PortableLshSql.chain(k, bands)}
           SELECT c.a_id, c.b_id,
             CAST($estExpr AS DOUBLE) / $k AS est
           FROM cand c
@@ -4172,6 +4185,52 @@ object ExtensionCatalog {
         FROM r
         """ + orderedSql(Seq("doc_id", "avg_nll", "n_tokens",
           "start_tok", "seq_id", "seq_pos", "n_seqs")))),
+
+    // x110 — dedup-recall QA (the x76/x94 go/no-go for TEXT dedup):
+    // recall of the portable-LSH candidate generator against exact
+    // Jaccard >= 0.9 ground truth, plus candidate efficiency — the
+    // numbers a team checks before trusting a banding config. Both
+    // sides reuse proven spellings (x43's generated chain, x5's
+    // all-pairs exact), shared so they cannot drift.
+    QueryDef("x110_dedup_recall",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val withSets = docs.select(col("doc_id"), col("source"),
+          Dedup.tokenSet(col("text")).as("tok"))
+        val exact = Dedup.jaccardPairs(withSets, "doc_id", "tok",
+            "source", 0.9)
+          .select(col("a_id"), col("b_id"))
+        val cand = Dedup.portableLshPairs(docs, "doc_id", "text",
+            minEst = 0.0, k = 8, bands = 4, blockCol = col("source"))
+          .select(col("a_id"), col("b_id"))
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val nh = exact.join(cand, Seq("a_id", "b_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        ordered(ne.crossJoin(broadcast(nc)).crossJoin(broadcast(nh))
+          .select(col("n_exact"), col("n_cand"), col("n_hit"),
+            (col("n_hit").cast(DoubleType) / col("n_exact"))
+              .as("recall"),
+            (col("n_hit").cast(DoubleType) / col("n_cand"))
+              .as("efficiency")))
+      },
+      Some(s"""WITH ${PortableLshSql.chain(8, 4)},
+        exact AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM base a JOIN base b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+        nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM exact JOIN cand USING (a_id, b_id))
+        SELECT n_exact, n_cand, n_hit,
+          CAST(n_hit AS DOUBLE) / n_exact AS recall,
+          CAST(n_hit AS DOUBLE) / n_cand AS efficiency
+        FROM ne CROSS JOIN nc CROSS JOIN nh
+        """ + orderedSql(Seq("n_exact", "n_cand", "n_hit", "recall",
+          "efficiency")))),
 
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
