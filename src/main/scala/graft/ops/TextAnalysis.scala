@@ -327,17 +327,40 @@ object TextAnalysis {
     * search primitive layered on the same tf/df statistics as
     * [[tfIdfTopK]] and the x62 inverted index.
     *
-    * Per matched `(doc, term)` the contribution is one per-row IEEE
-    * expression — `ROUND(idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
-    * 6)` — rounded then routed through DECIMAL(18,6) for the per-doc
-    * sum, so the score is bit-deterministic cross-engine (the x39
-    * log-portability + moneySum precedents combined). Ties at the
-    * cutoff break on `doc_id`.
+    * Environment-proof arithmetic contract (r12 hardening — the
+    * driver's r11 hash gate disagreed with a locally-bit-identical
+    * oracle, so every environment-sensitive surface is removed):
+    *  - `k1`/`b` are taken as exact hundredths (`k1Pct`/`bPct`), so
+    *    the tf-normalization factor is a ratio of EXACT integers:
+    *    `tfn = tf·(k1Pct+100)·100·s /
+    *           (10000·tf·s + k1Pct·(100−bPct)·s + k1Pct·bPct·dl·n)`
+    *    (multiply num/den of `tf·(k1+1)/(tf+k1(1−b+b·dl·n/s))` by
+    *    `10000·s`; `s = Σdl`, `n = |docs|`). ONE IEEE division of two
+    *    exact integers — correctly rounded, bit-identical on any
+    *    conforming engine, zero libm.
+    *  - idf (Lucene `+1` variant) reduces algebraically to
+    *    `ln((2n+2)/(2df+1))` — exact integer args, one division, one
+    *    `ln` (the only libm call; ≤|queryTerms| distinct values,
+    *    margin-pinned in Bm25MarginSpec).
+    *  - Both factors are quantized `ROUND(·, 6) → DECIMAL(18,6)`; the
+    *    contribution is `ROUND(idf_d · tfn_d, 6)` in EXACT decimal
+    *    arithmetic (12-dp product, half-up — identical in both
+    *    engines for positive values), and the per-doc sum is a
+    *    DECIMAL(18,6) sum. Bm25MarginSpec pins every factor ≥1e-11
+    *    (tfn) / ≥1e-8 (idf) from its 6-dp rounding boundary at both
+    *    fixture SFs — ~10³–10⁷× the worst conforming-libm/round-impl
+    *    skew (~1e-14) — so ANY conforming engine agrees bit-for-bit.
+    *  - Exactness bound: the integer products stay below 2^53 while
+    *    `tf·(k1Pct+100)·100·s < 9e15` (s ≈ 2e9 tokens at tf ≈ 50) —
+    *    fine for the published-fixture contract; a 100 TB production
+    *    scoring path would keep raw doubles (no cross-engine
+    *    bit-equality requirement there).
+    * Ties at the cutoff break on `doc_id`.
     *
     * Scale design (100 TB): the token explode is filtered to the
     * query terms BEFORE its aggregate, so the only corpus-sized
     * shuffle carries query-term hits only; `df` (≤ |query| rows) and
-    * the (N, avgdl) one-row stats frame ride the plan as broadcasts;
+    * the (n, s) one-row stats frame ride the plan as broadcasts;
     * the final cut is a TakeOrdered, never a global sort. No driver
     * state beyond the query-term literal.
     *
@@ -345,8 +368,10 @@ object TextAnalysis {
     * `(score DESC, doc_id)`.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
+      queryTerms: Seq[String], k1Pct: Int, bPct: Int, k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    require(k1Pct > 0 && bPct >= 0 && bPct <= 100,
+      "k1Pct must be positive and bPct in [0, 100]")
     // null text is out of contract (size(null) = -1 would poison the
     // avgdl stats; SQL engines instead null-skip) — filter explicitly
     val base = docs.filter(col(textCol).isNotNull)
@@ -354,23 +379,27 @@ object TextAnalysis {
         size(tokens(col(textCol))).cast(LongType).as("dl"),
         tokens(col(textCol)).as("toks"))
     val stats = base.agg(
-      count(lit(1)).cast(DoubleType).as("_n"),
-      (sum(col("dl")).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType)).as("_avgdl"))
+      count(lit(1)).cast(LongType).as("_n"),
+      sum(col("dl")).cast(LongType).as("_s"))
     val tf = base.select(col("doc_id"), col("dl"),
         explode(col("toks")).as("term"))
       .filter(col("term").isInCollection(queryTerms))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val k1p1 = k1 + 1.0
     val contrib = tf.join(broadcast(docFreq), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
-        round(log((col("_n") - col("df") + 0.5) / (col("df") + 0.5)
-            + 1.0) *
-          (col("tf") * k1p1) /
-          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") /
-            col("_avgdl"))), 6)
+        round(
+          round(log((lit(2L) * col("_n") + lit(2L)).cast(DoubleType) /
+              (lit(2L) * col("df") + lit(1L)).cast(DoubleType)), 6)
+            .cast(DecimalType(18, 6)) *
+          round((col("tf") * lit((k1Pct + 100) * 100L) * col("_s"))
+              .cast(DoubleType) /
+            (lit(10000L) * col("tf") * col("_s") +
+              lit(k1Pct.toLong * (100 - bPct)) * col("_s") +
+              lit(k1Pct.toLong * bPct) * col("dl") * col("_n"))
+              .cast(DoubleType), 6)
+            .cast(DecimalType(18, 6)), 6)
           .cast(DecimalType(18, 6)).as("c"))
     contrib.groupBy("doc_id", "dl")
       .agg(count(lit(1)).cast(LongType).as("n_hit"),

@@ -3738,25 +3738,32 @@ object ExtensionCatalog {
 
     // x98 — BM25 top-k retrieval for a literal query-term list (one
     // rare term, three common ones) — the corpus-search primitive over
-    // the same tf/df statistics as x39/x62. Per-(doc,term)
-    // contribution is per-row IEEE rounded at 6 dp, the per-doc sum is
-    // DECIMAL-routed, the cut is (score DESC, doc_id) — deterministic
-    // cross-engine end to end.
+    // the same tf/df statistics as x39/x62. r12 environment-proof
+    // contract (see TextAnalysis.bm25TopK): both BM25 factors are
+    // single IEEE divisions of EXACT integers (k1 = 120/100,
+    // b = 75/100 folded into integer num/den; idf = ln((2n+2)/(2df+1)))
+    // quantized at 6 dp into DECIMAL(18,6); the contribution is the
+    // EXACT decimal product re-rounded at 6 dp; the per-doc sum is
+    // DECIMAL-routed; the cut is (score DESC, doc_id). Zero libm in
+    // tfn, one margin-pinned ln in idf (Bm25MarginSpec) — no
+    // conforming engine/libm/round-impl can diverge.
     QueryDef("x98_bm25_search",
       (s, dir) => ordered(TextAnalysis.bm25TopK(
         t(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("hash", "join", "window", "dup"),
-        k1 = 1.2, b = 0.75, k = 12)),
+        k1Pct = 120, bPct = 75, k = 12)),
       Some {
-        val k1 = 1.2; val k1p1 = k1 + 1.0
+        // k1Pct = 120, bPct = 75 → integer coefficients
+        // (k1Pct+100)·100 = 22000, k1Pct·(100−bPct) = 3000,
+        // k1Pct·bPct = 9000 — all literals below are exact integers.
         s"""WITH base AS (
           SELECT doc_id,
             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
             string_split(text, ' ') AS toks
           FROM documents WHERE text IS NOT NULL),
         stats AS (
-          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-            CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(dl) AS BIGINT) AS s
           FROM base),
         tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
         tf AS (
@@ -3768,9 +3775,13 @@ object ExtensionCatalog {
           FROM tf GROUP BY term),
         contrib AS (
           SELECT tf.doc_id AS doc_id, tf.dl AS dl,
-            CAST(ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-              (tf * $k1p1) /
-              (tf + $k1 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+            CAST(ROUND(
+              CAST(ROUND(ln(CAST(2*n + 2 AS DOUBLE) /
+                            CAST(2*df + 1 AS DOUBLE)), 6)
+                AS DECIMAL(18,6)) *
+              CAST(ROUND(CAST(tf * 22000 * s AS DOUBLE) /
+                         CAST(10000*tf*s + 3000*s + 9000*dl*n AS DOUBLE),
+                  6) AS DECIMAL(18,6)), 6)
               AS DECIMAL(18,6)) AS c
           FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
         SELECT * FROM (

@@ -616,16 +616,21 @@ class TfIdfSpec extends SparkSpec {
     // d3 and d4 are identical -> equal scores; k=3 must cut d4 (higher id)
     val docs = Seq((1L, "q q x"), (2L, "q y"), (3L, "y y y"),
       (4L, "y y y")).toDF("doc_id", "text")
-    // the operator's exact arithmetic: N=4, avgdl=11/4, k1=1.2, b=0.75
+    // the operator's exact-integer arithmetic (r12 contract): n=4,
+    // s=Σdl=11, k1Pct=120, bPct=75 → coefficients 22000/10000/3000/9000
     def c(tf: Long, df: Long, dl: Long): BigDecimal = {
-      val n = 4.0; val avgdl = 11.0 / 4.0
-      val raw = math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
-        (tf * (1.2 + 1.0)) /
-        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val n = 4L; val s = 11L
+      val idf = BigDecimal(
+          math.log((2.0 * n + 2.0) / (2.0 * df + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val tfn = BigDecimal(
+          (tf * 22000.0 * s) /
+          (10000.0 * tf * s + 3000.0 * s + 9000.0 * dl * n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (idf * tfn).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     }
     val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
-        queryTerms = Seq("q", "y"), k1 = 1.2, b = 0.75, k = 3)
+        queryTerms = Seq("q", "y"), k1Pct = 120, bPct = 75, k = 3)
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
         BigDecimal(r.getDecimal(3))))
@@ -643,7 +648,7 @@ class TfIdfSpec extends SparkSpec {
   test("bm25TopK: docs without any query term never appear; k bounds rows") {
     val docs = Tables.load(spark, sf0001, "documents")
     val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
-      queryTerms = Seq("dup"), k1 = 1.2, b = 0.75, k = 5).collect()
+      queryTerms = Seq("dup"), k1Pct = 120, bPct = 75, k = 5).collect()
     assert(got.length <= 5 && got.nonEmpty)
     assert(got.forall(_.getLong(2) === 1L)) // n_hit: single-term query
     // every returned doc really contains the term
