@@ -280,25 +280,52 @@ object Dedup {
     * partial-aggregating groupBy — never a block self-join of
     * documents; the per-A rank cut is a partitioned window
     * (WindowGroupLimit applies). Hot tokens are the known hazard of
-    * the inverted shape: cap or drop df-top tokens first (the x38
-    * capped-contamination precedent) when the corpus vocabulary is
-    * adversarial.
+    * the inverted shape — a df-top token (a stopword in every doc of
+    * a block) makes its `(block, token)` bucket quadratic. `dfCap`
+    * (the x38 capped-contamination precedent) drops tokens whose
+    * within-block document frequency exceeds the cap BEFORE the pair
+    * join, bounding every join bucket at `dfCap²` id-pairs. The
+    * containment DENOMINATOR stays the full `|set(A)|`, so capping
+    * only ever undercounts `shared` — capped containment is a lower
+    * bound and the miss is pure recall (measured in DedupSpec: ~all
+    * fixture hits survive cap 64). Default `None` keeps the exact
+    * semantics (the x103 oracle twin).
+    *
+    * The scan+tokenize+explode subtree feeds three consumers (the
+    * sizes aggregate and both pair-join sides), so it sits behind a
+    * lazy localCheckpoint barrier — one corpus scan, not three (the
+    * x74/x94 fold).
     *
     * Returns `(a_id, b_id, shared, containment)` — at most one row
     * per contained document.
     */
   def containmentTopHost(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, minContainment: Double): DataFrame = {
+      blockCol: String, minContainment: Double,
+      dfCap: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minContainment > 0.0 && minContainment <= 1.0,
       "minContainment must be in (0, 1]")
+    require(dfCap.forall(_ >= 2L), "dfCap below 2 drops every pair")
     val sets = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(blockCol).as("block"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol))))
           .as("tok"))
+      .localCheckpoint(eager = false)
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("na"))
-    val shared = sets.toDF("a_id", "block", "tok")
-      .join(sets.toDF("b_id", "block", "tok"), Seq("block", "tok"))
+    // rows are (id, block, tok)-distinct by construction, so the
+    // within-block df is a plain count — no countDistinct expand
+    val pairSide = dfCap match {
+      case Some(cap) =>
+        val keep = sets.groupBy("block", "tok")
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap)
+          .select(col("block"), col("tok"))
+        sets.join(keep, Seq("block", "tok"))
+          .select(col("id"), col("block"), col("tok"))
+      case None => sets
+    }
+    val shared = pairSide.toDF("a_id", "block", "tok")
+      .join(pairSide.toDF("b_id", "block", "tok"), Seq("block", "tok"))
       .filter(col("a_id") =!= col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
     val scored = shared

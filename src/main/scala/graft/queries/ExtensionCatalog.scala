@@ -4243,10 +4243,50 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("n_exact", "n_cand", "n_hit", "recall",
           "efficiency")))),
 
-    // x11 — footer inspection (reference R2 footer deserialize): row
-    // counts read from Parquet footers only (no data scan), cross-checked
-    // against the oracle's full COUNT(*).
-// placeholder removed
+    // x113 — containment dedup in the PRODUCTION configuration: the
+    // x103 inverted (block, token) join with the df-cap ON (within-
+    // block document frequency > 20 ⇒ the token identifies nothing
+    // and its join bucket is quadratic — drop it before the pair
+    // join, the x38 precedent). The denominator stays |set(A)|, so
+    // capping only undercounts `shared`: capped containment is a
+    // lower bound and the miss is pure recall (379/500 top-host rows
+    // survive on this deliberately dense 31-type fixture; DedupSpec
+    // pins capped ⊆ uncapped and the recall floor). The oracle
+    // spells the identical HAVING-count cap, so this green row
+    // proves the production path, not just the oracle-friendly one.
+    QueryDef("x113_containment_capped",
+      (s, dir) => ordered(Dedup.containmentTopHost(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        minContainment = 0.5, dfCap = Some(20L))),
+      Some("""WITH base AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        sets AS (SELECT doc_id, source, unnest(tok) AS tok FROM base),
+        keep AS (SELECT source, tok FROM sets
+          GROUP BY source, tok HAVING COUNT(*) <= 20),
+        k AS (SELECT s.doc_id, s.source, s.tok
+          FROM sets s JOIN keep USING (source, tok)),
+        sh AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(COUNT(*) AS BIGINT) AS shared
+          FROM k a JOIN k b
+            ON a.source = b.source AND a.tok = b.tok
+              AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        na AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS na FROM base),
+        c AS (
+          SELECT a_id, b_id, shared,
+            CAST(shared AS DOUBLE) / na.na AS containment
+          FROM sh JOIN na ON sh.a_id = na.doc_id
+          WHERE CAST(shared AS DOUBLE) / na.na >= 0.5),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+            ORDER BY containment DESC, b_id) AS rk
+          FROM c)
+        SELECT a_id, b_id, shared, containment FROM r WHERE rk = 1
+        """ + orderedSql(Seq("a_id", "b_id", "shared", "containment")))),
+
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked
     // against the oracle's full COUNT(*).

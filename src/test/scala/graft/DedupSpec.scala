@@ -387,4 +387,49 @@ class DedupSpec extends SparkSpec {
       3L -> ((1L, 2L, 2.0 / 3.0))  // tie vs d2 broken on lower b_id
     )) // d1 (0.3 max) and d4 (no overlap) are absent
   }
+
+  test("containmentTopHost dfCap: hand-computed drop, lower-bound " +
+      "semantics, and a cap above max-df is a no-op") {
+    import spark.implicits._
+    // within-block dfs: a→3, b→2, c→2, z→1. cap=2 drops 'a' only.
+    val docs = Seq(
+      (1L, "a b c z", "s"),
+      (2L, "a b c", "s"),  // uncapped: 3/3 in d1; capped: b,c → 2/3
+      (3L, "a", "s")       // only token is the hot one → vanishes
+    ).toDF("doc_id", "text", "source")
+    def run(cap: Option[Long]) = graft.ops.Dedup.containmentTopHost(
+        docs, "doc_id", "text", "source", minContainment = 0.5,
+        dfCap = cap)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val capped = run(Some(2L))
+    // d2: shared drops 3→2, denominator stays |set(d2)|=3; d3's only
+    // token is capped away (uncapped it is fully contained in d1)
+    assert(capped === Map(
+      1L -> ((2L, 2L, 0.5)),       // b,c of d1's 4 tokens
+      2L -> ((1L, 2L, 2.0 / 3.0))))
+    // a cap at/above the max within-block df changes nothing
+    assert(run(Some(3L)) === run(None))
+    assert(run(None).get(3L) === Some((1L, 1L, 1.0)))
+  }
+
+  test("containmentTopHost dfCap: capped hits are a subset of exact " +
+      "hits and fixture recall clears the floor (sf0.01, cap 20)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    def aIds(cap: Option[Long]): Set[Long] =
+      graft.ops.Dedup.containmentTopHost(docs, "doc_id", "text",
+          "source", minContainment = 0.5, dfCap = cap)
+        .select("a_id").collect().map(_.getLong(0)).toSet
+    val exact = aIds(None)
+    val capped = aIds(Some(20L))
+    // capped containment <= exact containment per pair, so a doc
+    // flagged under the cap is always flagged exactly
+    assert(capped.subsetOf(exact))
+    // recall floor on the deliberately dense 31-type fixture — real
+    // power-law vocabularies lose only stopword-shaped tokens
+    assert(exact.nonEmpty &&
+      capped.size.toDouble / exact.size >= 0.7,
+      s"capped recall ${capped.size}/${exact.size} below 0.7")
+  }
 }
