@@ -51,7 +51,10 @@ object ExtensionCatalog {
     * proves.
     */
   private object PortableLshSql {
-    def chain(k: Int, bands: Int): String = {
+    /** `where` narrows the corpus the whole chain sees (x112's
+      * deterministic sample predicate); empty = full corpus (x110).
+      */
+    def chain(k: Int, bands: Int, where: String = ""): String = {
       val rows = k / bands
       val digsList = (0 until k / 4)
         .map(s => s"list_transform(toks, t -> md5('$s|' || t))")
@@ -68,7 +71,7 @@ object ExtensionCatalog {
       s"""base AS (
           SELECT doc_id, source,
             list_distinct(string_split(text, ' ')) AS toks
-          FROM documents),
+          FROM documents $where),
         digs AS (SELECT doc_id, source, $digsList AS digs FROM base),
         sig AS (SELECT doc_id, source, $sigList AS sig FROM digs),
         banded AS ($bandSel),
@@ -82,6 +85,33 @@ object ExtensionCatalog {
     def estExpr(k: Int): String = (1 to k)
       .map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END")
       .mkString(" + ")
+  }
+
+  /** The x110/x112 dedup-recall report over `docs`: recall +
+    * candidate efficiency of the portable-LSH generator vs exact
+    * Jaccard ≥ 0.9 ground truth. ONE builder shared by the full-corpus
+    * QA row (x110) and the hash-sampled corpus-scale row (x112), so
+    * the two cannot drift.
+    */
+  private def dedupRecallReport(docs: DataFrame): DataFrame = {
+    val withSets = docs.select(col("doc_id"), col("source"),
+      Dedup.tokenSet(col("text")).as("tok"))
+    val exact = Dedup.jaccardPairs(withSets, "doc_id", "tok",
+        "source", 0.9)
+      .select(col("a_id"), col("b_id"))
+    val cand = Dedup.portableLshPairs(docs, "doc_id", "text",
+        minEst = 0.0, k = 8, bands = 4, blockCol = col("source"))
+      .select(col("a_id"), col("b_id"))
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nh = exact.join(cand, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    ne.crossJoin(broadcast(nc)).crossJoin(broadcast(nh))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_exact"))
+          .as("recall"),
+        (col("n_hit").cast(DoubleType) / col("n_cand"))
+          .as("efficiency"))
   }
 
   /** The x73 add-one bigram-LM scoring chain — ONE spelling shared by
@@ -4204,27 +4234,7 @@ object ExtensionCatalog {
     // sides reuse proven spellings (x43's generated chain, x5's
     // all-pairs exact), shared so they cannot drift.
     QueryDef("x110_dedup_recall",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val withSets = docs.select(col("doc_id"), col("source"),
-          Dedup.tokenSet(col("text")).as("tok"))
-        val exact = Dedup.jaccardPairs(withSets, "doc_id", "tok",
-            "source", 0.9)
-          .select(col("a_id"), col("b_id"))
-        val cand = Dedup.portableLshPairs(docs, "doc_id", "text",
-            minEst = 0.0, k = 8, bands = 4, blockCol = col("source"))
-          .select(col("a_id"), col("b_id"))
-        val ne = exact.agg(count(lit(1)).as("n_exact"))
-        val nc = cand.agg(count(lit(1)).as("n_cand"))
-        val nh = exact.join(cand, Seq("a_id", "b_id"))
-          .agg(count(lit(1)).as("n_hit"))
-        ordered(ne.crossJoin(broadcast(nc)).crossJoin(broadcast(nh))
-          .select(col("n_exact"), col("n_cand"), col("n_hit"),
-            (col("n_hit").cast(DoubleType) / col("n_exact"))
-              .as("recall"),
-            (col("n_hit").cast(DoubleType) / col("n_cand"))
-              .as("efficiency")))
-      },
+      (s, dir) => ordered(dedupRecallReport(t(s, dir, "documents"))),
       Some(s"""WITH ${PortableLshSql.chain(8, 4)},
         exact AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -4242,6 +4252,41 @@ object ExtensionCatalog {
         FROM ne CROSS JOIN nc CROSS JOIN nh
         """ + orderedSql(Seq("n_exact", "n_cand", "n_hit", "recall",
           "efficiency")))),
+
+    // x112 — dedup-recall QA at CORPUS scale: the x110 report over a
+    // deterministic md5-prefix sample (rate 0.5) of the documents.
+    // x110's exact ground truth is all-pairs-within-block — fine for
+    // fixtures, quadratic at corpus scale; sampling docs at rate r
+    // cuts the exact side to ~r² of the pair volume while the recall
+    // ESTIMATE stays unbiased (LSH candidacy of a pair depends only
+    // on the two docs' own signatures, so candidates-within-sample ≡
+    // the generator run on the sample). Same report builder as x110
+    // (cannot drift); the oracle folds the identical hash predicate
+    // into the shared chain's base.
+    QueryDef("x112_dedup_recall_sampled",
+      (s, dir) => ordered(dedupRecallReport(Sampling.hashSample(
+        t(s, dir, "documents"), "doc_id", rate = 0.5))),
+      Some {
+        val where = "WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4)" +
+          s" < '${Sampling.hexThreshold(0.5)}'"
+        s"""WITH ${PortableLshSql.chain(8, 4, where)},
+        exact AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM base a JOIN base b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+        nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM exact JOIN cand USING (a_id, b_id))
+        SELECT n_exact, n_cand, n_hit,
+          CAST(n_hit AS DOUBLE) / n_exact AS recall,
+          CAST(n_hit AS DOUBLE) / n_cand AS efficiency
+        FROM ne CROSS JOIN nc CROSS JOIN nh
+        """ + orderedSql(Seq("n_exact", "n_cand", "n_hit", "recall",
+          "efficiency"))
+      }),
 
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
