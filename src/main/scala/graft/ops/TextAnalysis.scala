@@ -961,6 +961,24 @@ object TextAnalysis {
         element_at(col("_t"), col("i") + 1).as("w2"))
   }
 
+  /** Adjacent-trigram rows `(doc_id, w1, w2, w3)` — the [[bigramRows]]
+    * extraction one order up; docs with < 3 tokens yield no rows.
+    */
+  private[graft] def trigramRows(docs: DataFrame, idCol: String,
+      textCol: String, tokenize: Column => Column): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("_t"))
+    toks.select(col("doc_id"),
+        explode(when(size(col("_t")) > 2,
+            sequence(lit(1), size(col("_t")) - 2))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"),
+        col("_t"))
+      .select(col("doc_id"),
+        element_at(col("_t"), col("i")).as("w1"),
+        element_at(col("_t"), col("i") + 1).as("w2"),
+        element_at(col("_t"), col("i") + 2).as("w3"))
+  }
+
   /** Inputs estimated (Catalyst plan stats — file sizes for a scan)
     * at or under this get an explicit broadcast hint on the
     * probe ⋈ scored-model join: a ≤1 GiB corpus's distinct-bigram
@@ -1066,8 +1084,11 @@ object TextAnalysis {
     * `N1+(·,w2)` the distinct predecessors of `w2`, and `B` the
     * bigram-type count. Only corpus-observed bigrams are scored (the
     * x73 contract — scored docs come from the model corpus), so
-    * `c ≥ 1 > d` and every probability is strictly in (0, 1):
-    * `-ln(P)` is finite positive. Every factor is an exact Long; the
+    * `c ≥ 1 > d` and every probability is in (0, 1] — the upper
+    * boundary is reachable in degenerate corpora (a prefix with ONE
+    * successor whose continuation weight is 1, e.g. "a a a" gives
+    * P(a|a) = 1 exactly and nlp = 0) — so `-ln(P)` is finite and
+    * ≥ 0, not strictly positive. Every factor is an exact Long; the
     * per-bigram probability is one per-row IEEE expression rounded at
     * 6 dp and the per-doc mean routes through DECIMAL(18,6) — the
     * full x73 determinism contract, so the oracle matches bit-wise.
@@ -1111,6 +1132,86 @@ object TextAnalysis {
     pr.join(modelSide, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nlp").cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("avg_nll"))
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM LM quality — the [[knLmQuality]]
+    * recursion one order up, proving the Chen & Goodman (1999)
+    * back-off chain the production CCNet/KenLM stack runs at 5-gram:
+    *
+    * `P(w3|w1w2) = (c(w1w2w3) − d)/c(w1w2·)
+    *             + (d · N1+(w1w2·)/c(w1w2·)) · P_cont(w3|w2)`
+    * `P_cont(w3|w2) = (N1+(·w2w3) − d)/N1+(·w2·)
+    *             + (d · N1+(w2·)/N1+(·w2·)) · P_cont(w3)`
+    * `P_cont(w3) = N1+(·w3)/B`
+    *
+    * with `d = 0.75` at both levels, context totals summed over
+    * observed trigrams (`c(w1w2·) = Σ_w3 c(w1w2w3)` — the convention
+    * that keeps every count derivable from ONE trigram-type table and
+    * the distribution normalized at document edges), continuation
+    * counts `N1+` counting distinct context types, and `B` the
+    * (w2,w3)-suffix type count. Only corpus-observed trigrams are
+    * scored (the x73/x101 contract), so every numerator count ≥ 1 > d
+    * and P is in (0, 1] (the degenerate full-continuation corner can
+    * reach 1 exactly, nlp = 0 — see [[knLmQuality]]).
+    *
+    * Determinism: every factor is an exact Long; the per-trigram
+    * probability is ONE per-row IEEE expression, spelled
+    * token-for-token identically in the oracle (the x101 contract
+    * that holds the driver's gate), rounded at 6 dp; the per-doc mean
+    * routes through DECIMAL(18,6).
+    *
+    * Scale: the corpus is touched exactly twice (the checkpointed
+    * trigram-type aggregate; the probe join) — every other table
+    * (`ctx`, `cont`, `mid`, `pred`, `bt`) is a MODEL-sized aggregate
+    * of the type table, exchanges carrying (w, counts) rows only;
+    * the scored model rides the probe join as a broadcast under the
+    * same size hint as [[lmQuality]]. Shares the one-checkpoint-
+    * per-session release slot (a returned frame is valid until the
+    * same session's next lm call).
+    *
+    * Returns `(doc_id, n_trigrams, avg_nll)`.
+    */
+  def knTrigramQuality(docs: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column = tokens,
+      broadcastHintMaxInputBytes: BigInt = LmBroadcastHintMaxInputBytes)
+      : DataFrame = {
+    val pr = trigramRows(docs, idCol, textCol, tokenize)
+    val model = pr.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+      .localCheckpoint(eager = false)
+    purgeStoppedLmSessions()
+    Option(lastLmCheckpoint.put(docs.sparkSession, model))
+      .foreach(releaseLocalCheckpoint)
+    val ctx = model.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("ctx"), count(lit(1)).as("n3f"))
+    // distinct-context count per suffix bigram: N1+(·w2w3)
+    val cont = model.groupBy("w2", "w3").agg(count(lit(1)).as("cont"))
+    // Σ_w3 N1+(·w2w3) = |{(w1,w3)}| per w2, and distinct successors
+    val mid = cont.groupBy("w2")
+      .agg(sum(col("cont")).as("mid"), count(lit(1)).as("n2f"))
+    val pred = cont.groupBy("w3").agg(count(lit(1)).as("pred"))
+    val bt = cont.agg(count(lit(1)).as("bt"))
+    val scored = model.join(ctx, Seq("w1", "w2"))
+      .join(cont, Seq("w2", "w3"))
+      .join(mid, "w2").join(pred, "w3")
+      .crossJoin(broadcast(bt))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(-log(
+          ((col("c3") - 0.75) / col("ctx")) +
+          (((lit(0.75) * col("n3f")) / col("ctx")) *
+            (((col("cont") - 0.75) / col("mid")) +
+              (((lit(0.75) * col("n2f")) / col("mid")) *
+                (col("pred").cast(DoubleType) / col("bt")))))), 6)
+          .as("nlp"))
+    val modelSide =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          broadcastHintMaxInputBytes) broadcast(scored)
+      else scored
+    pr.join(modelSide, Seq("w1", "w2", "w3"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
         (sum(col("nlp").cast(DecimalType(18, 6)))
           .cast(DoubleType) / count(lit(1))).as("avg_nll"))
   }

@@ -3916,6 +3916,56 @@ object ExtensionCatalog {
         FROM scored GROUP BY doc_id
         """ + orderedSql(Seq("doc_id", "n_bigrams", "avg_nll")))),
 
+    // x111 — interpolated Kneser–Ney TRIGRAM LM quality: the x101
+    // recursion one order up (highest-order raw counts → continuation
+    // counts → unigram continuation), proving the Chen & Goodman
+    // back-off chain KenLM runs at 5-gram. Same determinism contract:
+    // exact Long counts, one per-row IEEE expression spelled
+    // identically here and in the operator, 6 dp round, DECIMAL mean.
+    QueryDef("x111_kn_trigram_quality",
+      (s, dir) => ordered(TextAnalysis.knTrigramQuality(
+        t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        pr AS (
+          SELECT doc_id, unnest(t[1:len(t)-2]) AS w1,
+            unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3
+          FROM toks),
+        tri AS (
+          SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+          FROM pr GROUP BY w1, w2, w3),
+        ctx AS (
+          SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS ctx,
+            CAST(COUNT(*) AS BIGINT) AS n3f
+          FROM tri GROUP BY w1, w2),
+        cont AS (
+          SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cont
+          FROM tri GROUP BY w2, w3),
+        mid AS (
+          SELECT w2, CAST(SUM(cont) AS BIGINT) AS mid,
+            CAST(COUNT(*) AS BIGINT) AS n2f
+          FROM cont GROUP BY w2),
+        pred AS (
+          SELECT w3, CAST(COUNT(*) AS BIGINT) AS pred
+          FROM cont GROUP BY w3),
+        bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM cont),
+        scored AS (
+          SELECT pr.doc_id,
+            ROUND(-ln(((tri.c3 - 0.75) / ctx.ctx) +
+              (((0.75 * ctx.n3f) / ctx.ctx) *
+                (((cont.cont - 0.75) / mid.mid) +
+                  (((0.75 * mid.n2f) / mid.mid) *
+                    (CAST(pred.pred AS DOUBLE) / bt.bt))))), 6) AS nlp
+          FROM pr JOIN tri USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+          JOIN cont USING (w2, w3) JOIN mid USING (w2)
+          JOIN pred USING (w3) CROSS JOIN bt)
+        SELECT doc_id, COUNT(*) AS n_trigrams,
+          CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS avg_nll
+        FROM scored GROUP BY doc_id
+        """ + orderedSql(Seq("doc_id", "n_trigrams", "avg_nll")))),
+
     // x102 — top principal direction of the embedding second-moment
     // matrix by power iteration (SemDeDup-style whitening prep): the
     // corpus-touching stage is ONE map-side-combined dim² aggregate;

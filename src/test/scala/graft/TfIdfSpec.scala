@@ -47,8 +47,9 @@ class TfIdfSpec extends SparkSpec {
     assert(got(1L)._1 === 3L && got(2L)._1 === 2L)
     assert(math.abs(got(1L)._2 - (2 * nll(pAB) + nll(pBA)) / 3) < 1e-9)
     assert(math.abs(got(2L)._2 - (nll(pAB) + nll(pBC)) / 2) < 1e-9)
-    // every observed-bigram probability is strictly in (0,1):
-    // the high-continuation doc scores better (lower nll)
+    // every observed-bigram probability here is in (0,1) (this corpus
+    // has no single-successor/full-continuation corner, where P = 1
+    // and nlp = 0 exactly); the high-continuation doc scores lower nll
     assert(got(1L)._2 > 0.0 && got(2L)._2 > 0.0)
     assert(got(1L)._2 < got(2L)._2)
     // the discounted path orders the same corpus as add-one here, but
@@ -56,6 +57,41 @@ class TfIdfSpec extends SparkSpec {
     val addOne = TextAnalysis.lmQuality(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got(1L)._2 < addOne(1L))
+  }
+
+  test("knTrigramQuality: hand-computed trigram Kneser-Ney recursion") {
+    // d1 = "a b c a b c": trigrams abc,bca,cab,abc; d2 = "a b c d":
+    // abc,bcd. Type counts c3: abc=3 bca=1 cab=1 bcd=1.
+    // ctx: (a,b)=(3,1) (b,c)=(2,2) (c,a)=(1,1)
+    // cont (distinct w1 per suffix): (b,c)=1 (c,a)=1 (a,b)=1 (c,d)=1
+    // mid: b=(1,1) c=(2,2) a=(1,1); pred: all 1; B=4; d=0.75
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knTrigramQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def nll(p: Double): Double = BigDecimal(-math.log(p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pcont(cont: Long, mid: Long, n2f: Long, pred: Long): Double =
+      ((cont - 0.75) / mid) + (((0.75 * n2f) / mid) * (pred / 4.0))
+    def p(c3: Long, ctx: Long, n3f: Long, pc: Double): Double =
+      ((c3 - 0.75) / ctx) + (((0.75 * n3f) / ctx) * pc)
+    val pAbc = p(3, 3, 1, pcont(1, 1, 1, 1)) // 0.859375
+    val pBca = p(1, 2, 2, pcont(1, 2, 2, 1)) // 0.359375
+    val pCab = p(1, 1, 1, pcont(1, 1, 1, 1)) // 0.578125
+    val pBcd = p(1, 2, 2, pcont(1, 2, 2, 1)) // 0.359375
+    assert(got(1L)._1 === 4L && got(2L)._1 === 2L)
+    assert(math.abs(got(1L)._2 -
+      (2 * nll(pAbc) + nll(pBca) + nll(pCab)) / 4) < 1e-9)
+    assert(math.abs(got(2L)._2 - (nll(pAbc) + nll(pBcd)) / 2) < 1e-9)
+    // the frequent repeated pattern scores more typical (lower nll)
+    assert(got(1L)._2 < got(2L)._2)
+    // sub-3-token docs are out of contract: absent, not zero-row'd
+    import spark.implicits._
+    val withShort = docs.union(Seq((3L, "x y")).toDF("doc_id", "text"))
+    val ids = TextAnalysis.knTrigramQuality(withShort, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L))
   }
 
   test("corpusKlReport: hand-computed contributions; identical snapshots are zero") {
