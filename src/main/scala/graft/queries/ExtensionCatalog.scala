@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, UrlCanon}
+import graft.ops.{Cardinality, Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, UrlCanon}
 
 /** North-star extension queries (beyond the reference's own surface, per
   * BASELINE.json): dedup family, similarity search, text analysis,
@@ -4381,6 +4381,58 @@ object ExtensionCatalog {
           FROM c)
         SELECT a_id, b_id, shared, containment FROM r WHERE rk = 1
         """ + orderedSql(Seq("a_id", "b_id", "shared", "containment")))),
+
+    // x114 — portable KMV distinct sketch (the x43-style twin closing
+    // x16's no-oracle gap): k-minimum-values over md5 hex with the
+    // (k-1)/h_(k) estimator on a 16-bit prefix grid, spelled from
+    // primitives both engines own so the driver hash-checks the whole
+    // sketch→estimate pipeline shape x16 runs as native HLL. k=64 <
+    // the fixture's 150 distinct users per type, so the ESTIMATOR
+    // branch is live (not the sub-k exact short-circuit); n_exact
+    // rides along so the row also reports the sketch's observed
+    // accuracy. Estimate arithmetic: exact integers → one IEEE
+    // division → floor, identical both sides.
+    QueryDef("x114_portable_distinct",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val est = Cardinality.portableKmvDistinct(
+          ev, "event_type", "user_id", k = 64)
+        val exact = ev.filter(col("user_id").isNotNull)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        ordered(est.join(exact, "event_type"))
+      },
+      Some("""WITH h AS (
+          SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events WHERE user_id IS NOT NULL),
+        sel AS (
+          SELECT event_type, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM h),
+        kv AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_k,
+            MAX(substr(h, 1, 4)) AS kh
+          FROM sel WHERE rk <= 64 GROUP BY event_type),
+        v AS (
+          SELECT event_type, n_k,
+            CAST((strpos('0123456789abcdef', substr(kh, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(kh, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(kh, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(kh, 4, 1)) - 1)
+              AS BIGINT) AS kth_v
+          FROM kv),
+        ex AS (
+          SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            AS n_exact
+          FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+        SELECT v.event_type AS event_type, n_k, kth_v,
+          CAST(CASE WHEN n_k < 64 THEN n_k
+            ELSE FLOOR(CAST(63 * 65536 AS DOUBLE) /
+              CAST(kth_v + 1 AS DOUBLE)) END AS BIGINT) AS est_distinct,
+          n_exact
+        FROM v JOIN ex USING (event_type)
+        """ + orderedSql(Seq("event_type", "n_k", "kth_v",
+          "est_distinct", "n_exact")))),
 
     // x11 — footer inspection (reference R2 footer deserialize): row
     // counts read from Parquet footers only (no data scan), cross-checked

@@ -84,4 +84,44 @@ class ApproxDistinctSpec extends SparkSpec {
     assert(err.getMessage.contains("heavy_hitters"))
     toks.unpersist()
   }
+
+  test("portable KMV sketch (x114): estimator accuracy, sub-k exact " +
+      "short-circuit, and the pure-Scala hash-order mini-oracle") {
+    import graft.ops.Cardinality
+    val e = Tables.load(spark, sf0001, "events")
+    val k = 64
+    val got = Cardinality.portableKmvDistinct(e, "event_type", "user_id", k)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exact = e.filter($"user_id".isNotNull).groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("x"))
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet === exact.keySet && got.nonEmpty)
+    got.foreach { case (tpe, (nK, kthV, est)) =>
+      val d = exact(tpe)
+      if (d < k) {
+        // sketch saw everything: exact short-circuit
+        assert(nK === d && est === d, s"$tpe sub-k path broken")
+      } else {
+        assert(nK === k.toLong)
+        // KMV rsd ~ 1/sqrt(k-1) = 0.126; allow 4 sigma + 16-bit grid
+        val relErr = math.abs(est - d).toDouble / d
+        assert(relErr <= 0.55, s"$tpe est=$est exact=$d relErr=$relErr")
+        // mini-oracle: recompute the k-th smallest md5 prefix in pure
+        // Scala over the group's distinct values — the exact integers
+        // the published row must carry
+        val vals = e.filter($"event_type" === tpe &&
+            $"user_id".isNotNull)
+          .select($"user_id").distinct().as[Long].collect()
+        val kth = vals.map { u =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(u.toString.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+        }.sorted.apply(k - 1)
+        val v = java.lang.Long.parseLong(kth.substring(0, 4), 16)
+        assert(kthV === v, s"$tpe kth_v mismatch")
+        assert(est === math.floor((k - 1) * 65536.0 / (v + 1)).toLong)
+      }
+    }
+  }
 }
