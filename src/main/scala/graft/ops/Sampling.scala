@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Deterministic hash-based sampling and split assignment — the
   * reproducibility primitives of a training-data pipeline. Every
@@ -269,17 +269,44 @@ object Sampling {
     *
     * Returns `(stratum, n_tokens, cap, alloc, epochs)`.
     */
+  /** Engine-collation string order: compare by UTF-8 bytes (unsigned),
+    * matching DuckDB/Spark's binary sort of string columns. Scala's
+    * default `String` ordering compares UTF-16 code units, which
+    * diverges for non-BMP code points (surrogates 0xD800–0xDFFF sort
+    * BELOW 0xE000–0xFFFF chars in UTF-16 but ABOVE them in UTF-8) —
+    * a driver-side sort in a cross-engine contract must use the
+    * engines' collation, not the JVM's.
+    */
+  private[graft] val utf8ByteOrder: Ordering[String] =
+    new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+        val len = math.min(x.length, y.length)
+        var i = 0
+        while (i < len) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
+
   def unimaxAllocation(docs: DataFrame, strataCol: String, textCol: String,
       tokenBudget: Long, maxEpochs: Long): DataFrame = {
     require(tokenBudget >= 0L && maxEpochs >= 1L,
       "need tokenBudget >= 0 and maxEpochs >= 1")
+    // cast once: the waterfilling's tie-break contract is over STRING
+    // strata (non-string group keys are stringified, as the oracle
+    // would CAST them)
     val per = docs.filter(col(textCol).isNotNull)
-      .groupBy(col(strataCol).as("stratum"))
+      .groupBy(col(strataCol).cast(StringType).as("stratum"))
       .agg(sum(graft.ops.TextAnalysis.tokenCount(col(textCol)))
         .cast(LongType).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val sorted = per.map { case (s, c) => (s, c, maxEpochs * c) }
-      .sortBy { case (s, _, cap) => (cap, s) }
+      .sortBy { case (s, _, cap) => (cap, s) }(
+        Ordering.Tuple2(Ordering.Long, utf8ByteOrder))
     val n = sorted.length
     val pfx = sorted.scanLeft(0L)(_ + _._3).tail // inclusive prefix sums
     var kstar = 0

@@ -402,6 +402,19 @@ object DocStreams {
     * the x100 contract) — runs in one keyed-state pass with the
     * standing atomic-arrival boolean guard (re-delivery emits
     * nothing).
+    *
+    * ATOMIC-ARRIVAL CONTRACT (explicit, like every keyed-state op in
+    * this package): each document's full text arrives in ONE
+    * micro-batch. A source that re-chunks a document across batches
+    * would trip the emit-once guard — the later chunks' gram rows are
+    * dropped and `n_spans`/`n_covered` silently undercount. If split
+    * delivery is possible upstream, pre-assemble documents (or
+    * accumulate positions in state and emit on an event-time
+    * timeout/watermark instead of first-sight). The one-Boolean-per-
+    * flagged-doc state also persists for the query's lifetime — the
+    * price of exactly-once emission without a watermark; bound it by
+    * restarting ingestion epochs or keying state GC to an upstream
+    * retention window.
     */
   def exactSubstrHits(docs: DataFrame, idCol: String, textCol: String,
       corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,

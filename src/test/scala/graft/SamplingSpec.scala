@@ -390,4 +390,25 @@ class SamplingSpec extends SparkSpec {
     assert(r60.values.map(_._3).sum === 60L)
     assert(r60.values.forall(v => v._3 === 20L))
   }
+
+  test("unimaxAllocation: non-BMP strata tie-break follows the " +
+      "engines' UTF-8 collation, not UTF-16 code units") {
+    import spark.implicits._
+    // equal caps force the (cap, stratum) tie onto the string order.
+    // 😀 (U+1F600) is f0 9f 98 80 in UTF-8 but a D83D-led surrogate
+    // pair in UTF-16; ￮ (U+FFEE) is ef bf ae / FFEE: UTF-16 sorts
+    // 😀 FIRST, UTF-8 sorts it LAST — the oracle (binary collation)
+    // does the latter.
+    val emoji = "😀"; val bmp = "￮"
+    assert(Ordering.String.lt(emoji, bmp)) // the JVM trap is real
+    assert(graft.ops.Sampling.utf8ByteOrder.gt(emoji, bmp))
+    val docs = Seq((1L, emoji, "w w w"), (2L, bmp, "w w w"))
+      .toDF("doc_id", "source", "text")
+    // B=5, caps both 9: fair share 2 each, remainder 1 goes to the
+    // FIRST free stratum in sorted order — bmp under UTF-8
+    val got = graft.ops.Sampling.unimaxAllocation(
+        docs, "source", "text", tokenBudget = 5L, maxEpochs = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map(bmp -> 3L, emoji -> 2L))
+  }
 }
