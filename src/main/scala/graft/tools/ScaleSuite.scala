@@ -596,6 +596,83 @@ object R11eOpScale {
   }
 }
 
+/** 10×-growth check for the round-12 ops: x111 trigram KN quality and
+  * x112 sampled dedup-recall (documents, sf1shared), x113 capped
+  * containment (cap scaled with block size so the keep-fraction regime
+  * matches — cap 20 at 25-doc blocks ⇒ cap 200 at 250-doc blocks;
+  * the verbatim cap would drop everything at 10× and time nothing),
+  * and x114 portable KMV distinct (events, a 10× synthesized union
+  * with disjoint user_id ranges). Times the declared query shapes;
+  * one JSON line.
+  */
+object R12OpScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf1shared")
+    if (!Files.exists(Paths.get(big)))
+      ScaleFixture.main(Array(small, big, "10"))
+    val spark = Sessions.local("graft-r12-scale")
+    val ev10 = "/tmp/ev10"
+    if (!Files.exists(Paths.get(s"$ev10/events.parquet"))) {
+      val e = spark.read.parquet(s"$small/events.parquet")
+      (0 until 10).map { c =>
+        e.select((col("event_id") + c * 100000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + c * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$ev10/events.parquet")
+    }
+
+    def median3(mk: () => DataFrame): Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(3)(run()).sorted.apply(1)
+    }
+    def docs(dir: String) =
+      spark.read.parquet(s"$dir/documents.parquet")
+    def tri(dir: String): Double = median3(() =>
+      graft.ops.TextAnalysis.knTrigramQuality(
+        docs(dir).filter(col("text").isNotNull), "doc_id", "text"))
+    def recall(dir: String): Double = median3 { () =>
+      val d = graft.ops.Sampling.hashSample(docs(dir), "doc_id", 0.5)
+      val withSets = d.select(col("doc_id"), col("source"),
+        graft.ops.Dedup.tokenSet(col("text")).as("tok"))
+      val exact = graft.ops.Dedup.jaccardPairs(withSets, "doc_id",
+          "tok", "source", 0.9)
+        .select(col("a_id"), col("b_id"))
+      val cand = graft.ops.Dedup.portableLshPairs(d, "doc_id", "text",
+          minEst = 0.0, k = 8, bands = 4, blockCol = col("source"))
+        .select(col("a_id"), col("b_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(exact.join(cand, Seq("a_id", "b_id"))
+          .agg(count(lit(1)).as("n_hit"))))
+    }
+    def capped(dir: String, cap: Long): Double = median3(() =>
+      graft.ops.Dedup.containmentTopHost(docs(dir), "doc_id", "text",
+        "source", minContainment = 0.5, dfCap = Some(cap)))
+    def kmv(dir: String): Double = median3(() =>
+      graft.ops.Cardinality.portableKmvDistinct(
+        spark.read.parquet(s"$dir/events.parquet"),
+        "event_type", "user_id", k = 64))
+    val (t1, t10) = (tri(small), tri(big))
+    val (r1, r10) = (recall(small), recall(big))
+    val (c1, c10) = (capped(small, 20L), capped(big, 200L))
+    val (k1, k10) = (kmv(small), kmv(ev10))
+    println(f"""{"tri_sec":[$t1%.2f,$t10%.2f],"tri_growth":${t10 / t1}%.2f,""" +
+      f""""recall_sec":[$r1%.2f,$r10%.2f],"recall_growth":${r10 / r1}%.2f,""" +
+      f""""capped_sec":[$c1%.2f,$c10%.2f],"capped_growth":${c10 / c1}%.2f,""" +
+      f""""kmv_sec":[$k1%.2f,$k10%.2f],"kmv_growth":${k10 / k1}%.2f}""")
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

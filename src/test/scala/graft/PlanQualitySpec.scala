@@ -184,6 +184,36 @@ class PlanQualitySpec extends SparkSpec {
       "x49/x100 lost the NGramMd5 kernel")
   }
 
+  test("round-12 plan shapes: x111 broadcast model, x113 barrier+rank " +
+      "cut, x114 WindowGroupLimit pushdown") {
+    def phys(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+    // x111: every model-sized table (ctx/cont/mid/pred/bt and the
+    // scored model itself) must ride the joins as broadcasts — a
+    // shuffle join there moves the corpus for model-sized tables —
+    // and the trigram-type table comes from ONE checkpointed compute
+    val x111 = phys("x111_kn_trigram_quality")
+    assert(!x111.contains("SortMergeJoin"),
+      s"x111 degraded a model join to a shuffle join:\n$x111")
+    assert(x111.toLowerCase.contains("existingrdd"),
+      s"x111 lost its trigram-table checkpoint barrier:\n$x111")
+    // x113: the one-scan barrier feeds sizes + df-cap + both pair
+    // sides, and the per-A rank cut stays a partitioned top-1
+    // (WindowGroupLimit applies)
+    val x113 = phys("x113_containment_capped")
+    assert(x113.toLowerCase.contains("existingrdd"),
+      s"x113 lost its tokenize-once checkpoint barrier:\n$x113")
+    assert(x113.contains("WindowGroupLimit"),
+      s"x113 lost the rank-cut group limit:\n$x113")
+    // x114: the k-smallest-per-group must push down as a
+    // WindowGroupLimit (map-side Partial before the shuffle — the
+    // bounded-heap behavior a production KMV aggregate would have)
+    val x114 = phys("x114_portable_distinct")
+    assert(x114.contains("WindowGroupLimit"),
+      s"x114 lost the top-k window pushdown:\n$x114")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
