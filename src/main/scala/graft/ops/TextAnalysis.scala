@@ -1216,6 +1216,38 @@ object TextAnalysis {
           .cast(DoubleType) / count(lit(1))).as("avg_nll"))
   }
 
+  /** The frozen trigram-KN model [[knTrigramQuality]] builds
+    * internally, exported for online scoring
+    * ([[graft.streaming.DocStreams.kn3Scores]]) — the [[LmModel]]
+    * pattern one order up. All five count tables derive from the ONE
+    * checkpointed trigram-type table; `btCount` is collected eagerly
+    * (a model build is an offline batch step). Carries its tokenizer
+    * for the same reason [[LmModel]] does. Call [[Kn3Model.release]]
+    * when done.
+    */
+  final case class Kn3Model(tri: DataFrame, ctx: DataFrame,
+      cont: DataFrame, mid: DataFrame, pred: DataFrame, btCount: Long,
+      tokenize: Column => Column = tokens) {
+    def release(): Unit = releaseLocalCheckpoint(tri)
+  }
+
+  /** Build the frozen trigram-KN model of [[knTrigramQuality]]: same
+    * counts, same determinism contract. */
+  def kn3Model(docs: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column = tokens): Kn3Model = {
+    val pr = trigramRows(docs, idCol, textCol, tokenize)
+    val tri = pr.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+      .localCheckpoint(eager = false)
+    val ctx = tri.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("ctx"), count(lit(1)).as("n3f"))
+    val cont = tri.groupBy("w2", "w3").agg(count(lit(1)).as("cont"))
+    val mid = cont.groupBy("w2")
+      .agg(sum(col("cont")).as("mid"), count(lit(1)).as("n2f"))
+    val pred = cont.groupBy("w3").agg(count(lit(1)).as("pred"))
+    Kn3Model(tri, ctx, cont, mid, pred, cont.count(), tokenize)
+  }
+
   /** The frozen per-language tercile cutoffs of [[ccnetBuckets]]:
     * `(max avg_nll in head, max avg_nll in head+middle)` per
     * language — what an online gate compares arriving documents
@@ -1256,17 +1288,39 @@ object TextAnalysis {
     * (id, lang, score) rows, never documents.
     */
   def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
-      langCol: String): DataFrame = {
+      langCol: String): DataFrame =
+    bucketizeByLang(lmQuality(docs, idCol, textCol), docs, idCol,
+      langCol, "n_bigrams")
+
+  /** [[ccnetBuckets]] scored by the TRIGRAM Kneser–Ney LM ([[
+    * knTrigramQuality]], x111) instead of the add-one bigram LM — the
+    * closer-to-production configuration (CCNet's wikipedia LM is a
+    * 5-gram KenLM; the tercile machinery is identical). Same
+    * deterministic total order and exact `ntile(3)` contract, so the
+    * oracle matches bit-wise. Documents with < 3 tokens have no
+    * trigram score and are out of contract (as < 2-token docs are for
+    * x92).
+    */
+  def ccnetBucketsKn3(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    bucketizeByLang(knTrigramQuality(docs, idCol, textCol), docs,
+      idCol, langCol, "n_trigrams")
+
+  /** The per-language tercile split shared by [[ccnetBuckets]] and
+    * [[ccnetBucketsKn3]]: exact `ntile(3)` over the deterministic
+    * `(avg_nll asc, doc_id asc)` order within each language.
+    */
+  private def bucketizeByLang(scored: DataFrame, docs: DataFrame,
+      idCol: String, langCol: String, nCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = lmQuality(docs, idCol, textCol)
     val withLang = scored.join(
       docs.select(col(idCol).as("doc_id"), col(langCol)), Seq("doc_id"))
     val w = Window.partitionBy(col(langCol))
       .orderBy(col("avg_nll").asc, col("doc_id").asc)
     withLang
-      .select(col("doc_id"), col(langCol), col("n_bigrams"),
+      .select(col("doc_id"), col(langCol), col(nCol),
         col("avg_nll"), ntile(3).over(w).as("t"))
-      .select(col("doc_id"), col(langCol), col("n_bigrams"),
+      .select(col("doc_id"), col(langCol), col(nCol),
         col("avg_nll"),
         when(col("t") === 1, "head").when(col("t") === 2, "middle")
           .otherwise("tail").as("bucket"))

@@ -114,6 +114,51 @@ object ExtensionCatalog {
           .as("efficiency"))
   }
 
+  /** The x111 trigram Kneser–Ney scoring chain — ONE spelling shared
+    * by x111 and x115 (`kn3q` = `(doc_id, n_trigrams, avg_nll)`), so
+    * the tercile gate cannot drift from the score it gates by.
+    */
+  private val kn3QualityCtes: String = """toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        pr AS (
+          SELECT doc_id, unnest(t[1:len(t)-2]) AS w1,
+            unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3
+          FROM toks),
+        tri AS (
+          SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+          FROM pr GROUP BY w1, w2, w3),
+        ctx AS (
+          SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS ctx,
+            CAST(COUNT(*) AS BIGINT) AS n3f
+          FROM tri GROUP BY w1, w2),
+        cont AS (
+          SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cont
+          FROM tri GROUP BY w2, w3),
+        mid AS (
+          SELECT w2, CAST(SUM(cont) AS BIGINT) AS mid,
+            CAST(COUNT(*) AS BIGINT) AS n2f
+          FROM cont GROUP BY w2),
+        pred AS (
+          SELECT w3, CAST(COUNT(*) AS BIGINT) AS pred
+          FROM cont GROUP BY w3),
+        bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM cont),
+        scoredkn AS (
+          SELECT pr.doc_id,
+            ROUND(-ln(((tri.c3 - 0.75) / ctx.ctx) +
+              (((0.75 * ctx.n3f) / ctx.ctx) *
+                (((cont.cont - 0.75) / mid.mid) +
+                  (((0.75 * mid.n2f) / mid.mid) *
+                    (CAST(pred.pred AS DOUBLE) / bt.bt))))), 6) AS nlp
+          FROM pr JOIN tri USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+          JOIN cont USING (w2, w3) JOIN mid USING (w2)
+          JOIN pred USING (w3) CROSS JOIN bt),
+        kn3q AS (
+          SELECT doc_id, COUNT(*) AS n_trigrams,
+            CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+              AS avg_nll
+          FROM scoredkn GROUP BY doc_id)"""
+
   /** The x73 add-one bigram-LM scoring chain — ONE spelling shared by
     * x73 and x109 (`lmq` = `(doc_id, n_bigrams, avg_nll)`), so the
     * curriculum pack cannot drift from the score it packs by.
@@ -3925,46 +3970,34 @@ object ExtensionCatalog {
     QueryDef("x111_kn_trigram_quality",
       (s, dir) => ordered(TextAnalysis.knTrigramQuality(
         t(s, dir, "documents"), "doc_id", "text")),
-      Some("""WITH toks AS (
-          SELECT doc_id, string_split(text, ' ') AS t
-          FROM documents WHERE text IS NOT NULL),
-        pr AS (
-          SELECT doc_id, unnest(t[1:len(t)-2]) AS w1,
-            unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3
-          FROM toks),
-        tri AS (
-          SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
-          FROM pr GROUP BY w1, w2, w3),
-        ctx AS (
-          SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS ctx,
-            CAST(COUNT(*) AS BIGINT) AS n3f
-          FROM tri GROUP BY w1, w2),
-        cont AS (
-          SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cont
-          FROM tri GROUP BY w2, w3),
-        mid AS (
-          SELECT w2, CAST(SUM(cont) AS BIGINT) AS mid,
-            CAST(COUNT(*) AS BIGINT) AS n2f
-          FROM cont GROUP BY w2),
-        pred AS (
-          SELECT w3, CAST(COUNT(*) AS BIGINT) AS pred
-          FROM cont GROUP BY w3),
-        bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM cont),
-        scored AS (
-          SELECT pr.doc_id,
-            ROUND(-ln(((tri.c3 - 0.75) / ctx.ctx) +
-              (((0.75 * ctx.n3f) / ctx.ctx) *
-                (((cont.cont - 0.75) / mid.mid) +
-                  (((0.75 * mid.n2f) / mid.mid) *
-                    (CAST(pred.pred AS DOUBLE) / bt.bt))))), 6) AS nlp
-          FROM pr JOIN tri USING (w1, w2, w3) JOIN ctx USING (w1, w2)
-          JOIN cont USING (w2, w3) JOIN mid USING (w2)
-          JOIN pred USING (w3) CROSS JOIN bt)
-        SELECT doc_id, COUNT(*) AS n_trigrams,
-          CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-            AS avg_nll
-        FROM scored GROUP BY doc_id
+      Some(s"""WITH $kn3QualityCtes
+        SELECT doc_id, n_trigrams, avg_nll FROM kn3q
         """ + orderedSql(Seq("doc_id", "n_trigrams", "avg_nll")))),
+
+    // x115 — CCNet terciles scored by the TRIGRAM Kneser–Ney LM: the
+    // x92 head/middle/tail machinery on the x111 score — the
+    // closer-to-production configuration (CCNet's reference LM is a
+    // 5-gram KenLM; x92's add-one bigram is the pedagogical twin).
+    // Shares ONE kn3QualityCtes spelling with x111 so the gate cannot
+    // drift from the score it gates by; same exact ntile(3) over the
+    // deterministic (avg_nll, doc_id) order.
+    QueryDef("x115_ccnet_kn3_buckets",
+      (s, dir) => ordered(TextAnalysis.ccnetBucketsKn3(
+        t(s, dir, "documents"), "doc_id", "text", "lang")),
+      Some(s"""WITH $kn3QualityCtes,
+        lng AS (
+          SELECT d.doc_id, dd.lang, d.n_trigrams, d.avg_nll
+          FROM kn3q d JOIN documents dd USING (doc_id)),
+        nt AS (
+          SELECT *, ntile(3) OVER (
+            PARTITION BY lang ORDER BY avg_nll, doc_id) AS t
+          FROM lng)
+        SELECT doc_id, lang, n_trigrams, avg_nll,
+          CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+        FROM nt
+        """ + orderedSql(Seq("doc_id", "lang", "n_trigrams", "avg_nll",
+          "bucket")))),
 
     // x102 — top principal direction of the embedding second-moment
     // matrix by power iteration (SemDeDup-style whitening prep): the

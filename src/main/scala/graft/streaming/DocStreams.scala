@@ -5,6 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DoubleType
 
 import graft.ops.Dedup
 
@@ -26,6 +27,8 @@ case class ContaminationHit(train_id: Long, eval_id: Long, n_shared: Long)
   * model — the online twin of the batch x73 row.
   */
 case class DocLmScore(doc_id: Long, n_bigrams: Long, avg_nll: Double)
+
+case class DocKn3Score(doc_id: Long, n_trigrams: Long, avg_nll: Double)
 
 case class SpanHit(doc_id: Long, n_spans: Long, n_covered: Long)
 
@@ -221,6 +224,73 @@ object DocStreams {
             val sum = nlps.map(d => BigDecimal(d)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
             Iterator.single(DocLmScore(doc, nlps.size.toLong,
+              sum.toDouble / nlps.size))
+          }
+      }
+  }
+
+  /** ONLINE trigram-KN quality scoring against a FROZEN model
+    * ([[graft.ops.TextAnalysis.kn3Model]]) — [[lmScores]] one order
+    * up, the ingest-side twin of batch x111/x115 (the
+    * closer-to-production configuration: CCNet scores crawl drops
+    * with a frozen KenLM). Model tables join stream-static as
+    * broadcasts; the per-document mean is the same one-pass
+    * keyed-state rollup (atomic-arrival + emit-once, the standing
+    * contract).
+    *
+    * Back-off for events the frozen model never saw (the streaming
+    * case batch x111 excludes by contract) follows the KN recursion:
+    * an unseen trigram under a KNOWN context keeps the discounted
+    * top-level form with its numerator clipped at 0 (`max(c3−d, 0)`);
+    * an unknown context backs off entirely to the continuation level,
+    * recursively; an unknown final token takes `d/B` at the unigram
+    * floor — the discount mass, strictly below any seen type's
+    * `≥ 1/B`, keeping every probability finite positive. On documents
+    * whose trigrams are all model-observed, every clip is inactive
+    * and every branch follows the observed path — bit-identical to
+    * batch x111 (StreamingSpec pins it).
+    */
+  def kn3Scores(docs: DataFrame, idCol: String, textCol: String,
+      model: graft.ops.TextAnalysis.Kn3Model): Dataset[DocKn3Score] = {
+    import docs.sparkSession.implicits._
+    val pr = graft.ops.TextAnalysis.trigramRows(docs, idCol, textCol,
+      model.tokenize)
+    val bt = lit(model.btCount)
+    // spelled to be BIT-EQUAL to the batch expression wherever every
+    // lookup hits: greatest(x−d, 0) = x−d exactly for counts ≥ 1, and
+    // each when() branch reproduces the batch arithmetic order
+    val pc1 = when(col("pred").isNotNull,
+        col("pred").cast(DoubleType) / bt)
+      .otherwise(lit(0.75) / bt.cast(DoubleType))
+    val pc2 = when(col("mid").isNotNull,
+        (greatest(coalesce(col("cont"), lit(0L)) - 0.75, lit(0.0)) /
+          col("mid")) +
+        (((lit(0.75) * col("n2f")) / col("mid")) * pc1))
+      .otherwise(pc1)
+    val p = when(col("ctx").isNotNull,
+        (greatest(coalesce(col("c3"), lit(0L)) - 0.75, lit(0.0)) /
+          col("ctx")) +
+        (((lit(0.75) * col("n3f")) / col("ctx")) * pc2))
+      .otherwise(pc2)
+    pr.join(broadcast(model.tri), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(model.ctx), Seq("w1", "w2"), "left")
+      .join(broadcast(model.cont), Seq("w2", "w3"), "left")
+      .join(broadcast(model.mid), Seq("w2"), "left")
+      .join(broadcast(model.pred), Seq("w3"), "left")
+      .select(col("doc_id"), round(-log(p), 6).as("nlp"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (doc: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val nlps = rows.map(_._2).toSeq
+            val sum = nlps.map(d => BigDecimal(d)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+            Iterator.single(DocKn3Score(doc, nlps.size.toLong,
               sum.toDouble / nlps.size))
           }
       }

@@ -851,4 +851,63 @@ class StreamingSpec extends SparkSpec {
     assert(got.n_bigrams === 2L)
     assert(got.avg_nll === (nllUnknown * 2).toDouble / 2)
   }
+
+  test("online trigram-KN scores equal batch x111 on shared docs; " +
+      "unseen events back off finite-positive") {
+    import graft.ops.TextAnalysis
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").limit(120).cache()
+    val model = TextAnalysis.kn3Model(corpus, "doc_id", "text")
+    try {
+      // batch truth from the oracle-paired x111 path on the same corpus
+      val expected = TextAnalysis.knTrigramQuality(corpus, "doc_id", "text")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val oneShot = DocStreams.kn3Scores(corpus, "doc_id", "text", model)
+        .collect().map(s => s.doc_id -> (s.n_trigrams, s.avg_nll)).toMap
+      assert(oneShot.keySet === expected.keySet)
+      expected.foreach { case (id, (n, nll)) =>
+        assert(oneShot(id)._1 === n, s"doc $id n_trigrams")
+        assert(oneShot(id)._2 === nll, s"doc $id avg_nll (must be bit-equal)")
+      }
+      // micro-batched replay + re-delivery guard
+      val dir = java.nio.file.Files.createTempDirectory("graft-kn3").toString
+      corpus.repartition(3).write.mode("overwrite").parquet(dir + "/in")
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir + "/in")
+      val q = DocStreams.kn3Scores(stream, "doc_id", "text", model)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("stream_kn3").start()
+      try {
+        q.processAllAvailable()
+        corpus.limit(10).write.mode("append").parquet(dir + "/in")
+        q.processAllAvailable()
+        val streamed = spark.table("stream_kn3")
+          .as[(Long, Long, Double)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(streamed === expected.map { case (k, v) => k -> v })
+      } finally q.stop()
+      // a fully NOVEL document: unknown contexts back off through the
+      // recursion to the d/B unigram floor — finite positive score
+      val novel = Seq((99002L, "zzqq wwvv zzqq wwvv")).toDF("doc_id", "text")
+      val got = DocStreams.kn3Scores(novel, "doc_id", "text", model)
+        .collect().head
+      val floorNll = BigDecimal(-math.log(0.75 / model.btCount))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(got.n_trigrams === 2L)
+      assert(got.avg_nll === (floorNll * 2).toDouble / 2)
+      assert(got.avg_nll > 0.0 && !got.avg_nll.isInfinite)
+      // a PARTIALLY novel doc (seen tokens, unseen trigram): the
+      // clipped top level + continuation back-off stays in (0, nllMax)
+      val someTok = corpus.limit(1)
+        .select(split($"text", " ", -1).getItem(0).as("w"))
+        .as[String].collect().head
+      val partial = Seq((99003L, s"$someTok zzqq $someTok"))
+        .toDF("doc_id", "text")
+      val gotP = DocStreams.kn3Scores(partial, "doc_id", "text", model)
+        .collect().head
+      assert(gotP.n_trigrams === 1L)
+      assert(gotP.avg_nll > 0.0 && !gotP.avg_nll.isInfinite)
+    } finally model.release()
+  }
 }

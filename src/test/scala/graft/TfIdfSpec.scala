@@ -156,6 +156,31 @@ class TfIdfSpec extends SparkSpec {
     }
   }
 
+  test("ccnetBucketsKn3 (x115): same tercile invariants on the " +
+      "trigram-KN score; coverage = every >=1-trigram doc") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val got = TextAnalysis.ccnetBucketsKn3(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3),
+        r.getString(4)))
+    assert(got.nonEmpty)
+    val scored = TextAnalysis.knTrigramQuality(docs, "doc_id", "text")
+      .count()
+    assert(got.length.toLong === scored)
+    assert(got.map(_._1).distinct.length === got.length)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      val ordered = Seq("head", "middle", "tail").map(sizes.getOrElse(_, 0))
+      assert(ordered.max - ordered.min <= 1, s"lang=$lang sizes=$sizes")
+      assert(ordered.head >= ordered(1) && ordered(1) >= ordered(2),
+        s"lang=$lang sizes=$sizes")
+      def scores(b: String) = rows.filter(_._4 == b).map(_._3)
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").max <= scores("middle").min, s"lang=$lang")
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").max <= scores("tail").min, s"lang=$lang")
+    }
+  }
+
   test("curation funnel: monotone shrink, stage 0 equals the raw corpus") {
     val rows = SparkEntry.queries("x96_curation_funnel")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
