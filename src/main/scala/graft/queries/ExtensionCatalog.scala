@@ -4371,6 +4371,80 @@ object ExtensionCatalog {
           "efficiency"))
       }),
 
+    // x116 — LSH S-curve calibration: does the banding THEORY match
+    // this corpus? Per within-block pair of the x112 sample, the
+    // analytic capture probability p = 1 − (1 − j^r)^b (r=2, b=4 —
+    // the deployed x110/x112 config) is computed from the pair's
+    // exact Jaccard as a short IEEE chain (squares only, no pow/libm)
+    // and accumulated through DECIMAL(18,6); alongside it the pair's
+    // MEASURED candidacy from the same generator x110 proves. One row:
+    // expected vs measured candidate counts, overall and for the
+    // j ≥ 0.9 near-dup band — the report that validates the md5 hash
+    // family behaves uniformly enough to TRUST the x110/x112 recall
+    // math before changing a banding config.
+    QueryDef("x116_lsh_scurve",
+      (s, dir) => {
+        val d = Sampling.hashSample(t(s, dir, "documents"), "doc_id",
+          rate = 0.5)
+        val withSets = d.select(col("doc_id"), col("source"),
+          Dedup.tokenSet(col("text")).as("tok"))
+        val pairs = Dedup.jaccardPairs(withSets, "doc_id", "tok",
+          "source", minJaccard = 0.0)
+        val cand = Dedup.portableLshPairs(d, "doc_id", "text",
+            minEst = 0.0, k = 8, bands = 4, blockCol = col("source"))
+          .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+        val j = col("jaccard")
+        val q = lit(1.0) - j * j
+        val q2 = q * q
+        val pc = round(lit(1.0) - q2 * q2, 6).cast(DecimalType(18, 6))
+        ordered(pairs
+          .join(cand, Seq("a_id", "b_id"), "left")
+          .select(j.as("j"), pc.as("pc"),
+            coalesce(col("hit"), lit(0L)).as("hit"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("pc")).cast(DecimalType(18, 6)).as("expected_cand"),
+            sum(col("hit")).cast(LongType).as("n_cand_hits"),
+            sum(when(col("j") >= 0.9, 1L)).cast(LongType).as("n_high"),
+            sum(when(col("j") >= 0.9, col("pc")))
+              .cast(DecimalType(18, 6)).as("expected_high"),
+            sum(when(col("j") >= 0.9, col("hit"))).cast(LongType)
+              .as("n_high_hits")))
+      },
+      Some {
+        val where = "WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4)" +
+          s" < '${Sampling.hexThreshold(0.5)}'"
+        s"""WITH ${PortableLshSql.chain(8, 4, where)},
+        exact AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.toks, b.toks))) AS j
+          FROM base a JOIN base b
+            ON a.source = b.source AND a.doc_id < b.doc_id),
+        scurve AS (
+          SELECT a_id, b_id, j,
+            CAST(ROUND(1.0 -
+              ((1.0 - (j*j)) * (1.0 - (j*j))) *
+              ((1.0 - (j*j)) * (1.0 - (j*j))), 6)
+              AS DECIMAL(18,6)) AS pc
+          FROM exact),
+        hits AS (
+          SELECT s.j, s.pc,
+            CASE WHEN c.a_id IS NOT NULL THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS hit
+          FROM scurve s LEFT JOIN cand c USING (a_id, b_id))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(pc) AS DECIMAL(18,6)) AS expected_cand,
+          CAST(SUM(hit) AS BIGINT) AS n_cand_hits,
+          CAST(SUM(CASE WHEN j >= 0.9 THEN 1 END) AS BIGINT) AS n_high,
+          CAST(SUM(CASE WHEN j >= 0.9 THEN pc END) AS DECIMAL(18,6))
+            AS expected_high,
+          CAST(SUM(CASE WHEN j >= 0.9 THEN hit END) AS BIGINT)
+            AS n_high_hits
+        FROM hits
+        """ + orderedSql(Seq("n_pairs", "expected_cand", "n_cand_hits",
+          "n_high", "expected_high", "n_high_hits"))
+      }),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

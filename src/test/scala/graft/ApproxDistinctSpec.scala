@@ -124,4 +124,37 @@ class ApproxDistinctSpec extends SparkSpec {
       }
     }
   }
+
+  test("KMV sketch state is mergeable: per-shard k-smallest merge to " +
+      "the global k-smallest (the production-aggregate contract)") {
+    import graft.ops.Cardinality
+    val e = Tables.load(spark, sf0001, "events")
+    val k = 64
+    def md5hex(u: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val byType = e.filter($"user_id".isNotNull)
+      .select($"event_type", $"user_id").distinct()
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(byType.nonEmpty)
+    byType.foreach { case (tpe, rows) =>
+      val all = rows.map(r => md5hex(r._2)).distinct.sorted
+      val global = all.take(k)
+      // shard by an arbitrary partitioner, sketch each shard, merge
+      for (shards <- Seq(2, 7)) {
+        val perShard = rows.groupBy(_._2 % shards).values
+          .map(_.map(r => md5hex(r._2)).distinct.sorted.take(k))
+        val merged = perShard.flatten.toSeq.distinct.sorted.take(k)
+        assert(merged === global.toSeq,
+          s"$tpe: $shards-shard merge diverges from the global sketch")
+      }
+    }
+    // and the DataFrame op is partitioning-invariant end to end
+    val a = Cardinality.portableKmvDistinct(e.repartition(1),
+      "event_type", "user_id", k).collect().map(_.toSeq).toSet
+    val b = Cardinality.portableKmvDistinct(e.repartition(13),
+      "event_type", "user_id", k).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
