@@ -979,6 +979,27 @@ object TextAnalysis {
         element_at(col("_t"), col("i") + 2).as("w3"))
   }
 
+  /** [[trigramRows]] with one carried-through column (as `carry`) —
+    * the online KN gate needs the language riding next to each
+    * trigram (the [[bigramRowsWith]] pattern one order up).
+    */
+  private[graft] def trigramRowsWith(docs: DataFrame, idCol: String,
+      textCol: String, carryCol: String,
+      tokenize: Column => Column): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(carryCol).as("carry"),
+        tokenize(col(textCol)).as("_t"))
+    toks.select(col("doc_id"), col("carry"),
+        explode(when(size(col("_t")) > 2,
+            sequence(lit(1), size(col("_t")) - 2))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"),
+        col("_t"))
+      .select(col("doc_id"), col("carry"),
+        element_at(col("_t"), col("i")).as("w1"),
+        element_at(col("_t"), col("i") + 1).as("w2"),
+        element_at(col("_t"), col("i") + 2).as("w3"))
+  }
+
   /** Inputs estimated (Catalyst plan stats — file sizes for a scan)
     * at or under this get an explicit broadcast hint on the
     * probe ⋈ scored-model join: a ≤1 GiB corpus's distinct-bigram
@@ -1258,6 +1279,23 @@ object TextAnalysis {
   def ccnetCutoffs(docs: DataFrame, idCol: String, textCol: String,
       langCol: String): Map[String, (Double, Double)] =
     ccnetBuckets(docs, idCol, textCol, langCol)
+      .groupBy(col(langCol))
+      .agg(max(when(col("bucket") === "head", col("avg_nll"))).as("c1"),
+        max(when(col("bucket") =!= "tail", col("avg_nll"))).as("c2"))
+      .collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) Double.PositiveInfinity else r.getDouble(1),
+        if (r.isNullAt(2)) Double.PositiveInfinity else r.getDouble(2))))
+      .toMap
+
+  /** [[ccnetCutoffs]] on the trigram-KN score — the frozen cutoffs
+    * the online x115 gate ([[graft.streaming.DocStreams.kn3Gate]])
+    * compares arriving documents against. Same bounded collect (one
+    * row per language).
+    */
+  def ccnetCutoffsKn3(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): Map[String, (Double, Double)] =
+    ccnetBucketsKn3(docs, idCol, textCol, langCol)
       .groupBy(col(langCol))
       .agg(max(when(col("bucket") === "head", col("avg_nll"))).as("c1"),
         max(when(col("bucket") =!= "tail", col("avg_nll"))).as("c2"))

@@ -30,6 +30,9 @@ case class DocLmScore(doc_id: Long, n_bigrams: Long, avg_nll: Double)
 
 case class DocKn3Score(doc_id: Long, n_trigrams: Long, avg_nll: Double)
 
+case class DocKn3Bucket(doc_id: Long, lang: String, n_trigrams: Long,
+  avg_nll: Double, bucket: String)
+
 case class SpanHit(doc_id: Long, n_spans: Long, n_covered: Long)
 
 case class DocCcnetBucket(doc_id: Long, lang: String, n_bigrams: Long,
@@ -250,15 +253,15 @@ object DocStreams {
     * and every branch follows the observed path — bit-identical to
     * batch x111 (StreamingSpec pins it).
     */
-  def kn3Scores(docs: DataFrame, idCol: String, textCol: String,
-      model: graft.ops.TextAnalysis.Kn3Model): Dataset[DocKn3Score] = {
-    import docs.sparkSession.implicits._
-    val pr = graft.ops.TextAnalysis.trigramRows(docs, idCol, textCol,
-      model.tokenize)
+  /** The per-trigram back-off nll of [[kn3Scores]]/[[kn3Gate]] —
+    * spelled to be BIT-EQUAL to the batch x111 expression wherever
+    * every lookup hits: greatest(x−d, 0) = x−d exactly for counts
+    * ≥ 1, and each when() branch reproduces the batch arithmetic
+    * order.
+    */
+  private def kn3Nlp(model: graft.ops.TextAnalysis.Kn3Model)
+      : org.apache.spark.sql.Column = {
     val bt = lit(model.btCount)
-    // spelled to be BIT-EQUAL to the batch expression wherever every
-    // lookup hits: greatest(x−d, 0) = x−d exactly for counts ≥ 1, and
-    // each when() branch reproduces the batch arithmetic order
     val pc1 = when(col("pred").isNotNull,
         col("pred").cast(DoubleType) / bt)
       .otherwise(lit(0.75) / bt.cast(DoubleType))
@@ -272,12 +275,26 @@ object DocStreams {
           col("ctx")) +
         (((lit(0.75) * col("n3f")) / col("ctx")) * pc2))
       .otherwise(pc2)
+    round(-log(p), 6)
+  }
+
+  /** The model-table join chain shared by [[kn3Scores]]/[[kn3Gate]] —
+    * vocabulary-bounded right sides, all broadcast. */
+  private def joinKn3(pr: DataFrame,
+      model: graft.ops.TextAnalysis.Kn3Model): DataFrame =
     pr.join(broadcast(model.tri), Seq("w1", "w2", "w3"), "left")
       .join(broadcast(model.ctx), Seq("w1", "w2"), "left")
       .join(broadcast(model.cont), Seq("w2", "w3"), "left")
       .join(broadcast(model.mid), Seq("w2"), "left")
       .join(broadcast(model.pred), Seq("w3"), "left")
-      .select(col("doc_id"), round(-log(p), 6).as("nlp"))
+
+  def kn3Scores(docs: DataFrame, idCol: String, textCol: String,
+      model: graft.ops.TextAnalysis.Kn3Model): Dataset[DocKn3Score] = {
+    import docs.sparkSession.implicits._
+    val pr = graft.ops.TextAnalysis.trigramRows(docs, idCol, textCol,
+      model.tokenize)
+    joinKn3(pr, model)
+      .select(col("doc_id"), kn3Nlp(model).as("nlp"))
       .as[(Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
@@ -292,6 +309,50 @@ object DocStreams {
               .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
             Iterator.single(DocKn3Score(doc, nlps.size.toLong,
               sum.toDouble / nlps.size))
+          }
+      }
+  }
+
+  /** Online trigram-KN CCNet gate — the ingest-time twin of batch
+    * x115 ([[ccnetGate]] scored by [[kn3Scores]]' frozen trigram-KN
+    * model instead of the add-one bigram LM): each arriving document
+    * is scored and bucketed head/middle/tail against FROZEN
+    * per-language cutoffs
+    * ([[graft.ops.TextAnalysis.ccnetCutoffsKn3]], computed offline).
+    * The same tie/unknown-language semantics as [[ccnetGate]]: a doc
+    * exactly on a cutoff goes to the lower bucket (batch ntile splits
+    * ties by doc_id); unknown/null languages gate to "tail".
+    */
+  def kn3Gate(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, model: graft.ops.TextAnalysis.Kn3Model,
+      cutoffs: Map[String, (Double, Double)]): Dataset[DocKn3Bucket] = {
+    import docs.sparkSession.implicits._
+    val pr = graft.ops.TextAnalysis.trigramRowsWith(docs, idCol,
+      textCol, langCol, model.tokenize)
+    joinKn3(pr, model)
+      .select(col("doc_id"), col("carry"), kn3Nlp(model).as("nlp"))
+      .as[(Long, String, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[(Long, String, Double)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val nlps = rows.map(_._3).toSeq
+            val sum = nlps.map(d => BigDecimal(d)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+            val avg = sum.toDouble / nlps.size
+            val bucket = cutoffs.get(key._2) match {
+              case Some((c1, c2)) =>
+                if (avg <= c1) "head"
+                else if (avg <= c2) "middle"
+                else "tail"
+              case None => "tail"
+            }
+            Iterator.single(DocKn3Bucket(key._1, key._2,
+              nlps.size.toLong, avg, bucket))
           }
       }
   }

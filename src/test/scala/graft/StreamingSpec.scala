@@ -593,6 +593,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("online trigram-KN CCNet gate equals the batch x115 terciles " +
+      "under frozen cutoffs") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).limit(60)
+      .select($"doc_id", $"text", $"lang").cache()
+    val model = graft.ops.TextAnalysis.kn3Model(corpus, "doc_id", "text")
+    try {
+      val cutoffs = graft.ops.TextAnalysis.ccnetCutoffsKn3(
+        corpus, "doc_id", "text", "lang")
+      assert(cutoffs.nonEmpty)
+      cutoffs.values.foreach { case (c1, c2) => assert(c1 <= c2) }
+      val expected = graft.ops.TextAnalysis.ccnetBucketsKn3(
+          corpus, "doc_id", "text", "lang")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getString(4))).toSet
+      val rows = corpus.as[(Long, String, String)].collect().toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)](spark)
+      val stream = ms.toDF().toDF("doc_id", "text", "lang")
+      val q = graft.streaming.DocStreams.kn3Gate(
+          stream, "doc_id", "text", "lang", model, cutoffs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_kn3gate").start()
+      try {
+        val (h, t) = rows.splitAt(rows.size / 2)
+        ms.addData(h: _*)
+        q.processAllAvailable()
+        ms.addData(t: _*)
+        q.processAllAvailable()
+        val got = spark.table("stream_kn3gate")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getDouble(3), r.getString(4))).toSet
+        assert(got === expected)
+        assert(got.nonEmpty)
+      } finally q.stop()
+    } finally {
+      model.release()
+      corpus.unpersist()
+    }
+  }
+
   test("online Gopher quality gate equals the batch rule suite") {
     // stateless kernel scan + threshold projection — bit-identical
     // rows from the streaming frame, any batching
