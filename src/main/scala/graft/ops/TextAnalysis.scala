@@ -1513,6 +1513,73 @@ object TextAnalysis {
           .cast(LongType) - col("seq_id") + lit(1L))
   }
 
+  /** Padded-sequence packing efficiency report — the complement of
+    * the gapless [[packSequences]] family: when cross-document
+    * attention contamination is unacceptable, sequences hold WHOLE
+    * documents and pad to `seqLen`, and the padding waste is the
+    * metric a team budgets. Packing heuristic is deterministic
+    * FOLDED PAIRING (the classic sorted-fold approximation): within
+    * each block, rank docs by `(n_tokens desc, id)`; rank `r` pairs
+    * with its mirror `n+1−r` (longest with shortest); a pair shares
+    * one sequence iff its token sum fits in `seqLen`, otherwise each
+    * doc takes its own; an odd block's middle doc takes its own.
+    * Documents longer than `seqLen` are excluded and reported
+    * (`n_oversize` — the loader must split or truncate those
+    * upstream).
+    *
+    * Per block: `(block, n_docs, n_oversize, n_pairs_fit, n_bins,
+    * sum_tokens, fill_rate)` with `fill_rate = sum_tokens /
+    * (n_bins·seqLen)` — exact integer arithmetic throughout, one
+    * IEEE division at the end (cross-engine deterministic).
+    *
+    * Scale design (100 TB): both windows partition by the block and
+    * the mirror join is (block, rank) equi — no global sort, no
+    * cartesian; exchanges carry (id, block, n_tokens) rows only.
+    * A block whose every document is oversize has no packable rows
+    * and is absent from the report (documented contract).
+    */
+  def foldPackReport(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+        tokenCount(col(textCol)).as("n_tokens"))
+    val over = base.filter(col("n_tokens") > seqLen)
+      .groupBy("block").agg(count(lit(1)).as("n_oversize"))
+    val d = base.filter(col("n_tokens") <= seqLen)
+    val w = Window.partitionBy("block")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val ranked = d.withColumn("r", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("block")))
+    val long = ranked.filter(col("r") < col("cnt") + 1 - col("r"))
+      .select(col("block"), col("n_tokens"), col("cnt"),
+        (col("cnt") + 1 - col("r")).as("_mate"))
+    val short = ranked.select(col("block"), col("r").as("_mate"),
+      col("n_tokens").as("mate_tokens"))
+    val pairs = long.join(short, Seq("block", "_mate"))
+      .select(col("block"),
+        when(col("n_tokens") + col("mate_tokens") <= seqLen, 1L)
+          .otherwise(2L).as("bins"),
+        when(col("n_tokens") + col("mate_tokens") <= seqLen, 1L)
+          .otherwise(0L).as("fit"))
+      .groupBy("block")
+      .agg(sum(col("bins")).as("pair_bins"), sum(col("fit")).as("n_pairs_fit"))
+    val stats = d.groupBy("block")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    stats.join(pairs, Seq("block"), "left")
+      .join(over, Seq("block"), "left")
+      .select(col("block"), col("n_docs"),
+        coalesce(col("n_oversize"), lit(0L)).as("n_oversize"),
+        coalesce(col("n_pairs_fit"), lit(0L)).as("n_pairs_fit"),
+        (coalesce(col("pair_bins"), lit(0L)) + pmod(col("n_docs"), lit(2L)))
+          .cast(LongType).as("n_bins"),
+        col("sum_tokens").cast(LongType).as("sum_tokens"))
+      .withColumn("fill_rate",
+        col("sum_tokens").cast(DoubleType) /
+          (col("n_bins") * seqLen).cast(DoubleType))
+  }
+
   /** Per-document quality signals; flag = low-quality heuristic. */
   def withQualitySignals(df: DataFrame, text: Column, nChars: Column): DataFrame = {
     val toks = tokens(text)

@@ -4445,6 +4445,60 @@ object ExtensionCatalog {
           "n_high", "expected_high", "n_high_hits"))
       }),
 
+    // x117 — padded-packing efficiency report: the complement of the
+    // gapless x66/x97/x109 packing family for the no-cross-document-
+    // attention regime — whole docs per sequence, padding is the
+    // waste. Deterministic folded pairing (rank desc by tokens, rank
+    // r mates with n+1−r; the pair shares one sequence iff it fits).
+    // seqLen=96 makes ALL branches live on the fixture: some pairs
+    // fit, some split, and a handful of docs are oversize-excluded.
+    // All-integer arithmetic; fill_rate is the one IEEE division.
+    QueryDef("x117_pad_pack",
+      (s, dir) => ordered(TextAnalysis.foldPackReport(
+          t(s, dir, "documents"), "doc_id", "text", "source",
+          seqLen = 96)
+        .withColumnRenamed("block", "source")),
+      Some("""WITH base AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL),
+        ov AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_oversize
+          FROM base WHERE n_tokens > 96 GROUP BY source),
+        d AS (SELECT * FROM base WHERE n_tokens <= 96),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY n_tokens DESC, doc_id) AS r,
+            COUNT(*) OVER (PARTITION BY source) AS cnt
+          FROM d),
+        pairs AS (
+          SELECT a.source,
+            CAST(SUM(CASE WHEN a.n_tokens + b.n_tokens <= 96
+              THEN 1 ELSE 2 END) AS BIGINT) AS pair_bins,
+            CAST(SUM(CASE WHEN a.n_tokens + b.n_tokens <= 96
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_fit
+          FROM ranked a JOIN ranked b
+            ON a.source = b.source AND b.r = a.cnt + 1 - a.r
+          WHERE a.r < a.cnt + 1 - a.r
+          GROUP BY a.source),
+        stats AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          FROM d GROUP BY source)
+        SELECT s.source AS source, s.n_docs,
+          CAST(COALESCE(o.n_oversize, 0) AS BIGINT) AS n_oversize,
+          CAST(COALESCE(p.n_pairs_fit, 0) AS BIGINT) AS n_pairs_fit,
+          CAST(COALESCE(p.pair_bins, 0) + (s.n_docs % 2) AS BIGINT)
+            AS n_bins,
+          s.sum_tokens,
+          CAST(s.sum_tokens AS DOUBLE) /
+            CAST((COALESCE(p.pair_bins, 0) + (s.n_docs % 2)) * 96
+              AS DOUBLE) AS fill_rate
+        FROM stats s LEFT JOIN pairs p USING (source)
+        LEFT JOIN ov o USING (source)
+        """ + orderedSql(Seq("source", "n_docs", "n_oversize",
+          "n_pairs_fit", "n_bins", "sum_tokens", "fill_rate")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

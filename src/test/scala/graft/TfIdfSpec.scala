@@ -181,6 +181,27 @@ class TfIdfSpec extends SparkSpec {
     }
   }
 
+  test("foldPackReport (x117): hand-computed folded pairing — fit, " +
+      "split, oversize, and odd-count branches") {
+    def doc(id: Long, s: String, n: Int) =
+      (id, s, Seq.fill(n)("w").mkString(" "))
+    // block s, L=10: packable lengths desc 7,6,5,3 → (7,3) fits (1
+    // bin), (6,5)=11 splits (2 bins); d5 (12) oversize; block t: one
+    // 4-token doc → odd middle, own bin
+    val docs = Seq(doc(1, "s", 7), doc(2, "s", 3), doc(3, "s", 6),
+      doc(4, "s", 5), doc(5, "s", 12), doc(6, "t", 4))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.foldPackReport(docs, "doc_id", "text",
+        "source", seqLen = 10)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(got === Map(
+      "s" -> ((4L, 1L, 1L, 3L, 21L, 21.0 / 30.0)),
+      "t" -> ((1L, 0L, 0L, 1L, 4L, 4.0 / 10.0))))
+  }
+
   test("curation funnel: monotone shrink, stage 0 equals the raw corpus") {
     val rows = SparkEntry.queries("x96_curation_funnel")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
