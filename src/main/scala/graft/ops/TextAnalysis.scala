@@ -1580,6 +1580,74 @@ object TextAnalysis {
           (col("n_bins") * seqLen).cast(DoubleType))
   }
 
+  /** Zipf-law audit per block — the corpus-health check that a token
+    * frequency distribution has the power-law shape natural text has
+    * (a synthetic, template-generated, or over-deduplicated corpus
+    * shows a flattened or kinked curve): the least-squares slope of
+    * `ln(freq)` against `ln(rank)` over each block's token types
+    * (natural corpora sit near −1).
+    *
+    * Determinism contract: counts and ranks are exact Longs; `ln` is
+    * applied per row and rounded at 6 dp (the x39 log-portability
+    * precedent), the regression sums `Σx, Σy, Σxy, Σx²` accumulate in
+    * exact DECIMAL, the closed-form slope numerator/denominator
+    * `(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` are exact decimal products, and
+    * the slope is ONE IEEE division of their double conversions —
+    * bit-identical cross-engine.
+    *
+    * Scale: one token aggregate (map-side combinable), one
+    * block-partitioned rank window over the TYPE table (vocabulary-
+    * sized, not corpus-sized), one model-sized final aggregate.
+    *
+    * Returns `(block, n_types, sum_x, sum_y, sum_xy, sum_xx, slope)`.
+    */
+  def zipfAudit(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(blockCol).as("block"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("block", "tok").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("block")
+      .orderBy(col("freq").desc, col("tok").asc)
+    val xy = tf.withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("block"),
+        round(log(col("rank").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)).as("x"),
+        round(log(col("freq").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)).as("y"))
+    // the regression sums accumulate EXACTLY in decimal; the slope
+    // then converts each sum to double FIRST (identical decimal →
+    // identical double in any engine) and evaluates the closed form
+    // as plain IEEE arithmetic — no decimal×decimal precision-cap
+    // surface (Spark and DuckDB cap decimal products differently)
+    xy.groupBy("block")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x")).cast(DecimalType(18, 6)).as("sum_x"),
+        sum(col("y")).cast(DecimalType(18, 6)).as("sum_y"),
+        // published at 6 dp: a scale-6 DECIMAL's integer rep stays
+        // far below 2^53, so BOTH engines' decimal→double conversion
+        // is exact (a scale-12 sum's int rep can exceed 2^53, where
+        // DuckDB's int128→double path and the JVM's exact-BigDecimal
+        // path could round differently). The 12→6 downscale goes
+        // through an EXPLICIT ROUND, not a bare decimal cast: Σx²
+        // ties exactly at the 7th digit (x² of a 6-dp value has
+        // exactly 12 dp), and a cast rounds HALF_UP in Spark but not
+        // in DuckDB — ROUND is half-away-from-zero in both.
+        round(sum(col("x") * col("y")), 6)
+          .cast(DecimalType(18, 6)).as("sum_xy"),
+        round(sum(col("x") * col("x")), 6)
+          .cast(DecimalType(18, 6)).as("sum_xx"))
+      .withColumn("slope", {
+        val n = col("n_types").cast(DoubleType)
+        val sx = col("sum_x").cast(DoubleType)
+        val sy = col("sum_y").cast(DoubleType)
+        val sxy = col("sum_xy").cast(DoubleType)
+        val sxx = col("sum_xx").cast(DoubleType)
+        (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      })
+  }
+
   /** Per-document quality signals; flag = low-quality heuristic. */
   def withQualitySignals(df: DataFrame, text: Column, nChars: Column): DataFrame = {
     val toks = tokens(text)

@@ -4499,6 +4499,53 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("source", "n_docs", "n_oversize",
           "n_pairs_fit", "n_bins", "sum_tokens", "fill_rate")))),
 
+    // x118 — Zipf-law audit per source: least-squares slope of
+    // ln(freq) vs ln(rank) over each block's token types (natural
+    // text sits near −1; templated/over-deduplicated corpora flatten
+    // or kink). Exact Long counts/ranks → per-row 6 dp ln (x39
+    // precedent) → EXACT decimal regression sums published at 6 dp
+    // (integer rep < 2^53 so decimal→double is exact in both
+    // engines) → the closed-form slope as plain IEEE arithmetic over
+    // identical doubles.
+    QueryDef("x118_zipf_audit",
+      (s, dir) => ordered(TextAnalysis.zipfAudit(
+          t(s, dir, "documents"), "doc_id", "text", "source")
+        .withColumnRenamed("block", "source")),
+      Some("""WITH tf AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        freqs AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM tf GROUP BY source, tok),
+        ranked AS (
+          SELECT source, freq, CAST(ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY freq DESC, tok) AS BIGINT)
+            AS rank
+          FROM freqs),
+        xy AS (
+          SELECT source,
+            CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))
+              AS x,
+            CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6))
+              AS y
+          FROM ranked),
+        sums AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+            CAST(SUM(x) AS DECIMAL(18,6)) AS sum_x,
+            CAST(SUM(y) AS DECIMAL(18,6)) AS sum_y,
+            CAST(ROUND(SUM(x * y), 6) AS DECIMAL(18,6)) AS sum_xy,
+            CAST(ROUND(SUM(x * x), 6) AS DECIMAL(18,6)) AS sum_xx
+          FROM xy GROUP BY source)
+        SELECT source, n_types, sum_x, sum_y, sum_xy, sum_xx,
+          (CAST(n_types AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE)) /
+          (CAST(n_types AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+            AS slope
+        FROM sums
+        """ + orderedSql(Seq("source", "n_types", "sum_x", "sum_y",
+          "sum_xy", "sum_xx", "slope")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -202,6 +202,40 @@ class TfIdfSpec extends SparkSpec {
       "t" -> ((1L, 0L, 0L, 1L, 4L, 4.0 / 10.0))))
   }
 
+  test("zipfAudit (x118): pure-Scala recomputation of the contract " +
+      "on a hand corpus; fixture slopes are negative") {
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // one block: freqs a=4 b=2 c=1 → ranks 1,2,3
+    val docs = Seq((1L, "s", "a a a a b b c"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.zipfAudit(docs, "doc_id", "text", "source")
+      .collect().head
+    val xs = Seq(1L, 2L, 3L).map(r => d6(math.log(r.toDouble)))
+    val ys = Seq(4L, 2L, 1L).map(f => d6(math.log(f.toDouble)))
+    val (n, sx, sy) = (3.0, xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sxx = xs.map(a => a * a).sum
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val slope = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n * sxx.toDouble - sx.toDouble * sx.toDouble)
+    assert(got.getLong(1) === 3L)
+    assert(BigDecimal(got.getDecimal(2)) === sx)
+    assert(BigDecimal(got.getDecimal(3)) === sy)
+    assert(BigDecimal(got.getDecimal(4)) === sxy)
+    assert(BigDecimal(got.getDecimal(5)) === sxx)
+    assert(got.getDouble(6) === slope)
+    assert(slope < 0.0)
+    // fixture: every source's curve slopes down (synthetic vocab is
+    // flatter than natural text's ~-1, but monotone decreasing)
+    val fix = TextAnalysis.zipfAudit(
+        Tables.load(spark, sf0001, "documents"),
+        "doc_id", "text", "source")
+      .select("slope").collect().map(_.getDouble(0))
+    assert(fix.nonEmpty && fix.forall(_ < 0.0))
+  }
+
   test("curation funnel: monotone shrink, stage 0 equals the raw corpus") {
     val rows = SparkEntry.queries("x96_curation_funnel")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
