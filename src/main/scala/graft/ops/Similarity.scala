@@ -1038,4 +1038,64 @@ object Similarity {
     v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
       .toDF("comp", "v")
   }
+
+  /** Embedding-space DRIFT report between two corpus snapshots — the
+    * x105 corpus-drift idea for the vector modality: split the corpus
+    * deterministically (md5-prefix hash at `rate` — in production the
+    * two sides are consecutive crawl snapshots), compute each side's
+    * centroid on the x79 exact integer grid, and report the angle and
+    * distance between them. A drifting embedding distribution is the
+    * earliest signal that an ANN index, a SemDeDup threshold, or a
+    * quality classifier trained on last month's corpus no longer fits
+    * this month's.
+    *
+    * Determinism contract (the x93/x102 all-integer discipline): grid
+    * coords and per-dimension per-side SUMS are exact Longs; counts
+    * cancel in the cosine, so `cos = dot(s₁,s₂)/(√Σs₁²·√Σs₂²)` over
+    * exact integers with IEEE-correctly-rounded sqrt/division; the
+    * mean-shift L2 uses the exact cross-multiplied differences
+    * `s₁ᵢn₂ − s₂ᵢn₁` squared in DECIMAL (no Long overflow), then ONE
+    * sqrt and division. Bit-identical cross-engine.
+    *
+    * Scale: one pass over the vectors (posexplode → per-(side, dim)
+    * partial-aggregated sums); everything after is a 2·dim-row model
+    * table. Returns ONE row
+    * `(n_a, n_b, dot, norm_a_sq, norm_b_sq, mean_shift_sq, cosine,
+    * mean_shift)`.
+    */
+  def embeddingDriftReport(vectors: DataFrame, idCol: String,
+      vecCol: String, rate: Double): DataFrame = {
+    val g = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), pqGrid(col(vecCol)).as("gv"))
+      .withColumn("snap",
+        when(Sampling.keepPredicate(col("id"), rate), 0).otherwise(1))
+    val dims = g.select(col("snap"), posexplode(col("gv")))
+      .toDF("snap", "pos", "v")
+      .groupBy("snap", "pos").agg(sum(col("v")).as("s"))
+    val counts = g.groupBy("snap").agg(count(lit(1)).as("n"))
+    val a = dims.filter(col("snap") === 0)
+      .select(col("pos"), col("s").as("sa"))
+    val b = dims.filter(col("snap") === 1)
+      .select(col("pos"), col("s").as("sb"))
+    val na = counts.filter(col("snap") === 0).select(col("n").as("n_a"))
+    val nb = counts.filter(col("snap") === 1).select(col("n").as("n_b"))
+    val joined = a.join(b, "pos")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+    val diff = (col("sa") * col("n_b") - col("sb") * col("n_a"))
+      .cast(DecimalType(18, 0))
+    val agg = joined.agg(
+      first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+      sum(col("sa") * col("sb")).cast(LongType).as("dot"),
+      sum(col("sa") * col("sa")).cast(LongType).as("norm_a_sq"),
+      sum(col("sb") * col("sb")).cast(LongType).as("norm_b_sq"),
+      sum(diff * diff).cast(DecimalType(38, 0)).as("mean_shift_sq"))
+    agg.select(col("n_a"), col("n_b"), col("dot"),
+      col("norm_a_sq"), col("norm_b_sq"), col("mean_shift_sq"),
+      (col("dot").cast(DoubleType) /
+        (sqrt(col("norm_a_sq").cast(DoubleType)) *
+          sqrt(col("norm_b_sq").cast(DoubleType)))).as("cosine"),
+      (sqrt(col("mean_shift_sq").cast(DoubleType)) /
+        (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+        .as("mean_shift"))
+  }
 }

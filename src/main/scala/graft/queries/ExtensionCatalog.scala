@@ -4546,6 +4546,58 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("source", "n_types", "sum_x", "sum_y",
           "sum_xy", "sum_xx", "slope")))),
 
+    // x119 — embedding-space drift between snapshots: the x105 drift
+    // report for the vector modality. Deterministic md5 split stands
+    // in for consecutive crawl snapshots; centroids on the x79 exact
+    // integer grid; cosine over exact Long sums (counts cancel) and
+    // the mean-shift L2 via exact cross-multiplied DECIMAL squares —
+    // the x93/x102 all-integer discipline, one sqrt/division at the
+    // end. The early-warning gauge for ANN indexes / SemDeDup
+    // thresholds / classifiers trained on last month's corpus.
+    QueryDef("x119_embedding_drift",
+      (s, dir) => ordered(Similarity.embeddingDriftReport(
+        t(s, dir, "embeddings"), "vec_id", "embedding", rate = 0.5)),
+      Some {
+        val thr = Sampling.hexThreshold(0.5)
+        s"""WITH g AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS gv,
+            CASE WHEN SUBSTR(md5(CAST(vec_id AS VARCHAR)), 1, 4)
+              < '$thr' THEN 0 ELSE 1 END AS snap
+          FROM embeddings WHERE embedding IS NOT NULL),
+        dims AS (
+          SELECT snap, i.i AS pos, CAST(SUM(gv[i.i]) AS BIGINT) AS s
+          FROM g, (SELECT unnest(generate_series(1, 64)) AS i) i
+          GROUP BY snap, i.i),
+        na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM g
+          WHERE snap = 0),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM g
+          WHERE snap = 1),
+        ab AS (
+          SELECT a.s AS sa, b.s AS sb, n_a, n_b
+          FROM (SELECT pos, s FROM dims WHERE snap = 0) a
+          JOIN (SELECT pos, s FROM dims WHERE snap = 1) b USING (pos)
+          CROSS JOIN na CROSS JOIN nb),
+        agg AS (
+          SELECT ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b,
+            CAST(SUM(sa * sb) AS BIGINT) AS dot,
+            CAST(SUM(sa * sa) AS BIGINT) AS norm_a_sq,
+            CAST(SUM(sb * sb) AS BIGINT) AS norm_b_sq,
+            CAST(SUM(CAST(sa * n_b - sb * n_a AS DECIMAL(18,0)) *
+              CAST(sa * n_b - sb * n_a AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS mean_shift_sq
+          FROM ab)
+        SELECT n_a, n_b, dot, norm_a_sq, norm_b_sq, mean_shift_sq,
+          CAST(dot AS DOUBLE) /
+            (sqrt(CAST(norm_a_sq AS DOUBLE)) *
+              sqrt(CAST(norm_b_sq AS DOUBLE))) AS cosine,
+          sqrt(CAST(mean_shift_sq AS DOUBLE)) /
+            (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS mean_shift
+        FROM agg
+        """ + orderedSql(Seq("n_a", "n_b", "dot", "norm_a_sq",
+          "norm_b_sq", "mean_shift_sq", "cosine", "mean_shift"))
+      }),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -541,4 +541,46 @@ class SimilaritySpec extends SparkSpec {
     (1 until dim).foreach(d =>
       assert(math.abs(got(d)) < scale / 10, s"component $d too large"))
   }
+
+  test("embeddingDriftReport (x119): pure-Scala recomputation of the " +
+      "all-integer contract on a hand corpus") {
+    // grid-exact coords (multiples of 0.001 are NOT float-exact; use
+    // halves/quarters which are): the contract floors x*1000 anyway,
+    // so recompute the grid in Scala with the same expression
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f)), (2L, Array(1.0f, 0.75f)),
+      (3L, Array(-0.5f, 0.25f)), (4L, Array(0.25f, 0.5f)),
+      (5L, Array(0.75f, -1.0f)), (6L, Array(-0.25f, -0.75f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDriftReport(df, "vec_id", "embedding",
+      rate = 0.5).collect().head
+    // replicate the split predicate: md5 4-hex prefix < threshold
+    val thr = graft.ops.Sampling.hexThreshold(0.5)
+    def side(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 4)
+      if (hex < thr) 0 else 1
+    }
+    def grid(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000).toLong)
+    val bySide = vecs.groupBy(v => side(v._1))
+    assert(bySide.keySet === Set(0, 1), "fixture ids must split 2-ways")
+    val sa = bySide(0).map(v => grid(v._2)).transpose.map(_.sum)
+    val sb = bySide(1).map(v => grid(v._2)).transpose.map(_.sum)
+    val (nA, nB) = (bySide(0).size.toLong, bySide(1).size.toLong)
+    val dot = sa.zip(sb).map { case (x, y) => x * y }.sum
+    val naSq = sa.map(x => x * x).sum
+    val nbSq = sb.map(x => x * x).sum
+    val msq = sa.zip(sb).map { case (x, y) =>
+      val d = BigDecimal(x * nB - y * nA); d * d }.sum
+    assert(got.getLong(0) === nA && got.getLong(1) === nB)
+    assert(got.getLong(2) === dot)
+    assert(got.getLong(3) === naSq && got.getLong(4) === nbSq)
+    assert(BigDecimal(got.getDecimal(5)) === msq)
+    assert(got.getDouble(6) ===
+      dot.toDouble / (math.sqrt(naSq.toDouble) * math.sqrt(nbSq.toDouble)))
+    assert(got.getDouble(7) ===
+      math.sqrt(msq.toDouble) / (nA.toDouble * nB.toDouble))
+  }
 }
