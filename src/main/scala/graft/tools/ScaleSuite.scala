@@ -673,6 +673,80 @@ object R12OpScale {
   }
 }
 
+/** 10×-growth check for the round-12 batch-2 ops: x115 KN terciles,
+  * x116 S-curve calibration, x117 folded pad-pack, x118 Zipf audit
+  * (documents, sf1shared), x119 embedding drift (the R11b pq10 10×
+  * embedding fixture). Declared shapes, 3-warm medians, one JSON line.
+  */
+object R12bOpScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf1shared")
+    if (!Files.exists(Paths.get(big)))
+      ScaleFixture.main(Array(small, big, "10"))
+    val spark = Sessions.local("graft-r12b-scale")
+    val pq10 = "/tmp/pq10"
+    if (!Files.exists(Paths.get(s"$pq10/embeddings.parquet"))) {
+      val e = spark.read.parquet(s"$small/embeddings.parquet")
+      (0 until 10).map { c =>
+        e.select((col("vec_id") + c * 10000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(1.0f + c * 0.003f)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$pq10/embeddings.parquet")
+    }
+    def median3(mk: () => DataFrame): Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run()
+      Seq.fill(3)(run()).sorted.apply(1)
+    }
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    def kn3b(dir: String): Double = median3(() =>
+      graft.ops.TextAnalysis.ccnetBucketsKn3(docs(dir), "doc_id",
+        "text", "lang"))
+    def scurve(dir: String): Double = median3 { () =>
+      val d = graft.ops.Sampling.hashSample(docs(dir), "doc_id", 0.5)
+      val withSets = d.select(col("doc_id"), col("source"),
+        graft.ops.Dedup.tokenSet(col("text")).as("tok"))
+      val pairs = graft.ops.Dedup.jaccardPairs(withSets, "doc_id",
+        "tok", "source", 0.0)
+      val cand = graft.ops.Dedup.portableLshPairs(d, "doc_id", "text",
+          minEst = 0.0, k = 8, bands = 4, blockCol = col("source"))
+        .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+      pairs.join(cand, Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("hit"), lit(0L))).as("h"))
+    }
+    def pack(dir: String): Double = median3(() =>
+      graft.ops.TextAnalysis.foldPackReport(docs(dir), "doc_id",
+        "text", "source", seqLen = 96))
+    def zipf(dir: String): Double = median3(() =>
+      graft.ops.TextAnalysis.zipfAudit(docs(dir), "doc_id", "text",
+        "source"))
+    def drift(dir: String): Double = median3(() =>
+      graft.ops.Similarity.embeddingDriftReport(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", rate = 0.5))
+    val (b1, b10) = (kn3b(small), kn3b(big))
+    val (s1, s10) = (scurve(small), scurve(big))
+    val (p1, p10) = (pack(small), pack(big))
+    val (z1, z10) = (zipf(small), zipf(big))
+    val (d1, d10) = (drift(small), drift(pq10))
+    println(f"""{"kn3b_sec":[$b1%.2f,$b10%.2f],"kn3b_growth":${b10 / b1}%.2f,""" +
+      f""""scurve_sec":[$s1%.2f,$s10%.2f],"scurve_growth":${s10 / s1}%.2f,""" +
+      f""""pack_sec":[$p1%.2f,$p10%.2f],"pack_growth":${p10 / p1}%.2f,""" +
+      f""""zipf_sec":[$z1%.2f,$z10%.2f],"zipf_growth":${z10 / z1}%.2f,""" +
+      f""""drift_sec":[$d1%.2f,$d10%.2f],"drift_growth":${d10 / d1}%.2f}""")
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
