@@ -4598,6 +4598,138 @@ object ExtensionCatalog {
           "norm_b_sq", "mean_shift_sq", "cosine", "mean_shift"))
       }),
 
+    // x120 — portable EXACT quantiles (the x114-pattern twin closing
+    // x52's no-oracle gap): discrete per-group quantiles by pure rank
+    // arithmetic — row_number over (value, id), pick rank
+    // ceil(p·n) with integer-exact FLOOR((k·n+k)/d) indices. The
+    // published values are parquet doubles (identical bits in both
+    // engines), so the driver hash-checks the whole sort→index
+    // pipeline shape x52 runs as a GK sketch. Production stays x52's
+    // one-pass mergeable sketch; this window spelling is the
+    // verification twin.
+    QueryDef("x120_portable_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "events").filter(col("value").isNotNull)
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        val ranked = e.select(col("event_type"), col("event_id"),
+            col("value"))
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy("event_type")).cast(LongType))
+        ordered(ranked.groupBy("event_type")
+          .agg(first(col("n")).as("n"),
+            max(when(col("rk") ===
+              floor((col("n") + 1) / 2), col("value"))).as("med"),
+            max(when(col("rk") ===
+              floor((lit(9) * col("n") + 9) / 10), col("value")))
+              .as("p90"),
+            max(when(col("rk") ===
+              floor((lit(99) * col("n") + 99) / 100), col("value")))
+              .as("p99")))
+      },
+      Some("""WITH e AS (
+          SELECT event_type, event_id, value FROM events
+          WHERE value IS NOT NULL),
+        ranked AS (
+          SELECT event_type, value,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY value, event_id) AS BIGINT) AS rk,
+            CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM e)
+        SELECT event_type, ANY_VALUE(n) AS n,
+          MAX(CASE WHEN rk = FLOOR((n + 1) / 2) THEN value END) AS med,
+          MAX(CASE WHEN rk = FLOOR((9 * n + 9) / 10) THEN value END)
+            AS p90,
+          MAX(CASE WHEN rk = FLOOR((99 * n + 99) / 100) THEN value END)
+            AS p99
+        FROM ranked GROUP BY event_type
+        """ + orderedSql(Seq("event_type", "n", "med", "p90", "p99")))),
+
+    // x121 — portable EXACT top-k tokens (the twin closing x68's
+    // no-oracle gap): per-source exact frequency cut with the
+    // deterministic (count desc, token) tie-break — the driver
+    // hash-checks the explode→count→cut shape x68 runs as a
+    // Misra–Gries bounded-state aggregate. Production stays x68's
+    // mergeable N/k-error summary.
+    QueryDef("x121_portable_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("cnt").desc, col("w").asc)
+        ordered(tf.withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 8))
+      },
+      Some("""WITH tf AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        cnts AS (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tf GROUP BY source, w),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY cnt DESC, w) AS BIGINT) AS rk
+          FROM cnts)
+        SELECT source, w, cnt, rk FROM ranked WHERE rk <= 8
+        """ + orderedSql(Seq("source", "w", "cnt", "rk")))),
+
+    // x122 — portable corpus-level MinHash signatures + pairwise
+    // source similarity (the twin closing x13's no-oracle gap): the
+    // PortableLshSql md5-slice idiom at CORPUS granularity — per
+    // source, each of 8 signature components is the min md5 slice
+    // over the source's distinct tokens; pairwise estimated Jaccard
+    // is the agreeing-component fraction. With x114/x120/x121 this
+    // gives EVERY rows-only sketch in the suite an oracle-checked
+    // portable twin (x8→x43, x9→x71, x15→x72, x16→x114, x52→x120,
+    // x68→x121, x13→this). Production stays x13's one-pass xxhash64
+    // minhashAgg.
+    QueryDef("x122_portable_corpus_sig",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tk"))
+          .distinct()
+        val minCols = (0 until 8).map(i =>
+          min(substring(md5(concat(lit(s"${i / 4}|"), col("tk"))),
+            (i % 4) * 8 + 1, 8)).as(s"s$i"))
+        val sig = tok.groupBy("source")
+          .agg(minCols.head, minCols.tail: _*)
+        val a = sig.toDF("src_a" +: (0 until 8).map(i => s"a$i"): _*)
+        val b = sig.toDF("src_b" +: (0 until 8).map(i => s"b$i"): _*)
+        val agree = (0 until 8).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        ordered(a.join(broadcast(b), col("src_a") < col("src_b"))
+          .select(col("src_a"), col("src_b"),
+            agree.cast(LongType).as("n_agree"))
+          .withColumn("est_jaccard",
+            col("n_agree").cast(DoubleType) / lit(8).cast(DoubleType)))
+      },
+      Some {
+        val mins = (0 until 8).map(i =>
+          s"MIN(substr(md5('${i / 4}|' || tk), ${(i % 4) * 8 + 1}, 8))" +
+            s" AS s$i").mkString(", ")
+        val agree = (0 until 8).map(i =>
+          s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH tok AS (
+          SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tk
+          FROM documents WHERE text IS NOT NULL),
+        sig AS (SELECT source, $mins FROM tok GROUP BY source)
+        SELECT a.source AS src_a, b.source AS src_b,
+          CAST($agree AS BIGINT) AS n_agree,
+          CAST($agree AS DOUBLE) / CAST(8 AS DOUBLE) AS est_jaccard
+        FROM sig a JOIN sig b ON a.source < b.source
+        """ + orderedSql(Seq("src_a", "src_b", "n_agree", "est_jaccard"))
+      }),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

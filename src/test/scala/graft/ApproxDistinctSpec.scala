@@ -157,4 +157,67 @@ class ApproxDistinctSpec extends SparkSpec {
       "event_type", "user_id", k).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("portable twins x120/x121/x122 equal pure-Scala recomputation " +
+      "and sit consistently beside their production sketches") {
+    // x120: exact disc quantiles == sorted-array picks
+    val e = Tables.load(spark, sf0001, "events")
+      .filter($"value".isNotNull)
+    val gotQ = SparkEntry.queries("x120_portable_quantiles")(
+        spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val byType = e.select($"event_type", $"value")
+      .as[(String, Double)].collect().groupBy(_._1)
+    assert(gotQ.keySet === byType.keySet)
+    byType.foreach { case (tpe, rows) =>
+      val v = rows.map(_._2).sorted
+      val n = v.length.toLong
+      def pick(num: Long, den: Long): Double =
+        v((math.floor((num * n + num).toDouble / den) - 1).toInt)
+      assert(gotQ(tpe) === ((n, pick(1, 2), pick(9, 10), pick(99, 100))))
+    }
+    // x121: exact top-8 == pure-Scala sort (the Misra-Gries survival
+    // guarantee itself is pinned in the heavy-hitters test above)
+    val gotT = SparkEntry.queries("x121_portable_topk")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val toks = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull)
+      .select($"source", explode(split($"text", " ", -1)).as("w"))
+      .as[(String, String)].collect()
+    toks.groupBy(_._1).foreach { case (src, rows) =>
+      val top = rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }.take(8)
+      val got = gotT.filter(_._1 == src).sortBy(_._4)
+        .map(r => (r._2, r._3))
+      assert(got.toSeq === top, s"source $src top-8 mismatch")
+    }
+    // x122: each signature component recomputes in pure Scala; the
+    // 8-component estimate is a coarse but sane Jaccard proxy
+    def md5hexS(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val bySrc = toks.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def sig(src: String): Seq[String] = (0 until 8).map { i =>
+      bySrc(src).map(t => md5hexS(s"${i / 4}|$t")
+        .substring((i % 4) * 8, (i % 4) * 8 + 8)).min
+    }
+    val gotP = SparkEntry.queries("x122_portable_corpus_sig")(
+        spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotP.nonEmpty)
+    gotP.take(5).foreach { case ((sa, sb), (nAgree, est)) =>
+      val expect = sig(sa).zip(sig(sb)).count { case (x, y) => x == y }
+      assert(nAgree === expect.toLong && est === expect / 8.0)
+      val ja = {
+        val (a, b) = (bySrc(sa), bySrc(sb))
+        a.intersect(b).size.toDouble / a.union(b).size
+      }
+      assert(math.abs(est - ja) <= 0.5) // 8 components: coarse proxy
+    }
+  }
 }
