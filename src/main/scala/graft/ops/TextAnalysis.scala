@@ -1198,12 +1198,18 @@ object TextAnalysis {
       tokenize: Column => Column = tokens,
       broadcastHintMaxInputBytes: BigInt = LmBroadcastHintMaxInputBytes)
       : DataFrame = {
+    // the checkpoint barrier sits on the TRIGRAM ROWS, not the type
+    // table: pr feeds the model build AND the probe join, so without
+    // it the scan+tokenize+explode subtree runs twice (measured
+    // 1.25→0.9 s at sf0.1); the type aggregate reads the same
+    // materialized rows, so the model tables still derive from one
+    // corpus pass
     val pr = trigramRows(docs, idCol, textCol, tokenize)
+      .localCheckpoint(eager = false)
     val model = pr.groupBy("w1", "w2", "w3")
       .agg(count(lit(1)).as("c3"))
-      .localCheckpoint(eager = false)
     purgeStoppedLmSessions()
-    Option(lastLmCheckpoint.put(docs.sparkSession, model))
+    Option(lastLmCheckpoint.put(docs.sparkSession, pr))
       .foreach(releaseLocalCheckpoint)
     val ctx = model.groupBy("w1", "w2")
       .agg(sum(col("c3")).as("ctx"), count(lit(1)).as("n3f"))
