@@ -1053,15 +1053,35 @@ object Similarity {
     * coords and per-dimension per-side SUMS are exact Longs; counts
     * cancel in the cosine, so `cos = dot(s₁,s₂)/(√Σs₁²·√Σs₂²)` over
     * exact integers with IEEE-correctly-rounded sqrt/division; the
-    * mean-shift L2 uses the exact cross-multiplied differences
-    * `s₁ᵢn₂ − s₂ᵢn₁` squared in DECIMAL (no Long overflow), then ONE
-    * sqrt and division. Bit-identical cross-engine.
+    * mean-shift L2 uses the cross-multiplied differences
+    * `s₁ᵢn₂ − s₂ᵢn₁` with each factor cast to DECIMAL(19,0) BEFORE
+    * the multiply (so the product never wraps in Long — exact while
+    * |sᵢ·n| < 10¹⁹ per side, i.e. ~10¹⁰ unit vectors a side), squared
+    * and summed in DECIMAL(38,0). The diff is downcast to
+    * DECIMAL(18,0) before squaring so the square fits both engines'
+    * 38-digit cap — exact while |sᵢn − sᵢ'n'| < 10¹⁸ (~3·10⁷ unit
+    * vectors a side; past it DuckDB errors loudly at its cap while a
+    * Spark cast nulls — the honest bound, stated not hidden), then
+    * ONE sqrt and division.
+    *
+    * The two derived gauges are published as BIGINT MICRO-UNITS via
+    * `FLOOR(x·10⁶ + 0.5)` — the r13 portability rule: engine
+    * ROUND(double, n) implementations differ near boundaries (the
+    * r12 driver divergence on this very row), while FLOOR/·/+ are
+    * core IEEE ops bit-identical in every engine. `cosine_u6`'s
+    * input doubles come only from int64→double conversions
+    * (correctly rounded in both the JVM and C++ per IEEE 754) and a
+    * fixed sqrt/division chain, so it is bit-identical
+    * unconditionally; `mean_shift_u6` converts one DECIMAL(38,0)
+    * whose integer rep can exceed 2⁵³ (engine int128→double paths
+    * may differ in the last ulp), so its boundary margin is pinned on
+    * the fixture by RoundingMarginSpec.
     *
     * Scale: one pass over the vectors (posexplode → per-(side, dim)
     * partial-aggregated sums); everything after is a 2·dim-row model
     * table. Returns ONE row
-    * `(n_a, n_b, dot, norm_a_sq, norm_b_sq, mean_shift_sq, cosine,
-    * mean_shift)`.
+    * `(n_a, n_b, dot, norm_a_sq, norm_b_sq, mean_shift_sq,
+    * cosine_u6, mean_shift_u6)`.
     */
   def embeddingDriftReport(vectors: DataFrame, idCol: String,
       vecCol: String, rate: Double): DataFrame = {
@@ -1081,7 +1101,14 @@ object Similarity {
     val nb = counts.filter(col("snap") === 1).select(col("n").as("n_b"))
     val joined = a.join(b, "pos")
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
-    val diff = (col("sa") * col("n_b") - col("sb") * col("n_a"))
+    // each factor to DECIMAL(19,0) BEFORE the multiply: BIGINT·BIGINT
+    // would silently wrap in Spark past 2⁶³ (DuckDB errors); the
+    // (19,0)·(19,0) product caps at Spark's 38-digit ceiling with
+    // scale 0, so no fractional loss — exact while |sᵢ·n| < 10¹⁹
+    val diff = (col("sa").cast(DecimalType(19, 0)) *
+        col("n_b").cast(DecimalType(19, 0)) -
+      col("sb").cast(DecimalType(19, 0)) *
+        col("n_a").cast(DecimalType(19, 0)))
       .cast(DecimalType(18, 0))
     val agg = joined.agg(
       first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
@@ -1089,13 +1116,16 @@ object Similarity {
       sum(col("sa") * col("sa")).cast(LongType).as("norm_a_sq"),
       sum(col("sb") * col("sb")).cast(LongType).as("norm_b_sq"),
       sum(diff * diff).cast(DecimalType(38, 0)).as("mean_shift_sq"))
+    val cosRaw = col("dot").cast(DoubleType) /
+      (sqrt(col("norm_a_sq").cast(DoubleType)) *
+        sqrt(col("norm_b_sq").cast(DoubleType)))
+    val msRaw = sqrt(col("mean_shift_sq").cast(DoubleType)) /
+      (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))
     agg.select(col("n_a"), col("n_b"), col("dot"),
       col("norm_a_sq"), col("norm_b_sq"), col("mean_shift_sq"),
-      (col("dot").cast(DoubleType) /
-        (sqrt(col("norm_a_sq").cast(DoubleType)) *
-          sqrt(col("norm_b_sq").cast(DoubleType)))).as("cosine"),
-      (sqrt(col("mean_shift_sq").cast(DoubleType)) /
-        (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
-        .as("mean_shift"))
+      floor(cosRaw * lit(1000000.0) + lit(0.5)).cast(LongType)
+        .as("cosine_u6"),
+      floor(msRaw * lit(1000000.0) + lit(0.5)).cast(LongType)
+        .as("mean_shift_u6"))
   }
 }

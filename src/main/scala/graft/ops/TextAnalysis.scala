@@ -1593,63 +1593,67 @@ object TextAnalysis {
     * `ln(freq)` against `ln(rank)` over each block's token types
     * (natural corpora sit near −1).
     *
-    * Determinism contract: counts and ranks are exact Longs; `ln` is
-    * applied per row and rounded at 6 dp (the x39 log-portability
-    * precedent), the regression sums `Σx, Σy, Σxy, Σx²` accumulate in
-    * exact DECIMAL, the closed-form slope numerator/denominator
-    * `(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` are exact decimal products, and
-    * the slope is ONE IEEE division of their double conversions —
-    * bit-identical cross-engine.
+    * Determinism contract (rewritten r13 after the r12 driver hash
+    * fail — the old spelling rounded a decimal regression sum that
+    * TIES exactly at the rounding digit, and engine ROUND-on-tie
+    * semantics moved under the driver's DuckDB): counts and ranks are
+    * exact Longs; `ln` is applied per row and quantized to BIGINT
+    * 4-dp units via `FLOOR(ln·10⁴ + 0.5)` — FLOOR/·/+ are core IEEE
+    * ops bit-identical in every engine (no engine ROUND anywhere; the
+    * only cross-engine hazard is a libm `ln` ulp, whose boundary
+    * margin RoundingMarginSpec pins at ≥10⁻⁴ on the fixtures, ~10⁹×
+    * the worst conforming skew). The regression sums `Σx, Σy, Σxy,
+    * Σx²` are exact BIGINT sums of BIGINT products, and the fit is
+    * capped at rank ≤ `maxRank` (default 10⁵ — Zipf slopes are head
+    * fits; the tail bends off the power law anyway), which BOUNDS
+    * every sum below 2⁵³: |xu| ≤ ln(10⁵)·10⁴ ≈ 1.2·10⁵, |yu| ≤
+    * ln(10¹²)·10⁴ ≈ 2.8·10⁵, so Σ|xu·yu| ≤ 10⁵·3.3·10¹⁰ ≈ 3.3·10¹⁵ <
+    * 2⁵³ even at a 10¹²-token corpus. int64→double conversion of an
+    * exact-≤2⁵³ value is EXACT in both engines, and the closed-form
+    * slope `(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)` (the 10⁻⁸ unit scale
+    * cancels between numerator and denominator) is a fixed IEEE chain
+    * over identical doubles — the published slope is bit-identical
+    * cross-engine unconditionally, with NO margin requirement.
     *
     * Scale: one token aggregate (map-side combinable), one
     * block-partitioned rank window over the TYPE table (vocabulary-
-    * sized, not corpus-sized), one model-sized final aggregate.
+    * sized, not corpus-sized; the maxRank cut is a WindowGroupLimit
+    * pushdown), one model-sized final aggregate.
     *
-    * Returns `(block, n_types, sum_x, sum_y, sum_xy, sum_xx, slope)`.
+    * Returns `(block, n_types, sum_x_u4, sum_y_u4, sum_xy_u8,
+    * sum_xx_u8, slope)` — `n_types` counts the FITTED (rank-capped)
+    * types.
     */
   def zipfAudit(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String): DataFrame = {
+      blockCol: String, maxRank: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxRank >= 2 && maxRank <= 1000000,
+      s"maxRank must be in [2, 1e6] (the 2^53 exactness budget), got $maxRank")
     val tf = docs.filter(col(textCol).isNotNull)
       .select(col(blockCol).as("block"),
         explode(tokens(col(textCol))).as("tok"))
       .groupBy("block", "tok").agg(count(lit(1)).as("freq"))
     val w = Window.partitionBy("block")
       .orderBy(col("freq").desc, col("tok").asc)
+    def u4(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(10000.0) + lit(0.5))
+        .cast(LongType)
     val xy = tf.withColumn("rank", row_number().over(w).cast(LongType))
-      .select(col("block"),
-        round(log(col("rank").cast(DoubleType)), 6)
-          .cast(DecimalType(18, 6)).as("x"),
-        round(log(col("freq").cast(DoubleType)), 6)
-          .cast(DecimalType(18, 6)).as("y"))
-    // the regression sums accumulate EXACTLY in decimal; the slope
-    // then converts each sum to double FIRST (identical decimal →
-    // identical double in any engine) and evaluates the closed form
-    // as plain IEEE arithmetic — no decimal×decimal precision-cap
-    // surface (Spark and DuckDB cap decimal products differently)
+      .filter(col("rank") <= maxRank)
+      .select(col("block"), u4(col("rank")).as("xu"),
+        u4(col("freq")).as("yu"))
     xy.groupBy("block")
       .agg(count(lit(1)).as("n_types"),
-        sum(col("x")).cast(DecimalType(18, 6)).as("sum_x"),
-        sum(col("y")).cast(DecimalType(18, 6)).as("sum_y"),
-        // published at 6 dp: a scale-6 DECIMAL's integer rep stays
-        // far below 2^53, so BOTH engines' decimal→double conversion
-        // is exact (a scale-12 sum's int rep can exceed 2^53, where
-        // DuckDB's int128→double path and the JVM's exact-BigDecimal
-        // path could round differently). The 12→6 downscale goes
-        // through an EXPLICIT ROUND, not a bare decimal cast: Σx²
-        // ties exactly at the 7th digit (x² of a 6-dp value has
-        // exactly 12 dp), and a cast rounds HALF_UP in Spark but not
-        // in DuckDB — ROUND is half-away-from-zero in both.
-        round(sum(col("x") * col("y")), 6)
-          .cast(DecimalType(18, 6)).as("sum_xy"),
-        round(sum(col("x") * col("x")), 6)
-          .cast(DecimalType(18, 6)).as("sum_xx"))
+        sum(col("xu")).cast(LongType).as("sum_x_u4"),
+        sum(col("yu")).cast(LongType).as("sum_y_u4"),
+        sum(col("xu") * col("yu")).cast(LongType).as("sum_xy_u8"),
+        sum(col("xu") * col("xu")).cast(LongType).as("sum_xx_u8"))
       .withColumn("slope", {
         val n = col("n_types").cast(DoubleType)
-        val sx = col("sum_x").cast(DoubleType)
-        val sy = col("sum_y").cast(DoubleType)
-        val sxy = col("sum_xy").cast(DoubleType)
-        val sxx = col("sum_xx").cast(DoubleType)
+        val sx = col("sum_x_u4").cast(DoubleType)
+        val sy = col("sum_y_u4").cast(DoubleType)
+        val sxy = col("sum_xy_u8").cast(DoubleType)
+        val sxx = col("sum_xx_u8").cast(DoubleType)
         (n * sxy - sx * sy) / (n * sxx - sx * sx)
       })
   }

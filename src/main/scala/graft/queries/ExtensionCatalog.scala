@@ -118,13 +118,20 @@ object ExtensionCatalog {
     * by x111 and x115 (`kn3q` = `(doc_id, n_trigrams, avg_nll)`), so
     * the tercile gate cannot drift from the score it gates by.
     */
+  // the pr CTE guards `len(t) >= 3` so sub-trigram docs yield NO rows,
+  // matching Spark's trigramRows: for len(t)=1 the slice t[1:len(t)-2]
+  // is t[1:-1], which DuckDB wraps to the WHOLE list, emitting a
+  // spurious (w1, NULL, NULL) row that would inflate the bigram-type
+  // count bt and shift EVERY doc's avg_nll. (SQL `--` comments are
+  // impossible here — the catalog whitespace-flattens the SQL.)
   private val kn3QualityCtes: String = """toks AS (
           SELECT doc_id, string_split(text, ' ') AS t
           FROM documents WHERE text IS NOT NULL),
         pr AS (
           SELECT doc_id, unnest(t[1:len(t)-2]) AS w1,
             unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3
-          FROM toks),
+          FROM toks
+          WHERE len(t) >= 3),
         tri AS (
           SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
           FROM pr GROUP BY w1, w2, w3),
@@ -811,9 +818,12 @@ object ExtensionCatalog {
     QueryDef("x26_scalar_subquery",
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("x26_lineitem")
+        // r13: per-row BIGINT cast before the sum — quantities are
+        // integral, so the sum is order-free integer arithmetic (the
+        // old SUM(double)→BIGINT relied on float-addition order)
         ordered(s.sql(
           """SELECT l_partkey, COUNT(*) AS n_small,
-            |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+            |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             |FROM x26_lineitem l1
             |WHERE l_quantity < (
             |  SELECT CAST(0.5 * AVG(CAST(l_quantity AS DECIMAL(18,6)))
@@ -823,7 +833,7 @@ object ExtensionCatalog {
             |""".stripMargin))
       },
       Some("""SELECT l_partkey, COUNT(*) AS n_small,
-        CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem l1
         WHERE l_quantity < (
           SELECT CAST(0.5 * AVG(CAST(l_quantity AS DECIMAL(18,6)))
@@ -4375,13 +4385,19 @@ object ExtensionCatalog {
     // this corpus? Per within-block pair of the x112 sample, the
     // analytic capture probability p = 1 − (1 − j^r)^b (r=2, b=4 —
     // the deployed x110/x112 config) is computed from the pair's
-    // exact Jaccard as a short IEEE chain (squares only, no pow/libm)
-    // and accumulated through DECIMAL(18,6); alongside it the pair's
-    // MEASURED candidacy from the same generator x110 proves. One row:
-    // expected vs measured candidate counts, overall and for the
-    // j ≥ 0.9 near-dup band — the report that validates the md5 hash
-    // family behaves uniformly enough to TRUST the x110/x112 recall
-    // math before changing a banding config.
+    // exact Jaccard as a short IEEE chain (squares only, no pow/libm),
+    // quantized per pair to BIGINT micro-units via FLOOR(p·10⁶ + 0.5)
+    // — the r13 portability rule: engine ROUND(double, n)
+    // implementations differ near boundaries (multiply-based vs
+    // shortest-repr — the r12 driver divergence), while FLOOR/·/+ are
+    // core IEEE ops bit-identical in every engine, so the quantized
+    // micros and their exact BIGINT sums hash-match unconditionally.
+    // Alongside it the pair's MEASURED candidacy from the same
+    // generator x110 proves. One row: expected vs measured candidate
+    // counts (expected in micro-units), overall and for the j ≥ 0.9
+    // near-dup band — the report that validates the md5 hash family
+    // behaves uniformly enough to TRUST the x110/x112 recall math
+    // before changing a banding config.
     QueryDef("x116_lsh_scurve",
       (s, dir) => {
         val d = Sampling.hashSample(t(s, dir, "documents"), "doc_id",
@@ -4396,17 +4412,18 @@ object ExtensionCatalog {
         val j = col("jaccard")
         val q = lit(1.0) - j * j
         val q2 = q * q
-        val pc = round(lit(1.0) - q2 * q2, 6).cast(DecimalType(18, 6))
+        val pcu = floor((lit(1.0) - q2 * q2) * lit(1000000.0) + lit(0.5))
+          .cast(LongType)
         ordered(pairs
           .join(cand, Seq("a_id", "b_id"), "left")
-          .select(j.as("j"), pc.as("pc"),
+          .select(j.as("j"), pcu.as("pcu"),
             coalesce(col("hit"), lit(0L)).as("hit"))
           .agg(count(lit(1)).as("n_pairs"),
-            sum(col("pc")).cast(DecimalType(18, 6)).as("expected_cand"),
+            sum(col("pcu")).cast(LongType).as("expected_cand_u6"),
             sum(col("hit")).cast(LongType).as("n_cand_hits"),
             sum(when(col("j") >= 0.9, 1L)).cast(LongType).as("n_high"),
-            sum(when(col("j") >= 0.9, col("pc")))
-              .cast(DecimalType(18, 6)).as("expected_high"),
+            sum(when(col("j") >= 0.9, col("pcu"))).cast(LongType)
+              .as("expected_high_u6"),
             sum(when(col("j") >= 0.9, col("hit"))).cast(LongType)
               .as("n_high_hits")))
       },
@@ -4422,27 +4439,27 @@ object ExtensionCatalog {
             ON a.source = b.source AND a.doc_id < b.doc_id),
         scurve AS (
           SELECT a_id, b_id, j,
-            CAST(ROUND(1.0 -
+            CAST(FLOOR((1.0 -
               ((1.0 - (j*j)) * (1.0 - (j*j))) *
-              ((1.0 - (j*j)) * (1.0 - (j*j))), 6)
-              AS DECIMAL(18,6)) AS pc
+              ((1.0 - (j*j)) * (1.0 - (j*j)))) * 1000000.0 + 0.5)
+              AS BIGINT) AS pcu
           FROM exact),
         hits AS (
-          SELECT s.j, s.pc,
+          SELECT s.j, s.pcu,
             CASE WHEN c.a_id IS NOT NULL THEN CAST(1 AS BIGINT)
               ELSE CAST(0 AS BIGINT) END AS hit
           FROM scurve s LEFT JOIN cand c USING (a_id, b_id))
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-          CAST(SUM(pc) AS DECIMAL(18,6)) AS expected_cand,
+          CAST(SUM(pcu) AS BIGINT) AS expected_cand_u6,
           CAST(SUM(hit) AS BIGINT) AS n_cand_hits,
           CAST(SUM(CASE WHEN j >= 0.9 THEN 1 END) AS BIGINT) AS n_high,
-          CAST(SUM(CASE WHEN j >= 0.9 THEN pc END) AS DECIMAL(18,6))
-            AS expected_high,
+          CAST(SUM(CASE WHEN j >= 0.9 THEN pcu END) AS BIGINT)
+            AS expected_high_u6,
           CAST(SUM(CASE WHEN j >= 0.9 THEN hit END) AS BIGINT)
             AS n_high_hits
         FROM hits
-        """ + orderedSql(Seq("n_pairs", "expected_cand", "n_cand_hits",
-          "n_high", "expected_high", "n_high_hits"))
+        """ + orderedSql(Seq("n_pairs", "expected_cand_u6",
+          "n_cand_hits", "n_high", "expected_high_u6", "n_high_hits"))
       }),
 
     // x117 — padded-packing efficiency report: the complement of the
@@ -4502,11 +4519,14 @@ object ExtensionCatalog {
     // x118 — Zipf-law audit per source: least-squares slope of
     // ln(freq) vs ln(rank) over each block's token types (natural
     // text sits near −1; templated/over-deduplicated corpora flatten
-    // or kink). Exact Long counts/ranks → per-row 6 dp ln (x39
-    // precedent) → EXACT decimal regression sums published at 6 dp
-    // (integer rep < 2^53 so decimal→double is exact in both
-    // engines) → the closed-form slope as plain IEEE arithmetic over
-    // identical doubles.
+    // or kink). r13 spelling (the r12 one rounded a decimal sum that
+    // ties EXACTLY at the rounding digit — unfixable under any engine
+    // ROUND): exact Long counts/ranks → per-row ln quantized to
+    // BIGINT 4-dp units via FLOOR(ln·10⁴ + 0.5) (no engine ROUND) →
+    // exact BIGINT regression sums, head-capped at rank ≤ 10⁵ so
+    // every sum stays < 2^53 → the closed-form slope as a fixed IEEE
+    // chain over exactly-converted doubles. Bit-identical
+    // cross-engine unconditionally (see TextAnalysis.zipfAudit).
     QueryDef("x118_zipf_audit",
       (s, dir) => ordered(TextAnalysis.zipfAudit(
           t(s, dir, "documents"), "doc_id", "text", "source")
@@ -4524,36 +4544,40 @@ object ExtensionCatalog {
           FROM freqs),
         xy AS (
           SELECT source,
-            CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))
-              AS x,
-            CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6))
-              AS y
-          FROM ranked),
+            CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 10000.0 + 0.5)
+              AS BIGINT) AS xu,
+            CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 10000.0 + 0.5)
+              AS BIGINT) AS yu
+          FROM ranked WHERE rank <= 100000),
         sums AS (
           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
-            CAST(SUM(x) AS DECIMAL(18,6)) AS sum_x,
-            CAST(SUM(y) AS DECIMAL(18,6)) AS sum_y,
-            CAST(ROUND(SUM(x * y), 6) AS DECIMAL(18,6)) AS sum_xy,
-            CAST(ROUND(SUM(x * x), 6) AS DECIMAL(18,6)) AS sum_xx
+            CAST(SUM(xu) AS BIGINT) AS sum_x_u4,
+            CAST(SUM(yu) AS BIGINT) AS sum_y_u4,
+            CAST(SUM(xu * yu) AS BIGINT) AS sum_xy_u8,
+            CAST(SUM(xu * xu) AS BIGINT) AS sum_xx_u8
           FROM xy GROUP BY source)
-        SELECT source, n_types, sum_x, sum_y, sum_xy, sum_xx,
-          (CAST(n_types AS DOUBLE) * CAST(sum_xy AS DOUBLE)
-              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE)) /
-          (CAST(n_types AS DOUBLE) * CAST(sum_xx AS DOUBLE)
-              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+        SELECT source, n_types, sum_x_u4, sum_y_u4, sum_xy_u8,
+          sum_xx_u8,
+          (CAST(n_types AS DOUBLE) * CAST(sum_xy_u8 AS DOUBLE)
+              - CAST(sum_x_u4 AS DOUBLE) * CAST(sum_y_u4 AS DOUBLE)) /
+          (CAST(n_types AS DOUBLE) * CAST(sum_xx_u8 AS DOUBLE)
+              - CAST(sum_x_u4 AS DOUBLE) * CAST(sum_x_u4 AS DOUBLE))
             AS slope
         FROM sums
-        """ + orderedSql(Seq("source", "n_types", "sum_x", "sum_y",
-          "sum_xy", "sum_xx", "slope")))),
+        """ + orderedSql(Seq("source", "n_types", "sum_x_u4",
+          "sum_y_u4", "sum_xy_u8", "sum_xx_u8", "slope")))),
 
     // x119 — embedding-space drift between snapshots: the x105 drift
     // report for the vector modality. Deterministic md5 split stands
     // in for consecutive crawl snapshots; centroids on the x79 exact
     // integer grid; cosine over exact Long sums (counts cancel) and
-    // the mean-shift L2 via exact cross-multiplied DECIMAL squares —
-    // the x93/x102 all-integer discipline, one sqrt/division at the
-    // end. The early-warning gauge for ANN indexes / SemDeDup
-    // thresholds / classifiers trained on last month's corpus.
+    // the mean-shift L2 via cross-multiplied DECIMAL(19,0) factors
+    // (no Long wrap) — the x93/x102 all-integer discipline, one
+    // sqrt/division at the end, and both derived gauges published as
+    // BIGINT micros via FLOOR(x·10⁶ + 0.5) (the r13 portability rule
+    // — no engine ROUND touches a raw double). The early-warning
+    // gauge for ANN indexes / SemDeDup thresholds / classifiers
+    // trained on last month's corpus.
     QueryDef("x119_embedding_drift",
       (s, dir) => ordered(Similarity.embeddingDriftReport(
         t(s, dir, "embeddings"), "vec_id", "embedding", rate = 0.5)),
@@ -4583,19 +4607,26 @@ object ExtensionCatalog {
             CAST(SUM(sa * sb) AS BIGINT) AS dot,
             CAST(SUM(sa * sa) AS BIGINT) AS norm_a_sq,
             CAST(SUM(sb * sb) AS BIGINT) AS norm_b_sq,
-            CAST(SUM(CAST(sa * n_b - sb * n_a AS DECIMAL(18,0)) *
-              CAST(sa * n_b - sb * n_a AS DECIMAL(18,0)))
+            CAST(SUM(
+              CAST(CAST(sa AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+                - CAST(sb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))
+                AS DECIMAL(18,0)) *
+              CAST(CAST(sa AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+                - CAST(sb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))
+                AS DECIMAL(18,0)))
               AS DECIMAL(38,0)) AS mean_shift_sq
           FROM ab)
         SELECT n_a, n_b, dot, norm_a_sq, norm_b_sq, mean_shift_sq,
-          CAST(dot AS DOUBLE) /
+          CAST(FLOOR((CAST(dot AS DOUBLE) /
             (sqrt(CAST(norm_a_sq AS DOUBLE)) *
-              sqrt(CAST(norm_b_sq AS DOUBLE))) AS cosine,
-          sqrt(CAST(mean_shift_sq AS DOUBLE)) /
-            (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS mean_shift
+              sqrt(CAST(norm_b_sq AS DOUBLE)))) * 1000000.0 + 0.5)
+            AS BIGINT) AS cosine_u6,
+          CAST(FLOOR((sqrt(CAST(mean_shift_sq AS DOUBLE)) /
+            (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1000000.0
+            + 0.5) AS BIGINT) AS mean_shift_u6
         FROM agg
         """ + orderedSql(Seq("n_a", "n_b", "dot", "norm_a_sq",
-          "norm_b_sq", "mean_shift_sq", "cosine", "mean_shift"))
+          "norm_b_sq", "mean_shift_sq", "cosine_u6", "mean_shift_u6"))
       }),
 
     // x120 — portable EXACT quantiles (the x114-pattern twin closing

@@ -43,12 +43,18 @@ object QueryCatalog {
   private val D18_6 = DecimalType(18, 6)
 
   /** Exact, order-independent money aggregation: cast each (at most
-    * 6-decimal) double term to DECIMAL(18,6), sum exactly, round half-up
-    * at 2, return double. DuckDB mirror:
-    * `CAST(ROUND(SUM(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE)`.
+    * 6-decimal) double term to DECIMAL(18,6), sum exactly, publish the
+    * EXACT DECIMAL(38,6) — r13: no ROUND at all. The old
+    * `round(sum, 2)` spelling could TIE exactly at the 3rd decimal
+    * (a 4-dp discount product summing to ¤.xx50 — RoundingMarginSpec
+    * found one on the fixture), and engine tie semantics are exactly
+    * what moved under the driver's DuckDB in r12 (x118). An exact
+    * decimal needs no tie semantics and hash-matches unconditionally.
+    * DuckDB mirror: `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS
+    * DECIMAL(38,6))`.
     */
   private def moneySum(c: Column): Column =
-    round(sum(c.cast(D18_6)), 2).cast(DoubleType)
+    sum(c.cast(D18_6)).cast(DecimalType(38, 6))
 
   /** Total order over every output column, NULLS LAST — the final
     * determinism step shared by (almost) every query.
@@ -68,19 +74,24 @@ object QueryCatalog {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        // quantities are integral: per-row BIGINT cast (exact) → BIGINT
+        // sum — order-free with no float addition anywhere; avg is ONE
+        // IEEE division of exactly-converted operands (r13: the old
+        // `sum(double)` was order-nondeterministic in principle)
         ordered(li.groupBy("l_returnflag", "l_linestatus").agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"),
           moneySum(col("l_extendedprice")).as("sum_base_price"),
           moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("sum_disc_price"),
-          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(col("l_quantity").cast(LongType)).cast(DoubleType) /
+            count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order")))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        ROUND(SUM(l_quantity), 2) AS sum_qty,
-        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
-        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
-        SUM(l_quantity) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
         COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -129,7 +140,7 @@ object QueryCatalog {
             moneySum(col("o_totalprice")).as("sum_price")))
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n,
-        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         """ + orderedSql(Seq("c_mktsegment", "n", "sum_price")))),
@@ -157,7 +168,7 @@ object QueryCatalog {
             .as("revenue")))
       },
       Some("""SELECT n_name,
-        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -236,14 +247,16 @@ object QueryCatalog {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // r13: publish the EXACT decimal running sum (the old
+        // round-at-2 could tie at the 3rd decimal — the x118 class)
         ordered(e.select(col("user_id"), col("event_id"),
-          round(sum(col("value").cast(D18_6)).over(w), 2).cast(DoubleType)
-            .as("running_value")))
+          sum(col("value").cast(D18_6)).over(w)
+            .cast(DecimalType(38, 6)).as("running_value")))
       },
       Some("""SELECT user_id, event_id,
-        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
           PARTITION BY user_id ORDER BY event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
           AS running_value
         FROM events
         """ + orderedSql(Seq("user_id", "event_id", "running_value")))),
@@ -426,11 +439,11 @@ object QueryCatalog {
       (s, dir) => ordered(t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value").cast(D18_6)), 2).cast(DoubleType)
+          sum(col("value").cast(D18_6)).cast(DecimalType(38, 6))
             .as("sum_value"))),
       Some("""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
         event_type, COUNT(*) AS n,
-        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
         FROM events GROUP BY 1, 2
         """ + orderedSql(Seq("h", "event_type", "n", "sum_value")))),
 

@@ -40,8 +40,10 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(18, 6))), 2)
-          .cast(DoubleType).as("sum_value"))
+        // exact DECIMAL(38,6), matching Q20's r13 spelling (the old
+        // round-at-2 could tie at the 3rd decimal — the x118 class)
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DecimalType(38, 6)).as("sum_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"),
         col("sum_value"))
 

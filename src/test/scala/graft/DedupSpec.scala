@@ -437,20 +437,22 @@ class DedupSpec extends SparkSpec {
       "measurement, high band consistent (sf0.01)") {
     val r = SparkEntry.queries("x116_lsh_scurve")(spark, sf001)
       .collect().head
+    // r13: expectations are published as BIGINT micro-units
+    // (FLOOR(p·10⁶ + 0.5) summed exactly — no engine ROUND)
     val (nPairs, expCand, nHits, nHigh, expHigh, nHighHits) =
-      (r.getLong(0), BigDecimal(r.getDecimal(1)), r.getLong(2),
-        r.getLong(3), BigDecimal(r.getDecimal(4)), r.getLong(5))
+      (r.getLong(0), r.getLong(1) / 1e6, r.getLong(2),
+        r.getLong(3), r.getLong(4) / 1e6, r.getLong(5))
     assert(nPairs > 0 && nHigh > 0)
     assert(nHits <= nPairs && nHighHits <= nHigh)
     // the md5-derived hash family should behave ~uniformly: measured
     // candidate count within 5 sigma of the analytic expectation
     // (sigma <= sqrt(expected) for a sum of Bernoullis)
-    val sigma = math.sqrt(expCand.toDouble) max 1.0
-    assert(math.abs(nHits - expCand.toDouble) <= 5 * sigma,
+    val sigma = math.sqrt(expCand) max 1.0
+    assert(math.abs(nHits - expCand) <= 5 * sigma,
       s"S-curve expectation $expCand vs measured $nHits exceeds 5σ")
     // the near-dup band (j >= 0.9, per-pair p >= 0.9987) must capture
     // essentially everything the theory promises
-    assert(expHigh.toDouble >= 0.99 * nHigh)
+    assert(expHigh >= 0.99 * nHigh)
     assert(nHighHits.toDouble >= 0.95 * nHigh)
   }
 }

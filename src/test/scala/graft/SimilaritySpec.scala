@@ -578,9 +578,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(2) === dot)
     assert(got.getLong(3) === naSq && got.getLong(4) === nbSq)
     assert(BigDecimal(got.getDecimal(5)) === msq)
-    assert(got.getDouble(6) ===
-      dot.toDouble / (math.sqrt(naSq.toDouble) * math.sqrt(nbSq.toDouble)))
-    assert(got.getDouble(7) ===
-      math.sqrt(msq.toDouble) / (nA.toDouble * nB.toDouble))
+    // the r13 portable-quantize contract: BIGINT micros via
+    // FLOOR(x·10⁶ + 0.5), never an engine ROUND on a raw double
+    val cosRaw =
+      dot.toDouble / (math.sqrt(naSq.toDouble) * math.sqrt(nbSq.toDouble))
+    val msRaw = math.sqrt(msq.toDouble) / (nA.toDouble * nB.toDouble)
+    assert(got.getLong(6) ===
+      math.floor(cosRaw * 1000000.0 + 0.5).toLong)
+    assert(got.getLong(7) ===
+      math.floor(msRaw * 1000000.0 + 0.5).toLong)
   }
 }

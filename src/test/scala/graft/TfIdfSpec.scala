@@ -204,29 +204,33 @@ class TfIdfSpec extends SparkSpec {
 
   test("zipfAudit (x118): pure-Scala recomputation of the contract " +
       "on a hand corpus; fixture slopes are negative") {
-    def d6(x: Double): BigDecimal =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // the r13 portable-quantize contract: FLOOR(ln·10⁴ + 0.5) micros
+    def u4(v: Long): Long =
+      math.floor(math.log(v.toDouble) * 10000.0 + 0.5).toLong
     // one block: freqs a=4 b=2 c=1 → ranks 1,2,3
     val docs = Seq((1L, "s", "a a a a b b c"))
       .toDF("doc_id", "source", "text")
     val got = TextAnalysis.zipfAudit(docs, "doc_id", "text", "source")
       .collect().head
-    val xs = Seq(1L, 2L, 3L).map(r => d6(math.log(r.toDouble)))
-    val ys = Seq(4L, 2L, 1L).map(f => d6(math.log(f.toDouble)))
+    val xs = Seq(1L, 2L, 3L).map(u4)
+    val ys = Seq(4L, 2L, 1L).map(u4)
     val (n, sx, sy) = (3.0, xs.sum, ys.sum)
     val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
     val sxx = xs.map(a => a * a).sum
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
     val slope = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
       (n * sxx.toDouble - sx.toDouble * sx.toDouble)
     assert(got.getLong(1) === 3L)
-    assert(BigDecimal(got.getDecimal(2)) === sx)
-    assert(BigDecimal(got.getDecimal(3)) === sy)
-    assert(BigDecimal(got.getDecimal(4)) === sxy)
-    assert(BigDecimal(got.getDecimal(5)) === sxx)
+    assert(got.getLong(2) === sx)
+    assert(got.getLong(3) === sy)
+    assert(got.getLong(4) === sxy)
+    assert(got.getLong(5) === sxx)
     assert(got.getDouble(6) === slope)
     assert(slope < 0.0)
+    // the maxRank head cap drops tail types from the fit
+    val capped = TextAnalysis.zipfAudit(docs, "doc_id", "text",
+      "source", maxRank = 2).collect().head
+    assert(capped.getLong(1) === 2L)
+    assert(capped.getLong(2) === xs.take(2).sum)
     // fixture: every source's curve slopes down (synthetic vocab is
     // flatter than natural text's ~-1, but monotone decreasing)
     val fix = TextAnalysis.zipfAudit(
