@@ -1617,8 +1617,10 @@ object TextAnalysis {
     *
     * Scale: one token aggregate (map-side combinable), one
     * block-partitioned rank window over the TYPE table (vocabulary-
-    * sized, not corpus-sized; the maxRank cut is a WindowGroupLimit
-    * pushdown), one model-sized final aggregate.
+    * sized, not corpus-sized; the maxRank cut applies directly above
+    * the window, before quantization and the regression sums —
+    * PlanQualitySpec gates the shape), one model-sized final
+    * aggregate.
     *
     * Returns `(block, n_types, sum_x_u4, sum_y_u4, sum_xy_u8,
     * sum_xx_u8, slope)` — `n_types` counts the FITTED (rank-capped)

@@ -48,6 +48,48 @@ object UrlCanon {
   def urlDomain(canonUrl: Column): Column =
     regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
 
+  /** C4/UT1-style DOMAIN blocklist gate — composes [[canonicalizeUrl]]
+    * (x90) with the x99 frozen-blocklist idea at the granularity the
+    * production gates actually key on: UT1/C4 blocklists are DOMAIN
+    * lists, and a host is blocked when ANY dot-suffix of it (the host
+    * itself, its registrable parent, …) appears in the list —
+    * `ads.tracker.example.com` is blocked by an `example.com` entry.
+    *
+    * The suffix set of a host is bounded by its label count (≤ ~6), so
+    * the whole gate is ONE per-row projection: canonicalize → extract
+    * host → build the suffix array → intersect with the frozen list
+    * riding the plan as a literal. Zero joins, zero shuffles, whole-
+    * stage codegen; scales linearly at any corpus size. For a
+    * multi-million-domain list (full UT1), swap the literal for a
+    * broadcast table and equi-join the EXPLODED suffix set — same
+    * output contract, one broadcast hash join, still no corpus-side
+    * shuffle.
+    *
+    * Determinism: pure string ops; `block_rule` is the
+    * lexicographically smallest matching entry (`array_min`), NULL for
+    * keepers — identical in both engines.
+    *
+    * Returns `(doc_id, domain, n_rules, block_rule, keep)` with `keep`
+    * the x99-convention BIGINT 0/1 flag.
+    */
+  def domainBlocklistGate(urls: DataFrame, idCol: String, urlCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "need at least one blocked domain")
+    require(blockedDomains.toSet.size == blockedDomains.size,
+      "blocked domains must be distinct")
+    val canon = urls.select(col(idCol).as("doc_id"),
+      canonicalizeUrl(col(urlCol)).as("canon_url"))
+    val domain = urlDomain(col("canon_url"))
+    val parts = split(domain, "\\.")
+    val sufs = transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts)), "."))
+    val hits = array_intersect(sufs, typedLit(blockedDomains.sorted))
+    canon.select(col("doc_id"), domain.as("domain"),
+      size(hits).cast(LongType).as("n_rules"),
+      array_min(hits).as("block_rule"),
+      (size(hits) === 0).cast(LongType).as("keep"))
+  }
+
   /** URL-level dedup + per-domain cap: collapse to one row per
     * canonical URL (keeping the smallest id as the survivor and the
     * duplicate count), then keep the first `cap` URLs per domain in

@@ -4761,6 +4761,105 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("src_a", "src_b", "n_agree", "est_jaccard"))
       }),
 
+    // x123 — DOMAIN-level blocklist gate (r12 verdict item 6): the
+    // C4/UT1 production gate composing x90's URL canonicalization
+    // with x99's frozen-blocklist idea at the granularity those
+    // pipelines actually key on — UT1 blocklists are DOMAIN lists,
+    // and a host is blocked when ANY dot-suffix matches an entry.
+    // URLs are the x90 deterministic messy construction plus a CDN
+    // subdomain label on even ids, so BOTH match paths are live on
+    // the fixture: odd src3/src11 docs hit their entry exactly, even
+    // ones hit it as a PROPER suffix under cdn., cdn.src5 hits only
+    // the cdn host (bare src5 keeps), and tracker.example.net never
+    // fires (the x99 zero-hit-path convention). One per-row
+    // projection — zero joins, zero shuffle (see
+    // UrlCanon.domainBlocklistGate for the big-list equi-join swap).
+    QueryDef("x123_domain_blocklist",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        val idm = (m: Int) => (col("doc_id") % m).cast(StringType)
+        val scheme = when(col("doc_id") % 3 === 0, lit("HTTPS://"))
+          .when(col("doc_id") % 3 === 1, lit("http://"))
+          .otherwise(lit("Https://"))
+        val www = when(col("doc_id") % 2 === 1, lit("WWW."))
+          .otherwise(lit(""))
+        val cdn = when(col("doc_id") % 2 === 0, lit("CDN."))
+          .otherwise(lit(""))
+        val qs = when(col("doc_id") % 4 === 0,
+            concat(lit("?utm_source=feed&id="), idm(5),
+              lit("&utm_campaign=x")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("?id="), idm(5), lit("&gclid=abc123")))
+          .when(col("doc_id") % 4 === 2, concat(lit("?id="), idm(5)))
+          .otherwise(lit(""))
+        val frag = when(col("doc_id") % 5 === 0,
+          concat(lit("#sec"), idm(3))).otherwise(lit(""))
+        val url = concat(scheme, www, cdn, upper(col("source")),
+          lit(".Example.COM/d/"), idm(40), qs, frag)
+        ordered(UrlCanon.domainBlocklistGate(
+          d.select(col("doc_id"), url.as("url")), "doc_id", "url",
+          blockedDomains = Seq("src3.example.com", "src11.example.com",
+            "cdn.src5.example.com", "tracker.example.net")))
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+                  WHEN doc_id % 3 = 1 THEN 'http://'
+                  ELSE 'Https://' END) ||
+            (CASE WHEN doc_id % 2 = 1 THEN 'WWW.' ELSE '' END) ||
+            (CASE WHEN doc_id % 2 = 0 THEN 'CDN.' ELSE '' END) ||
+            upper(source) || '.Example.COM/d/' ||
+            CAST(doc_id % 40 AS VARCHAR) ||
+            (CASE WHEN doc_id % 4 = 0 THEN
+                    '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+                      || '&utm_campaign=x'
+                  WHEN doc_id % 4 = 1 THEN
+                    '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&gclid=abc123'
+                  WHEN doc_id % 4 = 2 THEN
+                    '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                  ELSE '' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN
+                    '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE '' END) AS url
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                      '^([^:/?#]+://[^/?#]*)', 1)) ||
+                    regexp_extract(regexp_replace(url, '#.*', ''),
+                      '^[^:/?#]+://[^/?#]*(.*)', 1),
+                    '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
+                  '&(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+                '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '?'),
+              '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*$', '') AS curl0
+          FROM u),
+        dom AS (
+          SELECT doc_id, regexp_extract(
+              regexp_replace(curl0, '/$', ''),
+              '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS domain
+          FROM c),
+        hit AS (
+          SELECT doc_id, domain,
+            list_intersect(
+              list_transform(range(len(string_split(domain, '.'))),
+                i -> array_to_string(
+                  string_split(domain, '.')[i + 1:], '.')),
+              ['src3.example.com', 'src11.example.com',
+               'cdn.src5.example.com', 'tracker.example.net']) AS hits
+          FROM dom)
+        SELECT doc_id, domain,
+          CAST(len(hits) AS BIGINT) AS n_rules,
+          list_min(hits) AS block_rule,
+          CAST(CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS keep
+        FROM hit
+        """ + orderedSql(Seq("doc_id", "domain", "n_rules",
+          "block_rule", "keep")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing
@@ -4883,4 +4982,24 @@ object ExtensionCatalog {
   lazy val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o.linesIterator
       .map(_.trim).filter(_.nonEmpty).mkString(" "))).toMap
+
+  /** Every rows-only sketch op (no DuckDB-expressible oracle — the
+    * driver records a weaker rows-only check) mapped to its
+    * oracle-checked PORTABLE TWIN: a query exercising the same
+    * pipeline shape through engine-portable primitives (md5-derived
+    * hashes, exact integer votes) so the shape itself is hash-verified
+    * even though the production op keeps its faster native kernel
+    * (xxhash64, float SIMD). TwinCoverageSpec asserts this map stays
+    * total and its twins stay oracle-backed; SURVEY §2.2b documents
+    * each pairing.
+    */
+  val portableTwins: Map[String, String] = Map(
+    "x8_minhash_lsh" -> "x43_portable_minhash",
+    "x9_simhash" -> "x71_portable_simhash",
+    "x13_minhash_agg" -> "x122_portable_corpus_sig",
+    "x15_sign_lsh_pairs" -> "x72_portable_srp",
+    "x16_approx_distinct" -> "x114_portable_distinct",
+    "x52_approx_quantiles" -> "x120_portable_quantiles",
+    "x68_heavy_hitters" -> "x121_portable_topk"
+  )
 }

@@ -604,4 +604,17 @@ object DocStreams {
       canon.as("canon_url"),
       graft.ops.UrlCanon.urlDomain(canon).as("domain"))
   }
+
+  /** Online DOMAIN blocklist gate — the ingest-time twin of batch
+    * x123 (C4/UT1 drop blocked domains at crawl intake, before any
+    * text stage runs). [[graft.ops.UrlCanon.domainBlocklistGate]] is
+    * one stateless projection (canonicalize → suffix set → intersect
+    * the frozen domain list riding the plan as a literal), so it
+    * applies to a streaming frame verbatim: no state, no watermark,
+    * any trigger — bit-equal to batch on the same arrivals.
+    */
+  def domainGateFlags(docs: DataFrame, idCol: String, urlCol: String,
+      blockedDomains: Seq[String]): DataFrame =
+    graft.ops.UrlCanon.domainBlocklistGate(docs, idCol, urlCol,
+      blockedDomains)
 }

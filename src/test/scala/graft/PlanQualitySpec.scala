@@ -214,6 +214,34 @@ class PlanQualitySpec extends SparkSpec {
       s"x114 lost the top-k window pushdown:\n$x114")
   }
 
+  test("round-13 plan shapes: x123 domain gate is one zero-join " +
+      "projection; x118 rank cut pushes down") {
+    def phys(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+    // x123: canonicalize → suffix set → frozen-list intersect is ONE
+    // per-row projection — no join anywhere, and the only exchange is
+    // the presentation sort
+    val x123 = phys("x123_domain_blocklist")
+    assert(!x123.contains("Join"),
+      s"x123 plans a join — the frozen list must ride as a literal:\n$x123")
+    val exchanges123 = "Exchange".r.findAllIn(x123).length
+    assert(exchanges123 <= 2, // rangepartitioning sort (+AQE read)
+      s"x123 plans $exchanges123 exchanges — the gate should not " +
+        s"shuffle:\n$x123")
+    // x118: the maxRank head cut must apply DIRECTLY above the rank
+    // window — before quantization and the regression aggregate — so
+    // the tail never reaches the sums. (A WindowGroupLimit would be
+    // even better, but Spark only infers one below
+    // spark.sql.window.group.limit.threshold = 1000, and the cap is
+    // 10⁵; the window input is the vocabulary-sized TYPE table either
+    // way.)
+    val x118 = phys("x118_zipf_audit")
+    assert("Filter \\(_we\\d+#\\d+L? <= 100000\\)\\s*\\n\\s*\\+- Window"
+        .r.findFirstIn(x118).isDefined,
+      s"x118 lost the rank-cap filter directly above the window:\n$x118")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)

@@ -951,4 +951,45 @@ class StreamingSpec extends SparkSpec {
       assert(gotP.avg_nll > 0.0 && !gotP.avg_nll.isInfinite)
     } finally model.release()
   }
+
+  test("online domain blocklist gate equals the batch x123 projection") {
+    // stateless per-row projection (canonicalize -> suffix set ->
+    // frozen-list intersect) -- the pin is bit-identical rows from the
+    // streaming frame under any batching
+    val blocked = Seq("src3.example.com", "cdn.src5.example.com")
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).limit(40)
+      .select($"doc_id",
+        concat(lit("HTTPS://"),
+          when($"doc_id" % 2 === 0, lit("CDN.")).otherwise(lit("WWW.")),
+          upper($"source"), lit(".Example.COM/d/"),
+          ($"doc_id" % 7).cast("string"),
+          lit("?utm_source=a&id=1#f")).as("url"))
+      .cache()
+    val expected = graft.streaming.DocStreams.domainGateFlags(
+        corpus, "doc_id", "url", blocked)
+      .as[(Long, String, Long, Option[String], Long)].collect().toSet
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStreams.domainGateFlags(
+        ms.toDF().toDF("doc_id", "url"), "doc_id", "url", blocked)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_domgate").start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h: _*)
+      q.processAllAvailable()
+      ms.addData(t: _*)
+      q.processAllAvailable()
+      assert(spark.table("stream_domgate")
+        .as[(Long, String, Long, Option[String], Long)]
+        .collect().toSet === expected)
+      // both gate outcomes live on the fixture
+      assert(expected.exists(_._5 == 0L) && expected.exists(_._5 == 1L))
+    } finally {
+      q.stop()
+      corpus.unpersist()
+    }
+  }
 }

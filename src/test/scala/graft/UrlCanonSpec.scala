@@ -58,4 +58,24 @@ class UrlCanonSpec extends SparkSpec {
     // a.com/z (first_doc 9) fell to the cap; scheme is not part of the
     // domain key, so http and https b-urls would share one budget
   }
+
+  test("domainBlocklistGate (x123): exact hit, proper-suffix hit, " +
+      "multi-rule min, zero-hit keep") {
+    val blocked = Seq("bad.com", "ads.bad.com", "tracker.net")
+    val urls = Seq(
+      (1L, "https://bad.com/x"), // exact entry
+      (2L, "HTTP://WWW.Sub.Bad.COM/y#f"), // proper suffix (+canon chain)
+      (3L, "https://ads.bad.com/z"), // BOTH entries match: min rule wins
+      (4L, "https://good.com/a?utm_source=t"), // zero hits
+      (5L, "https://notbad.com/b")) // suffix match needs the dot
+      .toDF("doc_id", "url")
+    val got = UrlCanon.domainBlocklistGate(urls, "doc_id", "url", blocked)
+      .as[(Long, String, Long, Option[String], Long)].collect().toSet
+    assert(got === Set(
+      (1L, "bad.com", 1L, Some("bad.com"), 0L),
+      (2L, "sub.bad.com", 1L, Some("bad.com"), 0L),
+      (3L, "ads.bad.com", 2L, Some("ads.bad.com"), 0L),
+      (4L, "good.com", 0L, None, 1L),
+      (5L, "notbad.com", 0L, None, 1L)))
+  }
 }
