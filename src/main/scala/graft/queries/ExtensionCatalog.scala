@@ -4860,6 +4860,87 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "domain", "n_rules",
           "block_rule", "keep")))),
 
+    // x124 — interpolated Kneser–Ney 5-GRAM LM quality (r12 verdict
+    // item 5 resolved by SHIPPING it): the x111 back-off recursion at
+    // the order the production CCNet/KenLM stack actually runs, WITH
+    // the KenLM-style count-prune ON (minCount=2 — the knob that
+    // bounds the 5-gram model tables at 100 TB; singleton 5-grams are
+    // ~corpus-sized, the ≥2 table is the repeated-5-gram mass). All
+    // nine model tables derive from ONE pruned type table; pruned and
+    // unobserved 5-grams are out of contract (unscored), docs with no
+    // scored 5-gram emit no row — identical in both engines. The pr
+    // CTE guards len(t) >= 5 (the kn3 negative-slice lesson).
+    QueryDef("x124_kn5_quality",
+      (s, dir) => ordered(TextAnalysis.kn5Quality(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 2)),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL),
+        pr AS (
+          SELECT doc_id, unnest(t[1:len(t)-4]) AS w1,
+            unnest(t[2:len(t)-3]) AS w2, unnest(t[3:len(t)-2]) AS w3,
+            unnest(t[4:len(t)-1]) AS w4, unnest(t[5:len(t)]) AS w5
+          FROM toks
+          WHERE len(t) >= 5),
+        t5 AS (
+          SELECT w1, w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS c5
+          FROM pr GROUP BY w1, w2, w3, w4, w5 HAVING COUNT(*) >= 2),
+        ctx5 AS (
+          SELECT w1, w2, w3, w4, CAST(SUM(c5) AS BIGINT) AS ctx5,
+            CAST(COUNT(*) AS BIGINT) AS n5f
+          FROM t5 GROUP BY w1, w2, w3, w4),
+        cont4 AS (
+          SELECT w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS cont4
+          FROM t5 GROUP BY w2, w3, w4, w5),
+        mid4 AS (
+          SELECT w2, w3, w4, CAST(SUM(cont4) AS BIGINT) AS mid4,
+            CAST(COUNT(*) AS BIGINT) AS n4f
+          FROM cont4 GROUP BY w2, w3, w4),
+        cont3 AS (
+          SELECT w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS cont3
+          FROM cont4 GROUP BY w3, w4, w5),
+        mid3 AS (
+          SELECT w3, w4, CAST(SUM(cont3) AS BIGINT) AS mid3,
+            CAST(COUNT(*) AS BIGINT) AS n3f
+          FROM cont3 GROUP BY w3, w4),
+        cont2 AS (
+          SELECT w4, w5, CAST(COUNT(*) AS BIGINT) AS cont2
+          FROM cont3 GROUP BY w4, w5),
+        mid2 AS (
+          SELECT w4, CAST(SUM(cont2) AS BIGINT) AS mid2,
+            CAST(COUNT(*) AS BIGINT) AS n2f
+          FROM cont2 GROUP BY w4),
+        predt AS (
+          SELECT w5, CAST(COUNT(*) AS BIGINT) AS pred
+          FROM cont2 GROUP BY w5),
+        btt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM cont2),
+        sc AS (
+          SELECT pr.doc_id,
+            ROUND(-ln(((t5.c5 - 0.75) / ctx5.ctx5) +
+              (((0.75 * ctx5.n5f) / ctx5.ctx5) *
+                (((cont4.cont4 - 0.75) / mid4.mid4) +
+                  (((0.75 * mid4.n4f) / mid4.mid4) *
+                    (((cont3.cont3 - 0.75) / mid3.mid3) +
+                      (((0.75 * mid3.n3f) / mid3.mid3) *
+                        (((cont2.cont2 - 0.75) / mid2.mid2) +
+                          (((0.75 * mid2.n2f) / mid2.mid2) *
+                            (CAST(predt.pred AS DOUBLE) /
+                              btt.bt))))))))), 6) AS nlp
+          FROM pr JOIN t5 USING (w1, w2, w3, w4, w5)
+          JOIN ctx5 USING (w1, w2, w3, w4)
+          JOIN cont4 USING (w2, w3, w4, w5)
+          JOIN mid4 USING (w2, w3, w4)
+          JOIN cont3 USING (w3, w4, w5)
+          JOIN mid3 USING (w3, w4)
+          JOIN cont2 USING (w4, w5)
+          JOIN mid2 USING (w4)
+          JOIN predt USING (w5) CROSS JOIN btt)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_5grams,
+          CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS avg_nll
+        FROM sc GROUP BY doc_id
+        """ + orderedSql(Seq("doc_id", "n_5grams", "avg_nll")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

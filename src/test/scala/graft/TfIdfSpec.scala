@@ -240,6 +240,40 @@ class TfIdfSpec extends SparkSpec {
     assert(fix.nonEmpty && fix.forall(_ < 0.0))
   }
 
+  test("kn5Quality (x124): pure-Scala recomputation on a hand corpus; " +
+      "the count-prune drops singleton 5-grams") {
+    val docs = Seq(
+      (1L, "a b c d e a b c d e"),
+      (2L, "a b c d e x a b c d e"),
+      (3L, "a b c d f a b c d f")).toDF("doc_id", "text")
+    val got = TextAnalysis.kn5Quality(docs, "doc_id", "text",
+        minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    def d6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // pruned type table {abcde: 4, abcdf: 2} (every other 5-gram is a
+    // singleton); model: ctx5(abcd) = (6, 2), every continuation
+    // level has cont = 1, mid = 2, nf = 2, pred = 1, bt = 2 — the
+    // back-off chain mirrors the operator's IEEE order exactly
+    val inner = ((1.0 - 0.75) / 2) + (((0.75 * 2) / 2) * (1.0 / 2))
+    val lvl3 = ((1.0 - 0.75) / 2) + (((0.75 * 2) / 2) * inner)
+    val lvl4 = ((1.0 - 0.75) / 2) + (((0.75 * 2) / 2) * lvl3)
+    val pE = ((4 - 0.75) / 6) + (((0.75 * 2) / 6) * lvl4)
+    val pF = ((2 - 0.75) / 6) + (((0.75 * 2) / 6) * lvl4)
+    val nE = d6(-math.log(pE))
+    val nF = d6(-math.log(pF))
+    assert(got === Map(
+      1L -> ((2L, (nE * 2).toDouble / 2)),
+      2L -> ((2L, (nE * 2).toDouble / 2)),
+      3L -> ((2L, (nF * 2).toDouble / 2))))
+    // unpruned (minCount = 1): every doc's 5-grams all score
+    val full = TextAnalysis.kn5Quality(docs, "doc_id", "text",
+        minCount = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === Map(1L -> 6L, 2L -> 7L, 3L -> 6L))
+  }
+
   test("curation funnel: monotone shrink, stage 0 equals the raw corpus") {
     val rows = SparkEntry.queries("x96_curation_funnel")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
