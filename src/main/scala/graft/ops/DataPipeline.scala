@@ -82,6 +82,63 @@ object DataPipeline {
       Clusters.assignComponents(docs, idCol, pairs, aCol, bCol),
       "component", trainRate, valRate)
 
+  /** Fill-in-the-middle (FIM) training transform — Bavarian et al.
+    * 2022 ("Efficient Training of Language Models to Fill in the
+    * Middle", arXiv:2207.14255): with probability `fimRate` a
+    * document's text is split at two uniform character positions into
+    * (prefix, middle, suffix) and re-emitted in PSM order with
+    * sentinel tokens — `⟨PRE⟩prefix⟨SUF⟩suffix⟨MID⟩middle` — teaching
+    * an autoregressive LM to infill; the remaining documents pass
+    * through verbatim (the paper's joint objective).
+    *
+    * Everything is DETERMINISTIC per row, no RNG state: the FIM coin
+    * is the md5-prefix membership test (the x23/x36 convention, tagged
+    * `fimr|id` so it is independent of any other sampling decision on
+    * the same corpus), and each cut point is a 16-bit md5 draw
+    * (`fim1|id`, `fim2|id`) taken mod (len+1), sorted so
+    * `0 ≤ cut1 ≤ cut2 ≤ len`. Empty prefix/middle/suffix spans are
+    * legal FIM outputs (cut at the boundary), exactly as in the paper.
+    * Every primitive (md5, substr, integer mod) is bit-identical
+    * cross-engine — no floating point anywhere.
+    *
+    * Scale: ONE stateless per-row projection — no shuffle, no window,
+    * no join; Catalyst keeps the whole transform in a single
+    * WholeStageCodegen span, so it streams through a 100 TB corpus at
+    * scan speed and re-runs reproducibly shard-by-shard (the property
+    * a training-data rewriter must have: re-materializing any shard
+    * yields the same bytes).
+    *
+    * Contract: `textCol` must not contain the sentinel strings (true
+    * of natural text with the defaults; the caller owns sentinel
+    * choice). Returns `(idCol, fim, cut1, cut2, psm_text,
+    * n_chars_out)`; `cut1`/`cut2` are the draws (published for both
+    * branches — they are a pure function of the id), `fim` ∈ {0,1}.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      fimRate: Double, pre: String = "<PRE>", suf: String = "<SUF>",
+      mid: String = "<MID>"): DataFrame = {
+    val idStr = col(idCol).cast("string")
+    def draw16(tag: String): Column =
+      conv(substring(md5(concat(lit(tag + "|"), idStr)), 1, 4), 16, 10)
+        .cast("long")
+    val len = length(col(textCol)).cast("long")
+    val c1r = draw16("fim1") % (len + lit(1L))
+    val c2r = draw16("fim2") % (len + lit(1L))
+    val cut1 = least(c1r, c2r)
+    val cut2 = greatest(c1r, c2r)
+    val fim = substring(md5(concat(lit("fimr|"), idStr)), 1, 4) <
+      lit(Sampling.hexThreshold(fimRate))
+    val t = col(textCol)
+    val psm = concat(lit(pre), t.substr(lit(1L), cut1),
+      lit(suf), t.substr(cut2 + lit(1L), len - cut2),
+      lit(mid), t.substr(cut1 + lit(1L), cut2 - cut1))
+    docs.select(col(idCol),
+        when(fim, lit(1L)).otherwise(lit(0L)).as("fim"),
+        cut1.as("cut1"), cut2.as("cut2"),
+        when(fim, psm).otherwise(t).as("psm_text"))
+      .withColumn("n_chars_out", length(col("psm_text")).cast("long"))
+  }
+
   /** Corpus snapshot diff — the data-versioning report run between two
     * corpus versions before retraining: per id, `added` (only in new),
     * `removed` (only in old), `modified` (both, content hash differs)

@@ -30,6 +30,16 @@ object ExtensionCatalog {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** 16-bit integer value of a 4-hex-char string column — the DuckDB
+    * twin of Spark's `conv(hex4, 16, 10)` (x114's spelling, factored
+    * for reuse by the md5-draw ops).
+    */
+  private def hex16Sql(c: String): String =
+    s"((strpos('0123456789abcdef', substr($c, 1, 1)) - 1) * 4096 + " +
+      s"(strpos('0123456789abcdef', substr($c, 2, 1)) - 1) * 256 + " +
+      s"(strpos('0123456789abcdef', substr($c, 3, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr($c, 4, 1)) - 1))"
+
   /** The engine-portable rolling-hash fold (TextAnalysis.fingerprint's
     * arithmetic) in DuckDB SQL — x4 and x51 share ONE spelling so the
     * two oracles cannot drift from each other or the kernel.
@@ -4940,6 +4950,55 @@ object ExtensionCatalog {
             AS avg_nll
         FROM sc GROUP BY doc_id
         """ + orderedSql(Seq("doc_id", "n_5grams", "avg_nll")))),
+
+    // x125 — fill-in-the-middle (FIM) training transform (Bavarian et
+    // al. 2022): with md5-coin probability 0.5 a document is re-emitted
+    // as <PRE>prefix<SUF>suffix<MID>middle at two deterministic 16-bit
+    // md5 cut draws mod (len+1); the rest pass through verbatim (the
+    // paper's joint objective). Pure stateless per-row projection —
+    // zero shuffle (plan-gated), all integer/md5/substr primitives, so
+    // the driver hash-checks the exact training bytes a rewriter would
+    // materialize. Streaming twin: DocStreams.fimTransform.
+    QueryDef("x125_fim_transform",
+      (s, dir) => ordered(graft.ops.DataPipeline.fimTransform(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", fimRate = 0.5)),
+      Some(s"""WITH d AS (
+          SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+          FROM documents WHERE text IS NOT NULL),
+        hx AS (
+          SELECT doc_id, text, len,
+            substr(md5('fim1|' || CAST(doc_id AS VARCHAR)), 1, 4) AS m1,
+            substr(md5('fim2|' || CAST(doc_id AS VARCHAR)), 1, 4) AS m2,
+            substr(md5('fimr|' || CAST(doc_id AS VARCHAR)), 1, 4) AS mr
+          FROM d),
+        h AS (
+          SELECT doc_id, text, len,
+            CAST(${hex16Sql("m1")} AS BIGINT) % (len + 1) AS c1r,
+            CAST(${hex16Sql("m2")} AS BIGINT) % (len + 1) AS c2r,
+            CASE WHEN mr < '${Sampling.hexThreshold(0.5)}'
+              THEN 1 ELSE 0 END AS fim
+          FROM hx),
+        c AS (
+          SELECT doc_id, text, len, fim,
+            least(c1r, c2r) AS cut1, greatest(c1r, c2r) AS cut2
+          FROM h),
+        o AS (
+          SELECT doc_id, CAST(fim AS BIGINT) AS fim,
+            CAST(cut1 AS BIGINT) AS cut1, CAST(cut2 AS BIGINT) AS cut2,
+            CASE WHEN fim = 1 THEN
+              '<PRE>' || substr(text, 1, CAST(cut1 AS INTEGER)) ||
+              '<SUF>' || substr(text, CAST(cut2 + 1 AS INTEGER),
+                CAST(len - cut2 AS INTEGER)) ||
+              '<MID>' || substr(text, CAST(cut1 + 1 AS INTEGER),
+                CAST(cut2 - cut1 AS INTEGER))
+            ELSE text END AS psm_text
+          FROM c)
+        SELECT doc_id, fim, cut1, cut2, psm_text,
+          CAST(length(psm_text) AS BIGINT) AS n_chars_out
+        FROM o
+        """ + orderedSql(Seq("doc_id", "fim", "cut1", "cut2",
+          "psm_text", "n_chars_out")))),
 
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-

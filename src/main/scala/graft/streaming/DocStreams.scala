@@ -617,4 +617,17 @@ object DocStreams {
       blockedDomains: Seq[String]): DataFrame =
     graft.ops.UrlCanon.domainBlocklistGate(docs, idCol, urlCol,
       blockedDomains)
+
+  /** Online fill-in-the-middle rewrite — the ingest-time twin of
+    * batch x125 (rewrite documents into FIM training format as they
+    * arrive, e.g. when streaming a corpus through tokenization into
+    * training shards). [[graft.ops.DataPipeline.fimTransform]] is a
+    * stateless deterministic per-row projection (md5 coin + md5 cut
+    * draws + substr splice), so it applies to a streaming frame
+    * verbatim: no state, no watermark, any trigger — bit-equal to
+    * batch on the same arrivals.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      fimRate: Double): DataFrame =
+    graft.ops.DataPipeline.fimTransform(docs, idCol, textCol, fimRate)
 }

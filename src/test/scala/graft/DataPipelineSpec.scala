@@ -128,4 +128,52 @@ class DataPipelineSpec extends SparkSpec {
     // mess is invisible to the folded pipeline end to end
     assert(foldedIds === cleanIds)
   }
+
+  test("fimTransform: PSM splice is losslessly invertible and the " +
+      "coin/cuts are deterministic") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val src = docs.as[(Long, String)].collect().toMap
+    val out = DataPipeline.fimTransform(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Long, Long, String, Long)].collect()
+    assert(out.length === src.size)
+    // fixture precondition for the sentinel contract
+    assert(!src.values.exists(t =>
+      t.contains("<PRE>") || t.contains("<SUF>") || t.contains("<MID>")))
+    var nFim = 0
+    var edgeCut = 0
+    out.foreach { case (id, fim, cut1, cut2, psm, nOut) =>
+      val orig = src(id)
+      assert(0L <= cut1 && cut1 <= cut2 && cut2 <= orig.length.toLong,
+        s"doc $id cuts out of range: $cut1/$cut2/${orig.length}")
+      assert(nOut === psm.length.toLong)
+      if (fim == 1L) {
+        nFim += 1
+        // parse <PRE>p<SUF>s<MID>m and re-splice p||m||s == original
+        assert(psm.startsWith("<PRE>"))
+        val sufAt = psm.indexOf("<SUF>")
+        val midAt = psm.indexOf("<MID>")
+        assert(sufAt >= 5 && midAt > sufAt)
+        val p = psm.substring(5, sufAt)
+        val sfx = psm.substring(sufAt + 5, midAt)
+        val m = psm.substring(midAt + 5)
+        assert(p + m + sfx === orig, s"doc $id fails round-trip")
+        assert(p.length.toLong === cut1 &&
+          m.length.toLong === cut2 - cut1)
+        if (cut1 == 0L || cut2 == orig.length.toLong) edgeCut += 1
+      } else {
+        assert(psm === orig, s"doc $id (fim=0) must pass through")
+      }
+    }
+    // both coin branches live, rate near 0.5 (md5 uniformity)
+    assert(nFim > out.length / 3 && nFim < 2 * out.length / 3,
+      s"fim coin off: $nFim of ${out.length}")
+    // the empty-span edge branch is exercised somewhere on the fixture
+    assert(edgeCut > 0, "no boundary cut on the fixture")
+    // determinism: a re-run is bit-identical (pure function of input)
+    val rerun = DataPipeline.fimTransform(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Long, Long, String, Long)].collect()
+    assert(rerun.sortBy(_._1).sameElements(out.sortBy(_._1)))
+  }
 }

@@ -229,6 +229,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges123 <= 2, // rangepartitioning sort (+AQE read)
       s"x123 plans $exchanges123 exchanges — the gate should not " +
         s"shuffle:\n$x123")
+    // x125: the FIM rewrite is ONE stateless per-row projection — no
+    // join, no aggregation, no window; only the presentation sort may
+    // exchange. A rewriter that shuffles would never stream a 100 TB
+    // corpus at scan speed.
+    val x125 = phys("x125_fim_transform")
+    assert(!x125.contains("Join") && !x125.contains("Window") &&
+        !x125.contains("Aggregate"),
+      s"x125 must be a pure projection:\n$x125")
+    val exchanges125 = "Exchange".r.findAllIn(x125).length
+    assert(exchanges125 <= 2,
+      s"x125 plans $exchanges125 exchanges — the rewrite should not " +
+        s"shuffle:\n$x125")
     // x118: the maxRank head cut must apply DIRECTLY above the rank
     // window — before quantization and the regression aggregate — so
     // the tail never reaches the sums. (A WindowGroupLimit would be

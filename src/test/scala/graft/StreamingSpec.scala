@@ -992,4 +992,38 @@ class StreamingSpec extends SparkSpec {
       corpus.unpersist()
     }
   }
+
+  test("online FIM rewrite equals the batch x125 projection") {
+    // stateless per-row projection (md5 coin -> md5 cut draws ->
+    // substr splice) — the pin is bit-identical rows from the
+    // streaming frame under any batching
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).limit(60)
+      .select($"doc_id", $"text").cache()
+    val expected = graft.streaming.DocStreams.fimTransform(
+        corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long, Long, Long, String, Long)].collect().toSet
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocStreams.fimTransform(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_fim").start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h: _*)
+      q.processAllAvailable()
+      ms.addData(t: _*)
+      q.processAllAvailable()
+      assert(spark.table("stream_fim")
+        .as[(Long, Long, Long, Long, String, Long)]
+        .collect().toSet === expected)
+      // both coin branches live on the fixture
+      assert(expected.exists(_._2 == 0L) && expected.exists(_._2 == 1L))
+    } finally {
+      q.stop()
+      corpus.unpersist()
+    }
+  }
 }
