@@ -82,6 +82,52 @@ object DataPipeline {
       Clusters.assignComponents(docs, idCol, pairs, aCol, bCol),
       "component", trainRate, valRate)
 
+  /** Near-dup cluster REPRESENTATIVE selection — the keep policy
+    * production curation actually wants: instead of keep-smallest-id
+    * (x33/x50's deterministic default), keep the highest-QUALITY
+    * member of every near-dup cluster (SemDeDup keeps the most
+    * central; FineWeb-style pipelines keep the best-scoring; "longest
+    * document" is the classic cheap proxy). The scaladoc promise at
+    * the top of this file — "a smarter representative choice drops in
+    * by changing the aggregation, not the plan shape" — made concrete.
+    *
+    * Representative = argmax by (`qualityCol` desc, id asc): two
+    * map-side-combinable aggregates — per-component max quality, then
+    * min id among the maximal members — so the choice is deterministic
+    * under any partitioning and needs NO window sort over members.
+    * Singleton documents (no near-dup pair) are their own component
+    * and their own representative.
+    *
+    * Scale: the CC labeling is the dominant cost (O(log d) bounded
+    * shuffle rounds over the PAIR list — x33's analysis); the
+    * selection adds two component-keyed aggregates and one
+    * component-keyed equi join, all co-partitioned by the same key.
+    *
+    * Contract: `qualityCol` must be non-null on every row (coalesce a
+    * nullable signal first) — an all-null component would select no
+    * representative and its rows would drop at the inner join.
+    *
+    * Returns `(idCol, component, qualityCol, rep_id, keep)` —
+    * `keep` ∈ {0,1}, exactly one keep=1 per component.
+    */
+  def clusterRepresentatives(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      qualityCol: String): DataFrame = {
+    val labeled = Clusters.assignComponents(docs, idCol, pairs,
+      aCol, bCol)
+    val best = labeled.groupBy(col("component"))
+      .agg(max(col(qualityCol)).as("_bq"))
+    val rep = labeled.join(best, Seq("component"))
+      .filter(col(qualityCol) === col("_bq"))
+      .groupBy(col("component"))
+      .agg(min(col(idCol)).as("rep_id"))
+    labeled.join(rep, Seq("component"))
+      .select(col(idCol), col("component"), col(qualityCol),
+        col("rep_id"),
+        when(col(idCol) === col("rep_id"), lit(1L)).otherwise(lit(0L))
+          .as("keep"))
+  }
+
   /** Fill-in-the-middle (FIM) training transform — Bavarian et al.
     * 2022 ("Efficient Training of Language Models to Fill in the
     * Middle", arXiv:2207.14255): with probability `fimRate` a

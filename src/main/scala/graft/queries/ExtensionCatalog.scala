@@ -5000,6 +5000,67 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "fim", "cut1", "cut2",
           "psm_text", "n_chars_out")))),
 
+    // x126 — near-dup cluster REPRESENTATIVE selection: x33's clusters
+    // with the keep policy production curation wants — keep the
+    // highest-quality member (token count as the classic longest-doc
+    // proxy; argmax by (quality desc, id asc) via two map-side
+    // aggregates, no member window). Exactly one keep=1 per cluster;
+    // singletons keep themselves. The oracle shares x33's recursive-CC
+    // + exact-Jaccard pair spelling, so this green row proves the
+    // SELECTION on the identical clustering x33 already proves.
+    QueryDef("x126_cluster_reps",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+        val withTok = base.select(col("doc_id"), col("source"),
+          Dedup.tokenSet(col("text")).as("tok"))
+        val pairs = Dedup.nearDupPairs(withTok, "doc_id", "tok", 0.9,
+          numHashes = 96, bands = 24, blockCol = col("source"))
+        val docs = base.select(col("doc_id"),
+          coalesce(size(split(col("text"), " ")).cast(LongType),
+            lit(0L)).as("n_tokens"))
+        ordered(graft.ops.DataPipeline.clusterRepresentatives(
+          docs, "doc_id", pairs, "a_id", "b_id", "n_tokens"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM toks a JOIN toks b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+        reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+        docs AS (
+          SELECT d.doc_id,
+            CAST(COALESCE(l.comp, d.doc_id) AS BIGINT) AS component,
+            CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
+              AS n_tokens
+          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+        best AS (
+          SELECT component, MAX(n_tokens) AS bq
+          FROM docs GROUP BY component),
+        rep AS (
+          SELECT d.component, MIN(d.doc_id) AS rep_id
+          FROM docs d JOIN best b
+            ON b.component = d.component AND d.n_tokens = b.bq
+          GROUP BY d.component)
+        SELECT d.doc_id, d.component AS component, d.n_tokens, r.rep_id,
+          CAST(CASE WHEN d.doc_id = r.rep_id THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+        FROM docs d JOIN rep r ON r.component = d.component
+        """ + orderedSql(Seq("doc_id", "d.component", "n_tokens",
+          "rep_id", "keep")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

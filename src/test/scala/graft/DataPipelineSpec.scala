@@ -129,6 +129,32 @@ class DataPipelineSpec extends SparkSpec {
     assert(foldedIds === cleanIds)
   }
 
+  test("clusterRepresentatives keeps the best-quality member, " +
+      "min-id on ties, singletons keep themselves") {
+    val docs = Seq(
+      (1L, 30L), (2L, 50L), (3L, 50L), // cluster {1,2,3}: max q=50 tie -> rep 2
+      (10L, 7L), (11L, 9L),            // cluster {10,11}: rep 11 (LARGER id wins on quality)
+      (20L, 1L)                        // singleton
+    ).toDF("doc_id", "n_tokens")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = DataPipeline.clusterRepresentatives(
+        docs, "doc_id", pairs, "a_id", "b_id", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 6)
+    // quality argmax, not min-id: 11 beats 10 despite the larger id
+    assert(out(10L)._4 === 11L && out(11L)._5 === 1L && out(10L)._5 === 0L)
+    // tie on quality -> smallest id among the maximal members
+    assert(out(1L)._4 === 2L && out(2L)._5 === 1L && out(3L)._5 === 0L)
+    // singleton is its own component and representative
+    assert(out(20L)._2 === 20L && out(20L)._4 === 20L && out(20L)._5 === 1L)
+    // exactly one keep per component
+    val byComp = out.values.groupBy(_._2)
+    byComp.foreach { case (c, rows) =>
+      assert(rows.count(_._5 == 1L) === 1, s"component $c keep count")
+    }
+  }
+
   test("fimTransform: PSM splice is losslessly invertible and the " +
       "coin/cuts are deterministic") {
     val docs = Tables.load(spark, sf0001, "documents")
