@@ -172,6 +172,58 @@ object Sampling {
     * signal to cap earlier (pre-aggregate or sample) — not to drop the
     * determinism.
     */
+  /** Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    * 2006 ("Weighted random sampling with a reservoir"): per row draw
+    * an exponential key with rate = weight and keep the k SMALLEST
+    * keys per stratum; the result is exactly a weight-proportional
+    * WOR sample (the A-Res estimator), the primitive behind "sample
+    * this corpus proportional to token count" steps that a uniform
+    * hash sample (x23) cannot express.
+    *
+    * Deterministic + engine-portable spelling of the randomness:
+    * `u = (h48 + 0.5) / 2^48` from a 48-bit md5 slice — the numerator
+    * fits a double's mantissa and the divisor is a power of two, so
+    * `u` is BIT-identical in any IEEE engine; the ONE libm call
+    * `-ln(u)` immediately quantizes to BIGINT micro-units via
+    * `FLOOR(x·10⁶ + 0.5)` (the r13 micros rule — conforming libm
+    * implementations differ by ~1 ulp ≈ 7e-9 absolute here, and
+    * SamplingSpec pins every fixture draw ≥ 10⁻⁷ from its boundary);
+    * the division by the weight is exact BIGINT floor division
+    * (`div` / `//`), so ranks are integer comparisons — no FP
+    * ordering anywhere.
+    *
+    * Scale: one stateless projection, then a per-stratum top-k that
+    * Spark pushes down as a WindowGroupLimit (map-side bounded heap —
+    * plan-gated); the shuffle carries only
+    * (stratum, id, weight, key). This is the one-pass distributed
+    * shape of the reservoir algorithm itself.
+    *
+    * Returns `(strataCol, idCol, weight, key_units, rk)`, `rk` ≤ `k`
+    * ordered by (key_units, id) — the id tie-break makes equal
+    * quantized keys deterministic.
+    */
+  def weightedSampleTopK(df: DataFrame, idCol: String,
+      strataCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dig = md5(concat(lit("wsr|"), col(idCol).cast(StringType)))
+    def h16(from: Int): Column =
+      conv(substring(dig, from, 4), 16, 10).cast(LongType)
+    val h48 = h16(1) * lit(4294967296L) + h16(5) * lit(65536L) + h16(9)
+    val u = (h48.cast(DoubleType) + lit(0.5)) / lit(281474976710656.0)
+    val lq = floor(-log(u) * lit(1000000.0) + lit(0.5)).cast(LongType)
+    val base = df.select(col(strataCol), col(idCol),
+        greatest(col(weightCol).cast(LongType), lit(1L)).as("weight"),
+        lq.as("_lq"))
+      .withColumn("key_units", expr("(_lq * 1000000) div weight"))
+    val win = Window.partitionBy(col(strataCol))
+      .orderBy(col("key_units").asc, col(idCol).asc)
+    base.withColumn("rk", row_number().over(win).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col(strataCol), col(idCol), col("weight"),
+        col("key_units"), col("rk"))
+  }
+
   def capPerStratum(df: DataFrame, strataCol: String,
       orderCols: Seq[Column], cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")

@@ -5061,6 +5061,53 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "d.component", "n_tokens",
           "rep_id", "keep")))),
 
+    // x127 — weighted sampling WITHOUT replacement (Efraimidis &
+    // Spirakis 2006 exponential keys): top-20 per source proportional
+    // to token weight. u is an exact 48-bit md5 dyadic (bit-identical
+    // IEEE), the one ln() call quantizes straight to BIGINT micros
+    // (r13 rule, margin-pinned in SamplingSpec), the weight division
+    // is exact integer floor division — ranks are pure integer
+    // comparisons. Plan-gated WindowGroupLimit top-k.
+    QueryDef("x127_weighted_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val docs = d.select(col("doc_id"), col("source"),
+          coalesce(size(split(col("text"), " ")).cast(LongType),
+            lit(0L)).as("n_tokens"))
+        ordered(Sampling.weightedSampleTopK(
+          docs, "doc_id", "source", "n_tokens", k = 20))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, source,
+            GREATEST(CAST(COALESCE(len(string_split(text, ' ')), 0)
+              AS BIGINT), 1) AS weight,
+            md5('wsr|' || CAST(doc_id AS VARCHAR)) AS dg
+          FROM documents),
+        h AS (
+          SELECT doc_id, source, weight,
+            CAST(${hex16Sql("substr(dg, 1, 4)")} AS BIGINT) * 4294967296
+              + CAST(${hex16Sql("substr(dg, 5, 4)")} AS BIGINT) * 65536
+              + CAST(${hex16Sql("substr(dg, 9, 4)")} AS BIGINT) AS h48
+          FROM d),
+        kq AS (
+          SELECT doc_id, source, weight,
+            CAST(FLOOR(-ln((CAST(h48 AS DOUBLE) + 0.5) /
+              281474976710656.0) * 1000000 + 0.5) AS BIGINT) AS lq
+          FROM h),
+        kk AS (
+          SELECT doc_id, source, weight,
+            (lq * 1000000) // weight AS key_units
+          FROM kq),
+        r AS (
+          SELECT source, doc_id, weight, key_units,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY key_units, doc_id) AS BIGINT) AS rk
+          FROM kk)
+        SELECT source, doc_id, weight, key_units, rk
+        FROM r WHERE rk <= 20
+        """ + orderedSql(Seq("source", "doc_id", "weight",
+          "key_units", "rk")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

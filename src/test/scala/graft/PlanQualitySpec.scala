@@ -241,6 +241,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges125 <= 2,
       s"x125 plans $exchanges125 exchanges — the rewrite should not " +
         s"shuffle:\n$x125")
+    // x127: the per-stratum reservoir top-k must push down as a
+    // WindowGroupLimit (map-side bounded heap BEFORE the shuffle —
+    // the distributed shape of the A-Res reservoir itself)
+    val x127 = phys("x127_weighted_sample")
+    assert(x127.contains("WindowGroupLimit"),
+      s"x127 lost the reservoir top-k pushdown:\n$x127")
+    assert(!x127.contains("Join"),
+      s"x127 must not join:\n$x127")
     // x118: the maxRank head cut must apply DIRECTLY above the rank
     // window — before quantization and the regression aggregate — so
     // the tail never reaches the sums. (A WindowGroupLimit would be

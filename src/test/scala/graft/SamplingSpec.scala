@@ -411,4 +411,52 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(got === Map(bmp -> 3L, emoji -> 2L))
   }
+
+  test("weightedSampleTopK: pure-Scala ES recompute is bit-equal; " +
+      "ln micros sit clear of their FLOOR boundaries; weights bias") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select($"doc_id", $"source",
+        coalesce(size(split($"text", " ")).cast("long"), lit(0L))
+          .as("n_tokens"))
+    val rows = docs.as[(Long, String, Long)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // local ES recompute: u from the 48-bit md5 dyadic, quantized ln,
+    // integer floor-div by weight — the op's exact arithmetic
+    case class K(id: Long, src: String, w: Long, lq: Long, key: Long)
+    var minMargin = Double.MaxValue
+    val keys = rows.map { case (id, src, nTok) =>
+      val w = math.max(nTok, 1L)
+      val hex = md5hex(s"wsr|$id")
+      val h48 = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+      val u = (h48 + 0.5) / 281474976710656.0
+      val x = -math.log(u) * 1000000.0 + 0.5
+      // distance of the pre-FLOOR value from an integer boundary:
+      // conforming libm ln() implementations differ by ~1 ulp (~7e-9
+      // absolute at this scale); require 10x clearance
+      val frac = x - math.floor(x)
+      minMargin = math.min(minMargin, math.min(frac, 1.0 - frac))
+      val lq = math.floor(x).toLong
+      K(id, src, w, lq, lq * 1000000L / w)
+    }
+    assert(minMargin >= 1e-7,
+      f"a quantized ln draw sits $minMargin%.2e from its FLOOR " +
+        "boundary — below the cross-libm safety margin")
+    val expected = keys.groupBy(_.src).toSeq.flatMap { case (src, ks) =>
+      ks.sortBy(k => (k.key, k.id)).take(20).zipWithIndex
+        .map { case (k, i) => (src, k.id, k.w, k.key, (i + 1).toLong) }
+    }.toSet
+    val got = Sampling.weightedSampleTopK(
+        docs, "doc_id", "source", "n_tokens", k = 20)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // weight-proportional WOR must over-represent heavy docs: the
+    // sampled mean weight beats the corpus mean (deterministic on
+    // this fixture, and a basic sanity of the estimator)
+    val sampledMean = got.toSeq.map(_._3).sum.toDouble / got.size
+    val corpusMean = keys.map(_.w).sum.toDouble / keys.length
+    assert(sampledMean > corpusMean,
+      s"sampled mean weight $sampledMean !> corpus mean $corpusMean")
+  }
 }
