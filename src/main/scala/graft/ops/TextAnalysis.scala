@@ -1267,7 +1267,16 @@ object TextAnalysis {
   def knTrigramQuality(docs: DataFrame, idCol: String, textCol: String,
       tokenize: Column => Column = tokens,
       broadcastHintMaxInputBytes: BigInt = LmBroadcastHintMaxInputBytes)
-      : DataFrame = {
+      : DataFrame =
+    kn3DocSumsImpl(docs, idCol, textCol, tokenize,
+        broadcastHintMaxInputBytes)
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("sum_nll").cast(DoubleType) / col("n_trigrams"))
+          .as("avg_nll"))
+
+  private def kn3DocSumsImpl(docs: DataFrame, idCol: String,
+      textCol: String, tokenize: Column => Column,
+      broadcastHintMaxInputBytes: BigInt): DataFrame = {
     // the checkpoint barrier sits on the TRIGRAM ROWS, not the type
     // table: pr feeds the model build AND the probe join, so without
     // it the scan+tokenize+explode subtree runs twice (measured
@@ -1311,9 +1320,24 @@ object TextAnalysis {
     pr.join(modelSide, Seq("w1", "w2", "w3"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
-        (sum(col("nlp").cast(DecimalType(18, 6)))
-          .cast(DoubleType) / count(lit(1))).as("avg_nll"))
+        sum(col("nlp").cast(DecimalType(18, 6))).as("sum_nll"))
   }
+
+  /** Per-doc trigram-KN totals — `(doc_id, n_trigrams, sum_nll)` with
+    * `sum_nll` the EXACT DECIMAL(·,6) sum of the per-trigram 6-dp
+    * scores. [[knTrigramQuality]] derives its per-doc mean from this;
+    * consumers that aggregate FURTHER (x128's per-domain rollup) must
+    * start here — summing the exact decimals stays exact at any
+    * grouping, while re-aggregating the per-doc IEEE means would
+    * reintroduce the order/boundary hazards the r13 margin gate
+    * forbids.
+    */
+  def kn3DocSums(docs: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column = tokens,
+      broadcastHintMaxInputBytes: BigInt = LmBroadcastHintMaxInputBytes)
+      : DataFrame =
+    kn3DocSumsImpl(docs, idCol, textCol, tokenize,
+      broadcastHintMaxInputBytes)
 
   /** Interpolated Kneser–Ney 5-GRAM LM quality — the
     * [[knTrigramQuality]] back-off recursion at the order the

@@ -124,6 +124,77 @@ object ExtensionCatalog {
           .as("efficiency"))
   }
 
+  /** The deterministic URL synthesizer + canonical-domain chain — ONE
+    * Spark/SQL spelling pair shared by x123 and x128 (`documents` has
+    * no URL column, so crawl-shaped URLs with scheme-case, www/CDN
+    * labels, tracking params and fragments are derived from
+    * (doc_id, source); `dom` = `(doc_id, domain)` after
+    * [[graft.ops.UrlCanon]] canonicalization).
+    */
+  private def synthUrlCol: Column = {
+    val idm = (m: Int) => (col("doc_id") % m).cast(StringType)
+    val scheme = when(col("doc_id") % 3 === 0, lit("HTTPS://"))
+      .when(col("doc_id") % 3 === 1, lit("http://"))
+      .otherwise(lit("Https://"))
+    val www = when(col("doc_id") % 2 === 1, lit("WWW."))
+      .otherwise(lit(""))
+    val cdn = when(col("doc_id") % 2 === 0, lit("CDN."))
+      .otherwise(lit(""))
+    val qs = when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=feed&id="), idm(5),
+          lit("&utm_campaign=x")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("?id="), idm(5), lit("&gclid=abc123")))
+      .when(col("doc_id") % 4 === 2, concat(lit("?id="), idm(5)))
+      .otherwise(lit(""))
+    val frag = when(col("doc_id") % 5 === 0,
+      concat(lit("#sec"), idm(3))).otherwise(lit(""))
+    concat(scheme, www, cdn, upper(col("source")),
+      lit(".Example.COM/d/"), idm(40), qs, frag)
+  }
+
+  private val urlDomainCtes: String = """u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+                  WHEN doc_id % 3 = 1 THEN 'http://'
+                  ELSE 'Https://' END) ||
+            (CASE WHEN doc_id % 2 = 1 THEN 'WWW.' ELSE '' END) ||
+            (CASE WHEN doc_id % 2 = 0 THEN 'CDN.' ELSE '' END) ||
+            upper(source) || '.Example.COM/d/' ||
+            CAST(doc_id % 40 AS VARCHAR) ||
+            (CASE WHEN doc_id % 4 = 0 THEN
+                    '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+                      || '&utm_campaign=x'
+                  WHEN doc_id % 4 = 1 THEN
+                    '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&gclid=abc123'
+                  WHEN doc_id % 4 = 2 THEN
+                    '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                  ELSE '' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN
+                    '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE '' END) AS url
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                      '^([^:/?#]+://[^/?#]*)', 1)) ||
+                    regexp_extract(regexp_replace(url, '#.*', ''),
+                      '^[^:/?#]+://[^/?#]*(.*)', 1),
+                    '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
+                  '&(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+                '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '?'),
+              '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*$', '') AS curl0
+          FROM u),
+        dom AS (
+          SELECT doc_id, regexp_extract(
+              regexp_replace(curl0, '/$', ''),
+              '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS domain
+          FROM c)"""
+
   /** The x111 trigram Kneser–Ney scoring chain — ONE spelling shared
     * by x111 and x115 (`kn3q` = `(doc_id, n_trigrams, avg_nll)`), so
     * the tercile gate cannot drift from the score it gates by.
@@ -170,11 +241,14 @@ object ExtensionCatalog {
           FROM pr JOIN tri USING (w1, w2, w3) JOIN ctx USING (w1, w2)
           JOIN cont USING (w2, w3) JOIN mid USING (w2)
           JOIN pred USING (w3) CROSS JOIN bt),
-        kn3q AS (
+        kn3s AS (
           SELECT doc_id, COUNT(*) AS n_trigrams,
-            CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-              AS avg_nll
-          FROM scoredkn GROUP BY doc_id)"""
+            SUM(CAST(nlp AS DECIMAL(18,6))) AS sum_nll
+          FROM scoredkn GROUP BY doc_id),
+        kn3q AS (
+          SELECT doc_id, n_trigrams,
+            CAST(sum_nll AS DOUBLE) / n_trigrams AS avg_nll
+          FROM kn3s)"""
 
   /** The x73 add-one bigram-LM scoring chain — ONE spelling shared by
     * x73 and x109 (`lmq` = `(doc_id, n_bigrams, avg_nll)`), so the
@@ -4787,71 +4861,13 @@ object ExtensionCatalog {
     QueryDef("x123_domain_blocklist",
       (s, dir) => {
         val d = t(s, dir, "documents").filter(col("text").isNotNull)
-        val idm = (m: Int) => (col("doc_id") % m).cast(StringType)
-        val scheme = when(col("doc_id") % 3 === 0, lit("HTTPS://"))
-          .when(col("doc_id") % 3 === 1, lit("http://"))
-          .otherwise(lit("Https://"))
-        val www = when(col("doc_id") % 2 === 1, lit("WWW."))
-          .otherwise(lit(""))
-        val cdn = when(col("doc_id") % 2 === 0, lit("CDN."))
-          .otherwise(lit(""))
-        val qs = when(col("doc_id") % 4 === 0,
-            concat(lit("?utm_source=feed&id="), idm(5),
-              lit("&utm_campaign=x")))
-          .when(col("doc_id") % 4 === 1,
-            concat(lit("?id="), idm(5), lit("&gclid=abc123")))
-          .when(col("doc_id") % 4 === 2, concat(lit("?id="), idm(5)))
-          .otherwise(lit(""))
-        val frag = when(col("doc_id") % 5 === 0,
-          concat(lit("#sec"), idm(3))).otherwise(lit(""))
-        val url = concat(scheme, www, cdn, upper(col("source")),
-          lit(".Example.COM/d/"), idm(40), qs, frag)
         ordered(UrlCanon.domainBlocklistGate(
-          d.select(col("doc_id"), url.as("url")), "doc_id", "url",
+          d.select(col("doc_id"), synthUrlCol.as("url")), "doc_id",
+          "url",
           blockedDomains = Seq("src3.example.com", "src11.example.com",
             "cdn.src5.example.com", "tracker.example.net")))
       },
-      Some("""WITH u AS (
-          SELECT doc_id,
-            (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
-                  WHEN doc_id % 3 = 1 THEN 'http://'
-                  ELSE 'Https://' END) ||
-            (CASE WHEN doc_id % 2 = 1 THEN 'WWW.' ELSE '' END) ||
-            (CASE WHEN doc_id % 2 = 0 THEN 'CDN.' ELSE '' END) ||
-            upper(source) || '.Example.COM/d/' ||
-            CAST(doc_id % 40 AS VARCHAR) ||
-            (CASE WHEN doc_id % 4 = 0 THEN
-                    '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
-                      || '&utm_campaign=x'
-                  WHEN doc_id % 4 = 1 THEN
-                    '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&gclid=abc123'
-                  WHEN doc_id % 4 = 2 THEN
-                    '?id=' || CAST(doc_id % 5 AS VARCHAR)
-                  ELSE '' END) ||
-            (CASE WHEN doc_id % 5 = 0 THEN
-                    '#sec' || CAST(doc_id % 3 AS VARCHAR)
-                  ELSE '' END) AS url
-          FROM documents WHERE text IS NOT NULL),
-        c AS (
-          SELECT doc_id,
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(
-                    lower(regexp_extract(regexp_replace(url, '#.*', ''),
-                      '^([^:/?#]+://[^/?#]*)', 1)) ||
-                    regexp_extract(regexp_replace(url, '#.*', ''),
-                      '^[^:/?#]+://[^/?#]*(.*)', 1),
-                    '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
-                  '&(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
-                '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '?'),
-              '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*$', '') AS curl0
-          FROM u),
-        dom AS (
-          SELECT doc_id, regexp_extract(
-              regexp_replace(curl0, '/$', ''),
-              '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS domain
-          FROM c),
+      Some(s"""WITH $urlDomainCtes,
         hit AS (
           SELECT doc_id, domain,
             list_intersect(
@@ -5107,6 +5123,59 @@ object ExtensionCatalog {
         FROM r WHERE rk <= 20
         """ + orderedSql(Seq("source", "doc_id", "weight",
           "key_units", "rk")))),
+
+    // x128 — per-DOMAIN LM-quality leaderboard: the curation artifact
+    // behind C4/UT1-style blocklist decisions — canonical domain
+    // (x123's shared URL chain) joined to the trigram-KN scores
+    // (x111's shared chain at the kn3s EXACT-SUM stage), rolled up to
+    // the 10 worst domains by mean nll per TRIGRAM. The 6-dp decimal
+    // sums stay exact through BOTH aggregation levels (the per-doc
+    // IEEE means are never re-aggregated — the hazard the r13 margin
+    // gate rejected in this op's first spelling), the micros
+    // conversion is an exact integer-valued decimal cast (no FLOOR
+    // boundary exists), the mean is exact integer floor division, and
+    // the top-10 cut is a TakeOrdered on the domain-sized aggregate —
+    // no corpus window, no FP anywhere.
+    QueryDef("x128_domain_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val sums = TextAnalysis.kn3DocSums(d, "doc_id", "text")
+        val dom = d.filter(col("text").isNotNull)
+          .select(col("doc_id"), UrlCanon.urlDomain(
+            UrlCanon.canonicalizeUrl(synthUrlCol)).as("domain"))
+        val g = sums.join(dom, "doc_id")
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_trigrams")).as("n_trigrams"),
+            (sum(col("sum_nll")) * lit(1000000L)).cast(LongType)
+              .as("sum_nll_micros"))
+          .withColumn("mean_nll_micros",
+            expr("sum_nll_micros div n_trigrams"))
+        ordered(g.orderBy(col("mean_nll_micros").desc, col("domain"))
+          .limit(10))
+      },
+      Some(s"""WITH $urlDomainCtes,
+        $kn3QualityCtes,
+        j AS (
+          SELECT dom.domain, kn3s.n_trigrams, kn3s.sum_nll
+          FROM kn3s JOIN dom USING (doc_id)),
+        g AS (
+          SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams,
+            CAST(SUM(sum_nll) * 1000000 AS BIGINT) AS sum_nll_micros
+          FROM j GROUP BY domain),
+        m AS (
+          SELECT domain, n_docs, n_trigrams, sum_nll_micros,
+            sum_nll_micros // n_trigrams AS mean_nll_micros
+          FROM g),
+        topd AS (
+          SELECT * FROM m ORDER BY mean_nll_micros DESC, domain
+          LIMIT 10)
+        SELECT domain, n_docs, n_trigrams, sum_nll_micros,
+          mean_nll_micros
+        FROM topd
+        """ + orderedSql(Seq("domain", "n_docs", "n_trigrams",
+          "sum_nll_micros", "mean_nll_micros")))),
 
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
