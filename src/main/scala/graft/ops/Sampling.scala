@@ -202,23 +202,36 @@ object Sampling {
     * ordered by (key_units, id) — the id tie-break makes equal
     * quantized keys deterministic.
     */
-  def weightedSampleTopK(df: DataFrame, idCol: String,
-      strataCol: String, weightCol: String, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
+  /** The per-row Efraimidis–Spirakis key projection —
+    * `(strataCol, idCol, weight, key_units)` — ONE spelling shared by
+    * the batch top-k ([[weightedSampleTopK]]) and the online keyed-
+    * state reservoir (`DocStreams.weightedReservoir`), so the two
+    * cannot drift. Stateless; see [[weightedSampleTopK]] for the
+    * portability contract of each step.
+    */
+  def esKeyed(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String): DataFrame = {
     val dig = md5(concat(lit("wsr|"), col(idCol).cast(StringType)))
     def h16(from: Int): Column =
       conv(substring(dig, from, 4), 16, 10).cast(LongType)
     val h48 = h16(1) * lit(4294967296L) + h16(5) * lit(65536L) + h16(9)
     val u = (h48.cast(DoubleType) + lit(0.5)) / lit(281474976710656.0)
     val lq = floor(-log(u) * lit(1000000.0) + lit(0.5)).cast(LongType)
-    val base = df.select(col(strataCol), col(idCol),
+    df.select(col(strataCol), col(idCol),
         greatest(col(weightCol).cast(LongType), lit(1L)).as("weight"),
         lq.as("_lq"))
       .withColumn("key_units", expr("(_lq * 1000000) div weight"))
+      .drop("_lq")
+  }
+
+  def weightedSampleTopK(df: DataFrame, idCol: String,
+      strataCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col(strataCol))
       .orderBy(col("key_units").asc, col(idCol).asc)
-    base.withColumn("rk", row_number().over(win).cast(LongType))
+    esKeyed(df, idCol, strataCol, weightCol)
+      .withColumn("rk", row_number().over(win).cast(LongType))
       .filter(col("rk") <= k)
       .select(col(strataCol), col(idCol), col("weight"),
         col("key_units"), col("rk"))

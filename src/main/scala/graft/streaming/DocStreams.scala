@@ -28,6 +28,15 @@ case class ContaminationHit(train_id: Long, eval_id: Long, n_shared: Long)
   */
 case class DocLmScore(doc_id: Long, n_bigrams: Long, avg_nll: Double)
 
+/** One slot of a stratum's online weighted reservoir (A-Res) after
+  * its latest update: `rk` ranks within the stratum by
+  * (key_units, doc_id); `version` counts the stratum's state
+  * updates — the emission with the highest version is the current
+  * reservoir.
+  */
+case class ReservoirRow(stratum: String, doc_id: Long, weight: Long,
+    key_units: Long, rk: Long, version: Long)
+
 case class DocKn3Score(doc_id: Long, n_trigrams: Long, avg_nll: Double)
 
 case class DocKn3Bucket(doc_id: Long, lang: String, n_trigrams: Long,
@@ -630,4 +639,49 @@ object DocStreams {
   def fimTransform(docs: DataFrame, idCol: String, textCol: String,
       fimRate: Double): DataFrame =
     graft.ops.DataPipeline.fimTransform(docs, idCol, textCol, fimRate)
+
+  /** Online weighted reservoir — the ingest-time twin of batch x127,
+    * and the shape Efraimidis–Spirakis was DESIGNED for (A-Res is a
+    * reservoir algorithm): maintain the k smallest exponential keys
+    * per stratum as documents arrive, so a weight-proportional
+    * without-replacement sample is available at every instant without
+    * a corpus pass. Keys come from [[graft.ops.Sampling.esKeyed]] —
+    * the identical deterministic projection batch x127 ranks — so the
+    * reservoir CONVERGES to the batch sample: after any prefix of
+    * arrivals, state equals batch top-k over that prefix, regardless
+    * of batching (keys are per-row pure; merging then truncating a
+    * sorted bounded buffer is associative — StreamingSpec pins final
+    * state ≡ batch x127 bit-for-bit).
+    *
+    * State per stratum is `(version, k slots)` — bounded, no
+    * watermark needed (NoTimeout; strata are the bounded dimension).
+    * Each update EMITS the stratum's full current reservoir stamped
+    * with a monotone `version`; downstream keeps the max-version rows
+    * per stratum (Update mode).
+    */
+  def weightedReservoir(docs: DataFrame, idCol: String,
+      strataCol: String, weightCol: String, k: Int)
+      : Dataset[ReservoirRow] = {
+    import docs.sparkSession.implicits._
+    graft.ops.Sampling.esKeyed(docs, idCol, strataCol, weightCol)
+      .select(col(strataCol).cast("string").as("s"),
+        col(idCol).cast("long").as("id"), col("weight"),
+        col("key_units"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (s: String, rows: Iterator[(String, Long, Long, Long)],
+            state: GroupState[(Long, Seq[(Long, Long, Long)])]) =>
+          val (ver, cur) = state.getOption.getOrElse((0L, Seq.empty))
+          val merged = (cur.iterator ++
+              rows.map(r => (r._4, r._2, r._3)))
+            .toSeq.sortBy(e => (e._1, e._2)).take(k)
+          val nv = ver + 1
+          state.update((nv, merged))
+          merged.zipWithIndex.iterator.map { case ((key, id, w), i) =>
+            ReservoirRow(s, id, w, key, (i + 1).toLong, nv)
+          }
+      }
+  }
 }

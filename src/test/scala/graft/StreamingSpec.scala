@@ -1026,4 +1026,44 @@ class StreamingSpec extends SparkSpec {
       corpus.unpersist()
     }
   }
+
+  test("online weighted reservoir converges to the batch x127 sample") {
+    // keyed-state A-Res: after all arrivals the max-version emission
+    // per stratum must equal the batch top-k bit-for-bit, under any
+    // batching (keys are per-row pure; merge+truncate is associative)
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source",
+        coalesce(size(split($"text", " ")).cast("long"), lit(0L))
+          .as("n_tokens")).cache()
+    val expected = graft.ops.Sampling.weightedSampleTopK(
+        corpus, "doc_id", "source", "n_tokens", k = 5)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val rows = corpus.as[(Long, String, Long)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)](spark)
+    val q = graft.streaming.DocStreams.weightedReservoir(
+        ms.toDF().toDF("doc_id", "source", "n_tokens"),
+        "doc_id", "source", "n_tokens", k = 5)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stream_reservoir").start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h: _*)
+      q.processAllAvailable()
+      ms.addData(t: _*)
+      q.processAllAvailable()
+      val all = spark.table("stream_reservoir")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      val latest = all.groupBy(_._1).values.flatMap { emits =>
+        val maxV = emits.map(_._6).max
+        emits.filter(_._6 == maxV)
+      }.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+      assert(latest === expected)
+      // the two-batch split must actually update some stratum twice
+      assert(all.exists(_._6 == 2L), "no stratum saw a second update")
+    } finally {
+      q.stop()
+      corpus.unpersist()
+    }
+  }
 }
