@@ -1057,12 +1057,17 @@ object Similarity {
     * `s₁ᵢn₂ − s₂ᵢn₁` with each factor cast to DECIMAL(19,0) BEFORE
     * the multiply (so the product never wraps in Long — exact while
     * |sᵢ·n| < 10¹⁹ per side, i.e. ~10¹⁰ unit vectors a side), squared
-    * and summed in DECIMAL(38,0). The diff is downcast to
-    * DECIMAL(18,0) before squaring so the square fits both engines'
-    * 38-digit cap — exact while |sᵢn − sᵢ'n'| < 10¹⁸ (~3·10⁷ unit
-    * vectors a side; past it DuckDB errors loudly at its cap while a
-    * Spark cast nulls — the honest bound, stated not hidden), then
-    * ONE sqrt and division.
+    * and summed in DECIMAL(38,0) INTERNALLY, then PUBLISHED as BIGINT
+    * (r14): precision-38 decimals are hugeint-backed in DuckDB and
+    * were exactly the r13 driver-hash-divergent surface
+    * (CORRECTNESS_r13 — this row plus the five moneySum queries), so
+    * the published-type contract (PublishedTypeSpec) now bans them.
+    * The diff is downcast to DECIMAL(18,0) before squaring so the
+    * square fits both engines' 38-digit cap, and the published BIGINT
+    * bounds the SUM at 2⁶³ — exact while Σ(sᵢn − sᵢ'n')² < 9.2·10¹⁸
+    * (fixture value 2.8·10¹³, ~5 orders of headroom; past the bound
+    * DuckDB errors loudly at the cast while a Spark cast nulls — the
+    * honest bound, stated not hidden), then ONE sqrt and division.
     *
     * The two derived gauges are published as BIGINT MICRO-UNITS via
     * `FLOOR(x·10⁶ + 0.5)` — the r13 portability rule: engine
@@ -1072,10 +1077,10 @@ object Similarity {
     * input doubles come only from int64→double conversions
     * (correctly rounded in both the JVM and C++ per IEEE 754) and a
     * fixed sqrt/division chain, so it is bit-identical
-    * unconditionally; `mean_shift_u6` converts one DECIMAL(38,0)
-    * whose integer rep can exceed 2⁵³ (engine int128→double paths
-    * may differ in the last ulp), so its boundary margin is pinned on
-    * the fixture by RoundingMarginSpec.
+    * unconditionally; `mean_shift_u6` converts the BIGINT
+    * `mean_shift_sq`, whose value can exceed 2⁵³ (int64→double is
+    * then correctly rounded but value-lossy), so its boundary margin
+    * is pinned on the fixture by RoundingMarginSpec.
     *
     * Scale: one pass over the vectors (posexplode → per-(side, dim)
     * partial-aggregated sums); everything after is a 2·dim-row model
@@ -1115,7 +1120,7 @@ object Similarity {
       sum(col("sa") * col("sb")).cast(LongType).as("dot"),
       sum(col("sa") * col("sa")).cast(LongType).as("norm_a_sq"),
       sum(col("sb") * col("sb")).cast(LongType).as("norm_b_sq"),
-      sum(diff * diff).cast(DecimalType(38, 0)).as("mean_shift_sq"))
+      sum(diff * diff).cast(LongType).as("mean_shift_sq"))
     val cosRaw = col("dot").cast(DoubleType) /
       (sqrt(col("norm_a_sq").cast(DoubleType)) *
         sqrt(col("norm_b_sq").cast(DoubleType)))

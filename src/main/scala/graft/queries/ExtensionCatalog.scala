@@ -4698,7 +4698,7 @@ object ExtensionCatalog {
               CAST(CAST(sa AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
                 - CAST(sb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))
                 AS DECIMAL(18,0)))
-              AS DECIMAL(38,0)) AS mean_shift_sq
+              AS BIGINT) AS mean_shift_sq
           FROM ab)
         SELECT n_a, n_b, dot, norm_a_sq, norm_b_sq, mean_shift_sq,
           CAST(FLOOR((CAST(dot AS DOUBLE) /

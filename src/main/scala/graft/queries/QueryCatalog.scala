@@ -42,19 +42,30 @@ object QueryCatalog {
 
   private val D18_6 = DecimalType(18, 6)
 
-  /** Exact, order-independent money aggregation: cast each (at most
-    * 6-decimal) double term to DECIMAL(18,6), sum exactly, publish the
-    * EXACT DECIMAL(38,6) — r13: no ROUND at all. The old
-    * `round(sum, 2)` spelling could TIE exactly at the 3rd decimal
-    * (a 4-dp discount product summing to ¤.xx50 — RoundingMarginSpec
-    * found one on the fixture), and engine tie semantics are exactly
-    * what moved under the driver's DuckDB in r12 (x118). An exact
-    * decimal needs no tie semantics and hash-matches unconditionally.
-    * DuckDB mirror: `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS
-    * DECIMAL(38,6))`.
+  /** Exact, order-independent money aggregation, published as BIGINT
+    * MICROS — r14. History of this spelling: `round(sum(double), 2)`
+    * could TIE at the 3rd decimal (r12, the x118 class); the r13
+    * re-spell summed exact DECIMAL(18,6) terms but PUBLISHED
+    * DECIMAL(38,6), and precision-38 decimals are int128/hugeint-backed
+    * in DuckDB — the one surface whose conversion path moved between
+    * DuckDB versions (CORRECTNESS_r13: the six hash-fails were exactly
+    * the six precision>18 publishers). The portability contract covers
+    * the published TYPE, not just the value (PublishedTypeSpec), so:
+    * quantize each (at most 6-decimal) double term to DECIMAL(18,6),
+    * scale to micros per row — `x.cast(D18_6) * 1000000` is an exact
+    * integral DECIMAL(29,6) — truncate-cast to BIGINT (exact: the
+    * fractional part is zero by construction, so Spark's
+    * truncate-toward-zero and DuckDB's round-half-away agree), and sum
+    * BIGINTs. Overflow bound: q1 sum_base_price ≈ 2.9e14 micros at
+    * sf0.01, ≈ 2.9e16 extrapolated to sf1 — ~2 orders below 2⁶³; a
+    * 100 TB corpus-scale money sum would shard by group key long
+    * before the per-group sum approaches 9.2e18.
+    * DuckDB mirror: `CAST(SUM(CAST(CAST(x AS DECIMAL(18,6)) * 1000000
+    * AS BIGINT)) AS BIGINT)` — the outer CAST because DuckDB's
+    * SUM(BIGINT) publishes HUGEINT, itself an int128 surface.
     */
-  private def moneySum(c: Column): Column =
-    sum(c.cast(D18_6)).cast(DecimalType(38, 6))
+  private def moneySumMicros(c: Column): Column =
+    sum((c.cast(D18_6) * lit(1000000)).cast(LongType))
 
   /** Total order over every output column, NULLS LAST — the final
     * determinism step shared by (almost) every query.
@@ -80,24 +91,25 @@ object QueryCatalog {
         // `sum(double)` was order-nondeterministic in principle)
         ordered(li.groupBy("l_returnflag", "l_linestatus").agg(
           sum(col("l_quantity").cast(LongType)).as("sum_qty"),
-          moneySum(col("l_extendedprice")).as("sum_base_price"),
-          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .as("sum_disc_price"),
+          moneySumMicros(col("l_extendedprice")).as("sum_base_price_micros"),
+          moneySumMicros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price_micros"),
           (sum(col("l_quantity").cast(LongType)).cast(DoubleType) /
             count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order")))
       },
       Some("""SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_base_price_micros,
+        CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_disc_price_micros,
         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
         COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         """ + orderedSql(Seq("l_returnflag", "l_linestatus", "sum_qty",
-          "sum_base_price", "sum_disc_price", "avg_qty", "count_order")))),
+          "sum_base_price_micros", "sum_disc_price_micros", "avg_qty",
+          "count_order")))),
 
     // Q2 — projection + filter; predicate pushdown to Parquet.
     QueryDef("q2_project_filter",
@@ -137,13 +149,13 @@ object QueryCatalog {
         ordered(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment").agg(
             count(lit(1)).as("n"),
-            moneySum(col("o_totalprice")).as("sum_price")))
+            moneySumMicros(col("o_totalprice")).as("sum_price_micros")))
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_price
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_price_micros
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
-        """ + orderedSql(Seq("c_mktsegment", "n", "sum_price")))),
+        """ + orderedSql(Seq("c_mktsegment", "n", "sum_price_micros")))),
 
     // Q5 — multi-way join (TPC-H Q5 analog; chain frozen per SURVEY.md §2.2).
     QueryDef("q5_multiway_join",
@@ -164,11 +176,11 @@ object QueryCatalog {
           .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("n_name")
-          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .as("revenue")))
+          .agg(moneySumMicros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue_micros")))
       },
       Some("""SELECT n_name,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS revenue_micros
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -178,7 +190,7 @@ object QueryCatalog {
         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY n_name
-        """ + orderedSql(Seq("n_name", "revenue")))),
+        """ + orderedSql(Seq("n_name", "revenue_micros")))),
 
     // Q6 — left semi join (EXISTS).
     QueryDef("q6_semi_join",
@@ -247,19 +259,25 @@ object QueryCatalog {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // r13: publish the EXACT decimal running sum (the old
-        // round-at-2 could tie at the 3rd decimal — the x118 class)
+        // r14: publish the running sum as BIGINT MICROS (per-row
+        // value.cast(D18_6)*1e6 is an exact integral decimal →
+        // truncate-cast to BIGINT, window-sum BIGINTs). The r13 exact
+        // DECIMAL(38,6) was value-portable but TYPE-unportable — the
+        // precision-38 surface is hugeint-backed in DuckDB and was one
+        // of the six r13 driver hash-fails. BIGINT addition is exact
+        // and order-free; fixture bound ≈ 2e11 micros per user at
+        // sf0.01, ~7 orders below 2⁶³.
         ordered(e.select(col("user_id"), col("event_id"),
-          sum(col("value").cast(D18_6)).over(w)
-            .cast(DecimalType(38, 6)).as("running_value")))
+          sum((col("value").cast(D18_6) * lit(1000000)).cast(LongType))
+            .over(w).as("running_value_micros")))
       },
       Some("""SELECT user_id, event_id,
-        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) OVER (
           PARTITION BY user_id ORDER BY event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
-          AS running_value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS running_value_micros
         FROM events
-        """ + orderedSql(Seq("user_id", "event_id", "running_value")))),
+        """ + orderedSql(Seq("user_id", "event_id", "running_value_micros")))),
 
     // Q10 — exact distinct aggregation.
     QueryDef("q10_count_distinct",
@@ -439,13 +457,12 @@ object QueryCatalog {
       (s, dir) => ordered(t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(D18_6)).cast(DecimalType(38, 6))
-            .as("sum_value"))),
+          moneySumMicros(col("value")).as("sum_value_micros"))),
       Some("""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
         event_type, COUNT(*) AS n,
-        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value_micros
         FROM events GROUP BY 1, 2
-        """ + orderedSql(Seq("h", "event_type", "n", "sum_value")))),
+        """ + orderedSql(Seq("h", "event_type", "n", "sum_value_micros")))),
 
     // Q21 — self-join semantics, computed without the join: the pair
     // count per orderkey under `ln1 < ln2` is C(n,2) minus the pairs

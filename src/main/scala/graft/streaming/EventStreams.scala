@@ -40,12 +40,15 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        // exact DECIMAL(38,6), matching Q20's r13 spelling (the old
-        // round-at-2 could tie at the 3rd decimal — the x118 class)
-        sum(col("value").cast(DecimalType(18, 6)))
-          .cast(DecimalType(38, 6)).as("sum_value"))
+        // BIGINT micros, matching Q20's r14 spelling: per-row
+        // value.cast(DECIMAL(18,6))*1e6 is an exact integral decimal,
+        // truncate-cast to Long, summed as Long (exact, order-free;
+        // the r13 DECIMAL(38,6) publish was the type-unportable
+        // surface — see QueryCatalog.moneySumMicros)
+        sum((col("value").cast(DecimalType(18, 6)) * lit(1000000))
+          .cast(LongType)).as("sum_value_micros"))
       .select(col("window.start").as("h"), col("event_type"), col("n"),
-        col("sum_value"))
+        col("sum_value_micros"))
 
   /** Sliding window: 1-hour span every 15 minutes. */
   def slidingCounts(events: DataFrame): DataFrame =

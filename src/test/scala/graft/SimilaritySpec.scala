@@ -577,7 +577,9 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(0) === nA && got.getLong(1) === nB)
     assert(got.getLong(2) === dot)
     assert(got.getLong(3) === naSq && got.getLong(4) === nbSq)
-    assert(BigDecimal(got.getDecimal(5)) === msq)
+    // r14: mean_shift_sq publishes BIGINT (the precision-38 decimal
+    // was the r13 driver-divergent surface)
+    assert(BigDecimal(got.getLong(5)) === msq)
     // the r13 portable-quantize contract: BIGINT micros via
     // FLOOR(x·10⁶ + 0.5), never an engine ROUND on a raw double
     val cosRaw =

@@ -35,12 +35,12 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.table("stream_q20")
         .select($"h".cast("timestamp").as("h"), $"event_type", $"n",
-          $"sum_value")
+          $"sum_value_micros")
         .orderBy($"h", $"event_type")
         .collect().toSeq
       val batch = SparkEntry.queries("q20_tumbling_window")(spark, sf0001)
         .select($"h".cast("timestamp").as("h"), $"event_type", $"n",
-          $"sum_value")
+          $"sum_value_micros")
         .orderBy($"h", $"event_type")
         .collect().toSeq
       assert(streamed.map(_.toString) === batch.map(_.toString))
