@@ -140,12 +140,19 @@ object DataPipeline {
     * Everything is DETERMINISTIC per row, no RNG state: the FIM coin
     * is the md5-prefix membership test (the x23/x36 convention, tagged
     * `fimr|id` so it is independent of any other sampling decision on
-    * the same corpus), and each cut point is a 16-bit md5 draw
-    * (`fim1|id`, `fim2|id`) taken mod (len+1), sorted so
-    * `0 ≤ cut1 ≤ cut2 ≤ len`. Empty prefix/middle/suffix spans are
-    * legal FIM outputs (cut at the boundary), exactly as in the paper.
-    * Every primitive (md5, substr, integer mod) is bit-identical
-    * cross-engine — no floating point anywhere.
+    * the same corpus), and each cut point is a 48-BIT md5 draw
+    * (`fim1|id`, `fim2|id` — three 16-bit slices composed, the
+    * esKeyed h48 pattern) taken mod (len+1), sorted so
+    * `0 ≤ cut1 ≤ cut2 ≤ len`. r14 (the r13 ADVICE item): the old
+    * 16-bit draw made the mod the identity for docs ≥ 64 KiB —
+    * confining both cuts to the first 65,536 chars — and
+    * length-biased for shorter docs; 48 bits make the mod bias
+    * ≤ len·2⁻⁴⁸ (immaterial for any document that fits in memory),
+    * restoring the paper's two-uniform-positions contract. Empty
+    * prefix/middle/suffix spans are legal FIM outputs (cut at the
+    * boundary), exactly as in the paper. Every primitive (md5,
+    * substr, integer mod — the 48-bit compose stays well under 2⁶³)
+    * is bit-identical cross-engine — no floating point anywhere.
     *
     * Scale: ONE stateless per-row projection — no shuffle, no window,
     * no join; Catalyst keeps the whole transform in a single
@@ -164,12 +171,15 @@ object DataPipeline {
       fimRate: Double, pre: String = "<PRE>", suf: String = "<SUF>",
       mid: String = "<MID>"): DataFrame = {
     val idStr = col(idCol).cast("string")
-    def draw16(tag: String): Column =
-      conv(substring(md5(concat(lit(tag + "|"), idStr)), 1, 4), 16, 10)
-        .cast("long")
+    def draw48(tag: String): Column = {
+      val dig = md5(concat(lit(tag + "|"), idStr))
+      def h16(from: Int): Column =
+        conv(substring(dig, from, 4), 16, 10).cast("long")
+      h16(1) * lit(4294967296L) + h16(5) * lit(65536L) + h16(9)
+    }
     val len = length(col(textCol)).cast("long")
-    val c1r = draw16("fim1") % (len + lit(1L))
-    val c2r = draw16("fim2") % (len + lit(1L))
+    val c1r = draw48("fim1") % (len + lit(1L))
+    val c2r = draw48("fim2") % (len + lit(1L))
     val cut1 = least(c1r, c2r)
     val cut2 = greatest(c1r, c2r)
     val fim = substring(md5(concat(lit("fimr|"), idStr)), 1, 4) <

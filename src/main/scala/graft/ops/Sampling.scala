@@ -198,6 +198,16 @@ object Sampling {
     * (stratum, id, weight, key). This is the one-pass distributed
     * shape of the reservoir algorithm itself.
     *
+    * Weight domain (r14, the r13 ADVICE item): rows whose weight
+    * casts to a BIGINT < 1 are FILTERED OUT before keying — in
+    * Efraimidis–Spirakis a zero weight means zero inclusion
+    * probability, and the old clamp-to-1 silently let weight-0 rows
+    * compete like weight-1 rows. The filter is part of the op's
+    * contract (mirrored in the x127 oracle and inherited by the
+    * streaming reservoir through the shared [[esKeyed]] projection);
+    * fractional weights are out of contract — pre-scale to integer
+    * units (token counts already are).
+    *
     * Returns `(strataCol, idCol, weight, key_units, rk)`, `rk` ≤ `k`
     * ordered by (key_units, id) — the id tie-break makes equal
     * quantized keys deterministic.
@@ -217,8 +227,9 @@ object Sampling {
     val h48 = h16(1) * lit(4294967296L) + h16(5) * lit(65536L) + h16(9)
     val u = (h48.cast(DoubleType) + lit(0.5)) / lit(281474976710656.0)
     val lq = floor(-log(u) * lit(1000000.0) + lit(0.5)).cast(LongType)
-    df.select(col(strataCol), col(idCol),
-        greatest(col(weightCol).cast(LongType), lit(1L)).as("weight"),
+    df.filter(col(weightCol).cast(LongType) >= 1L)
+      .select(col(strataCol), col(idCol),
+        col(weightCol).cast(LongType).as("weight"),
         lq.as("_lq"))
       .withColumn("key_units", expr("(_lq * 1000000) div weight"))
       .drop("_lq")

@@ -69,25 +69,41 @@ object UrlCanon {
     * lexicographically smallest matching entry (`array_min`), NULL for
     * keepers — identical in both engines.
     *
+    * r14 (the r13 ADVICE item): blocklist ENTRIES are normalized with
+    * the same rules the canonical host obeys — lowercased, one
+    * leading `www.` stripped, deduplicated — so an `WWW.Example.com`
+    * entry gates `example.com` instead of silently matching nothing
+    * (canonical hosts are lowercase and never `www.`-prefixed). And
+    * the unparseable case is DEFINED, fail-closed: a NULL url or a
+    * url [[canonicalizeUrl]] yields no host for gets
+    * `n_rules = 0, block_rule = NULL, keep = 0` — a curation gate
+    * drops what it cannot attribute to a domain (`keep = 0` with
+    * `n_rules = 0` is exactly the unparseable signature, so the two
+    * drop reasons stay distinguishable downstream).
+    *
     * Returns `(doc_id, domain, n_rules, block_rule, keep)` with `keep`
     * the x99-convention BIGINT 0/1 flag.
     */
   def domainBlocklistGate(urls: DataFrame, idCol: String, urlCol: String,
       blockedDomains: Seq[String]): DataFrame = {
     require(blockedDomains.nonEmpty, "need at least one blocked domain")
-    require(blockedDomains.toSet.size == blockedDomains.size,
-      "blocked domains must be distinct")
+    val normalized = blockedDomains
+      .map(_.toLowerCase(java.util.Locale.ROOT).stripPrefix("www."))
+      .distinct.sorted
     val canon = urls.select(col(idCol).as("doc_id"),
       canonicalizeUrl(col(urlCol)).as("canon_url"))
     val domain = urlDomain(col("canon_url"))
+    val parsed = domain.isNotNull && domain =!= ""
     val parts = split(domain, "\\.")
     val sufs = transform(sequence(lit(0), size(parts) - 1),
       i => array_join(slice(parts, i + 1, size(parts)), "."))
-    val hits = array_intersect(sufs, typedLit(blockedDomains.sorted))
+    val hits = array_intersect(sufs, typedLit(normalized))
     canon.select(col("doc_id"), domain.as("domain"),
-      size(hits).cast(LongType).as("n_rules"),
+      when(parsed, size(hits)).otherwise(lit(0))
+        .cast(LongType).as("n_rules"),
       array_min(hits).as("block_rule"),
-      (size(hits) === 0).cast(LongType).as("keep"))
+      when(parsed, (size(hits) === 0).cast(LongType))
+        .otherwise(lit(0L)).as("keep"))
   }
 
   /** URL-level dedup + per-domain cap: collapse to one row per

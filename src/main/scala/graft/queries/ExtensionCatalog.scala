@@ -4878,9 +4878,11 @@ object ExtensionCatalog {
                'cdn.src5.example.com', 'tracker.example.net']) AS hits
           FROM dom)
         SELECT doc_id, domain,
-          CAST(len(hits) AS BIGINT) AS n_rules,
+          CAST(CASE WHEN domain IS NULL OR domain = '' THEN 0
+            ELSE len(hits) END AS BIGINT) AS n_rules,
           list_min(hits) AS block_rule,
-          CAST(CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS BIGINT)
+          CAST(CASE WHEN domain IS NULL OR domain = '' THEN 0
+            WHEN len(hits) = 0 THEN 1 ELSE 0 END AS BIGINT)
             AS keep
         FROM hit
         """ + orderedSql(Seq("doc_id", "domain", "n_rules",
@@ -4984,14 +4986,20 @@ object ExtensionCatalog {
           FROM documents WHERE text IS NOT NULL),
         hx AS (
           SELECT doc_id, text, len,
-            substr(md5('fim1|' || CAST(doc_id AS VARCHAR)), 1, 4) AS m1,
-            substr(md5('fim2|' || CAST(doc_id AS VARCHAR)), 1, 4) AS m2,
+            substr(md5('fim1|' || CAST(doc_id AS VARCHAR)), 1, 12) AS m1,
+            substr(md5('fim2|' || CAST(doc_id AS VARCHAR)), 1, 12) AS m2,
             substr(md5('fimr|' || CAST(doc_id AS VARCHAR)), 1, 4) AS mr
           FROM d),
         h AS (
           SELECT doc_id, text, len,
-            CAST(${hex16Sql("m1")} AS BIGINT) % (len + 1) AS c1r,
-            CAST(${hex16Sql("m2")} AS BIGINT) % (len + 1) AS c2r,
+            (CAST(${hex16Sql("substr(m1, 1, 4)")} AS BIGINT) * 4294967296
+              + CAST(${hex16Sql("substr(m1, 5, 4)")} AS BIGINT) * 65536
+              + CAST(${hex16Sql("substr(m1, 9, 4)")} AS BIGINT))
+              % (len + 1) AS c1r,
+            (CAST(${hex16Sql("substr(m2, 1, 4)")} AS BIGINT) * 4294967296
+              + CAST(${hex16Sql("substr(m2, 5, 4)")} AS BIGINT) * 65536
+              + CAST(${hex16Sql("substr(m2, 9, 4)")} AS BIGINT))
+              % (len + 1) AS c2r,
             CASE WHEN mr < '${Sampling.hexThreshold(0.5)}'
               THEN 1 ELSE 0 END AS fim
           FROM hx),
@@ -5095,10 +5103,12 @@ object ExtensionCatalog {
       },
       Some(s"""WITH d AS (
           SELECT doc_id, source,
-            GREATEST(CAST(COALESCE(len(string_split(text, ' ')), 0)
-              AS BIGINT), 1) AS weight,
+            CAST(COALESCE(len(string_split(text, ' ')), 0)
+              AS BIGINT) AS weight,
             md5('wsr|' || CAST(doc_id AS VARCHAR)) AS dg
-          FROM documents),
+          FROM documents
+          WHERE CAST(COALESCE(len(string_split(text, ' ')), 0)
+            AS BIGINT) >= 1),
         h AS (
           SELECT doc_id, source, weight,
             CAST(${hex16Sql("substr(dg, 1, 4)")} AS BIGINT) * 4294967296

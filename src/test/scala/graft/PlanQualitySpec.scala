@@ -262,6 +262,26 @@ class PlanQualitySpec extends SparkSpec {
       s"x118 lost the rank-cap filter directly above the window:\n$x118")
   }
 
+  test("round-14 plan shapes: x124 5-gram scoring chain is all " +
+      "broadcast joins off one checkpointed compute") {
+    // x111's gate, applied to the 5-gram chain (the r13 verdict's
+    // item 5): every model-sized table (ctx5/cont4/mid4/... and the
+    // scored model) must ride the scoring joins as BroadcastHashJoin
+    // — one SortMergeJoin there re-shuffles the corpus for a
+    // model-sized side — and the 5-gram row table must come from ONE
+    // checkpointed compute (the corpus-keyed LM slot).
+    val x124 = SparkEntry.queries("x124_kn5_quality")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x124.contains("SortMergeJoin"),
+      s"x124 degraded a model join to a shuffle join:\n$x124")
+    val bhj = "BroadcastHashJoin".r.findAllIn(x124).length
+    assert(bhj >= 9,
+      s"x124 plans only $bhj BroadcastHashJoin (expected the 9-join " +
+        s"scoring chain):\n$x124")
+    assert(x124.toLowerCase.contains("existingrdd"),
+      s"x124 lost its 5-gram-table checkpoint barrier:\n$x124")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)

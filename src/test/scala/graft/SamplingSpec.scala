@@ -426,8 +426,10 @@ class SamplingSpec extends SparkSpec {
     // integer floor-div by weight — the op's exact arithmetic
     case class K(id: Long, src: String, w: Long, lq: Long, key: Long)
     var minMargin = Double.MaxValue
-    val keys = rows.map { case (id, src, nTok) =>
-      val w = math.max(nTok, 1L)
+    // r14 contract: weight < 1 rows are excluded (ES zero-weight =
+    // zero inclusion probability), not clamped to 1
+    val keys = rows.filter(_._3 >= 1L).map { case (id, src, nTok) =>
+      val w = nTok
       val hex = md5hex(s"wsr|$id")
       val h48 = java.lang.Long.parseLong(hex.substring(0, 12), 16)
       val u = (h48 + 0.5) / 281474976710656.0

@@ -78,4 +78,35 @@ class UrlCanonSpec extends SparkSpec {
       (4L, "good.com", 0L, None, 1L),
       (5L, "notbad.com", 0L, None, 1L)))
   }
+
+  test("domainBlocklistGate r14 contract: entries normalize like the " +
+      "canonical host; unparseable URLs fail CLOSED with defined flags") {
+    // an uppercase www-prefixed entry must still gate its domain —
+    // the r13 spelling silently matched nothing (canonical hosts are
+    // lowercase and never www.-prefixed)
+    val urls = Seq(
+      (1L, "https://bad.com/x"),
+      (2L, "https://sub.bad.com/y"),
+      (3L, null.asInstanceOf[String]), // NULL url
+      (4L, "not a url at all"), // no scheme — canon yields no host
+      (5L, "https://good.com/ok"))
+      .toDF("doc_id", "url")
+    val got = UrlCanon.domainBlocklistGate(urls, "doc_id", "url",
+        Seq("WWW.Bad.COM", "www.bad.com", "Tracker.Net"))
+      .as[(Long, Option[String], Long, Option[String], Long)]
+      .collect().toSet
+    // both messy spellings normalize (and dedupe) to bad.com
+    assert(got.filter(r => r._1 == 1L || r._1 == 2L)
+      .forall(r => r._3 == 1L && r._4 == Some("bad.com") && r._5 == 0L))
+    // unparseable rows: n_rules/keep are DEFINED (0, fail-closed),
+    // never null; the (keep=0, n_rules=0) pair is the unparseable
+    // signature, distinct from a rule-blocked row's (0, >=1)
+    val unparseable = got.filter(r => r._1 == 3L || r._1 == 4L)
+    assert(unparseable.size === 2)
+    assert(unparseable.forall(r =>
+      r._3 == 0L && r._4.isEmpty && r._5 == 0L),
+      s"unparseable rows not fail-closed: $unparseable")
+    // a clean keeper is untouched
+    assert(got.exists(r => r._1 == 5L && r._3 == 0L && r._5 == 1L))
+  }
 }
