@@ -5187,6 +5187,51 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("domain", "n_docs", "n_trigrams",
           "sum_nll_micros", "mean_nll_micros")))),
 
+    // x129 — DOMAIN blocklist at the PRODUCTION configuration (r13
+    // verdict item 6): identical output contract to x123, but the
+    // blocklist is a TABLE (broadcast + exploded-suffix equi-join)
+    // instead of a plan literal — the full UT1 list is multi-million
+    // domains and cannot ride in a literal. The Scala side receives
+    // deliberately MESSY entries (uppercase, www.-prefixed, a dup) to
+    // prove the rule-table normalization end-to-end; the oracle
+    // spells the already-normalized list, so a normalization bug
+    // hash-fails here. The per-doc re-aggregate is map-side
+    // combinable (suffix rows are co-located), so the one exchange
+    // carries a single small row per doc. Equivalence to x123's
+    // plan-literal gate on the same list is pinned in UrlCanonSpec;
+    // the broadcast-join plan shape is gated in PlanQualitySpec.
+    QueryDef("x129_blocklist_join",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        val rules = Seq("WWW.Src3.Example.COM", "src11.example.com",
+          "SRC11.EXAMPLE.COM", "cdn.src5.example.com",
+          "www.tracker.example.net").toDF("rule")
+        ordered(UrlCanon.domainBlocklistGateJoin(
+          d.select(col("doc_id"), synthUrlCol.as("url")), "doc_id",
+          "url", rules, "rule"))
+      },
+      Some(s"""WITH $urlDomainCtes,
+        hit AS (
+          SELECT doc_id, domain,
+            list_intersect(
+              list_transform(range(len(string_split(domain, '.'))),
+                i -> array_to_string(
+                  string_split(domain, '.')[i + 1:], '.')),
+              ['src3.example.com', 'src11.example.com',
+               'cdn.src5.example.com', 'tracker.example.net']) AS hits
+          FROM dom)
+        SELECT doc_id, domain,
+          CAST(CASE WHEN domain IS NULL OR domain = '' THEN 0
+            ELSE len(hits) END AS BIGINT) AS n_rules,
+          list_min(hits) AS block_rule,
+          CAST(CASE WHEN domain IS NULL OR domain = '' THEN 0
+            WHEN len(hits) = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS keep
+        FROM hit
+        """ + orderedSql(Seq("doc_id", "domain", "n_rules",
+          "block_rule", "keep")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -280,6 +280,26 @@ class PlanQualitySpec extends SparkSpec {
         s"scoring chain):\n$x124")
     assert(x124.toLowerCase.contains("existingrdd"),
       s"x124 lost its 5-gram-table checkpoint barrier:\n$x124")
+    // x129: the production blocklist gate must join the rule table as
+    // a BROADCAST (a shuffle join there would move the corpus for a
+    // model-sized list) and shuffle only the per-doc aggregate + the
+    // presentation sort — the corpus side never exchanges text-width
+    // rows pre-aggregate.
+    val x129 = SparkEntry.queries("x129_blocklist_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(x129.contains("BroadcastHashJoin"),
+      s"x129 lost the broadcast rule join:\n$x129")
+    assert(!x129.contains("SortMergeJoin"),
+      s"x129 degraded the rule join to a shuffle join:\n$x129")
+    // corpus-side shuffles only: the rule-table dedup exchange
+    // (partitioned by _rule, a model-sized local table) is excluded
+    val shuffles129 =
+      "Exchange (hash|range)partitioning\\(([^)]*)".r
+        .findAllMatchIn(x129).map(_.group(2))
+        .filterNot(_.startsWith("_rule")).length
+    assert(shuffles129 <= 2,
+      s"x129 plans $shuffles129 corpus-side shuffles (expected agg + " +
+        s"sort):\n$x129")
   }
 
   test("no declared query plans an unpartitioned window or cartesian product") {

@@ -109,4 +109,47 @@ class UrlCanonSpec extends SparkSpec {
     // a clean keeper is untouched
     assert(got.exists(r => r._1 == 5L && r._3 == 0L && r._5 == 1L))
   }
+
+  test("domainBlocklistGateJoin (x129) is row-identical to the " +
+      "plan-literal gate on the same list (the production-config pin)") {
+    import spark.implicits._
+    // the x123/x129 fixture list, in the messy spelling both gates
+    // must normalize identically
+    val list = Seq("WWW.Src3.Example.COM", "src11.example.com",
+      "SRC11.EXAMPLE.COM", "cdn.src5.example.com",
+      "www.tracker.example.net")
+    val urls = Seq(
+      (1L, "https://src3.example.com/a"),
+      (2L, "https://cdn.src3.example.com/b"),
+      (3L, "https://cdn.src5.example.com/c"),
+      (4L, "https://src5.example.com/d"), // bare src5 keeps
+      (5L, "https://good.example.org/e"),
+      (6L, null.asInstanceOf[String]), // unparseable: both fail closed
+      (7L, "garbage"))
+      .toDF("doc_id", "url")
+    val litGate = UrlCanon.domainBlocklistGate(urls, "doc_id", "url",
+        list)
+      .as[(Long, Option[String], Long, Option[String], Long)]
+      .collect().toSet
+    val joinGate = UrlCanon.domainBlocklistGateJoin(urls, "doc_id",
+        "url", list.toDF("rule"), "rule")
+      .as[(Long, Option[String], Long, Option[String], Long)]
+      .collect().toSet
+    assert(joinGate === litGate)
+    // and on the real fixture corpus (the x123 input), end to end
+    val docs = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        concat(lit("https://src"),
+          pmod($"doc_id", lit(16)).cast("string"),
+          lit(".example.com/p/"), $"doc_id".cast("string")).as("url"))
+    val a = UrlCanon.domainBlocklistGate(docs, "doc_id", "url", list)
+      .as[(Long, Option[String], Long, Option[String], Long)]
+      .collect().toSet
+    val b = UrlCanon.domainBlocklistGateJoin(docs, "doc_id", "url",
+        list.toDF("rule"), "rule")
+      .as[(Long, Option[String], Long, Option[String], Long)]
+      .collect().toSet
+    assert(a === b)
+  }
 }
