@@ -195,6 +195,60 @@ object DataPipeline {
       .withColumn("n_chars_out", length(col("psm_text")).cast("long"))
   }
 
+  /** Per-stratum Borda rank fusion over quality signals (x132) — the
+    * scale-free ensemble gate used when signal SCALES are
+    * incomparable (a perceptron logit, a Gopher rule count, and an
+    * LM nll cannot be averaged; their RANKS can — Borda's method, de
+    * Borda 1781, the integer-exact cousin of reciprocal-rank fusion):
+    * each signal ranks the docs WITHIN their stratum (higher signal =
+    * better = rank 1, `row_number` with the id tie-break so every
+    * rank is total), the Borda score is the exact integer SUM of
+    * ranks (lower = better on all signals), and the per-stratum top-k
+    * leaderboard cuts on (borda asc, id asc).
+    *
+    * This complements x128's score-composed leaderboard: x128 fuses
+    * on a COMMON scale (micros of nll); this fuses signals with NO
+    * common scale — the production choice when mixing heterogeneous
+    * quality models. All ranks/sums are exact integers; no FP
+    * anywhere, so the published row is unconditionally portable.
+    *
+    * Scale: one shuffle on the stratum key serves ALL THREE rank
+    * windows (same partitioning — Spark plans one Exchange and three
+    * Window ops over it), then the top-k cut pushes down as a
+    * WindowGroupLimit before the presentation sort; the shuffle
+    * carries (stratum, id, 3 longs). Strata are the bounded
+    * dimension; a skewed mega-stratum bounds a task at the stratum's
+    * row count, the x35/x127 caveat.
+    *
+    * `signals` are (name, integer-valued Column) pairs evaluated on
+    * the input row. Returns
+    * `(strataCol, idCol, <name>_rank..., borda, rk)`, `rk ≤ k`.
+    */
+  def bordaTopK(docs: DataFrame, idCol: String, strataCol: String,
+      signals: Seq[(String, org.apache.spark.sql.Column)], k: Int)
+      : DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      (col(strataCol) +: col(idCol) +:
+        signals.map { case (n, c) => c.cast("long").as(s"_s_$n") }): _*)
+    val ranked = signals.foldLeft(base) { case (df, (n, _)) =>
+      val w = Window.partitionBy(col(strataCol))
+        .orderBy(col(s"_s_$n").desc, col(idCol).asc)
+      df.withColumn(s"${n}_rank", row_number().over(w).cast("long"))
+    }
+    val borda = signals.map(s => col(s"${s._1}_rank"))
+      .reduce(_ + _).as("borda")
+    val cut = Window.partitionBy(col(strataCol))
+      .orderBy(col("borda").asc, col(idCol).asc)
+    ranked.select(
+        (col(strataCol) +: col(idCol) +:
+          signals.map(s => col(s"${s._1}_rank")) :+ borda): _*)
+      .withColumn("rk", row_number().over(cut).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Corpus snapshot diff — the data-versioning report run between two
     * corpus versions before retraining: per id, `added` (only in new),
     * `removed` (only in old), `modified` (both, content hash differs)

@@ -165,6 +165,52 @@ object UrlCanon {
           .as("keep"))
   }
 
+  /** DOMAIN-level leakage-safe train/val/test split (x131) — the web-
+    * corpus production variant of x54's cluster-level split and x36's
+    * doc-level assign: eval contamination on web data happens at the
+    * HOST level (the same site's pages are near-dups, templated, and
+    * cross-linked), so the split key is the canonical registrable
+    * domain — every page of a domain lands in the SAME split by
+    * construction, and no near-dup pair within a domain can straddle
+    * train/val. Assignment is the x36 md5-prefix convention on
+    * `dsplit|domain` (tagged, so it is independent of every other
+    * sampling decision), thresholded test-first then val:
+    * deterministic, engine-portable, and stable under corpus growth —
+    * a domain's split never changes as new pages arrive, the property
+    * an incremental crawl pipeline needs.
+    *
+    * Unparseable URLs (NULL or no host) go to TRAIN, fail-closed for
+    * evaluation: an eval set must contain only attributable pages,
+    * while training on unattributed ones costs nothing (documented
+    * contract, the x123 null-policy analog).
+    *
+    * Scale: ONE stateless per-row projection (canonicalize → host →
+    * two md5 comparisons) — zero joins, zero shuffles; the domain
+    * split of a 100 TB crawl runs at scan speed. UrlCanonSpec pins
+    * the no-domain-straddles-splits invariant and the rate sanity.
+    *
+    * Returns `(doc_id, domain, split)` with
+    * `split ∈ {train, val, test}`.
+    */
+  def domainSplit(urls: DataFrame, idCol: String, urlCol: String,
+      valRate: Double, testRate: Double): DataFrame = {
+    require(valRate >= 0 && testRate >= 0 && valRate + testRate < 1,
+      s"rates must satisfy 0 <= val,test and val+test < 1, " +
+        s"got $valRate/$testRate")
+    val canon = urls.select(col(idCol).as("doc_id"),
+      canonicalizeUrl(col(urlCol)).as("canon_url"))
+    val domain = urlDomain(col("canon_url"))
+    val parsed = domain.isNotNull && domain =!= ""
+    val h = substring(md5(concat(lit("dsplit|"), domain)), 1, 4)
+    val split =
+      when(!parsed, lit("train"))
+        .when(h < lit(Sampling.hexThreshold(testRate)), lit("test"))
+        .when(h < lit(Sampling.hexThreshold(testRate + valRate)),
+          lit("val"))
+        .otherwise(lit("train"))
+    canon.select(col("doc_id"), domain.as("domain"), split.as("split"))
+  }
+
   /** URL-level dedup + per-domain cap: collapse to one row per
     * canonical URL (keeping the smallest id as the survivor and the
     * duplicate count), then keep the first `cap` URLs per domain in

@@ -5232,6 +5232,111 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("doc_id", "domain", "n_rules",
           "block_rule", "keep")))),
 
+    // x130 — retention cohort matrix over the events stream: users
+    // cohorted by first-event day, counted per (cohort day, day
+    // offset) — the standard growth-analytics artifact, all exact
+    // date/count arithmetic (no FP). Two user-keyed map-side-
+    // combinable aggregates + one co-partitioned user join; the final
+    // aggregate is calendar-bounded. See ops/EventAnalytics.scala.
+    QueryDef("x130_retention_cohorts",
+      (s, dir) => ordered(graft.ops.EventAnalytics.retentionCohorts(
+        t(s, dir, "events"), "user_id", "ts")),
+      Some("""WITH f AS (
+          SELECT user_id,
+            CAST(MIN(DATE_TRUNC('day', ts)) AS TIMESTAMP) AS cohort_date
+          FROM events GROUP BY user_id),
+        a AS (
+          SELECT DISTINCT user_id,
+            CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d FROM events),
+        j AS (
+          SELECT a.user_id, f.cohort_date,
+            datediff('day', f.cohort_date, a.d) AS day_offset
+          FROM a JOIN f USING (user_id))
+        SELECT cohort_date, CAST(day_offset AS BIGINT) AS day_offset,
+          CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM j GROUP BY 1, 2
+        """ + orderedSql(Seq("cohort_date", "day_offset", "n_users")))),
+
+    // x131 — DOMAIN-level leakage-safe train/val/test split: the web-
+    // corpus production variant of x54 (cluster-level) and x36 (doc-
+    // level) — eval contamination on web data happens at the HOST
+    // level, so the split keys on the canonical domain: every page of
+    // a domain lands in one split, assignment is the tagged
+    // md5-prefix convention (stable under corpus growth — a domain
+    // never migrates as new pages arrive), unparseable URLs train
+    // (fail-closed for eval attribution). One stateless projection,
+    // zero shuffles beyond the presentation sort.
+    QueryDef("x131_domain_split",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        ordered(UrlCanon.domainSplit(
+          d.select(col("doc_id"), synthUrlCol.as("url")), "doc_id",
+          "url", valRate = 0.1, testRate = 0.1))
+      },
+      Some(s"""WITH $urlDomainCtes
+        SELECT doc_id, domain,
+          CASE WHEN domain IS NULL OR domain = '' THEN 'train'
+            WHEN substr(md5('dsplit|' || domain), 1, 4)
+              < '${Sampling.hexThreshold(0.1)}' THEN 'test'
+            WHEN substr(md5('dsplit|' || domain), 1, 4)
+              < '${Sampling.hexThreshold(0.2)}' THEN 'val'
+            ELSE 'train' END AS split
+        FROM dom
+        """ + orderedSql(Seq("doc_id", "domain", "split")))),
+
+    // x132 — per-source Borda rank-fusion quality leaderboard: the
+    // scale-free ensemble gate for signals with NO common scale
+    // (ranks fuse where scores cannot — Borda's method, the integer-
+    // exact cousin of RRF), complementing x128's common-scale
+    // composition. Three deterministic integer signals (token count,
+    // type count, mean-token-length micros by exact floor division),
+    // three stratum rank windows over ONE exchange, integer Borda
+    // sum, WindowGroupLimit top-5 cut. No FP anywhere — the published
+    // row is unconditionally portable.
+    QueryDef("x132_rank_fusion",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        ordered(graft.ops.DataPipeline.bordaTopK(
+          d, "doc_id", "source", Seq(
+            "tok" -> size(split(col("text"), " ")).cast(LongType),
+            "typ" -> size(array_distinct(split(col("text"), " ")))
+              .cast(LongType),
+            "mtl" -> expr("(CAST(length(text) AS BIGINT) * 1000000)" +
+              " div CAST(size(split(text, ' ')) AS BIGINT)")),
+          k = 5))
+      },
+      Some("""WITH d AS (
+          SELECT source, doc_id, string_split(text, ' ') AS t,
+            CAST(length(text) AS BIGINT) AS ln
+          FROM documents WHERE text IS NOT NULL),
+        sig AS (
+          SELECT source, doc_id,
+            CAST(len(t) AS BIGINT) AS tok,
+            CAST(len(list_distinct(t)) AS BIGINT) AS typ,
+            (ln * 1000000) // CAST(len(t) AS BIGINT) AS mtl
+          FROM d),
+        r AS (
+          SELECT source, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY tok DESC, doc_id) AS BIGINT) AS tok_rank,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY typ DESC, doc_id) AS BIGINT) AS typ_rank,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY mtl DESC, doc_id) AS BIGINT) AS mtl_rank
+          FROM sig),
+        b AS (
+          SELECT source, doc_id, tok_rank, typ_rank, mtl_rank,
+            tok_rank + typ_rank + mtl_rank AS borda
+          FROM r),
+        c AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY borda, doc_id) AS BIGINT) AS rk
+          FROM b)
+        SELECT source, doc_id, tok_rank, typ_rank, mtl_rank, borda, rk
+        FROM c WHERE rk <= 5
+        """ + orderedSql(Seq("source", "doc_id", "tok_rank",
+          "typ_rank", "mtl_rank", "borda", "rk")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

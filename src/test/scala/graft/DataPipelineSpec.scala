@@ -202,4 +202,24 @@ class DataPipelineSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, String, Long)].collect()
     assert(rerun.sortBy(_._1).sameElements(out.sortBy(_._1)))
   }
+
+  test("bordaTopK (x132): hand corpus — ranks total with id " +
+      "tie-break, borda is the exact rank sum, cut respects k") {
+    // stratum A: three docs with designed signal orderings
+    //   d1: s1=10 s2=1   d2: s1=10 s2=3   d3: s1=5 s2=2
+    // s1 ranks (desc, id asc tie-break): d1→1 d2→2 d3→3
+    // s2 ranks: d2→1 d3→2 d1→3
+    // borda: d1=4 d2=3 d3=5 → leaderboard d2, d1, d3
+    val docs = Seq(
+      ("A", 1L, 10L, 1L), ("A", 2L, 10L, 3L), ("A", 3L, 5L, 2L),
+      ("B", 4L, 7L, 7L)) // singleton stratum: both ranks 1, borda 2
+      .toDF("src", "id", "s1", "s2")
+    val got = DataPipeline.bordaTopK(docs, "id", "src",
+        Seq("s1" -> col("s1"), "s2" -> col("s2")), k = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 2L, 2L, 1L, 3L, 1L), // borda 3, rk 1
+      ("A", 1L, 1L, 3L, 4L, 2L), // borda 4, rk 2 — d3 (borda 5) cut
+      ("B", 4L, 1L, 1L, 2L, 1L)))
+  }
 }

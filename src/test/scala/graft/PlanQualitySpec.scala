@@ -300,6 +300,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(shuffles129 <= 2,
       s"x129 plans $shuffles129 corpus-side shuffles (expected agg + " +
         s"sort):\n$x129")
+    // x131: the domain split is ONE stateless projection — no join,
+    // no window, no aggregate; only the presentation sort exchanges
+    val x131 = SparkEntry.queries("x131_domain_split")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x131.contains("Join") && !x131.contains("Window") &&
+        !x131.contains("Aggregate"),
+      s"x131 must be a pure projection:\n$x131")
+    assert("Exchange (hash|range)partitioning".r
+        .findAllIn(x131).length <= 1,
+      s"x131 should only exchange for the presentation sort:\n$x131")
+    // x132: all three rank windows ride ONE stratum exchange, the
+    // top-k cut pushes down as WindowGroupLimit, and nothing joins
+    val x132 = SparkEntry.queries("x132_rank_fusion")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(x132.contains("WindowGroupLimit"),
+      s"x132 lost the leaderboard top-k pushdown:\n$x132")
+    assert(!x132.contains("Join"), s"x132 must not join:\n$x132")
+    assert("Exchange hashpartitioning".r.findAllIn(x132).length <= 1,
+      s"x132 should serve all rank windows from one stratum " +
+        s"exchange:\n$x132")
   }
 
   test("no declared query plans an unpartitioned window or cartesian product") {

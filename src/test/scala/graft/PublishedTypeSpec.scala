@@ -33,8 +33,12 @@ class PublishedTypeSpec extends SparkSpec {
     * type's description, or None if portable.
     */
   private def violation(dt: DataType): Option[String] = dt match {
+    // NOTE DateType is deliberately ABSENT: none of the 160 driver-
+    // green queries publishes a DATE, and the r14 x130 draft proved
+    // the compare stack renders engine DATEs differently (date object
+    // vs midnight timestamp). Publish TIMESTAMP (q15/q20 precedent).
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
-        FloatType | DoubleType | StringType | BinaryType | DateType |
+        FloatType | DoubleType | StringType | BinaryType |
         TimestampType => None
     // Tables.load normalizes the fixture's nano-timestamps to
     // timestamp_ntz; x53 publishes it and is driver-green since r9 —

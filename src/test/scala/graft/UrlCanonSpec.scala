@@ -152,4 +152,34 @@ class UrlCanonSpec extends SparkSpec {
       .collect().toSet
     assert(a === b)
   }
+
+  test("domainSplit (x131): split is a pure function of domain — no " +
+      "domain straddles splits; unparseable trains; rates sane") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        concat(lit("https://src"),
+          pmod($"doc_id", lit(16)).cast("string"),
+          lit(".example.com/p/"), $"doc_id".cast("string")).as("url"))
+      .union(Seq((100001L, null.asInstanceOf[String]),
+        (100002L, "no scheme here")).toDF("doc_id", "url"))
+    val got = UrlCanon.domainSplit(docs, "doc_id", "url",
+        valRate = 0.2, testRate = 0.2)
+      .as[(Long, Option[String], String)].collect()
+    // leakage invariant: one split per domain
+    val perDomain = got.filter(_._2.exists(_.nonEmpty))
+      .groupBy(_._2).map { case (_, rs) => rs.map(_._3).distinct.size }
+    assert(perDomain.forall(_ == 1), "a domain straddles splits")
+    // unparseable rows (null url / no host) land in train
+    assert(got.filter(r => r._1 >= 100001L)
+      .forall(r => r._3 == "train"))
+    // all three labels are from the closed set; train is non-empty
+    assert(got.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    assert(got.count(_._3 == "train") > 0)
+    // determinism: re-run is identical
+    val rerun = UrlCanon.domainSplit(docs, "doc_id", "url", 0.2, 0.2)
+      .as[(Long, Option[String], String)].collect()
+    assert(rerun.sortBy(_._1).sameElements(got.sortBy(_._1)))
+  }
 }
