@@ -93,6 +93,47 @@ object EventStreams {
     * emitted in Update mode. `sum_ids` is a Long sum so results are
     * order-independent and comparable to the batch twin exactly.
     */
+  /** ONLINE retention tracking — the ingest-time twin of batch x130
+    * (`graft.ops.EventAnalytics.retentionCohorts`): per user, keyed
+    * state carries (first active day, set of active days), both in
+    * epoch-day units, and each update EMITS the user's full current
+    * (cohort_day, day_offset) list stamped with a monotone `version`
+    * — the weightedReservoir convention, so downstream keeps the
+    * max-version rows per user and the final state aggregates to the
+    * batch matrix EXACTLY under ANY batching or event order.
+    * Re-emitting the full list (instead of deltas) is what makes
+    * out-of-order arrivals correct: a late earlier-day event changes
+    * the user's cohort, and the next emission simply supersedes every
+    * prior row (StreamingSpec pins final ≡ batch on the replay
+    * fixture).
+    *
+    * State per user is bounded by the user's count of DISTINCT active
+    * calendar days — the calendar is the bounded dimension, the same
+    * argument as the batch op's final aggregate.
+    */
+  def retentionOnline(events: DataFrame): Dataset[RetentionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+          .cast(LongType).as("d"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Long, Seq[Long])]) =>
+          val (ver, _, seen0) = state.getOption.getOrElse(
+            (0L, Long.MaxValue, Seq.empty[Long]))
+          val seen = (seen0.iterator ++ rows.map(_._2))
+            .toSet.toSeq.sorted
+          val first = seen.head
+          val nv = ver + 1
+          state.update((nv, first, seen))
+          seen.iterator.map(d => RetentionRow(uid, nv, first, d - first))
+      }
+  }
+
   def statefulUserTotals(events: DataFrame): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events.selectExpr("user_id", "event_id").as[(Long, Long)]
@@ -111,3 +152,11 @@ object EventStreams {
 
 /** Output row of [[EventStreams.statefulUserTotals]]. */
 case class UserTotals(user_id: Long, n_events: Long, sum_ids: Long)
+
+/** Output row of [[EventStreams.retentionOnline]] — `cohort_day` is
+  * the user's first active day in epoch-day units, `day_offset` the
+  * active day's distance from it; `version` is the per-user monotone
+  * emission stamp (keep max per user downstream).
+  */
+case class RetentionRow(user_id: Long, version: Long, cohort_day: Long,
+  day_offset: Long)

@@ -185,6 +185,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retentionOnline final state aggregates to the batch x130 " +
+      "matrix under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.retentionOnline(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stream_retention")
+      .start()
+    try {
+      q.processAllAvailable()
+      // keep each user's max-version emission set, then aggregate to
+      // the (cohort, offset) matrix
+      val emitted = spark.table("stream_retention")
+      // max-version rows per user via a window (a self-join on the
+      // memory-sink view trips conflicting-reference resolution)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val latest = emitted
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+      val finalMatrix = latest
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .as[(Long, Long, Long)].collect().toSet
+      // batch x130 over the same events, with cohort in epoch days
+      val batch = graft.ops.EventAnalytics.retentionCohorts(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts")
+        .select(
+          (unix_timestamp($"cohort_date") / 86400L).cast("long")
+            .as("cohort_day"),
+          $"day_offset", $"n_users")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(finalMatrix.nonEmpty)
+      assert(finalMatrix === batch)
+      // state genuinely crossed micro-batches
+      val multi = emitted.groupBy($"user_id")
+        .agg(countDistinct($"version").as("v"))
+        .filter($"v" > 1).count()
+      assert(multi > 0, "expected a user updated across batches")
+    } finally q.stop()
+  }
+
   test("streaming LSH candidates equal the batch generator, any batching") {
     val docs = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"text").limit(120).cache()
