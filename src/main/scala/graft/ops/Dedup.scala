@@ -264,6 +264,63 @@ object Dedup {
           s => s.getField("chunk"))).as("kept_text"))
   }
 
+  /** SCOPED repeated-chunk removal (x133) — [[dropRepeatedChunks]]
+    * with the document frequency counted WITHIN a scope key instead
+    * of corpus-wide: the production refinement CCNet/RefinedWeb
+    * actually run, because boilerplate is a PER-SITE phenomenon —
+    * navigation, footers, cookie banners repeat across one domain's
+    * pages, and a corpus-global threshold either misses them (df
+    * diluted across the corpus) or over-fires on common natural
+    * phrases. Scoping the count to the canonical domain (x90 chain)
+    * drops exactly the within-site template mass.
+    *
+    * Same three key-balanced shuffles as the global op, now keyed on
+    * (scope, chunk-key): partial-agg df, hot-key left join, per-doc
+    * reassembly. The chunk key is xxhash64 over (scope, chunk) so
+    * hot boilerplate of DIFFERENT sites still spreads across
+    * partitions. No driver state; the scope column rides the
+    * projection (zero extra joins when the scope derives per-row,
+    * as a URL domain does).
+    *
+    * Returns `(doc_id, scope, n_chunks, n_dropped, kept_text)`.
+    */
+  def dropRepeatedChunksScoped(docs: DataFrame, idCol: String,
+      textCol: String, scopeCol: String, chunkSize: Int,
+      maxDocFreq: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be > 0")
+    require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every chunk")
+    val toks = tokens(col(textCol))
+    val nChunks = lit(1L) + floor(
+      (greatest(size(toks) - chunkSize, lit(0)) + (chunkSize - 1))
+        / lit(chunkSize))
+    val chunks = docs.select(col(idCol).as("doc_id"),
+        col(scopeCol).as("scope"), toks.as("_toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("scope"), col("chunk_id"),
+        concat_ws(" ", slice(col("_toks"),
+          (col("chunk_id") * chunkSize + 1).cast(IntegerType),
+          lit(chunkSize))).as("chunk"))
+      .withColumn("_k", xxhash64(col("scope"), col("chunk")))
+    val hot = (if (maxDocFreq == 2)
+        chunks.groupBy("scope", "_k")
+          .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+          .filter(col("_mn") < col("_mx"))
+      else
+        chunks.groupBy("scope", "_k")
+          .agg(countDistinct(col("doc_id")).as("_df"))
+          .filter(col("_df") >= maxDocFreq))
+      .select(col("scope"), col("_k"), lit(true).as("_hot"))
+    chunks.join(hot, Seq("scope", "_k"), "left")
+      .withColumn("_keep", col("_hot").isNull)
+      .groupBy("doc_id", "scope")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_keep"), struct(col("chunk_id"), col("chunk"))))),
+          s => s.getField("chunk"))).as("kept_text"))
+  }
+
   /** Asymmetric CONTAINMENT dedup — the "small document swallowed by a
     * big one" case (quotes, excerpts, page-plus-boilerplate reposts)
     * that symmetric-Jaccard near-dup structurally misses: a 50-token

@@ -2348,4 +2348,42 @@ object TextAnalysis {
           col("n_docs").cast(DoubleType)).as("mean_chars"),
         col("p50_chars"), col("p90_chars"))
   }
+
+  /** Good–Turing vocabulary-saturation report (x134) — per stratum,
+    * the Turing missing-mass estimate `p₀ ≈ n₁/N` (Good 1953; Gale &
+    * Sampson 1995's simple form): the fraction of future tokens
+    * expected to be word types NEVER seen in this corpus slice. The
+    * corpus-coverage gauge a data pipeline reads before trusting
+    * per-source statistics — a stratum with high unseen mass is
+    * undertrained/undersampled (its vocabulary curve is still
+    * climbing), and n₁/n₂ feed any Simple-GT smoothing downstream.
+    *
+    * All-integer publishing: N (token count), T (type count), n₁
+    * (singleton types), n₂ (doubleton types) are exact BIGINTs and
+    * `unseen_mass_micros = (n₁·10⁶) div N` is exact floor division —
+    * no FP anywhere, unconditionally portable.
+    *
+    * Scale: ONE (stratum, token) aggregate — map-side combinable, the
+    * exchange carries (stratum, token, count) — then a stratum-sized
+    * rollup. Vocabulary is Heaps-sublinear in corpus size, so the
+    * type table (the only non-trivial intermediate) grows far slower
+    * than the data.
+    *
+    * Returns `(strataCol, n_tokens, n_types, n_singletons,
+    * n_doubletons, unseen_mass_micros)`.
+    */
+  def goodTuringReport(docs: DataFrame, textCol: String,
+      strataCol: String): DataFrame = {
+    val types = docs
+      .select(col(strataCol), explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col(strataCol), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+    types.groupBy(col(strataCol))
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("_c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+      .withColumn("unseen_mass_micros",
+        expr("(n_singletons * 1000000) div n_tokens"))
+  }
 }

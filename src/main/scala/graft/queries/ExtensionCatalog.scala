@@ -5337,6 +5337,87 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("source", "doc_id", "tok_rank",
           "typ_rank", "mtl_rank", "borda", "rk")))),
 
+    // x133 — PER-DOMAIN boilerplate scrub: x45's repeated-chunk
+    // removal with the document frequency counted WITHIN the
+    // canonical domain (x90 chain) — the production refinement:
+    // boilerplate (nav, footers, banners) is a per-SITE phenomenon,
+    // so a corpus-global threshold either misses diluted template
+    // mass or over-fires on common phrases. Same three key-balanced
+    // shuffles, now keyed (domain, chunk-hash); the domain rides the
+    // projection (zero extra joins — it derives per-row from the
+    // URL). Oracle spells the identical scoped pipeline on md5 keys
+    // (the x45 hashed-key argument).
+    QueryDef("x133_domain_boilerplate",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        val withDom = d.select(col("doc_id"), col("text"),
+          UrlCanon.urlDomain(UrlCanon.canonicalizeUrl(synthUrlCol))
+            .as("domain"))
+        ordered(Dedup.dropRepeatedChunksScoped(withDom, "doc_id",
+          "text", "domain", chunkSize = 5, maxDocFreq = 2))
+      },
+      Some(s"""WITH $urlDomainCtes,
+        base AS (
+          SELECT d.doc_id, dom.domain, string_split(d.text, ' ') AS toks
+          FROM documents d JOIN dom ON d.doc_id = dom.doc_id
+          WHERE d.text IS NOT NULL),
+        ch AS (
+          SELECT doc_id, domain, toks,
+            unnest(generate_series(0,
+              CAST(1 + floor((greatest(len(toks) - 5, 0) + 4) / 5)
+                AS BIGINT) - 1)) AS chunk_id
+          FROM base),
+        chunks AS (
+          SELECT doc_id, domain, chunk_id,
+            array_to_string(toks[chunk_id * 5 + 1 : chunk_id * 5 + 5], ' ')
+              AS chunk
+          FROM ch),
+        freq AS (
+          SELECT domain, md5(chunk) AS k, COUNT(DISTINCT doc_id) AS df
+          FROM chunks GROUP BY 1, 2)
+        SELECT c.doc_id, c.domain AS scope,
+          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped,
+          COALESCE(string_agg(CASE WHEN f.df < 2 THEN c.chunk END, ' '
+            ORDER BY c.chunk_id), '') AS kept_text
+        FROM chunks c
+        JOIN freq f ON c.domain = f.domain AND md5(c.chunk) = f.k
+        GROUP BY c.doc_id, c.domain
+        """ + orderedSql(Seq("doc_id", "scope", "n_chunks",
+          "n_dropped", "kept_text")))),
+
+    // x134 — Good–Turing vocabulary-saturation report per source: the
+    // Turing missing-mass estimate p0 ~ n1/N — the fraction of FUTURE
+    // tokens expected to be never-seen types, the coverage gauge read
+    // before trusting a slice's statistics (and the n1/n2 inputs of
+    // Simple-GT smoothing). All-integer publishing: exact counts +
+    // exact floor-division micros, unconditionally portable. One
+    // map-side-combinable (source, token) aggregate + a source-sized
+    // rollup; the type table is Heaps-sublinear at 100 TB.
+    QueryDef("x134_good_turing",
+      (s, dir) => ordered(TextAnalysis.goodTuringReport(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "text", "source")),
+      Some("""WITH types AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        tc AS (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM types GROUP BY source, w)
+        SELECT source,
+          CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_singletons,
+          CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_doubletons,
+          (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000) // CAST(SUM(c) AS BIGINT) AS unseen_mass_micros
+        FROM tc GROUP BY source
+        """ + orderedSql(Seq("source", "n_tokens", "n_types",
+          "n_singletons", "n_doubletons", "unseen_mass_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -348,6 +348,39 @@ class DedupSpec extends SparkSpec {
     assert(at3(1L) === "" && at3(4L) === "p q")
   }
 
+  test("scoped repeated-chunk removal (x133): within-scope templates " +
+      "drop, cross-scope repeats survive; constant scope == global") {
+    // "b1 b2" repeats WITHIN site A (template) and ALSO appears once
+    // on site B (a quote) — the scoped op drops it only on A
+    val d = Seq(
+      (1L, "A", "b1 b2 u1 u2"),
+      (2L, "A", "v1 v2 b1 b2"),
+      (3L, "B", "b1 b2 w1 w2"),
+      (4L, "B", "x1 x2")).toDF("doc_id", "site", "text")
+    val out = Dedup.dropRepeatedChunksScoped(d, "doc_id", "text",
+        "site", chunkSize = 2, maxDocFreq = 2)
+      .as[(Long, String, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) === (("A", 2L, 1L, "u1 u2")))
+    assert(out(2L) === (("A", 2L, 1L, "v1 v2")))
+    assert(out(3L) === (("B", 2L, 0L, "b1 b2 w1 w2")),
+      "a cross-site repeat is NOT site boilerplate")
+    assert(out(4L) === (("B", 1L, 0L, "x1 x2")))
+    // law: under a CONSTANT scope the scoped op degenerates to the
+    // corpus-global one (on the fixture corpus, both thresholds)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"text")
+    val globalOut = Dedup.dropRepeatedChunks(docs, "doc_id", "text",
+        chunkSize = 5, maxDocFreq = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val scopedOut = Dedup.dropRepeatedChunksScoped(
+        docs.withColumn("one", lit("k")), "doc_id", "text", "one",
+        chunkSize = 5, maxDocFreq = 2)
+      .as[(Long, String, Long, Long, String)].collect()
+      .map(r => (r._1, r._3, r._4, r._5)).toSet
+    assert(scopedOut === globalOut)
+  }
+
   test("exactSubstrScrub: keep-first spans, overlap union, within-doc repeats safe") {
     import spark.implicits._
     val docs = Seq(

@@ -232,6 +232,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retentionOnline handles OUT-OF-ORDER arrivals: a late earlier " +
+      "day re-cohorts the user and supersedes prior emissions") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-retention-ooo").toString + "/in"
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val df = rows.map { case (u, t) =>
+        (u * 1000, Timestamp.valueOf(t), u, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+    }
+    // batch 1: user 1 seen on day 5 (cohort provisionally day 5)
+    write("b1", Seq((1L, "2024-01-05 10:00:00")))
+    // batch 2: the LATE day-2 event arrives — true cohort is day 2
+    write("b2", Seq((1L, "2024-01-02 09:00:00")))
+    // order the file-stream by mtime: b2 strictly later
+    val f1 = new java.io.File(s"$dir/b1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$dir/b2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    f2.setLastModified(f1.lastModified() + 60000)
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(s"$dir/*")
+    val q = EventStreams.retentionOnline(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_retention_ooo").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("stream_retention_ooo")
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._2, r._4))
+      // two emissions happened (state crossed batches)
+      assert(rows.map(_._2).distinct.sorted === Seq(1L, 2L))
+      // final (max-version) rows: cohort moved to day 2, offsets {0, 3}
+      val fin = rows.filter(_._2 == 2L)
+      val day = (d: String) =>
+        Timestamp.valueOf(d + " 00:00:00").getTime / 86400000L
+      assert(fin.map(r => (r._3, r._4)).toSet ===
+        Set((day("2024-01-02"), 0L), (day("2024-01-02"), 3L)),
+        s"final emissions wrong: ${fin.toSeq}")
+      // the superseded version-1 row carried the provisional cohort
+      assert(rows.filter(_._2 == 1L).map(r => (r._3, r._4)).toSet ===
+        Set((day("2024-01-05"), 0L)))
+    } finally q.stop()
+  }
+
   test("streaming LSH candidates equal the batch generator, any batching") {
     val docs = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"text").limit(120).cache()

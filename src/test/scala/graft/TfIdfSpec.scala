@@ -811,4 +811,21 @@ class TfIdfSpec extends SparkSpec {
       "dup")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids.subsetOf(withTerm))
   }
+
+  test("goodTuringReport (x134): hand corpus exact counts and " +
+      "floor-division micros; singleton-free stratum has zero mass") {
+    import spark.implicits._
+    // A: tokens a a b c  -> N=4 T=3 n1=2(b,c) n2=1(a... a has c=2) 
+    //    => N=4, T=3, n1=2, n2=1, p0 = 2e6 div 4 = 500000
+    // B: tokens x x y y  -> N=4 T=2 n1=0 n2=2, p0 = 0
+    val docs = Seq(
+      ("A", "a a b"), ("A", "c"),
+      ("B", "x x"), ("B", "y y")).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.goodTuringReport(docs, "text",
+        "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 4L, 3L, 2L, 1L, 500000L),
+      ("B", 4L, 2L, 0L, 2L, 0L)))
+  }
 }
