@@ -301,16 +301,21 @@ object Dedup {
           (col("chunk_id") * chunkSize + 1).cast(IntegerType),
           lit(chunkSize))).as("chunk"))
       .withColumn("_k", xxhash64(col("scope"), col("chunk")))
+    // `_k` already encodes the scope (hashed over (scope, chunk)), so
+    // the frequency aggregate and the hot-key join run on the ONE
+    // 8-byte key — the scope string never rides a shuffle (it comes
+    // back out on the probe side); scoped semantics are unchanged up
+    // to xxhash64 collisions, the x45 hashed-key argument.
     val hot = (if (maxDocFreq == 2)
-        chunks.groupBy("scope", "_k")
+        chunks.groupBy("_k")
           .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
           .filter(col("_mn") < col("_mx"))
       else
-        chunks.groupBy("scope", "_k")
+        chunks.groupBy("_k")
           .agg(countDistinct(col("doc_id")).as("_df"))
           .filter(col("_df") >= maxDocFreq))
-      .select(col("scope"), col("_k"), lit(true).as("_hot"))
-    chunks.join(hot, Seq("scope", "_k"), "left")
+      .select(col("_k"), lit(true).as("_hot"))
+    chunks.join(hot, Seq("_k"), "left")
       .withColumn("_keep", col("_hot").isNull)
       .groupBy("doc_id", "scope")
       .agg(count(lit(1)).as("n_chunks"),
