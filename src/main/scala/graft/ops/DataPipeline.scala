@@ -249,6 +249,73 @@ object DataPipeline {
       .filter(col("rk") <= k)
   }
 
+  /** Spearman rank-correlation audit between quality signals, per
+    * stratum — the diagnostic read BEFORE fusing signals with
+    * [[bordaTopK]]: rank fusion only adds information when the
+    * signals disagree somewhere (ρ ≈ 1 means the signals are
+    * redundant; ρ ≈ −1 means they fight and the fused order is
+    * near-arbitrary). Ranks are `row_number` with the id tie-break
+    * (the x132 convention — a deterministic variant of the classical
+    * average-rank treatment of ties), so every rank is a total order
+    * and ρ = 1 − 6·Σd²/(n(n²−1)) is EXACT integer arithmetic:
+    * `rho_micros = 1 000 000 − (6 000 000·Σd²) div (n(n²−1))` — all
+    * operands non-negative before the final subtraction, so floor
+    * and truncating division agree and the published row is
+    * unconditionally portable. Strata with n < 2 publish NULL (ρ is
+    * undefined on a single point).
+    *
+    * Long headroom: 6 000 000·Σd² with Σd² ≤ n(n²−1)/3 stays inside
+    * a BIGINT for n ≤ ~16 000 rows per stratum; the fixture maximum
+    * is 250. At corpus scale run it on a bounded sample (x23/x35 —
+    * the x112 sampled-QA precedent): ρ is a statistical gauge, and a
+    * few thousand rows per stratum pin it to two decimals.
+    *
+    * Scale: ONE shuffle on the stratum key serves every rank window
+    * (one Exchange, |signals| Window ops over the same partitioning —
+    * the bordaTopK plan shape), then one per-stratum aggregate emits
+    * (n, Σd² per pair); the pair rows explode from that stratum-sized
+    * frame. The shuffle carries (stratum, id, |signals| longs).
+    *
+    * Returns `(strataCol, pair STRING "a~b", n BIGINT, sum_d2 BIGINT,
+    * rho_micros BIGINT)` for every unordered signal pair.
+    */
+  def spearmanAudit(docs: DataFrame, idCol: String, strataCol: String,
+      signals: Seq[(String, Column)]): DataFrame = {
+    require(signals.size >= 2, "need at least two signals to correlate")
+    require(signals.map(_._1).distinct.size == signals.size,
+      "signal names must be distinct")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      (col(strataCol) +: col(idCol) +:
+        signals.map { case (n, c) => c.cast("long").as(s"_s_$n") }): _*)
+    val ranked = signals.foldLeft(base) { case (df, (n, _)) =>
+      val w = Window.partitionBy(col(strataCol))
+        .orderBy(col(s"_s_$n").desc, col(idCol).asc)
+      df.withColumn(s"_r_$n", row_number().over(w).cast("long"))
+    }
+    val pairs = signals.map(_._1).combinations(2).map {
+      case Seq(a, b) => (a, b)
+    }.toSeq
+    val d2Cols = pairs.map { case (a, b) =>
+      val d = col(s"_r_$a") - col(s"_r_$b")
+      sum(d * d).as(s"_d2_${a}_$b")
+    }
+    val agg = ranked.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"), d2Cols: _*)
+    val rows = pairs.map { case (a, b) =>
+      val d2 = s"_d2_${a}_$b"
+      val rho = when(col("n") < 2L, lit(null).cast("long"))
+        .otherwise(lit(1000000L) -
+          expr(s"(6000000 * `$d2`) div (n * (n * n - 1))"))
+      struct(lit(s"$a~$b").as("pair"), col("n").cast("long").as("n"),
+        col(d2).cast("long").as("sum_d2"), rho.as("rho_micros"))
+    }
+    agg.select(col(strataCol), explode(array(rows: _*)).as("r"))
+      .select(col(strataCol), col("r.pair").as("pair"),
+        col("r.n").as("n"), col("r.sum_d2").as("sum_d2"),
+        col("r.rho_micros").as("rho_micros"))
+  }
+
   /** Corpus snapshot diff — the data-versioning report run between two
     * corpus versions before retraining: per id, `added` (only in new),
     * `removed` (only in old), `modified` (both, content hash differs)

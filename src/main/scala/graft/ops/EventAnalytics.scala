@@ -54,4 +54,75 @@ object EventAnalytics {
           .as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Ordered conversion funnel — the other canonical product-analytics
+    * report: for a declared step sequence (e.g. signup → view → click
+    * → purchase), count the users who completed each step IN ORDER,
+    * where step k+1 only counts events strictly AFTER the user's
+    * first completion of step k. Per step: users reaching it, plus
+    * step-over-step and step-over-first conversion rates in micros.
+    *
+    * Semantics (deterministic, tie-free): t₁ = MIN(ts) of the user's
+    * step-1 events; tₖ₊₁ = MIN(ts) of step-(k+1) events with
+    * ts > tₖ. Every tₖ is a MIN over a timestamp set — unique values,
+    * no tie-break needed — and the conversion micros are exact
+    * floor divisions of BIGINT counts (non-negative operands, so
+    * truncating and flooring engines agree). Step 1's conversions
+    * publish the 1 000 000 identity by convention. No FP anywhere —
+    * unconditionally portable.
+    *
+    * Scale: one linear chain of 2(k−1) user-keyed equi-joins — each
+    * step filters `events` by its type (predicate pushed to the scan),
+    * inner-joins the user-sized frontier, re-aggregates MIN per user
+    * (map-side combinable), and LEFT-joins back onto the user-sized
+    * funnel frame; no event text or payload ever shuffles, only
+    * (user, ts). The final report is ONE aggregate over the funnel
+    * frame (k counts) exploded to k rows — a single action, k bounded
+    * by the declared funnel (not the data).
+    *
+    * Returns `(step BIGINT, event_type STRING, n_users BIGINT,
+    * conv_prev_micros BIGINT, conv_first_micros BIGINT)`.
+    */
+  def funnelReport(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("t1"))
+    val funnel = steps.tail.zipWithIndex.foldLeft(first) {
+      case (f, (st, i)) =>
+        val prev = s"t${i + 1}"
+        val cur = s"t${i + 2}"
+        val nxt = events.filter(col(typeCol) === st)
+          .select(col(userCol).as("_u"), col(tsCol).as("_ts"))
+          .join(f.select(col("_u"), col(prev)), "_u")
+          .filter(col("_ts") > col(prev))
+          .groupBy("_u").agg(min(col("_ts")).as(cur))
+          .select(col("_u"), col(cur))
+        f.join(nxt, Seq("_u"), "left")
+    }
+    val nCols = steps.indices.map(i =>
+      count(col(s"t${i + 1}")).as(s"n${i + 1}"))
+    val agg = funnel.agg(nCols.head, nCols.tail: _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      val n = col(s"n${i + 1}")
+      val convPrev =
+        if (i == 0) lit(1000000L)
+        else {
+          val p = s"n$i"
+          when(col(p) === 0L, 0L)
+            .otherwise(expr(s"(n${i + 1} * 1000000) div $p"))
+        }
+      val convFirst =
+        if (i == 0) lit(1000000L)
+        else when(col("n1") === 0L, 0L)
+          .otherwise(expr(s"(n${i + 1} * 1000000) div n1"))
+      struct(lit((i + 1).toLong).as("step"), lit(st).as("event_type"),
+        n.cast(LongType).as("n_users"),
+        convPrev.cast(LongType).as("conv_prev_micros"),
+        convFirst.cast(LongType).as("conv_first_micros"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
 }

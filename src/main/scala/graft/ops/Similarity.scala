@@ -976,6 +976,51 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Matryoshka truncation QA (Kusupati et al., NeurIPS 2022): recall@k
+    * of brute-force cosine top-k computed on only the FIRST `mDims`
+    * dimensions against full-dimension brute force, per stride-sampled
+    * query — the gauge a retrieval pipeline reads before serving
+    * truncated ("Matryoshka") embeddings, whose leading prefix is
+    * trained to carry most of the signal: how much neighbor structure
+    * survives the cut. Output `(q_id, n_match, recall)`, one row per
+    * query; recall = |trunc top-k ∩ full top-k| / k (the x76 contract —
+    * both top-k lists rank on round(cosine, 3) with the id tie-break,
+    * so the cutoff is deterministic cross-engine).
+    *
+    * Scale: a VALIDATION op over a bounded query sample, like
+    * [[annRecallReport]] — both sides are one corpus scan against the
+    * broadcast query set; the truncated side's scan reads the same
+    * column and slices per row (no second copy of the vectors). The
+    * sample stride bounds the cost; it is not a per-ingest path.
+    */
+  def truncationRecallReport(vectors: DataFrame, idCol: String,
+      vecCol: String, queryStride: Int, k: Int, mDims: Int): DataFrame = {
+    require(queryStride >= 1 && k >= 1 && mDims >= 1,
+      s"need positive stride/k/mDims, got $queryStride/$k/$mDims")
+    val full = bruteTopKBatch(vectors, idCol, vecCol, queryStride, k)
+    val base = vectors.select(col(idCol).as("id"),
+      slice(toDouble(col(vecCol)), 1, mDims).as("v"))
+    val qs = base.filter(col("id") % queryStride === 0)
+      .select(col("id").as("q_id"), col("v").as("qv"))
+    val scored = base.crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        round(cosine(col("v"), col("qv")), 3).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("id"))
+    val trunc = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("q_id"), col("id"))
+    val matches = full.select(col("q_id"), col("id"))
+      .join(trunc, Seq("q_id", "id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_match"))
+    vectors.select(col(idCol).as("q_id"))
+      .filter(col("q_id") % queryStride === 0)
+      .join(matches, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        (coalesce(col("n_match"), lit(0L)).cast(DoubleType) / k)
+          .as("recall"))
+  }
+
   /** Top principal direction of the embedding second-moment matrix by
     * power iteration — the whitening/centering direction SemDeDup-style
     * embedding pipelines strip before cosine clustering (dominant

@@ -5418,6 +5418,156 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("source", "n_tokens", "n_types",
           "n_singletons", "n_doubletons", "unseen_mass_micros")))),
 
+    // x135 — ordered conversion funnel over `events`: the other
+    // canonical product-analytics report next to x130's retention
+    // matrix — per declared step (signup → view → click → purchase)
+    // the users completing it IN ORDER (step k+1 counts only events
+    // strictly after the user's first completion of step k), plus
+    // step-over-step and step-over-first conversion micros. Every
+    // step time is a MIN over timestamps (tie-free) and every rate an
+    // exact BIGINT floor division — no FP anywhere. One linear chain
+    // of user-keyed equi-joins; only (user, ts) ever shuffles.
+    QueryDef("x135_funnel",
+      (s, dir) => ordered(graft.ops.EventAnalytics.funnelReport(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))),
+      Some("""WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t FROM events e
+          JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+          WHERE e.event_type = 'view' GROUP BY 1),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t FROM events e
+          JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+          WHERE e.event_type = 'click' GROUP BY 1),
+        s4 AS (
+          SELECT e.user_id, MIN(e.ts) AS t FROM events e
+          JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+          WHERE e.event_type = 'purchase' GROUP BY 1),
+        c AS (SELECT
+          (SELECT COUNT(*) FROM s1) AS n1,
+          (SELECT COUNT(*) FROM s2) AS n2,
+          (SELECT COUNT(*) FROM s3) AS n3,
+          (SELECT COUNT(*) FROM s4) AS n4)
+        SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+          CAST(n1 AS BIGINT) AS n_users,
+          CAST(1000000 AS BIGINT) AS conv_prev_micros,
+          CAST(1000000 AS BIGINT) AS conv_first_micros FROM c
+        UNION ALL SELECT 2, 'view', n2,
+          CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) // n1 END,
+          CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) // n1 END FROM c
+        UNION ALL SELECT 3, 'click', n3,
+          CASE WHEN n2 = 0 THEN 0 ELSE (n3 * 1000000) // n2 END,
+          CASE WHEN n1 = 0 THEN 0 ELSE (n3 * 1000000) // n1 END FROM c
+        UNION ALL SELECT 4, 'purchase', n4,
+          CASE WHEN n3 = 0 THEN 0 ELSE (n4 * 1000000) // n3 END,
+          CASE WHEN n1 = 0 THEN 0 ELSE (n4 * 1000000) // n1 END FROM c
+        """ + orderedSql(Seq("step", "event_type", "n_users",
+          "conv_prev_micros", "conv_first_micros")))),
+
+    // x136 — Matryoshka truncation recall (Kusupati et al. 2022): the
+    // x76 recall-QA harness pointed at DIMENSION truncation instead of
+    // an index — brute-force cosine top-10 on the first 16 of 64 dims
+    // vs full-dim brute force, per stride-sampled query. The gauge
+    // read before serving truncated embeddings for cheap retrieval
+    // dedup. Both top-k lists rank on round(cosine, 3) with the id
+    // tie-break (the proven x76 portability contract).
+    QueryDef("x136_mrl_recall",
+      (s, dir) => ordered(Similarity.truncationRecallReport(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryStride = 97, k = 10, mDims = 16)),
+      Some("""WITH base AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        qs AS (SELECT id AS q_id, v AS qv FROM base WHERE id % 97 = 0),
+        brute AS (
+          SELECT q_id, id FROM (
+            SELECT q_id, base.id, row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY ROUND(list_cosine_similarity(v, qv), 3)
+                  DESC, base.id) AS rn
+            FROM qs, base WHERE base.id <> q_id) WHERE rn <= 10),
+        tr AS (
+          SELECT q_id, id FROM (
+            SELECT q_id, base.id, row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY ROUND(list_cosine_similarity(v[1:16], qv[1:16]),
+                  3) DESC, base.id) AS rn
+            FROM qs, base WHERE base.id <> q_id) WHERE rn <= 10),
+        m AS (
+          SELECT b.q_id, COUNT(*) AS n_match
+          FROM brute b JOIN tr i ON i.q_id = b.q_id AND i.id = b.id
+          GROUP BY b.q_id)
+        SELECT qs.q_id AS q_id,
+          CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+          CAST(COALESCE(m.n_match, 0) AS DOUBLE) / 10 AS recall
+        FROM qs LEFT JOIN m ON m.q_id = qs.q_id
+        """ + orderedSql(Seq("q_id", "n_match", "recall")))),
+
+    // x137 — Spearman rank-correlation audit between the x132 quality
+    // signals, per source: the diagnostic read BEFORE trusting a rank
+    // fusion — redundant signals (rho ~ 1) add nothing to Borda;
+    // opposed signals (rho ~ -1) make the fused order near-arbitrary.
+    // row_number ranks with the id tie-break (the x132 convention),
+    // rho = 1 - 6*sum(d^2)/(n(n^2-1)) published as exact integer
+    // micros (non-negative operands before the final subtraction, so
+    // floor and truncating division agree). NULL for n < 2 strata.
+    QueryDef("x137_spearman",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        ordered(graft.ops.DataPipeline.spearmanAudit(
+          d, "doc_id", "source", Seq(
+            "tok" -> size(split(col("text"), " ")).cast(LongType),
+            "typ" -> size(array_distinct(split(col("text"), " ")))
+              .cast(LongType),
+            "mtl" -> expr("(CAST(length(text) AS BIGINT) * 1000000)" +
+              " div CAST(size(split(text, ' ')) AS BIGINT)"))))
+      },
+      Some("""WITH d AS (
+          SELECT source, doc_id, string_split(text, ' ') AS t,
+            CAST(length(text) AS BIGINT) AS ln
+          FROM documents WHERE text IS NOT NULL),
+        sig AS (
+          SELECT source, doc_id,
+            CAST(len(t) AS BIGINT) AS tok,
+            CAST(len(list_distinct(t)) AS BIGINT) AS typ,
+            (ln * 1000000) // CAST(len(t) AS BIGINT) AS mtl
+          FROM d),
+        r AS (
+          SELECT source, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY tok DESC, doc_id) AS BIGINT) AS r_tok,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY typ DESC, doc_id) AS BIGINT) AS r_typ,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY mtl DESC, doc_id) AS BIGINT) AS r_mtl
+          FROM sig),
+        a AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM((r_tok - r_typ) * (r_tok - r_typ)) AS BIGINT)
+              AS d_tok_typ,
+            CAST(SUM((r_tok - r_mtl) * (r_tok - r_mtl)) AS BIGINT)
+              AS d_tok_mtl,
+            CAST(SUM((r_typ - r_mtl) * (r_typ - r_mtl)) AS BIGINT)
+              AS d_typ_mtl
+          FROM r GROUP BY source)
+        SELECT source, 'tok~typ' AS pair, n, d_tok_typ AS sum_d2,
+          CASE WHEN n < 2 THEN NULL ELSE
+            1000000 - (6000000 * d_tok_typ) // (n * (n * n - 1)) END
+            AS rho_micros FROM a
+        UNION ALL SELECT source, 'tok~mtl', n, d_tok_mtl,
+          CASE WHEN n < 2 THEN NULL ELSE
+            1000000 - (6000000 * d_tok_mtl) // (n * (n * n - 1)) END
+          FROM a
+        UNION ALL SELECT source, 'typ~mtl', n, d_typ_mtl,
+          CASE WHEN n < 2 THEN NULL ELSE
+            1000000 - (6000000 * d_typ_mtl) // (n * (n * n - 1)) END
+          FROM a
+        """ + orderedSql(Seq("source", "pair", "n", "sum_d2",
+          "rho_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

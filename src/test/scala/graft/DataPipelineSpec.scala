@@ -222,4 +222,41 @@ class DataPipelineSpec extends SparkSpec {
       ("A", 1L, 1L, 3L, 4L, 2L), // borda 4, rk 2 — d3 (borda 5) cut
       ("B", 4L, 1L, 1L, 2L, 1L)))
   }
+
+  test("spearmanAudit (x137): perfect agreement is +1e6, perfect " +
+      "reversal is -1e6, singleton stratum is NULL, micros exact") {
+    // stratum A (n=3): s1 and s2 agree exactly; s1 and s3 reverse
+    //   exactly; s2~s3 therefore also reverses. Sum d^2 reversal for
+    //   n=3: (1-3)^2+(2-2)^2+(3-1)^2 = 8 = n(n^2-1)/3 → rho = -1.
+    // stratum B (n=1): rho undefined → NULL, sum_d2 = 0.
+    val docs = Seq(
+      ("A", 1L, 30L, 300L, 1L), ("A", 2L, 20L, 200L, 2L),
+      ("A", 3L, 10L, 100L, 3L),
+      ("B", 4L, 5L, 5L, 5L))
+      .toDF("src", "id", "s1", "s2", "s3")
+    val got = DataPipeline.spearmanAudit(docs, "id", "src", Seq(
+        "s1" -> col("s1"), "s2" -> col("s2"), "s3" -> col("s3")))
+      .as[(String, String, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      ("A", "s1~s2", 3L, 0L, Some(1000000L)),
+      ("A", "s1~s3", 3L, 8L, Some(-1000000L)),
+      ("A", "s2~s3", 3L, 8L, Some(-1000000L)),
+      ("B", "s1~s2", 1L, 0L, None),
+      ("B", "s1~s3", 1L, 0L, None),
+      ("B", "s2~s3", 1L, 0L, None)))
+  }
+
+  test("spearmanAudit: a mid-range disagreement lands strictly " +
+      "inside (-1e6, 1e6) and floor division matches hand arithmetic") {
+    // n=4, one adjacent swap between the two orders: d^2 sum = 2
+    // rho = 1 - 6*2/(4*15) = 1 - 1/5 = 0.8 exactly → 800000 micros
+    val docs = Seq(
+      ("A", 1L, 40L, 40L), ("A", 2L, 30L, 20L),
+      ("A", 3L, 20L, 30L), ("A", 4L, 10L, 10L))
+      .toDF("src", "id", "s1", "s2")
+    val got = DataPipeline.spearmanAudit(docs, "id", "src",
+        Seq("s1" -> col("s1"), "s2" -> col("s2")))
+      .as[(String, String, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(("A", "s1~s2", 4L, 2L, Some(800000L))))
+  }
 }

@@ -40,6 +40,63 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(day0 === sizes)
   }
 
+  test("funnelReport (x135): hand corpus — ordered completion only, " +
+      "strictly-after semantics, exact conversion micros") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1 completes A -> B -> C in order
+    // u2 does B before A, A, then nothing: reaches A only (its B
+    //    precedes its first A — strictly-after excludes it)
+    // u3 completes A then B at a LATER ts; its C predates B: reaches B
+    // u4 never does A: contributes to no step
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "A"),
+      (1L, ts("2024-01-01 09:00:00"), "B"),
+      (1L, ts("2024-01-01 10:00:00"), "C"),
+      (2L, ts("2024-01-02 07:00:00"), "B"),
+      (2L, ts("2024-01-02 08:00:00"), "A"),
+      (3L, ts("2024-01-03 08:00:00"), "A"),
+      (3L, ts("2024-01-03 08:30:00"), "C"),
+      (3L, ts("2024-01-03 09:00:00"), "B"),
+      (4L, ts("2024-01-04 08:00:00"), "B"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelReport(events, "user_id", "ts",
+      "event_type", Seq("A", "B", "C"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, "A", 3L, 1000000L, 1000000L),
+      (2L, "B", 2L, 666666L, 666666L), // 2*1e6 div 3, floored
+      (3L, "C", 1L, 500000L, 333333L)))
+  }
+
+  test("funnelReport: empty first step publishes zero counts and " +
+      "zero downstream conversions; step-1 identity convention") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq((1L, ts("2024-01-01 08:00:00"), "B"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelReport(events, "user_id", "ts",
+      "event_type", Seq("A", "B"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, "A", 0L, 1000000L, 1000000L),
+      (2L, "B", 0L, 0L, 0L)))
+  }
+
+  test("funnelReport fixture sanity: counts non-increasing along the " +
+      "funnel and bounded by distinct users") {
+    val events = Tables.load(spark, sf0001, "events")
+    val got = EventAnalytics.funnelReport(events, "user_id", "ts",
+      "event_type", Seq("signup", "view", "click", "purchase"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    val nUsers = events.select(countDistinct($"user_id")).as[Long].head()
+    assert(got.length === 4)
+    assert(got.head._3 <= nUsers)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"funnel counts must be non-increasing: $got")
+    }
+    assert(got.forall(r => r._4 >= 0L && r._4 <= 1000000L))
+    assert(got.forall(r => r._5 >= 0L && r._5 <= 1000000L))
+  }
+
   test("retentionCohorts fixture sanity: day-0 user total equals " +
       "distinct users; offsets non-negative") {
     val events = Tables.load(spark, sf0001, "events")

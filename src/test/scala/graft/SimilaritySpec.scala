@@ -405,6 +405,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("truncation recall (x136): keeping every dimension recovers " +
+      "recall 1.0 exactly; bounds hold under a real cut") {
+    // mDims = 64 keeps the whole vector — truncated brute force IS
+    // full brute force, so recall must be exactly 1.0 per query
+    val full = Similarity.truncationRecallReport(emb, "vec_id",
+        "embedding", queryStride = 97, k = 10, mDims = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(full.length === 6)
+    assert(full.forall { case (_, m, r) => m === 10L && r === 1.0 },
+      full.mkString(", "))
+    // a real 16-of-64 cut: one row per query, exact n/k arithmetic
+    val cut = Similarity.truncationRecallReport(emb, "vec_id",
+        "embedding", queryStride = 97, k = 10, mDims = 16)
+      .as[(Long, Long, Double)].collect()
+    assert(cut.length === 6)
+    cut.foreach { case (q, m, r) =>
+      assert(m >= 0L && m <= 10L, s"query $q n_match $m out of range")
+      assert(r === m / 10.0, s"query $q recall $r != n_match/k")
+    }
+    // monotonicity sanity on the aggregate: the full-dim report can
+    // never match fewer neighbors than the truncated one in total
+    assert(full.map(_._2).sum >= cut.map(_._2).sum)
+  }
+
   test("batch top-k ranks cut per partition before the exchange") {
     // the q_id-partitioned row_number cut must plan a WindowGroupLimit
     // (k rows kept per partition pre-shuffle — the x74 contract), and
