@@ -320,6 +320,24 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(x132).length <= 1,
       s"x132 should serve all rank windows from one stratum " +
         s"exchange:\n$x132")
+    // x137: same contract as x132 — every rank window rides ONE
+    // stratum exchange (the per-stratum aggregate reuses that
+    // partitioning), and nothing joins; only the presentation sort
+    // adds a range exchange
+    val x137 = SparkEntry.queries("x137_spearman")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x137.contains("Join"), s"x137 must not join:\n$x137")
+    assert("Exchange hashpartitioning".r.findAllIn(x137).length <= 1,
+      s"x137 should serve all rank windows and the stratum aggregate " +
+        s"from one exchange:\n$x137")
+    // x135: the funnel is a linear chain of user-keyed equi-joins —
+    // no window anywhere, no shuffle join wider than the user key,
+    // and the step frontiers stay aggregate-shaped
+    val x135 = SparkEntry.queries("x135_funnel")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x135.contains("Window"), s"x135 must not window:\n$x135")
+    assert(!x135.contains("CartesianProduct"),
+      s"x135 must not plan a cartesian:\n$x135")
   }
 
   test("no declared query plans an unpartitioned window or cartesian product") {
