@@ -125,4 +125,42 @@ object EventAnalytics {
     }
     agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Event-type transition report — the first-order Markov view of
+    * user behavior: per user, events are put in the (ts, id) total
+    * order (event ids are unique, so the order is tie-free), every
+    * consecutive pair becomes one (from_type, to_type) transition,
+    * and the report publishes per ordered pair the exact transition
+    * count and the row-normalized probability in micros
+    * (`n · 10⁶ div Σ_to n` — exact BIGINT floor division,
+    * non-negative operands). The companion diagnostic to x135: the
+    * funnel asks "do users follow THIS path", the matrix shows which
+    * paths they actually take.
+    *
+    * Scale: ONE user-keyed exchange feeds the lead window (the
+    * shuffle carries (user, ts, id, type) — no payload), transitions
+    * partial-aggregate map-side to the type²-bounded matrix, and the
+    * row normalization is a window over that matrix — type²-sized,
+    * not corpus-sized. The per-user window is the q8/q9 partitioned
+    * shape; a power user bounds a task at their own event count.
+    *
+    * Returns `(from_type, to_type, n BIGINT, p_micros BIGINT)`.
+    */
+  def transitionReport(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val m = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("from_type"))
+    m.withColumn("_tot", sum(col("n")).over(rowTotal))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div _tot").as("p_micros"))
+  }
 }

@@ -5568,6 +5568,34 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("source", "pair", "n", "sum_d2",
           "rho_micros")))),
 
+    // x138 — event-type transition matrix: the first-order Markov
+    // view of user behavior, the companion diagnostic to x135 (the
+    // funnel asks "do users follow THIS path"; the matrix shows which
+    // paths they take). Per user, events in the tie-free (ts, id)
+    // total order; every consecutive pair is one transition; per
+    // ordered type pair the exact count and the row-normalized
+    // probability micros by exact BIGINT floor division. One
+    // user-keyed exchange feeds the lead window; everything after is
+    // type^2-sized.
+    QueryDef("x138_transitions",
+      (s, dir) => ordered(graft.ops.EventAnalytics.transitionReport(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")),
+      Some("""WITH p AS (
+          SELECT user_id, event_type AS from_type,
+            LEAD(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+          FROM events),
+        m AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          (n * 1000000) // SUM(n) OVER (PARTITION BY from_type)
+            AS p_micros
+        FROM m
+        """ + orderedSql(Seq("from_type", "to_type", "n",
+          "p_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

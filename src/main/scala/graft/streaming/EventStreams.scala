@@ -134,6 +134,67 @@ object EventStreams {
       }
   }
 
+  /** ONLINE ordered-funnel tracking — the ingest-time twin of batch
+    * x135 (`graft.ops.EventAnalytics.funnelReport`): per user, keyed
+    * state carries, for each funnel step TYPE, the sorted set of
+    * distinct event times seen (epoch micros); each update re-folds
+    * the funnel exactly from those sets and emits the user's current
+    * max completed step with a monotone `version` stamp (keep the
+    * max-version row per user downstream — the retentionOnline
+    * convention). Exact under ANY batching or arrival order: every
+    * step time is non-increasing in the event multiset, so a late
+    * earlier event can only ratchet the fold downward/forward, and
+    * the per-type time sets are sufficient statistics for the batch
+    * fold (StreamingSpec pins final ≡ batch and the late-step-1
+    * cascade).
+    *
+    * State per user is bounded by the user's FUNNEL-event history —
+    * 8-byte timestamps only, and non-funnel event types are filtered
+    * BEFORE the shuffle so the state never sees them. A production
+    * deployment bounds it further with an event-time TTL (the
+    * standard funnel-window product semantics — "convert within N
+    * days"); the untruncated form here is what makes the batch
+    * equivalence exact.
+    */
+  def funnelOnline(events: DataFrame, steps: Seq[String])
+      : Dataset[FunnelStepRow] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnel steps must be non-empty and distinct, got $steps")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.size
+    events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[(Long, Seq[Seq[Long]])]) =>
+          val (ver, seen0) = state.getOption.getOrElse(
+            (0L, Seq.fill(k)(Seq.empty[Long])))
+          val sets = seen0.map(s =>
+            scala.collection.mutable.SortedSet.empty[Long] ++ s)
+          rows.foreach { case (_, et, t) => sets(stepIdx(et)) += t }
+          val seen = sets.map(_.toSeq)
+          var reached = 0
+          var last = Long.MinValue
+          var i = 0
+          var stuck = false
+          while (i < k && !stuck) {
+            seen(i).find(_ > last) match {
+              case Some(t) => reached = i + 1; last = t; i += 1
+              case None => stuck = true
+            }
+          }
+          val nv = ver + 1
+          state.update((nv, seen))
+          Iterator(FunnelStepRow(uid, nv, reached.toLong))
+      }
+  }
+
   def statefulUserTotals(events: DataFrame): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events.selectExpr("user_id", "event_id").as[(Long, Long)]
@@ -152,6 +213,14 @@ object EventStreams {
 
 /** Output row of [[EventStreams.statefulUserTotals]]. */
 case class UserTotals(user_id: Long, n_events: Long, sum_ids: Long)
+
+/** Output row of [[EventStreams.funnelOnline]] — `max_step` is the
+  * user's deepest in-order funnel completion so far (0 = none);
+  * `version` is the per-user monotone emission stamp (keep max per
+  * user downstream). Batch x135's per-step user count is
+  * `COUNT(max_step >= step)` over the final rows.
+  */
+case class FunnelStepRow(user_id: Long, version: Long, max_step: Long)
 
 /** Output row of [[EventStreams.retentionOnline]] — `cohort_day` is
   * the user's first active day in epoch-day units, `day_offset` the

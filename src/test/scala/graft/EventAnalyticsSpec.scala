@@ -97,6 +97,63 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.forall(r => r._5 >= 0L && r._5 <= 1000000L))
   }
 
+  test("transitionReport (x138): hand corpus — tie-free (ts, id) " +
+      "ordering, per-user chains only, exact row-normalized micros") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1: A -> B -> A   (transitions A->B, B->A)
+    // u2: A -> A        (A->A); same ts as u1's events — chains never
+    //                   cross users
+    // u3: single event  (no transition)
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 08:00:00"), "A"),
+      (11L, 1L, ts("2024-01-01 09:00:00"), "B"),
+      (12L, 1L, ts("2024-01-01 10:00:00"), "A"),
+      (20L, 2L, ts("2024-01-01 08:00:00"), "A"),
+      (21L, 2L, ts("2024-01-01 09:00:00"), "A"),
+      (30L, 3L, ts("2024-01-01 08:00:00"), "B"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.transitionReport(events, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect().toSet
+    // from A: A->B once, A->A once → 500000 micros each
+    assert(got === Set(
+      ("A", "B", 1L, 500000L),
+      ("A", "A", 1L, 500000L),
+      ("B", "A", 1L, 1000000L)))
+  }
+
+  test("transitionReport: equal timestamps fall back to the id " +
+      "tie-break deterministically") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (2L, 1L, ts("2024-01-01 08:00:00"), "B"),
+      (1L, 1L, ts("2024-01-01 08:00:00"), "A"),
+      (3L, 1L, ts("2024-01-01 09:00:00"), "C"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.transitionReport(events, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(("A", "B", 1L, 1000000L),
+      ("B", "C", 1L, 1000000L)))
+  }
+
+  test("transitionReport fixture sanity: total transitions = events " +
+      "minus users; probabilities sum to ~1e6 per live from-row") {
+    val events = Tables.load(spark, sf0001, "events")
+    val got = EventAnalytics.transitionReport(events, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect()
+    val nEvents = events.count()
+    val nUsers = events.select(countDistinct($"user_id")).as[Long].head()
+    assert(got.map(_._3).sum === nEvents - nUsers)
+    // each from-row's micros sum within the floor-division slack
+    got.groupBy(_._1).foreach { case (from, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"row $from micros sum $s out of range")
+    }
+  }
+
   test("retentionCohorts fixture sanity: day-0 user total equals " +
       "distinct users; offsets non-negative") {
     val events = Tables.load(spark, sf0001, "events")

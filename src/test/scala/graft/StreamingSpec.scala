@@ -232,6 +232,83 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelOnline final state aggregates to the batch x135 step " +
+      "counts under forced multi-batch replay") {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.funnelOnline(stream, steps)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_funnel").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stream_funnel")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val latest = emitted
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+        .select($"user_id", $"version", $"max_step")
+        .as[(Long, Long, Long)].collect()
+      // counts per step from the final states
+      val streamCounts = steps.indices.map(i =>
+        latest.count(_._3 >= i + 1).toLong)
+      val batch = graft.ops.EventAnalytics.funnelReport(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_type", steps)
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+        .map(_._3).toSeq
+      assert(streamCounts === batch)
+      assert(streamCounts.head > 0L)
+      // state genuinely crossed micro-batches
+      val multi = emitted.groupBy($"user_id")
+        .agg(countDistinct($"version").as("v")).filter($"v" > 1).count()
+      assert(multi > 0, "expected a user updated across batches")
+    } finally q.stop()
+  }
+
+  test("funnelOnline handles OUT-OF-ORDER arrivals: a late step-1 " +
+      "event re-folds the whole funnel and supersedes prior emissions") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-funnel-ooo").toString + "/in"
+    def write(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val df = rows.zipWithIndex.map { case ((u, t, et), i) =>
+        (u * 1000 + i, Timestamp.valueOf(t), u, et, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+    }
+    // batch 1: user 1 does B then C — no A yet, so max_step stays 0
+    write("b1", Seq(
+      (1L, "2024-01-05 10:00:00", "B"), (1L, "2024-01-05 11:00:00", "C")))
+    // batch 2: the LATE A arrives BEFORE both — the fold cascades to 3
+    write("b2", Seq((1L, "2024-01-05 09:00:00", "A")))
+    val f1 = new java.io.File(s"$dir/b1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$dir/b2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    f2.setLastModified(f1.lastModified() + 60000)
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(s"$dir/*")
+    val q = EventStreams.funnelOnline(stream, Seq("A", "B", "C"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_funnel_ooo").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("stream_funnel_ooo")
+        .as[(Long, Long, Long)].collect().sortBy(_._2)
+      assert(rows.map(_._2).toSeq === Seq(1L, 2L))
+      assert(rows.map(_._3).toSeq === Seq(0L, 3L),
+        s"expected the late step-1 cascade 0 -> 3, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("retentionOnline handles OUT-OF-ORDER arrivals: a late earlier " +
       "day re-cohorts the user and supersedes prior emissions") {
     import java.sql.Timestamp
