@@ -473,6 +473,58 @@ object TextAnalysis {
         round(p * log(p / q), 6).as("contrib"))
   }
 
+  /** Population-Stability-Index drift report — the OTHER standard
+    * production drift monitor next to [[corpusKlReport]]'s token KL:
+    * where the KL report asks "which TOKENS moved", PSI asks "did
+    * this SCORE's distribution move", bucketed — the gauge model-ops
+    * teams alarm on (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * retrain). Per bucket of the integer `signal` (exact floor
+    * division to a capped grid), the report publishes both sides'
+    * exact counts and the signed PSI contribution
+    * `(p − q)·ln(p/q)` over add-one-smoothed bucket distributions
+    * (the x105 smoothing convention — every bucket of the FIXED grid
+    * is live, so no ln(0)); total PSI is the reader's sum.
+    *
+    * Determinism: bucket ids and counts are exact integers; p and q
+    * are exact-rational doubles (counts ≪ 2⁵³); each contribution is
+    * ONE per-row IEEE chain rounded at 6 dp — the proven x105
+    * portability class (RoundingMarginSpec measures the round site).
+    *
+    * Scale: two map-side-combinable bucket-count aggregates (grid-
+    * sized results), one full-outer join on the bucket id over the
+    * B-row grid, one broadcast one-row totals frame. The corpus is
+    * touched exactly twice, everything downstream is B rows.
+    *
+    * Returns `(bucket, n_old, n_new, contrib)`, one row per bucket
+    * observed on either side.
+    */
+  def psiDriftReport(oldDocs: DataFrame, newDocs: DataFrame,
+      signal: Column, bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth >= 1L && nBuckets >= 2,
+      s"need bucketWidth >= 1 and nBuckets >= 2, " +
+        s"got $bucketWidth/$nBuckets")
+    // exact integer floor division (signals are non-negative by
+    // contract, so Spark's truncating `div` and DuckDB's flooring
+    // `//` agree) — never a double division, which could misbucket
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(signal.cast(LongType).as("_s"))
+        .select(least(expr(s"_s div ${bucketWidth}L"),
+          lit(nBuckets - 1L)).cast(LongType).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(as))
+    val j = counts(oldDocs, "_c1")
+      .join(counts(newDocs, "_c2"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("_c1"), lit(0L)).as("n_old"),
+        coalesce(col("_c2"), lit(0L)).as("n_new"))
+    val stats = j.agg(sum(col("n_old")).as("_n1"),
+      sum(col("n_new")).as("_n2"))
+    val p = (col("n_old") + 1) / (col("_n1") + nBuckets)
+    val q = (col("n_new") + 1) / (col("_n2") + nBuckets)
+    j.crossJoin(broadcast(stats))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        round((p - q) * log(p / q), 6).as("contrib"))
+  }
+
   /** Blocklist gate (C4/UT1 shape): count frozen-phrase hits per
     * document with the [[graft.functions.BlocklistKernel]] one-pass
     * scan and keep the hit-free docs. Substring semantics with
@@ -1884,6 +1936,85 @@ object TextAnalysis {
         val sxx = col("sum_xx_u8").cast(DoubleType)
         (n * sxy - sx * sy) / (n * sxx - sx * sx)
       })
+  }
+
+  /** Heaps'-law vocabulary-growth audit per block — the companion
+    * gauge to [[zipfAudit]] (frequency shape) and x134's Good–Turing
+    * missing mass (saturation at ONE size): Heaps' law `V ≈ K·Tᵝ`
+    * says vocabulary grows sublinearly in corpus size, and the fitted
+    * exponent β (natural text ~0.4–0.6) is what capacity/sketch-size
+    * planning reads — an over-deduplicated or templated corpus bends
+    * the curve. Corpus growth is simulated by NESTED deterministic
+    * md5 sub-corpora (the x23/x131 tagged-draw convention): `levels`
+    * nested doc samples at rates 2⁻⁽ˡᵉᵛᵉˡˢ⁻¹⁾ … ½, 1, so each level
+    * extends the previous one exactly like a growing crawl.
+    *
+    * ONE corpus pass: per (block, type) the min doc-draw and one
+    * conditional count per level (map-side combinable, vocab-sized
+    * result); per block the level token/type totals fold from that
+    * table. The regression is computed ROW-WISE from the one
+    * per-block row — no second pass, no window: each live level
+    * contributes (u4(ln T_l), u4(ln V_l)) — the x118 FLOOR(ln·10⁴+.5)
+    * quantizer, margin-gated — and the slope is
+    * `(nΣxy − ΣxΣy)/(nΣxx − ΣxΣx)` over EXACT Long sums (u4 values
+    * ≈1.4e5, squares ≈2e10, all far inside 2⁵³), so the published
+    * double is one IEEE division of exactly-converted integers.
+    * Levels with zero tokens drop out of the fit; blocks with fewer
+    * than two live levels or zero x-variance publish NULL.
+    *
+    * Returns one row per block:
+    * `(block, tokens_l1..tokens_lL, types_l1..types_lL,
+    * heaps_slope)`.
+    */
+  def heapsAudit(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, levels: Int = 4): DataFrame = {
+    require(levels >= 2 && levels <= 8,
+      s"levels must be in [2, 8], got $levels")
+    val draw = substring(
+      md5(concat(lit("heaps|"), col(idCol).cast(StringType))), 1, 4)
+    val thrs: Seq[Option[String]] = (1 to levels).map { l =>
+      if (l == levels) None
+      else Some(graft.ops.Sampling.hexThreshold(
+        math.pow(2.0, -(levels - l))))
+    }
+    def inLevel(d: Column, l: Int): Column = thrs(l - 1) match {
+      case Some(t) => d < lit(t)
+      case None => lit(true)
+    }
+    val tok = docs.filter(col(textCol).isNotNull)
+      .select(col(blockCol).as("block"), draw.as("_d"),
+        explode(tokens(col(textCol))).as("tok"))
+    val cntCols = (1 to levels).map(l =>
+      sum(when(inLevel(col("_d"), l), 1L).otherwise(0L)).as(s"_c$l"))
+    val perType = tok.groupBy("block", "tok")
+      .agg(min(col("_d")).as("_md"), cntCols: _*)
+    val lvlCols = (1 to levels).flatMap(l => Seq(
+      sum(col(s"_c$l")).as(s"tokens_l$l"),
+      sum(when(inLevel(col("_md"), l), 1L).otherwise(0L))
+        .as(s"types_l$l")))
+    val perBlock = perType.groupBy("block")
+      .agg(lvlCols.head, lvlCols.tail: _*)
+    def u4(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(10000.0) + lit(0.5))
+        .cast(LongType)
+    val live = (1 to levels).map(l =>
+      when(col(s"tokens_l$l") > 0L, 1L).otherwise(0L))
+    val xs = (1 to levels).map(l =>
+      when(col(s"tokens_l$l") > 0L, u4(col(s"tokens_l$l")))
+        .otherwise(0L))
+    val ys = (1 to levels).map(l =>
+      when(col(s"tokens_l$l") > 0L, u4(col(s"types_l$l")))
+        .otherwise(0L))
+    val n = live.reduce(_ + _)
+    val sx = xs.reduce(_ + _)
+    val sy = ys.reduce(_ + _)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.reduce(_ + _)
+    val sxx = xs.map(x => x * x).reduce(_ + _)
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    perBlock.withColumn("heaps_slope",
+      when(n < 2L || den === 0L, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType)))
   }
 
   /** Per-document quality signals; flag = low-quality heuristic. */

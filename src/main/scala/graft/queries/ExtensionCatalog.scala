@@ -5596,6 +5596,117 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("from_type", "to_type", "n",
           "p_micros")))),
 
+    // x139 — Heaps'-law vocabulary-growth audit: the companion gauge
+    // to x118 (Zipf frequency shape) and x134 (Good-Turing saturation
+    // at one size) — vocabulary-vs-corpus-size exponent fitted over
+    // NESTED deterministic md5 doc samples at rates 1/8, 1/4, 1/2, 1
+    // (each level extends the previous exactly like a growing crawl).
+    // One corpus pass to a vocab-sized per-type table; the regression
+    // is row-wise over exact Long u4 sums — the published slope is
+    // one IEEE division of exactly-converted integers.
+    QueryDef("x139_heaps_audit",
+      (s, dir) => ordered(TextAnalysis.heapsAudit(
+          t(s, dir, "documents"), "doc_id", "text", "source")
+        .withColumnRenamed("block", "source")),
+      Some {
+        val thr = Seq("2000", "4000", "8000") // 1/8, 1/4, 1/2 of 2^16
+        def cnt(l: Int) =
+          if (l == 4) "CAST(COUNT(*) AS BIGINT)"
+          else s"CAST(SUM(CASE WHEN d < '${thr(l - 1)}' THEN 1 ELSE 0" +
+            " END) AS BIGINT)"
+        def typ(l: Int) =
+          if (l == 4) "CAST(COUNT(*) AS BIGINT)"
+          else s"CAST(SUM(CASE WHEN md < '${thr(l - 1)}' THEN 1 ELSE 0" +
+            " END) AS BIGINT)"
+        def u4(e: String) =
+          s"CASE WHEN $e > 0 THEN CAST(FLOOR(ln(CAST($e AS DOUBLE)) " +
+            s"* 10000.0 + 0.5) AS BIGINT) ELSE 0 END"
+        val pbCols = (1 to 4).map(l =>
+          s"CAST(SUM(c$l) AS BIGINT) AS tokens_l$l, " +
+            s"${typ(l)} AS types_l$l").mkString(", ")
+        val xls = (1 to 4).map(l => u4(s"tokens_l$l"))
+        val yls = (1 to 4).map(l =>
+          s"CASE WHEN tokens_l$l > 0 THEN " +
+            s"CAST(FLOOR(ln(CAST(types_l$l AS DOUBLE)) * 10000.0 " +
+            s"+ 0.5) AS BIGINT) ELSE 0 END")
+        val lives = (1 to 4).map(l =>
+          s"CASE WHEN tokens_l$l > 0 THEN 1 ELSE 0 END")
+        s"""WITH tokrows AS (
+          SELECT source,
+            substr(md5('heaps|' || CAST(doc_id AS VARCHAR)), 1, 4) AS d,
+            unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        pt AS (
+          SELECT source, tok, MIN(d) AS md,
+            ${(1 to 4).map(l => s"${cnt(l)} AS c$l").mkString(", ")}
+          FROM tokrows GROUP BY source, tok),
+        pb AS (
+          SELECT source, $pbCols
+          FROM pt GROUP BY source),
+        u AS (
+          SELECT *,
+            ${xls.zipWithIndex.map { case (x, i) => s"$x AS x${i + 1}" }
+              .mkString(", ")},
+            ${yls.zipWithIndex.map { case (y, i) => s"$y AS y${i + 1}" }
+              .mkString(", ")},
+            CAST(${lives.mkString(" + ")} AS BIGINT) AS n
+          FROM pb),
+        f AS (
+          SELECT *, x1 + x2 + x3 + x4 AS sx, y1 + y2 + y3 + y4 AS sy,
+            x1*y1 + x2*y2 + x3*y3 + x4*y4 AS sxy,
+            x1*x1 + x2*x2 + x3*x3 + x4*x4 AS sxx
+          FROM u)
+        SELECT source, tokens_l1, types_l1, tokens_l2, types_l2,
+          tokens_l3, types_l3, tokens_l4, types_l4,
+          CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+              CAST(n * sxx - sx * sx AS DOUBLE) END AS heaps_slope
+        FROM f
+        """ + orderedSql(Seq("source", "tokens_l1", "types_l1",
+          "tokens_l2", "types_l2", "tokens_l3", "types_l3",
+          "tokens_l4", "types_l4", "heaps_slope"))
+      }),
+
+    // x140 — PSI score-drift report: the Population Stability Index,
+    // the OTHER standard production drift monitor next to x105's
+    // token KL — "did this SCORE's distribution move between
+    // snapshots", bucketed on an exact integer grid (token count div
+    // 32, capped at 8 buckets), add-one-smoothed so every grid bucket
+    // is live, per-bucket signed contribution (p-q)*ln(p/q) rounded
+    // at 6 dp (the proven x105 class). Snapshot halves are the x64/
+    // x119 deterministic md5 split. Total PSI = reader's sum; the
+    // 0.1/0.25 alarm thresholds are the industry convention.
+    QueryDef("x140_psi_drift",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        val keep = graft.ops.Sampling.keepPredicate(col("doc_id"), 0.5)
+        ordered(TextAnalysis.psiDriftReport(d.filter(keep),
+          d.filter(!keep),
+          size(split(col("text"), " ")).cast(LongType),
+          bucketWidth = 32L, nBuckets = 8))
+      },
+      Some("""WITH base AS (
+          SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+            AS is_old,
+            LEAST(CAST(len(string_split(text, ' ')) AS BIGINT) // 32,
+              7) AS bucket
+          FROM documents WHERE text IS NOT NULL),
+        o AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_old
+          FROM base WHERE is_old GROUP BY 1),
+        nn AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM base WHERE NOT is_old GROUP BY 1),
+        j AS (SELECT COALESCE(o.bucket, nn.bucket) AS bucket,
+            COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+          FROM o FULL OUTER JOIN nn ON o.bucket = nn.bucket),
+        st AS (SELECT SUM(n_old) AS t1, SUM(n_new) AS t2 FROM j)
+        SELECT bucket, n_old, n_new,
+          ROUND((CAST(n_old + 1 AS DOUBLE) / (t1 + 8)
+              - CAST(n_new + 1 AS DOUBLE) / (t2 + 8)) *
+            ln((CAST(n_old + 1 AS DOUBLE) / (t1 + 8)) /
+              (CAST(n_new + 1 AS DOUBLE) / (t2 + 8))), 6) AS contrib
+        FROM j, st
+        """ + orderedSql(Seq("bucket", "n_old", "n_new", "contrib")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -240,6 +240,84 @@ class TfIdfSpec extends SparkSpec {
     assert(fix.nonEmpty && fix.forall(_ < 0.0))
   }
 
+  test("heapsAudit (x139): level nesting is monotone, the full level " +
+      "equals direct totals, slope recomputes from the published row") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull)
+    val got = TextAnalysis.heapsAudit(docs, "doc_id", "text", "source")
+      .collect()
+    assert(got.nonEmpty)
+    // direct full-corpus totals per source
+    val direct = docs
+      .select($"source", explode(split($"text", " ", -1)).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("t"), countDistinct($"tok").as("v"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def u4(v: Long): Long =
+      math.floor(math.log(v.toDouble) * 10000.0 + 0.5).toLong
+    got.foreach { r =>
+      val src = r.getString(0)
+      val ts = (1 to 4).map(l => r.getLong(1 + (l - 1) * 2))
+      val vs = (1 to 4).map(l => r.getLong(2 + (l - 1) * 2))
+      // nested samples: token and type counts non-decreasing in level
+      assert(ts === ts.sorted, s"$src tokens not monotone: $ts")
+      assert(vs === vs.sorted, s"$src types not monotone: $vs")
+      // the full level IS the corpus
+      assert((ts.last, vs.last) === direct(src))
+      // sublinear growth: types never exceed tokens at any level
+      ts.zip(vs).foreach { case (t, v) => assert(v <= t) }
+      // slope recomputes bit-for-bit from the published counts
+      val live = ts.zip(vs).filter(_._1 > 0L)
+      val xs = live.map(p => u4(p._1)); val ys = live.map(p => u4(p._2))
+      val n = live.size.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val den = n * sxx - sx * sx
+      if (n < 2 || den == 0L) assert(r.isNullAt(9))
+      else assert(r.getDouble(9) ===
+        (n * sxy - sx * sy).toDouble / den.toDouble)
+      // co-monotone points make the covariance non-negative
+      // (Chebyshev's sum inequality), so a fitted slope is never
+      // negative; 0 is legal on a tiny fixture whose vocabulary
+      // saturates at the first level (src2 at sf0.001 does)
+      if (!r.isNullAt(9))
+        assert(r.getDouble(9) >= 0.0 && r.getDouble(9) < 1.5,
+          s"$src heaps slope ${r.getDouble(9)} out of range")
+    }
+  }
+
+  test("psiDriftReport (x140): identical sides give zero contribs; " +
+      "a hand shift matches the closed form; buckets cap at the grid") {
+    val a = Seq((1L, 10L), (2L, 40L), (3L, 70L), (4L, 300L))
+      .toDF("id", "s")
+    // identical distributions → every contribution exactly 0.0
+    val same = TextAnalysis.psiDriftReport(a, a, $"s", 32L, 8)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(same.map(_._1).sorted === Array(0L, 1L, 2L, 7L)) // 300→cap 7
+    assert(same.forall(_._4 === 0.0))
+    // hand shift: old has buckets {0,1}, new has {1}; grid B=4, w=10
+    val o = Seq((1L, 5L), (2L, 15L)).toDF("id", "s")
+    val nw = Seq((3L, 15L)).toDF("id", "s")
+    val got = TextAnalysis.psiDriftReport(o, nw, $"s", 10L, 4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def contrib(nOld: Long, nNew: Long, t1: Long, t2: Long): Double = {
+      val p = (nOld + 1).toDouble / (t1 + 4)
+      val q = (nNew + 1).toDouble / (t2 + 4)
+      BigDecimal((p - q) * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(0L)._2 === 1L && got(0L)._3 === 0L)
+    assert(got(0L)._4 === contrib(1L, 0L, 2L, 1L))
+    assert(got(1L)._4 === contrib(1L, 1L, 2L, 1L))
+    // the lost-mass bucket contributes positively, the stable one
+    // (old 1 vs new 1 of a smaller side) negatively — signs carry
+    // direction like x105
+    assert(got(0L)._4 > 0.0)
+  }
+
   test("kn5Quality (x124): pure-Scala recomputation on a hand corpus; " +
       "the count-prune drops singleton 5-grams") {
     val docs = Seq(
