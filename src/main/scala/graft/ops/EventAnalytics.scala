@@ -163,4 +163,98 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("n"),
         expr("(n * 1000000) div _tot").as("p_micros"))
   }
+
+  /** DAU / WAU / MAU active-user report — the growth dashboard's
+    * backbone trio: for every calendar day with at least one active
+    * user, the exact count of users active that day (DAU), in the
+    * trailing 7 days (WAU), and in the trailing 30 days (MAU), plus
+    * the DAU/WAU "stickiness" ratio in exact floor-division micros.
+    * All counts are exact distinct-user counts — no sketch; the
+    * HLL-sketched spelling at extreme scale is x16's op, this is the
+    * exact report.
+    *
+    * Determinism: pure date arithmetic (day truncation, day
+    * sequences), exact BIGINT counts, one non-negative floor
+    * division. The day publishes as TIMESTAMP midnight (the repo's
+    * proven-portable convention — q15/q20/x130).
+    *
+    * Scale: the corpus collapses FIRST to the distinct (user, day)
+    * activity table (map-side combinable; users × active-days rows —
+    * the calendar-bounded frame every other aggregate rides). The
+    * trailing windows explode each activity row to its 7 (resp. 30)
+    * anchor days and re-distinct on (anchor, user) — a bounded 37×
+    * blowup of the ALREADY-COLLAPSED id+date table, never of the
+    * event stream; counts then partial-aggregate per anchor. No
+    * window functions, no per-user state.
+    *
+    * Returns `(day TIMESTAMP, dau, wau, mau, stickiness_micros)` for
+    * every day with dau ≥ 1.
+    */
+  def activeUsersReport(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val act = events
+      .select(col(userCol).as("_u"),
+        date_trunc("day", col(tsCol)).as("_d"))
+      .distinct()
+    def trailing(win: Int, as: String): DataFrame =
+      act.select(col("_u"), explode(sequence(col("_d"),
+          col("_d") + expr(s"INTERVAL ${win - 1} DAYS"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as(as))
+    val dau = act.groupBy(col("_d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    dau.join(trailing(7, "wau"), Seq("day"))
+      .join(trailing(30, "mau"), Seq("day"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("(dau * 1000000) div wau").as("stickiness_micros"))
+  }
+
+  /** Inter-arrival-time spectrum — the engagement/latency histogram
+    * read next to the x138 transition matrix: per event type of the
+    * EARLIER event, the distribution of gaps to the user's next event
+    * (any type), bucketed on an EXACT base-2 grid: bucket = bit
+    * length of the gap in seconds (`length(bin(dt))` — a string-length
+    * integer both engines compute identically; no libm log anywhere),
+    * bucket 0 for same-second gaps. Covers ~binary decades from 1 s
+    * up; the heavy-tail shape (bots: tight spikes; humans: smooth
+    * decades) is the signal.
+    *
+    * Per user, events take the tie-free (ts, id) total order (the
+    * x138 convention); gaps are exact integer second differences of
+    * the epoch timestamps.
+    *
+    * Scale: the same ONE user-keyed exchange as x138 feeds the lead
+    * window; the spectrum partial-aggregates map-side to
+    * (type × ~40 buckets) rows.
+    *
+    * Returns `(event_type, bucket, n, lo_s, hi_s)` — `[lo_s, hi_s]`
+    * the bucket's inclusive second range.
+    */
+  def interArrivalSpectrum(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val gaps = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("event_type"),
+        unix_timestamp(col(tsCol)).as("_t"))
+      .withColumn("_nt", lead(col("_t"), 1).over(w))
+      .filter(col("_nt").isNotNull)
+      .select(col("event_type"), (col("_nt") - col("_t")).as("_dt"))
+    val bucket = when(col("_dt") <= 0L, lit(0L))
+      .otherwise(length(bin(col("_dt"))).cast(LongType))
+    gaps.select(col("event_type"), bucket.as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        when(col("bucket") === 0L, 0L)
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)"))
+          .cast(LongType).as("lo_s"),
+        when(col("bucket") === 0L, 0L)
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))") - 1L)
+          .cast(LongType).as("hi_s"))
+  }
 }

@@ -5707,6 +5707,72 @@ object ExtensionCatalog {
         FROM j, st
         """ + orderedSql(Seq("bucket", "n_old", "n_new", "contrib")))),
 
+    // x141 — DAU/WAU/MAU active-user report: the growth dashboard's
+    // backbone trio over the event stream — per calendar day with
+    // activity, exact distinct users that day / trailing 7 / trailing
+    // 30, plus DAU/WAU stickiness micros. The corpus collapses FIRST
+    // to the distinct (user, day) table; the trailing windows explode
+    // THAT (bounded 37x of id+date rows, never the event stream) and
+    // re-distinct per anchor day. Exact counts — the sketched
+    // extreme-scale spelling is x16's HLL.
+    QueryDef("x141_active_users",
+      (s, dir) => ordered(graft.ops.EventAnalytics.activeUsersReport(
+        t(s, dir, "events"), "user_id", "ts")),
+      Some("""WITH act AS (
+          SELECT DISTINCT user_id AS u,
+            CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d FROM events),
+        dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+          FROM act GROUP BY 1),
+        w0 AS (SELECT u, unnest(generate_series(d,
+            d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day FROM act),
+        w1 AS (SELECT DISTINCT u, day FROM w0),
+        wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+          FROM w1 GROUP BY 1),
+        m0 AS (SELECT u, unnest(generate_series(d,
+            d + INTERVAL 29 DAY, INTERVAL 1 DAY)) AS day FROM act),
+        m1 AS (SELECT DISTINCT u, day FROM m0),
+        mau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS mau
+          FROM m1 GROUP BY 1)
+        SELECT day, dau, wau, mau,
+          (dau * 1000000) // wau AS stickiness_micros
+        FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        """ + orderedSql(Seq("day", "dau", "wau", "mau",
+          "stickiness_micros")))),
+
+    // x142 — inter-arrival-time spectrum: the engagement/latency
+    // histogram next to x138's transition matrix — per earlier-event
+    // type, the user's gap to their next event bucketed on an EXACT
+    // base-2 grid (bucket = bit length of the gap seconds via
+    // length(bin(dt)) — a string length both engines compute
+    // identically; zero libm). Bot traffic spikes in tight buckets;
+    // humans spread across decades. Same one user-keyed exchange as
+    // x138; the spectrum is (type x ~40 buckets)-sized.
+    QueryDef("x142_interarrival",
+      (s, dir) => ordered(graft.ops.EventAnalytics.interArrivalSpectrum(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")),
+      Some("""WITH o AS (
+          SELECT user_id, event_type, ts, event_id,
+            LEAD(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS nt
+          FROM events),
+        g AS (
+          SELECT event_type,
+            CAST(date_diff('second', ts, nt) AS BIGINT) AS dt
+          FROM o WHERE nt IS NOT NULL),
+        b AS (
+          SELECT event_type, CASE WHEN dt <= 0 THEN 0
+            ELSE CAST(length(bin(dt)) AS BIGINT) END AS bucket
+          FROM g)
+        SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+          CASE WHEN bucket = 0 THEN 0 ELSE
+            (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) END AS lo_s,
+          CASE WHEN bucket = 0 THEN 0 ELSE
+            (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 END AS hi_s
+        FROM b GROUP BY event_type, bucket
+        """ + orderedSql(Seq("event_type", "bucket", "n", "lo_s",
+          "hi_s")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -154,6 +154,77 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("activeUsersReport (x141): hand corpus — trailing windows " +
+      "count distinct users, report keyed on dau days only") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1 active day1 and day3; u2 active day1 (twice — counts once)
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-03 09:00:00")),
+      (2L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.activeUsersReport(events, "user_id", "ts")
+      .as[(Timestamp, Long, Long, Long, Long)].collect().toSet
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    assert(got === Set(
+      (d("2024-01-01"), 2L, 2L, 2L, 1000000L),
+      // day 3: only u1 active that day, but day-1 activity is inside
+      // both trailing windows → wau = mau = 2, stickiness = 1/2
+      (d("2024-01-03"), 1L, 2L, 2L, 500000L)))
+  }
+
+  test("activeUsersReport fixture sanity: dau <= wau <= mau <= " +
+      "distinct users; stickiness bounded by 1e6") {
+    val events = Tables.load(spark, sf0001, "events")
+    val got = EventAnalytics.activeUsersReport(events, "user_id", "ts")
+      .as[(Timestamp, Long, Long, Long, Long)].collect()
+    val nUsers = events.select(countDistinct($"user_id")).as[Long].head()
+    assert(got.nonEmpty)
+    got.foreach { case (day, dau, wau, mau, st) =>
+      assert(dau >= 1L && dau <= wau && wau <= mau && mau <= nUsers,
+        s"$day: $dau/$wau/$mau vs $nUsers")
+      assert(st >= 0L && st <= 1000000L)
+    }
+  }
+
+  test("interArrivalSpectrum (x142): exact base-2 buckets with " +
+      "same-second gaps in bucket 0; bounds are the binary decades") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1: A --1s--> B --9s--> C; u2: one event (no gap);
+    // u3: two same-second events (gap 0)
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 08:00:00"), "A"),
+      (2L, 1L, ts("2024-01-01 08:00:01"), "B"),
+      (3L, 1L, ts("2024-01-01 08:00:10"), "C"),
+      (4L, 2L, ts("2024-01-01 08:00:00"), "A"),
+      (5L, 3L, ts("2024-01-01 09:00:00"), "D"),
+      (6L, 3L, ts("2024-01-01 09:00:00"), "E"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.interArrivalSpectrum(events, "user_id",
+        "ts", "event_id", "event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 1L, 1L, 1L, 1L),   // 1 s  → bin len 1, range [1, 1]
+      ("B", 4L, 1L, 8L, 15L),  // 9 s  → bin(9)=1001, range [8, 15]
+      ("D", 0L, 1L, 0L, 0L)))  // same-second gap
+  }
+
+  test("interArrivalSpectrum fixture sanity: total gaps = events " +
+      "minus users; ranges nest the bucket exactly") {
+    val events = Tables.load(spark, sf0001, "events")
+    val got = EventAnalytics.interArrivalSpectrum(events, "user_id",
+        "ts", "event_id", "event_type")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val nEvents = events.count()
+    val nUsers = events.select(countDistinct($"user_id")).as[Long].head()
+    assert(got.map(_._3).sum === nEvents - nUsers)
+    got.foreach { case (_, b, _, lo, hi) =>
+      if (b == 0L) assert(lo == 0L && hi == 0L)
+      else {
+        assert(lo === (1L << (b - 1)) && hi === (1L << b) - 1L)
+      }
+    }
+  }
+
   test("retentionCohorts fixture sanity: day-0 user total equals " +
       "distinct users; offsets non-negative") {
     val events = Tables.load(spark, sf0001, "events")
