@@ -316,6 +316,51 @@ object DataPipeline {
         col("r.rho_micros").as("rho_micros"))
   }
 
+  /** Exact AUC audit of a quality signal against a boolean label, per
+    * stratum — the Mann–Whitney/rank spelling of ROC-AUC, the QA a
+    * pipeline runs on any scoring gate (does the LM score actually
+    * separate the docs the heuristic flags? does the classifier
+    * outrank random?): rank every doc within its stratum by
+    * (score asc, id asc) — the x132/x137 deterministic total-order
+    * convention, a tie-break variant of the classical midrank
+    * statistic — then
+    * `U = Σ_{positives} rank − n₊(n₊+1)/2` and
+    * `AUC = U / (n₊·n₋)`, published as exact floor-division micros
+    * (all operands non-negative; n₊(n₊+1) is even so the /2 is
+    * exact). AUC ≈ 10⁶ means the signal ranks every positive above
+    * every negative; ≈ 500 000 means it is blind. Strata missing a
+    * class publish NULL.
+    *
+    * Long headroom: U·10⁶ ≤ n₊·n₋·10⁶ — safe to ~3×10⁶ rows per
+    * stratum; sample above that (the x112/x137 convention).
+    *
+    * Scale: ONE stratum-keyed exchange feeds the rank window and the
+    * per-stratum aggregate (the x137 plan shape — one Exchange, zero
+    * joins); the shuffle carries (stratum, id, score, label).
+    *
+    * Returns `(strataCol, n_pos, n_neg, u_stat, auc_micros)`.
+    */
+  def aucAudit(docs: DataFrame, idCol: String, strataCol: String,
+      score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(strataCol), col(idCol),
+      score.cast("long").as("_s"), label.cast("boolean").as("_y"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("_s").asc, col(idCol).asc)
+    val ranked = base.withColumn("_r", row_number().over(w).cast("long"))
+    ranked.groupBy(col(strataCol))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("n_neg"),
+        sum(when(col("_y"), col("_r")).otherwise(0L)).as("_sr"))
+      .select(col(strataCol), col("n_pos"), col("n_neg"),
+        (col("_sr") -
+          expr("(n_pos * (n_pos + 1)) div 2")).as("u_stat"))
+      .withColumn("auc_micros",
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr("(u_stat * 1000000) div (n_pos * n_neg)")))
+  }
+
   /** Corpus snapshot diff — the data-versioning report run between two
     * corpus versions before retraining: per id, `added` (only in new),
     * `removed` (only in old), `modified` (both, content hash differs)

@@ -5773,6 +5773,53 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("event_type", "bucket", "n", "lo_s",
           "hi_s")))),
 
+    // x143 — exact AUC audit (Mann-Whitney rank spelling of ROC-AUC):
+    // does the token-count signal separate the short-word docs the
+    // x132 mtl signal flags (label = mean-token-length micros below
+    // 5.5 — independent of the score, so the AUC is non-trivial)?
+    // Ranks are the x132/x137 deterministic total order (score asc,
+    // id asc); U and AUC are exact integer arithmetic, published as
+    // floor-division micros; strata missing a class publish NULL.
+    // One stratum exchange, zero joins (the x137 plan shape).
+    QueryDef("x143_auc_audit",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        ordered(graft.ops.DataPipeline.aucAudit(
+          d, "doc_id", "source",
+          size(split(col("text"), " ")).cast(LongType),
+          expr("(CAST(length(text) AS BIGINT) * 1000000)" +
+            " div CAST(size(split(text, ' ')) AS BIGINT)") <
+            5500000L))
+      },
+      Some("""WITH base AS (
+          SELECT source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
+            (CAST(length(text) AS BIGINT) * 1000000) //
+              CAST(len(string_split(text, ' ')) AS BIGINT)
+              < 5500000 AS y
+          FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT source, s, y,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY s, doc_id) AS BIGINT) AS rk
+          FROM base),
+        a AS (
+          SELECT source,
+            CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos,
+            CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_neg,
+            CAST(SUM(CASE WHEN y THEN rk ELSE 0 END) AS BIGINT) AS sr
+          FROM r GROUP BY source)
+        SELECT source, n_pos, n_neg,
+          sr - (n_pos * (n_pos + 1)) // 2 AS u_stat,
+          CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+            ((sr - (n_pos * (n_pos + 1)) // 2) * 1000000)
+              // (n_pos * n_neg) END AS auc_micros
+        FROM a
+        """ + orderedSql(Seq("source", "n_pos", "n_neg", "u_stat",
+          "auc_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -246,6 +246,32 @@ class DataPipelineSpec extends SparkSpec {
       ("B", "s2~s3", 1L, 0L, None)))
   }
 
+  test("aucAudit (x143): perfect separation is 1e6, inversion is 0, " +
+      "a hand mix matches the closed form, one-class strata are NULL") {
+    // stratum A: positives hold the two TOP scores → AUC = 1 exactly
+    // stratum B: positives hold the two BOTTOM scores → AUC = 0
+    // stratum C: interleaved n+/n- = 2/2, pos ranks {2, 4} →
+    //   U = 6 - 3 = 3 → AUC = 3/4 = 750000 micros
+    // stratum D: all positive → NULL
+    val docs = Seq(
+      ("A", 1L, 10L, true), ("A", 2L, 9L, true),
+      ("A", 3L, 5L, false), ("A", 4L, 1L, false),
+      ("B", 5L, 1L, true), ("B", 6L, 2L, true),
+      ("B", 7L, 8L, false), ("B", 8L, 9L, false),
+      ("C", 9L, 1L, false), ("C", 10L, 2L, true),
+      ("C", 11L, 3L, false), ("C", 12L, 4L, true),
+      ("D", 13L, 7L, true))
+      .toDF("src", "id", "s", "y")
+    val got = DataPipeline.aucAudit(docs, "id", "src", col("s"),
+        col("y"))
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      ("A", 2L, 2L, 4L, Some(1000000L)),
+      ("B", 2L, 2L, 0L, Some(0L)),
+      ("C", 2L, 2L, 3L, Some(750000L)),
+      ("D", 1L, 0L, 0L, None)))
+  }
+
   test("spearmanAudit: a mid-range disagreement lands strictly " +
       "inside (-1e6, 1e6) and floor division matches hand arithmetic") {
     // n=4, one adjacent swap between the two orders: d^2 sum = 2
