@@ -361,6 +361,68 @@ object DataPipeline {
           .otherwise(expr("(u_stat * 1000000) div (n_pos * n_neg)")))
   }
 
+  /** Corpus-concentration audit per stratum — the "is this slice
+    * dominated by a few sites?" gauge read before trusting per-source
+    * statistics or setting mixture weights: per stratum, the exact
+    * Gini coefficient of the `mass` distribution across `keyCol`
+    * groups (0 = every group contributes equally, →1 = one group holds
+    * everything) plus the Lorenz top-decile share (what fraction of
+    * the stratum's mass its top ⌈n/10⌉ groups hold). Published in
+    * EXACT integers end-to-end: groups are totally ordered by
+    * (mass asc, key asc) — deterministic under ties, the x132/x143
+    * rank convention — and with rank i of n and group mass mᵢ,
+    * `gini_num = Σ(2i − n − 1)·mᵢ` (≥ 0 for the ascending order) so
+    * `gini_micros = gini_num·10⁶ div (n·T)`; the decile share is an
+    * exact tail-sum over ranks `i > n − ⌈n/10⌉`, published as
+    * `top_decile_micros = tail·10⁶ div T`. No FP anywhere (the
+    * x137/x143 portability class); single-group strata publish Gini 0
+    * and share 10⁶ by the same arithmetic, and a zero-mass stratum
+    * publishes NULL for both ratios (counts stay exact).
+    *
+    * Long headroom: `gini_num ≤ n·T` and `gini_micros` multiplies by
+    * 10⁶ before the div, so `n·T ≤ 9.2·10¹²` (group count × stratum
+    * mass) is the bound; a web corpus at 10⁷ domains × 10¹³ tokens
+    * needs the md5 domain-sample first — the x112/x137 convention.
+    * The fixture is ~6 orders below the bound.
+    *
+    * Scale: ONE map-side-combinable (stratum, key) aggregate collapses
+    * the corpus to the group-sized frame; ONE stratum-keyed exchange
+    * then serves the rank window, both total windows AND the final
+    * aggregate (one Exchange, zero joins). Nothing after the first
+    * aggregate touches corpus-sized data.
+    *
+    * Returns `(stratum, n_keys, total_mass, gini_micros,
+    * top_decile_micros)`.
+    */
+  def concentrationReport(df: DataFrame, strataCol: String,
+      keyCol: String, mass: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(strataCol).as("stratum"),
+        col(keyCol).as("_k"), mass.cast("long").as("_m"))
+      .groupBy("stratum", "_k").agg(sum(col("_m")).as("_gm"))
+    val rk = Window.partitionBy(col("stratum"))
+      .orderBy(col("_gm").asc, col("_k").asc)
+    val tot = Window.partitionBy(col("stratum"))
+    val ranked = g
+      .withColumn("_i", row_number().over(rk).cast("long"))
+      .withColumn("_n", count(lit(1)).over(tot).cast("long"))
+      .withColumn("_cut", expr("_n - ((_n + 9) div 10)"))
+    ranked.groupBy(col("stratum"))
+      .agg(max(col("_n")).as("n_keys"),
+        sum(col("_gm")).as("total_mass"),
+        sum(expr("(2 * _i - _n - 1) * _gm")).as("_gnum"),
+        sum(when(col("_i") > col("_cut"), col("_gm"))
+          .otherwise(lit(0L))).as("_tail"))
+      .select(col("stratum"), col("n_keys"), col("total_mass"),
+        when(col("total_mass") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(_gnum * 1000000) div (n_keys * total_mass)"))
+          .as("gini_micros"),
+        when(col("total_mass") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(_tail * 1000000) div total_mass"))
+          .as("top_decile_micros"))
+  }
+
   /** Corpus snapshot diff — the data-versioning report run between two
     * corpus versions before retraining: per id, `added` (only in new),
     * `removed` (only in old), `modified` (both, content hash differs)

@@ -588,6 +588,83 @@ object Sampling {
           .cast(DoubleType).as("logw"))
   }
 
+  /** Poisson(1) bootstrap weight for `(id, replicate)` — the
+    * deterministic md5 spelling of the Poisson bootstrap (each row
+    * enters each resample an independent ~Poisson(1) number of
+    * times — the streamable resampling used when n is unknown or
+    * distributed; Chamandy et al. 2012 "Estimating uncertainty for
+    * massive data streams"). The 16-bit md5 draw `u =
+    * substr(md5(id || ':' || b), 1, 4)` is compared against the
+    * Poisson(1) CDF quantized to the same 4-hex grid the sampling
+    * thresholds use: `P(≤k)·65536` rounds to 24109, 48219, 60273,
+    * 64292, 65296, 65497 — hex '5e2d' 'bc5b' 'eb71' 'fb24' 'ff10'
+    * 'ffd9' — so `w = #{thresholds ≤ u}` is 0..6 (the ≥7 tail,
+    * ~8·10⁻⁵, folds into 6; the quantization is part of the published
+    * contract). Lowercase-hex string comparison is the proven
+    * cross-engine primitive ([[keepPredicate]]); no FP anywhere.
+    */
+  def poissonWeight(idCol: Column, repCol: Column): Column = {
+    val u = substring(
+      md5(concat(idCol.cast(StringType), lit(":"),
+        repCol.cast(StringType))), 1, 4)
+    when(u < "5e2d", 0L).when(u < "bc5b", 1L).when(u < "eb71", 2L)
+      .when(u < "fb24", 3L).when(u < "ff10", 4L).when(u < "ffd9", 5L)
+      .otherwise(6L)
+  }
+
+  /** Percentile-bootstrap confidence interval for the per-stratum mean
+    * of an integer `metric` — the uncertainty gauge a pipeline reads
+    * before acting on a slice statistic ("source B's mean quality
+    * dropped" means nothing without an interval). `nReps`
+    * deterministic Poisson resamples ([[poissonWeight]]) each publish
+    * an exact weighted-mean in micros (`Σw·x·10⁶ div Σw` — BIGINT
+    * floor division, non-negative operands); the interval is the
+    * resample-mean MIN and MAX, which at the default `nReps = 40` are
+    * exactly the 1st and 40th order statistics — the percentile-
+    * bootstrap 2.5%/97.5% bounds ((B+1)·0.025 = 1.025 → rank 1).
+    * Zero-total-weight resamples (probability ~e^(−n)) publish NULL
+    * and are skipped by MIN/MAX in both engines. All-integer
+    * end-to-end — unconditionally portable. Headroom: Σw·x·10⁶ ≤
+    * 6·Σx·10⁶ must stay under 2⁶³ ⇒ stratum mass ≤ 1.5·10¹²; sample
+    * above (the x112/x137 convention).
+    *
+    * Scale: the corpus pass is a stateless ×B row explosion whose
+    * rows are (stratum, b, w, w·x) — immediately map-side combined to
+    * the (strata × B) grid, so the exchange carries B rows per
+    * stratum, not B corpora; the observed-mean aggregate is a second
+    * pruned pass over the metric column only. One stratum-sized
+    * equi-join assembles the report. B rides the `nReps` knob; cost
+    * is linear in B by construction.
+    *
+    * Returns `(stratum, n_rows, mean_micros, ci_lo_micros,
+    * ci_hi_micros)`.
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, strataCol: String,
+      metric: Column, nReps: Int = 40): DataFrame = {
+    require(nReps >= 2, s"need nReps >= 2, got $nReps")
+    val base = df.select(col(strataCol).as("stratum"),
+      col(idCol).cast(StringType).as("_id"),
+      metric.cast(LongType).as("_x"))
+    val perRep = base
+      .select(col("stratum"), col("_x"),
+        explode(sequence(lit(0), lit(nReps - 1))).as("_b"),
+        col("_id"))
+      .select(col("stratum"), col("_b"),
+        poissonWeight(col("_id"), col("_b")).as("_w"), col("_x"))
+      .groupBy("stratum", "_b")
+      .agg(sum(expr("_w * _x")).as("_wx"), sum(col("_w")).as("_sw"))
+      .withColumn("_mean",
+        when(col("_sw") === 0L, lit(null).cast(LongType))
+          .otherwise(expr("(_wx * 1000000) div _sw")))
+    val obs = base.groupBy("stratum")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("(sum(_x) * 1000000) div count(1)").as("mean_micros"))
+    val ci = perRep.groupBy("stratum")
+      .agg(min(col("_mean")).as("ci_lo_micros"),
+        max(col("_mean")).as("ci_hi_micros"))
+    obs.join(ci, Seq("stratum"))
+  }
+
   def percentileGate(df: DataFrame, idCol: String, strataCol: String,
       scoreCol: String, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,

@@ -525,6 +525,152 @@ object TextAnalysis {
         round((p - q) * log(p / q), 6).as("contrib"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift test per stratum — the
+    * third leg of the drift-monitor trio next to [[corpusKlReport]]
+    * (which tokens moved) and [[psiDriftReport]] (did the bucketed
+    * score move): KS asks the same question about the score's FULL
+    * distribution, with no grid to tune and no smoothing — the supremum
+    * ECDF gap `D = sup_v |F_old(v) − F_new(v)|` over the merged
+    * support. Published EXACTLY in integers: per stratum
+    * `d_num = max_v |n_new·C_old(v) − n_old·C_new(v)|` (the common-
+    * denominator spelling of `n_old·n_new·D`) and
+    * `ks_micros = d_num·10⁶ div (n_old·n_new)` — every operand an
+    * exact BIGINT, no FP anywhere, so the row is unconditionally
+    * portable (the x137/x143 class). Strata empty on either side
+    * publish NULL micros.
+    *
+    * Ties are exact by construction: the per-(stratum, value) pre-
+    * aggregate makes each merged-support point carry BOTH sides' full
+    * count at that value, so the cumulative window IS the ECDF step
+    * function evaluated at (and only at) its jump points — where the
+    * supremum of a right-continuous step difference lives.
+    *
+    * Long headroom: `d_num·10⁶ ≤ n_old·n_new·10⁶` must stay below
+    * 2⁶³, i.e. `n_old·n_new ≤ 9.2·10¹²` (~3·10⁶ rows per side per
+    * stratum). Sample above that — the x112/x137 convention; the
+    * fixture is ~4 orders below the bound.
+    *
+    * Scale: ONE map-side-combinable (stratum, value) aggregate
+    * (support-sized, ≪ corpus), then ONE stratum-keyed exchange serves
+    * both cumulative windows AND the per-stratum totals window (same
+    * partitioning — one Exchange, no join anywhere), then a stratum-
+    * sized final aggregate.
+    *
+    * Returns `(stratum, n_old, n_new, d_num, ks_micros)`.
+    */
+  def ksDriftReport(oldDocs: DataFrame, newDocs: DataFrame,
+      strataCol: String, signal: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, old: Boolean): DataFrame =
+      df.select(col(strataCol).as("stratum"),
+        signal.cast(LongType).as("_v"),
+        lit(if (old) 1L else 0L).as("_o"))
+    val merged = side(oldDocs, old = true)
+      .unionByName(side(newDocs, old = false))
+      .groupBy("stratum", "_v")
+      .agg(sum(col("_o")).as("_a"),
+        sum(lit(1L) - col("_o")).as("_b"))
+    val cum = Window.partitionBy(col("stratum")).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("stratum"))
+    val stepped = merged
+      .withColumn("_ca", sum(col("_a")).over(cum))
+      .withColumn("_cb", sum(col("_b")).over(cum))
+      .withColumn("_n1", sum(col("_a")).over(tot))
+      .withColumn("_n2", sum(col("_b")).over(tot))
+    stepped
+      .groupBy(col("stratum"))
+      .agg(max(col("_n1")).as("n_old"), max(col("_n2")).as("n_new"),
+        max(abs(col("_n2") * col("_ca") - col("_n1") * col("_cb")))
+          .as("d_num"))
+      .withColumn("ks_micros",
+        when(col("n_old") === 0L || col("n_new") === 0L,
+          lit(null).cast(LongType))
+          .otherwise(expr("(d_num * 1000000) div (n_old * n_new)")))
+  }
+
+  /** Term-burstiness spectrum per stratum (Church & Gale 1995): for
+    * each vocabulary type, burstiness = ⌊cf / df⌋ — its total
+    * occurrence count over the number of documents it appears in. A
+    * ratio near 1 marks evenly-spread function-ish words; high ratios
+    * mark topical/template terms that "burst" inside few documents —
+    * exactly the mass that inflates naive frequency statistics and
+    * that boilerplate/repetition filters (x41, x45, x133) act on.
+    * The spectrum folds the vocab-sized table onto the exact base-2
+    * grid the inter-arrival op proved portable (bucket =
+    * `length(bin(ratio))`, a string length both engines compute
+    * identically — zero libm) and publishes per (stratum, bucket) the
+    * type count and both exact masses, plus the bucket's inclusive
+    * ratio range. All-integer end-to-end: cf, df, the floor-divided
+    * ratio (operands positive, truncate ≡ floor) and the shifts are
+    * exact BIGINTs — unconditionally portable.
+    *
+    * Scale: the corpus collapses FIRST to the (stratum, doc, token)
+    * occurrence table (map-side combinable), then to the Heaps-
+    * sublinear (stratum, token) vocab table; the spectrum is
+    * (strata × ~40 buckets)-sized. No windows, no joins.
+    *
+    * Returns `(stratum, bucket, n_types, total_cf, total_df,
+    * lo_ratio, hi_ratio)`.
+    */
+  def burstinessSpectrum(docs: DataFrame, strataCol: String,
+      idCol: String, textCol: String): DataFrame = {
+    val occ = docs
+      .select(col(strataCol).as("stratum"), col(idCol).as("_d"),
+        explode(tokens(col(textCol))).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy("stratum", "_d", "_t").agg(count(lit(1)).as("_c"))
+    val vocab = occ.groupBy("stratum", "_t")
+      .agg(sum(col("_c")).as("_cf"), count(lit(1)).as("_df"))
+      .withColumn("_r", expr("_cf div _df"))
+      .withColumn("bucket", length(bin(col("_r"))).cast(LongType))
+    vocab.groupBy("stratum", "bucket")
+      .agg(count(lit(1)).as("n_types"), sum(col("_cf")).as("total_cf"),
+        sum(col("_df")).as("total_df"))
+      .select(col("stratum"), col("bucket"), col("n_types"),
+        col("total_cf"), col("total_df"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)")
+          .cast(LongType).as("lo_ratio"),
+        (expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))") -
+          1L).cast(LongType).as("hi_ratio"))
+  }
+
+  /** Document-length spectrum per stratum — the composition histogram
+    * read before packing (x66/x117), chunking (x42) or setting
+    * length-based quality gates (x91): per (stratum, base-2 bucket of
+    * the integer `signal`) the document count and the exact total
+    * signal mass in the bucket, with the bucket's inclusive range.
+    * Same exact `length(bin(·))` grid as [[burstinessSpectrum]] and
+    * the x142 inter-arrival spectrum (non-positive signals land in
+    * bucket 0); all-integer, unconditionally portable.
+    *
+    * Scale: ONE map-side-combinable aggregate to the
+    * (strata × ~40)-row grid; a stateless per-row projection before
+    * it. Nothing else.
+    *
+    * Returns `(stratum, bucket, n_docs, total_mass, lo, hi)`.
+    */
+  def lengthSpectrum(docs: DataFrame, strataCol: String,
+      signal: Column): DataFrame = {
+    val s = signal.cast(LongType)
+    val bucket = when(s <= 0L, lit(0L))
+      .otherwise(length(bin(s)).cast(LongType))
+    docs.select(col(strataCol).as("stratum"), bucket.as("bucket"),
+        s.as("_m"))
+      .groupBy("stratum", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_m")).as("total_mass"))
+      .select(col("stratum"), col("bucket"), col("n_docs"),
+        col("total_mass"),
+        when(col("bucket") === 0L, 0L)
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)"))
+          .cast(LongType).as("lo"),
+        when(col("bucket") === 0L, 0L)
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))") - 1L)
+          .cast(LongType).as("hi"))
+  }
+
   /** Blocklist gate (C4/UT1 shape): count frozen-phrase hits per
     * document with the [[graft.functions.BlocklistKernel]] one-pass
     * scan and keep the hit-free docs. Substring semantics with

@@ -5820,6 +5820,221 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("source", "n_pos", "n_neg", "u_stat",
           "auc_micros")))),
 
+    // x144 — exact two-sample Kolmogorov–Smirnov drift test per
+    // source: the third drift monitor next to x105's token KL (which
+    // tokens moved) and x140's PSI (did the bucketed score move) —
+    // the supremum ECDF gap over the merged support, no grid to tune,
+    // no smoothing, published EXACTLY as integers via the common-
+    // denominator spelling d_num = max|n₂·C₁(v) − n₁·C₂(v)|. md5
+    // halves of doc_id play the two snapshots (the x140 convention),
+    // token count is the score. ONE support-sized aggregate, ONE
+    // stratum exchange serving both cumulative windows AND the
+    // totals, zero joins.
+    QueryDef("x144_ks_drift",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        val keep = graft.ops.Sampling.keepPredicate(col("doc_id"), 0.5)
+        ordered(TextAnalysis.ksDriftReport(
+          d.filter(keep), d.filter(!keep), "source",
+          size(split(col("text"), " ")).cast(LongType)))
+      },
+      Some("""WITH base AS (
+          SELECT source AS stratum,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+              AS is_old
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT stratum, v,
+            CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT)
+              AS a,
+            CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT)
+              AS b
+          FROM base GROUP BY 1, 2),
+        c AS (
+          SELECT stratum,
+            CAST(SUM(a) OVER (PARTITION BY stratum ORDER BY v)
+              AS BIGINT) AS ca,
+            CAST(SUM(b) OVER (PARTITION BY stratum ORDER BY v)
+              AS BIGINT) AS cb,
+            CAST(SUM(a) OVER (PARTITION BY stratum) AS BIGINT) AS n1,
+            CAST(SUM(b) OVER (PARTITION BY stratum) AS BIGINT) AS n2
+          FROM g),
+        f AS (
+          SELECT stratum, MAX(n1) AS n_old, MAX(n2) AS n_new,
+            MAX(ABS(n2 * ca - n1 * cb)) AS d_num
+          FROM c GROUP BY stratum)
+        SELECT stratum, n_old, n_new, d_num,
+          CASE WHEN n_old = 0 OR n_new = 0 THEN NULL
+            ELSE (d_num * 1000000) // (n_old * n_new) END AS ks_micros
+        FROM f
+        """ + orderedSql(Seq("stratum", "n_old", "n_new", "d_num",
+          "ks_micros")))),
+
+    // x145 — corpus-concentration audit: per lang stratum, the exact
+    // Gini coefficient and Lorenz top-decile share of token mass
+    // across canonical DOMAINS (the x90 canonicalization) — the "is
+    // this slice a few big sites wearing a corpus costume?" gauge
+    // read before trusting slice statistics or setting x80/x104
+    // mixture weights. All-integer rank-weighted sums (the x132/x143
+    // total-order convention); ONE group-sized aggregate then ONE
+    // stratum exchange, zero corpus-sized joins.
+    QueryDef("x145_concentration",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        val base = d.select(col("lang"),
+          UrlCanon.urlDomain(
+            UrlCanon.canonicalizeUrl(synthUrlCol)).as("domain"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+        ordered(graft.ops.DataPipeline.concentrationReport(
+          base, "lang", "domain", col("toks")))
+      },
+      Some(s"""WITH $urlDomainCtes,
+        base AS (
+          SELECT d.lang AS stratum, dom.domain AS k,
+            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS m
+          FROM documents d JOIN dom ON d.doc_id = dom.doc_id),
+        g AS (
+          SELECT stratum, k, CAST(SUM(m) AS BIGINT) AS gm
+          FROM base GROUP BY 1, 2),
+        r AS (
+          SELECT stratum, gm,
+            CAST(ROW_NUMBER() OVER (PARTITION BY stratum
+              ORDER BY gm, k) AS BIGINT) AS i,
+            CAST(COUNT(*) OVER (PARTITION BY stratum) AS BIGINT) AS n
+          FROM g),
+        f AS (
+          SELECT stratum, MAX(n) AS n_keys,
+            CAST(SUM(gm) AS BIGINT) AS total_mass,
+            CAST(SUM((2 * i - n - 1) * gm) AS BIGINT) AS gnum,
+            CAST(SUM(CASE WHEN i > n - ((n + 9) // 10) THEN gm
+              ELSE 0 END) AS BIGINT) AS tail
+          FROM r GROUP BY stratum)
+        SELECT stratum, n_keys, total_mass,
+          CASE WHEN total_mass = 0 THEN NULL
+            ELSE (gnum * 1000000) // (n_keys * total_mass) END
+            AS gini_micros,
+          CASE WHEN total_mass = 0 THEN NULL
+            ELSE (tail * 1000000) // total_mass END
+            AS top_decile_micros
+        FROM f
+        """ + orderedSql(Seq("stratum", "n_keys", "total_mass",
+          "gini_micros", "top_decile_micros")))),
+
+    // x146 — term-burstiness spectrum per source (Church & Gale):
+    // per vocabulary type, burstiness = ⌊cf/df⌋; the spectrum folds
+    // the Heaps-sublinear vocab table onto the exact base-2
+    // length(bin(·)) grid x142 proved portable. Near-1 buckets are
+    // evenly-spread function words; high buckets are the bursty
+    // template/topical mass that x41/x45/x133 act on. All-integer.
+    QueryDef("x146_burstiness",
+      (s, dir) => ordered(TextAnalysis.burstinessSpectrum(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "source", "doc_id", "text")),
+      Some("""WITH occ AS (
+          SELECT source AS stratum, doc_id,
+            unnest(string_split(text, ' ')) AS tkn
+          FROM documents WHERE text IS NOT NULL),
+        o2 AS (
+          SELECT stratum, doc_id, tkn, CAST(COUNT(*) AS BIGINT) AS c
+          FROM occ WHERE tkn <> '' GROUP BY 1, 2, 3),
+        v AS (
+          SELECT stratum, tkn, CAST(SUM(c) AS BIGINT) AS cf,
+            CAST(COUNT(*) AS BIGINT) AS df
+          FROM o2 GROUP BY 1, 2),
+        b AS (
+          SELECT stratum,
+            CAST(length(bin(cf // df)) AS BIGINT) AS bucket, cf, df
+          FROM v)
+        SELECT stratum, bucket, CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(cf) AS BIGINT) AS total_cf,
+          CAST(SUM(df) AS BIGINT) AS total_df,
+          (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) AS lo_ratio,
+          (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 AS hi_ratio
+        FROM b GROUP BY stratum, bucket
+        """ + orderedSql(Seq("stratum", "bucket", "n_types",
+          "total_cf", "total_df", "lo_ratio", "hi_ratio")))),
+
+    // x147 — document-length spectrum per source: the composition
+    // histogram read before packing (x66/x117), chunking (x42) or
+    // length gates (x91) — doc counts and exact token mass per
+    // base-2 bucket. The x142 grid over `documents`; one map-side
+    // aggregate, all-integer.
+    QueryDef("x147_doclen_spectrum",
+      (s, dir) => ordered(TextAnalysis.lengthSpectrum(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "source", size(split(col("text"), " ")).cast(LongType))),
+      Some("""WITH base AS (
+          SELECT source AS stratum,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS m
+          FROM documents WHERE text IS NOT NULL),
+        b AS (
+          SELECT stratum, CASE WHEN m <= 0 THEN 0
+            ELSE CAST(length(bin(m)) AS BIGINT) END AS bucket, m
+          FROM base)
+        SELECT stratum, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(m) AS BIGINT) AS total_mass,
+          CASE WHEN bucket = 0 THEN 0 ELSE
+            (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) END AS lo,
+          CASE WHEN bucket = 0 THEN 0 ELSE
+            (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 END AS hi
+        FROM b GROUP BY stratum, bucket
+        """ + orderedSql(Seq("stratum", "bucket", "n_docs",
+          "total_mass", "lo", "hi")))),
+
+    // x148 — percentile-bootstrap CI for the per-source mean token
+    // count: 40 deterministic Poisson(1) resamples (md5-thresholded
+    // weights — the Poisson bootstrap, the streamable resampling for
+    // distributed data), each an exact weighted-mean in micros;
+    // min/max of 40 are exactly the rank-1/rank-40 order statistics
+    // = the 2.5%/97.5% percentile-bootstrap bounds. The uncertainty
+    // gauge read before acting on any slice statistic. All-integer;
+    // the ×40 explosion partial-aggregates map-side to the
+    // (strata × 40) grid.
+    QueryDef("x148_bootstrap_ci",
+      (s, dir) => ordered(graft.ops.Sampling.bootstrapMeanCI(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "source",
+        size(split(col("text"), " ")).cast(LongType), nReps = 40)),
+      Some("""WITH base AS (
+          SELECT source AS stratum, CAST(doc_id AS VARCHAR) AS id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+          FROM documents WHERE text IS NOT NULL),
+        reps AS (
+          SELECT stratum, b, x,
+            substr(md5(id || ':' || CAST(b AS VARCHAR)), 1, 4) AS u
+          FROM base CROSS JOIN
+            (SELECT unnest(generate_series(0, 39)) AS b)),
+        w AS (
+          SELECT stratum, b, x,
+            CAST(CASE WHEN u < '5e2d' THEN 0 WHEN u < 'bc5b' THEN 1
+                 WHEN u < 'eb71' THEN 2 WHEN u < 'fb24' THEN 3
+                 WHEN u < 'ff10' THEN 4 WHEN u < 'ffd9' THEN 5
+                 ELSE 6 END AS BIGINT) AS wt
+          FROM reps),
+        pr AS (
+          SELECT stratum, b, CAST(SUM(wt * x) AS BIGINT) AS wx,
+            CAST(SUM(wt) AS BIGINT) AS sw
+          FROM w GROUP BY 1, 2),
+        pm AS (
+          SELECT stratum, CASE WHEN sw = 0 THEN NULL
+            ELSE (wx * 1000000) // sw END AS m
+          FROM pr),
+        obs AS (
+          SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            (CAST(SUM(x) AS BIGINT) * 1000000) //
+              CAST(COUNT(*) AS BIGINT) AS mean_micros
+          FROM base GROUP BY 1),
+        ci AS (
+          SELECT stratum, CAST(MIN(m) AS BIGINT) AS ci_lo_micros,
+            CAST(MAX(m) AS BIGINT) AS ci_hi_micros
+          FROM pm GROUP BY 1)
+        SELECT stratum, n_rows, mean_micros, ci_lo_micros,
+          ci_hi_micros
+        FROM obs JOIN ci USING (stratum)
+        """ + orderedSql(Seq("stratum", "n_rows", "mean_micros",
+          "ci_lo_micros", "ci_hi_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -272,6 +272,33 @@ class DataPipelineSpec extends SparkSpec {
       ("D", 1L, 0L, 0L, None)))
   }
 
+  test("concentrationReport (x145): equal masses are Gini 0, full " +
+      "concentration is (n-1)/n, singles are 0/1e6, zero-mass " +
+      "strata are NULL") {
+    // E: four keys × mass 5 (split over two rows each — the inner
+    //    aggregate folds them) → Gini 0; ⌈4/10⌉ = 1 tail key → 1/4
+    // C: masses {0,0,0,10} → gini_num = (2·4−5)·10 = 30 →
+    //    30e6 div 40 = 750000 = (n−1)/n; tail share 1e6
+    // S: one key → Gini 0, share 1e6
+    // Z: two keys, zero total mass → NULL ratios, counts exact
+    val rows = Seq(
+      ("E", "a", 2L), ("E", "a", 3L), ("E", "b", 2L), ("E", "b", 3L),
+      ("E", "c", 2L), ("E", "c", 3L), ("E", "d", 2L), ("E", "d", 3L),
+      ("C", "a", 0L), ("C", "b", 0L), ("C", "c", 0L), ("C", "d", 10L),
+      ("S", "a", 7L),
+      ("Z", "a", 0L), ("Z", "b", 0L)
+    ).toDF("src", "k", "m")
+    val got = DataPipeline.concentrationReport(rows, "src", "k",
+        col("m"))
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got === Set(
+      ("E", 4L, 20L, Some(0L), Some(250000L)),
+      ("C", 4L, 10L, Some(750000L), Some(1000000L)),
+      ("S", 1L, 7L, Some(0L), Some(1000000L)),
+      ("Z", 2L, 0L, None, None)))
+  }
+
   test("spearmanAudit: a mid-range disagreement lands strictly " +
       "inside (-1e6, 1e6) and floor division matches hand arithmetic") {
     // n=4, one adjacent swap between the two orders: d^2 sum = 2

@@ -340,6 +340,50 @@ class PlanQualitySpec extends SparkSpec {
       s"x135 must not plan a cartesian:\n$x135")
   }
 
+  test("round-14 third wave plan shapes: x144-x148 stay join-free " +
+      "(or stratum-sized) with bounded corpus-side exchanges") {
+    // x144: support-sized aggregate + ONE stratum exchange for the
+    // ECDF windows; the final stratum aggregate reuses it — no joins
+    val x144 = SparkEntry.queries("x144_ks_drift")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x144.contains("Join"), s"x144 must not join:\n$x144")
+    assert("Exchange hashpartitioning".r.findAllIn(x144).length <= 2,
+      s"x144 should plan only the support aggregate and the stratum " +
+        s"window exchange:\n$x144")
+    // x145: domain-mass aggregate + ONE stratum exchange for rank /
+    // totals windows; final aggregate reuses it — no joins
+    val x145 = SparkEntry.queries("x145_concentration")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x145.contains("Join"), s"x145 must not join:\n$x145")
+    assert("Exchange hashpartitioning".r.findAllIn(x145).length <= 2,
+      s"x145 should plan the group aggregate + one stratum " +
+        s"exchange:\n$x145")
+    // x146: three nested aggregates, each map-side combinable — no
+    // window, no join
+    val x146 = SparkEntry.queries("x146_burstiness")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x146.contains("Join") && !x146.contains("Window"),
+      s"x146 must be pure nested aggregation:\n$x146")
+    assert("Exchange hashpartitioning".r.findAllIn(x146).length <= 3,
+      s"x146 plans more than its three aggregate exchanges:\n$x146")
+    // x147: ONE aggregate behind a stateless projection
+    val x147 = SparkEntry.queries("x147_doclen_spectrum")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x147.contains("Join") && !x147.contains("Window"),
+      s"x147 must be one aggregate:\n$x147")
+    assert("Exchange hashpartitioning".r.findAllIn(x147).length <= 1,
+      s"x147 should plan exactly one aggregate exchange:\n$x147")
+    // x148: the x40 explosion partial-aggregates BEFORE its exchange
+    // (the exchange carries the (strata x B) grid, not 40 corpora),
+    // and the only join is the stratum-sized obs-vs-ci assembly
+    val x148df = SparkEntry.queries("x148_bootstrap_ci")(spark, sf0001)
+    val x148 = x148df.queryExecution.executedPlan.toString
+    assert(!x148.contains("CartesianProduct"),
+      s"x148 must not plan a cartesian:\n$x148")
+    assert(x148.contains("partial_sum") || x148.contains("HashAggregate"),
+      s"x148 lost the map-side partial aggregate:\n$x148")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)

@@ -461,4 +461,33 @@ class SamplingSpec extends SparkSpec {
     assert(sampledMean > corpusMean,
       s"sampled mean weight $sampledMean !> corpus mean $corpusMean")
   }
+
+  test("bootstrapMeanCI (x148): a constant metric collapses the " +
+      "interval to the exact point; weights average ~Poisson(1); " +
+      "the report is deterministic") {
+    // constant metric: every resample's weighted mean is the
+    // constant EXACTLY (floor((Σw·c·1e6)/Σw) = c·1e6), so
+    // ci_lo = mean = ci_hi with no tolerance
+    val docs = (1L to 50L).map(i => (i, "A", 7L))
+      .toDF("id", "src", "x")
+    val got = Sampling.bootstrapMeanCI(docs, "id", "src", col("x"))
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got === Set(("A", 50L, 7000000L,
+      Some(7000000L), Some(7000000L))))
+    // the quantized Poisson(1) CDF thresholds: the empirical mean
+    // weight over 4000 independent (id, rep) draws must sit near 1
+    val ids = (1L to 100L).map(i => (i, 0L)).toDF("id", "z")
+    val meanW = ids.select(explode(sequence(lit(0), lit(39)))
+        .as("b"), col("id"))
+      .select(Sampling.poissonWeight(col("id"), col("b")).as("w"))
+      .agg(avg(col("w"))).head().getDouble(0)
+    assert(meanW > 0.85 && meanW < 1.15,
+      s"mean Poisson weight $meanW drifted from 1")
+    // determinism: a second evaluation is bit-identical
+    val again = Sampling.bootstrapMeanCI(docs, "id", "src", col("x"))
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSet
+    assert(again === got)
+  }
 }

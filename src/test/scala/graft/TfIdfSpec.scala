@@ -318,6 +318,57 @@ class TfIdfSpec extends SparkSpec {
     assert(got(0L)._4 > 0.0)
   }
 
+  test("ksDriftReport (x144): identical sides are 0, disjoint " +
+      "supports are 1e6, a hand half-shift is 500000, one-sided " +
+      "strata are NULL") {
+    // A: complete separation — old {1,2} vs new {3,4} → D = 1
+    // B: identical point masses (ties collapse exactly) → D = 0
+    // C: old {1,2} vs new {1,5} → sup gap at v=2: |1 − 1/2| = 1/2
+    // D: old-only stratum → NULL micros, counts still exact
+    val old = Seq(("A", 1L), ("A", 2L), ("B", 7L), ("B", 7L),
+      ("C", 1L), ("C", 2L), ("D", 9L)).toDF("src", "v")
+    val nw = Seq(("A", 3L), ("A", 4L), ("B", 7L), ("B", 7L),
+      ("C", 1L), ("C", 5L)).toDF("src", "v")
+    val got = TextAnalysis.ksDriftReport(old, nw, "src", $"v")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      ("A", 2L, 2L, 4L, Some(1000000L)),
+      ("B", 2L, 2L, 0L, Some(0L)),
+      ("C", 2L, 2L, 2L, Some(500000L)),
+      ("D", 1L, 0L, 0L, None)))
+  }
+
+  test("burstinessSpectrum (x146): cf/df ratios land on the exact " +
+      "base-2 grid; empty tokens are dropped; masses are exact") {
+    val docs = Seq(
+      (1L, "S", "a a a a b"), // a: cf 4 / df 1 → ratio 4 → bucket 3
+      (2L, "S", "b c"),       // b: cf 2 / df 2 → ratio 1 → bucket 1
+      (3L, "S", "c"),         // c: cf 2 / df 2 → ratio 1 → bucket 1
+      (4L, "S", "d  d")       // "" dropped; d: 2/1 → ratio 2 → bkt 2
+    ).toDF("doc_id", "src", "text")
+    val got = TextAnalysis.burstinessSpectrum(docs, "src", "doc_id",
+        "text")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set(
+      ("S", 1L, 2L, 4L, 4L, 1L, 1L),  // types b, c
+      ("S", 2L, 1L, 2L, 1L, 2L, 3L),  // type d
+      ("S", 3L, 1L, 4L, 1L, 4L, 7L))) // type a
+  }
+
+  test("lengthSpectrum (x147): base-2 buckets with the zero floor; " +
+      "counts and masses exact") {
+    val docs = Seq(("L", 1L), ("L", 5L), ("L", 0L), ("L", 8L))
+      .toDF("src", "m")
+    val got = TextAnalysis.lengthSpectrum(docs, "src", $"m")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("L", 0L, 1L, 0L, 0L, 0L),
+      ("L", 1L, 1L, 1L, 1L, 1L),
+      ("L", 3L, 1L, 5L, 4L, 7L),
+      ("L", 4L, 1L, 8L, 8L, 15L)))
+  }
+
   test("kn5Quality (x124): pure-Scala recomputation on a hand corpus; " +
       "the count-prune drops singleton 5-grams") {
     val docs = Seq(
