@@ -423,6 +423,46 @@ object DataPipeline {
           .as("top_decile_micros"))
   }
 
+  /** Exact per-stratum quartile report — the robust companion to
+    * [[graft.ops.Sampling.bootstrapMeanCI]]'s mean interval: means
+    * move with the heavy tail every web corpus has; the median and
+    * IQR do not. Quartiles are EXACT order statistics at the lower
+    * empirical ranks `r_k = ⌈k·n/4⌉ = (k·n + 3) div 4` (k = 1, 2, 3)
+    * over the deterministic (value asc, id asc) total order — no
+    * interpolation, no type-7 FP, so the published values are corpus
+    * VALUES and unconditionally portable (the sketched extreme-scale
+    * path is x52's GK / x120's portable grid). Singletons publish the
+    * single value in all three columns by the same arithmetic.
+    *
+    * Scale: ONE stratum-keyed exchange serves the rank window, the
+    * count window and the final aggregate (zero joins); shuffle
+    * carries (stratum, id, value). The aggregate folds the three
+    * rank-hit rows per stratum with conditional MAX — never a
+    * collect.
+    *
+    * Returns `(stratum, n_rows, p25, median, p75)`.
+    */
+  def quartileReport(df: DataFrame, idCol: String, strataCol: String,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(strataCol).as("stratum"), col(idCol).as("_id"),
+      value.cast("long").as("_v"))
+    val rk = Window.partitionBy(col("stratum"))
+      .orderBy(col("_v").asc, col("_id").asc)
+    val tot = Window.partitionBy(col("stratum"))
+    val ranked = base
+      .withColumn("_i", row_number().over(rk).cast("long"))
+      .withColumn("_n", count(lit(1)).over(tot).cast("long"))
+    ranked.groupBy(col("stratum"))
+      .agg(max(col("_n")).as("n_rows"),
+        max(when(col("_i") === expr("(_n + 3) div 4"), col("_v")))
+          .as("p25"),
+        max(when(col("_i") === expr("(2 * _n + 3) div 4"), col("_v")))
+          .as("median"),
+        max(when(col("_i") === expr("(3 * _n + 3) div 4"), col("_v")))
+          .as("p75"))
+  }
+
   /** Corpus snapshot diff — the data-versioning report run between two
     * corpus versions before retraining: per id, `added` (only in new),
     * `removed` (only in old), `modified` (both, content hash differs)

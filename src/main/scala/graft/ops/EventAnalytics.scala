@@ -257,4 +257,54 @@ object EventAnalytics {
             "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))") - 1L)
           .cast(LongType).as("hi_s"))
   }
+
+  /** Behavioral-entropy histogram — the bot-vs-human composition
+    * gauge next to [[interArrivalSpectrum]]'s timing view: per user,
+    * the Shannon entropy of their event-TYPE distribution (a bot
+    * hammering one endpoint scores ~0 nats; organic use spreads
+    * toward ln(#types)), folded into 1/20-nat buckets of user
+    * counts (fine enough to split organic cohorts; a bot spike at 0
+    * stands alone regardless). Entropy is published portably via the x118/x139
+    * quantize-then-exact-integer pattern: per (user, type) count c,
+    * `q = FLOOR(c·ln(c)·10⁶ + 0.5)` (exactly 0 for c = 1 — no libm
+    * call can miss ln(1) = 0 because the draw is quantized, and the
+    * repo margin gate pins every quantized draw's boundary distance);
+    * per user `H·10⁶ ≈ (FLOOR(N·ln(N)·10⁶ + 0.5) − Σq) div N` — an
+    * exact BIGINT fold of quantized draws. The numerator is clamped
+    * at 0 (`greatest`) because per-term quantization error of ±0.5
+    * micros can push a near-zero entropy a few micros negative, and
+    * negative integer division is the one place Spark (truncate) and
+    * DuckDB (floor) disagree — the clamp makes the published value
+    * identical and is part of the contract (true entropy is ≥ 0).
+    *
+    * Scale: ONE map-side-combinable (user, type) aggregate, ONE
+    * user-keyed aggregate (rows = users × their type fan-out, bounded
+    * by the type alphabet), then the bucket fold to ~12 rows. No
+    * windows, no joins.
+    *
+    * Returns `(bucket, n_users, total_events, lo_micros, hi_micros)`
+    * — bucket = entropy_micros div 50000.
+    */
+  def userEntropyReport(events: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    val ut = events.groupBy(col(userCol).as("_u"),
+        col(typeCol).as("_t"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_q",
+        floor(col("_c").cast("double") * log(col("_c").cast("double"))
+          * 1e6 + 0.5).cast(LongType))
+    val per = ut.groupBy(col("_u"))
+      .agg(sum(col("_c")).as("_n"), sum(col("_q")).as("_qs"))
+      .withColumn("_hn",
+        floor(col("_n").cast("double") * log(col("_n").cast("double"))
+          * 1e6 + 0.5).cast(LongType))
+      .withColumn("entropy_micros",
+        expr("greatest(_hn - _qs, 0L) div _n"))
+    per.withColumn("bucket", expr("entropy_micros div 50000"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"), sum(col("_n")).as("total_events"))
+      .select(col("bucket"), col("n_users"), col("total_events"),
+        (col("bucket") * 50000L).as("lo_micros"),
+        (col("bucket") * 50000L + 49999L).as("hi_micros"))
+  }
 }

@@ -218,6 +218,49 @@ object UrlCanon {
     * dedup, one partitioned rank window for the cap — both keyed, both
     * parallel; nothing touches the driver.
     */
+  /** Domain-churn report between two crawl snapshots — the
+    * composition-shift gauge next to the row-level
+    * [[graft.ops.DataPipeline.snapshotDiff]]: per stratum, how much
+    * did the SET of canonical domains move? Publishes both sides'
+    * exact distinct-domain counts, the intersection, the
+    * added/removed counts, and the Jaccard overlap in micros
+    * (`shared·10⁶ div (n_old + n_new − shared)` — exact BIGINT floor
+    * division, non-negative operands). A dropping Jaccard between
+    * consecutive crawls means the x131 domain split and the x123/x129
+    * blocklists are gating a different web than last month — re-audit
+    * before retraining. All-integer, unconditionally portable;
+    * both-sides-empty strata cannot occur (a stratum exists only via
+    * rows) but a one-sided stratum publishes Jaccard 0 by the same
+    * arithmetic.
+    *
+    * Scale: the two snapshots union into ONE map-side-combinable
+    * (stratum, domain) flag aggregate (domain-sized, Heaps-sublinear
+    * in the crawl), then a stratum-sized rollup. Zero joins, zero
+    * windows.
+    *
+    * Returns `(stratum, n_old, n_new, shared, added, removed,
+    * jaccard_micros)`.
+    */
+  def domainChurnReport(oldUrls: DataFrame, newUrls: DataFrame,
+      strataCol: String, urlCol: String): DataFrame = {
+    def side(df: DataFrame, old: Boolean): DataFrame =
+      df.select(col(strataCol).as("stratum"),
+        urlDomain(canonicalizeUrl(col(urlCol))).as("_d"),
+        lit(if (old) 1L else 0L).as("_o"))
+    val flags = side(oldUrls, old = true)
+      .unionByName(side(newUrls, old = false))
+      .groupBy("stratum", "_d")
+      .agg(max(col("_o")).as("_ho"), max(lit(1L) - col("_o")).as("_hn"))
+    flags.groupBy(col("stratum"))
+      .agg(sum(col("_ho")).as("n_old"), sum(col("_hn")).as("n_new"),
+        sum(col("_ho") * col("_hn")).as("shared"))
+      .select(col("stratum"), col("n_old"), col("n_new"), col("shared"),
+        (col("n_new") - col("shared")).as("added"),
+        (col("n_old") - col("shared")).as("removed"),
+        expr("(shared * 1000000) div (n_old + n_new - shared)")
+          .as("jaccard_micros"))
+  }
+
   def dedupWithDomainCap(urls: DataFrame, idCol: String, urlCol: String,
       cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")

@@ -6035,6 +6035,112 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("stratum", "n_rows", "mean_micros",
           "ci_lo_micros", "ci_hi_micros")))),
 
+    // x149 — behavioral-entropy histogram over events: per user the
+    // Shannon entropy of their event-type distribution (bots ~0
+    // nats, organic use spreads toward ln(#types)), folded into
+    // 1/20-nat buckets. The x118/x139 quantize-then-exact-integer
+    // ln pattern (margin-gated); the numerator clamps at 0 because
+    // negative integer division is the one Spark-div vs DuckDB-//
+    // divergence. Two map-side aggregates + a ~12-row fold.
+    QueryDef("x149_user_entropy",
+      (s, dir) => ordered(graft.ops.EventAnalytics.userEntropyReport(
+        t(s, dir, "events"), "user_id", "event_type")),
+      Some("""WITH ut AS (
+          SELECT user_id AS u, event_type AS t,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        q AS (
+          SELECT u, c, CAST(FLOOR(CAST(c AS DOUBLE) *
+            ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS qq
+          FROM ut),
+        p AS (
+          SELECT u, CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(qq) AS BIGINT) AS qs
+          FROM q GROUP BY 1),
+        h AS (
+          SELECT u, n, qs, CAST(FLOOR(CAST(n AS DOUBLE) *
+            ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS hn
+          FROM p),
+        e AS (
+          SELECT u, n, GREATEST(hn - qs, 0) // n AS em FROM h),
+        b AS (SELECT em // 50000 AS bucket, n FROM e)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(n) AS BIGINT) AS total_events,
+          bucket * 50000 AS lo_micros,
+          bucket * 50000 + 49999 AS hi_micros
+        FROM b GROUP BY bucket
+        """ + orderedSql(Seq("bucket", "n_users", "total_events",
+          "lo_micros", "hi_micros")))),
+
+    // x150 — exact per-source quartile report: the robust companion
+    // to x148's bootstrap mean CI — median/IQR as exact order
+    // statistics at the lower empirical ranks ⌈k·n/4⌉ over the
+    // (value, id) total order. No interpolation, no FP; the sketched
+    // extreme-scale path is x52/x120. One stratum exchange, zero
+    // joins.
+    QueryDef("x150_quartiles",
+      (s, dir) => ordered(graft.ops.DataPipeline.quartileReport(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "source",
+        size(split(col("text"), " ")).cast(LongType))),
+      Some("""WITH base AS (
+          SELECT source AS stratum, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+          FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT stratum, v,
+            CAST(ROW_NUMBER() OVER (PARTITION BY stratum
+              ORDER BY v, doc_id) AS BIGINT) AS i,
+            CAST(COUNT(*) OVER (PARTITION BY stratum) AS BIGINT) AS n
+          FROM base)
+        SELECT stratum, MAX(n) AS n_rows,
+          MAX(CASE WHEN i = (n + 3) // 4 THEN v END) AS p25,
+          MAX(CASE WHEN i = (2 * n + 3) // 4 THEN v END) AS median,
+          MAX(CASE WHEN i = (3 * n + 3) // 4 THEN v END) AS p75
+        FROM r GROUP BY stratum
+        """ + orderedSql(Seq("stratum", "n_rows", "p25", "median",
+          "p75")))),
+
+    // x151 — domain-churn report between crawl snapshots: per lang,
+    // the exact distinct-domain counts of both md5 halves, the
+    // intersection, added/removed, and the Jaccard overlap in micros
+    // — the composition-shift gauge that says whether x131's split
+    // and the x123/x129 blocklists still gate the same web. One
+    // domain-sized flag aggregate + a stratum rollup, zero joins.
+    QueryDef("x151_domain_churn",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("lang"), col("doc_id"), synthUrlCol.as("url"))
+        val keep = graft.ops.Sampling.keepPredicate(col("doc_id"), 0.5)
+        ordered(UrlCanon.domainChurnReport(
+          d.filter(keep), d.filter(!keep), "lang", "url"))
+      },
+      Some(s"""WITH $urlDomainCtes,
+        f AS (
+          SELECT d.lang AS stratum, dom.domain AS k,
+            substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < '8000'
+              AS is_old
+          FROM documents d JOIN dom ON d.doc_id = dom.doc_id),
+        g AS (
+          SELECT stratum, k,
+            CAST(MAX(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT)
+              AS ho,
+            CAST(MAX(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT)
+              AS hn
+          FROM f GROUP BY 1, 2),
+        a AS (
+          SELECT stratum, CAST(SUM(ho) AS BIGINT) AS n_old,
+            CAST(SUM(hn) AS BIGINT) AS n_new,
+            CAST(SUM(ho * hn) AS BIGINT) AS shared
+          FROM g GROUP BY 1)
+        SELECT stratum, n_old, n_new, shared,
+          n_new - shared AS added, n_old - shared AS removed,
+          (shared * 1000000) // (n_old + n_new - shared)
+            AS jaccard_micros
+        FROM a
+        """ + orderedSql(Seq("stratum", "n_old", "n_new", "shared",
+          "added", "removed", "jaccard_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

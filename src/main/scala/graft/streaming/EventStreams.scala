@@ -195,6 +195,60 @@ object EventStreams {
       }
   }
 
+  /** ONLINE inter-arrival spectrum — the ingest-time twin of batch
+    * x142 (`graft.ops.EventAnalytics.interArrivalSpectrum`): per
+    * user, keyed state carries the (t seconds, event_id, type) event
+    * history in the batch op's exact (t, id) total order; each update
+    * re-derives the user's full (type, base-2 bucket) gap histogram
+    * and re-emits it with a monotone `version` stamp (keep each
+    * user's max-version rows downstream; summing them across users
+    * equals the batch spectrum EXACTLY — StreamingSpec pins it under
+    * forced multi-batch replay). Re-emitting the whole histogram
+    * instead of deltas is what makes out-of-order arrivals correct:
+    * a late event splits an existing gap in two and re-attributes the
+    * earlier gap's type — the next emission supersedes every prior
+    * row (the retentionOnline convention). The bucket is the same
+    * bit-length grid (`64 − nlz(dt)` ≡ `length(bin(dt))`).
+    *
+    * State per user is their own event history (three 8-byte words +
+    * the type tag per event) — bounded by per-user activity, the
+    * same argument as the batch op's per-user window partition; a
+    * production deployment bounds it with an event-time TTL.
+    */
+  def interArrivalOnline(events: DataFrame): Dataset[SpectrumRow] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[(Long, Seq[(Long, Long, String)])]) =>
+          val (ver, seen0) = state.getOption.getOrElse(
+            (0L, Seq.empty[(Long, Long, String)]))
+          val seen = (seen0.iterator ++ rows.map(r => (r._2, r._3, r._4)))
+            .toSeq.distinct.sortBy(e => (e._1, e._2))
+          val nv = ver + 1
+          state.update((nv, seen))
+          val counts =
+            scala.collection.mutable.Map.empty[(String, Long), Long]
+          seen.iterator.sliding(2).withPartial(false).foreach { pair =>
+            val a = pair.head
+            val dt = pair(1)._1 - a._1
+            val bucket =
+              if (dt <= 0L) 0L
+              else (64 - java.lang.Long.numberOfLeadingZeros(dt)).toLong
+            counts((a._3, bucket)) =
+              counts.getOrElse((a._3, bucket), 0L) + 1L
+          }
+          counts.iterator.map { case ((et, bkt), n) =>
+            SpectrumRow(uid, nv, et, bkt, n)
+          }
+      }
+  }
+
   def statefulUserTotals(events: DataFrame): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events.selectExpr("user_id", "event_id").as[(Long, Long)]
@@ -213,6 +267,14 @@ object EventStreams {
 
 /** Output row of [[EventStreams.statefulUserTotals]]. */
 case class UserTotals(user_id: Long, n_events: Long, sum_ids: Long)
+
+/** Output row of [[EventStreams.interArrivalOnline]] — the user's
+  * current (event_type, base-2 bucket) gap count; `version` is the
+  * per-user monotone emission stamp (keep max per user downstream;
+  * summing those rows across users is batch x142's spectrum).
+  */
+case class SpectrumRow(user_id: Long, version: Long, event_type: String,
+  bucket: Long, n: Long)
 
 /** Output row of [[EventStreams.funnelOnline]] — `max_step` is the
   * user's deepest in-order funnel completion so far (0 = none);

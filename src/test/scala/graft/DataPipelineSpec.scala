@@ -299,6 +299,25 @@ class DataPipelineSpec extends SparkSpec {
       ("Z", 2L, 0L, None, None)))
   }
 
+  test("quartileReport (x150): lower empirical ranks on a hand " +
+      "corpus; singletons publish the value thrice; n=3 takes the " +
+      "extremes") {
+    // A: 1..8 → ranks ⌈k·8/4⌉ = 2, 4, 6 → (2, 4, 6)
+    // B: {10,20,30} → ranks 1, 2, 3 → (10, 20, 30)
+    // S: {9} → ranks all 1 → (9, 9, 9)
+    val rows =
+      (1L to 8L).map(v => ("A", v * 100, v)) ++
+        Seq(("B", 1L, 10L), ("B", 2L, 20L), ("B", 3L, 30L),
+          ("S", 1L, 9L))
+    val df = rows.toDF("src", "id", "v")
+    val got = DataPipeline.quartileReport(df, "id", "src", col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 8L, 2L, 4L, 6L),
+      ("B", 3L, 10L, 20L, 30L),
+      ("S", 1L, 9L, 9L, 9L)))
+  }
+
   test("spearmanAudit: a mid-range disagreement lands strictly " +
       "inside (-1e6, 1e6) and floor division matches hand arithmetic") {
     // n=4, one adjacent swap between the two orders: d^2 sum = 2

@@ -236,4 +236,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.forall(_._2 >= 0L))
     assert(got.forall(_._3 >= 1L))
   }
+
+  test("userEntropyReport (x149): one-type users land in bucket 0 " +
+      "exactly, a 50/50 two-type user lands at ln(2), quantization " +
+      "matches hand arithmetic") {
+    // u1: 4 events of one type → H = 0 (hn = qs bit-exactly)
+    // u2: 2+2 events over two types → H = ln 2:
+    //   q(2) = floor(2·ln2·1e6 + .5) = 1386294, qs = 2772588
+    //   hn = floor(4·ln4·1e6 + .5) = 5545177
+    //   em = (5545177 − 2772588) div 4 = 693147 → bucket 13
+    // u3: a single event → N = 1, hn = qs = 0 → bucket 0
+    val events = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "c")
+    ).toDF("user_id", "event_type")
+    val got = EventAnalytics.userEntropyReport(events, "user_id",
+        "event_type")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, 2L, 5L, 0L, 49999L),
+      (13L, 1L, 4L, 650000L, 699999L)))
+  }
 }

@@ -382,6 +382,29 @@ class PlanQualitySpec extends SparkSpec {
       s"x148 must not plan a cartesian:\n$x148")
     assert(x148.contains("partial_sum") || x148.contains("HashAggregate"),
       s"x148 lost the map-side partial aggregate:\n$x148")
+    // x149: three nested map-side aggregates, no window, no join
+    val x149 = SparkEntry.queries("x149_user_entropy")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x149.contains("Join") && !x149.contains("Window"),
+      s"x149 must be pure nested aggregation:\n$x149")
+    assert("Exchange hashpartitioning".r.findAllIn(x149).length <= 3,
+      s"x149 plans more than its three aggregate exchanges:\n$x149")
+    // x150: ONE stratum exchange serves the rank window, the count
+    // window and the final aggregate — no joins
+    val x150 = SparkEntry.queries("x150_quartiles")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x150.contains("Join"), s"x150 must not join:\n$x150")
+    assert("Exchange hashpartitioning".r.findAllIn(x150).length <= 2,
+      s"x150 should serve windows and aggregate from one stratum " +
+        s"exchange:\n$x150")
+    // x151: union → flag aggregate → stratum rollup; no windows, no
+    // joins
+    val x151 = SparkEntry.queries("x151_domain_churn")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x151.contains("Join") && !x151.contains("Window"),
+      s"x151 must be union + two aggregates:\n$x151")
+    assert("Exchange hashpartitioning".r.findAllIn(x151).length <= 2,
+      s"x151 plans more than its two aggregate exchanges:\n$x151")
   }
 
   test("no declared query plans an unpartitioned window or cartesian product") {

@@ -270,6 +270,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interArrivalOnline final state aggregates to the batch x142 " +
+      "spectrum under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.interArrivalOnline(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_spectrum").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stream_spectrum")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val latest = emitted
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+      val streamSpectrum = latest
+        .groupBy($"event_type", $"bucket")
+        .agg(sum($"n").as("n"))
+        .as[(String, Long, Long)].collect().toSet
+      val batch = graft.ops.EventAnalytics.interArrivalSpectrum(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .select($"event_type", $"bucket", $"n")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamSpectrum.nonEmpty)
+      assert(streamSpectrum === batch)
+      // state genuinely crossed micro-batches
+      val multi = emitted.groupBy($"user_id")
+        .agg(countDistinct($"version").as("v")).filter($"v" > 1).count()
+      assert(multi > 0, "expected a user updated across batches")
+    } finally q.stop()
+  }
+
   test("funnelOnline handles OUT-OF-ORDER arrivals: a late step-1 " +
       "event re-folds the whole funnel and supersedes prior emissions") {
     import java.sql.Timestamp

@@ -182,4 +182,26 @@ class UrlCanonSpec extends SparkSpec {
       .as[(Long, Option[String], String)].collect()
     assert(rerun.sortBy(_._1).sameElements(got.sortBy(_._1)))
   }
+
+  test("domainChurnReport (x151): set arithmetic on a hand snapshot " +
+      "pair; canonicalization folds www/case; one-sided strata " +
+      "publish Jaccard 0") {
+    // stratum X: old {a.com, b.com}, new {b.com, c.com, d.com}
+    //   → shared 1, added 2, removed 1, J = 1/4 = 250000
+    //   (www.B.com must fold into b.com for `shared` to be 1)
+    // stratum O: old-only → n_new 0, J = 0 div n_old = 0
+    val old = Seq(
+      ("X", "http://a.com/p1"), ("X", "http://www.B.com/p2"),
+      ("X", "http://a.com/p3"),
+      ("O", "http://solo.org/q")).toDF("src", "url")
+    val nw = Seq(
+      ("X", "https://b.com/p4"), ("X", "http://c.com/p5"),
+      ("X", "http://d.com/p6")).toDF("src", "url")
+    val got = UrlCanon.domainChurnReport(old, nw, "src", "url")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set(
+      ("X", 2L, 3L, 1L, 2L, 1L, 250000L),
+      ("O", 1L, 0L, 0L, 0L, 1L, 0L)))
+  }
 }
