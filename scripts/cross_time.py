@@ -51,14 +51,31 @@ def main():
             continue
         rows.append((name, bench[name], duck))
         print(f"{name}\t{bench[name]:.3f}\t{duck:.3f}", file=sys.stderr)
+    # Rows whose DuckDB "oracle" does categorically less work than the
+    # Spark op, making the ratio meaningless as an engine comparison
+    # (r14 verdict item 6). x107/x108: Spark decodes REAL PNG/WAV bytes
+    # per row; the oracle predicts the hashes analytically from the
+    # fixture's generator parameters and decodes nothing.
+    NOT_COMPARABLE = {
+        "x107_image_hash_dedup": "oracle predicts hashes analytically; "
+                                 "Spark decodes real PNG bytes",
+        "x108_audio_hash_dedup": "oracle predicts hashes analytically; "
+                                 "Spark decodes real WAV bytes",
+    }
     print("| query | spark_s | duck_s | ratio |")
     print("|---|---|---|---|")
     for name, s, d in rows:
         ratio = s / d if d > 0 else float("inf")
-        print(f"| {name} | {s:.2f} | {d:.2f} | {ratio:.2f}x |")
+        note = " †" if name in NOT_COMPARABLE else ""
+        print(f"| {name} | {s:.2f} | {d:.2f} | {ratio:.2f}x{note} |")
     ts, td = sum(r[1] for r in rows), sum(r[2] for r in rows)
     print(f"| **aggregate ({len(rows)} pairs)** | **{ts:.1f}** | "
           f"**{td:.1f}** | **{ts / td:.2f}x** |")
+    print()
+    for name, why in sorted(NOT_COMPARABLE.items()):
+        if any(r[0] == name for r in rows):
+            print(f"† `{name}`: ratio is codec-vs-analytic-formula, not "
+                  f"engine-vs-engine — {why}.")
     print(json.dumps({"pairs": len(rows), "spark_total_s": round(ts, 2),
                       "duck_total_s": round(td, 2),
                       "aggregate_ratio": round(ts / td, 3)}))

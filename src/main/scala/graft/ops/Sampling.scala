@@ -198,15 +198,18 @@ object Sampling {
     * (stratum, id, weight, key). This is the one-pass distributed
     * shape of the reservoir algorithm itself.
     *
-    * Weight domain (r14, the r13 ADVICE item): rows whose weight
-    * casts to a BIGINT < 1 are FILTERED OUT before keying — in
-    * Efraimidis–Spirakis a zero weight means zero inclusion
-    * probability, and the old clamp-to-1 silently let weight-0 rows
-    * compete like weight-1 rows. The filter is part of the op's
-    * contract (mirrored in the x127 oracle and inherited by the
-    * streaming reservoir through the shared [[esKeyed]] projection);
-    * fractional weights are out of contract — pre-scale to integer
-    * units (token counts already are).
+    * Weight domain (r14/r15, the r13+r14 ADVICE items): weights are
+    * INTEGER UNITS ≥ 0. Integral weight-0 rows are FILTERED OUT
+    * before keying — in Efraimidis–Spirakis a zero weight means zero
+    * inclusion probability (the filter is part of the op's contract,
+    * mirrored in the x127 oracle and inherited by the streaming
+    * reservoir through the shared [[esKeyed]] projection). Anything
+    * ELSE out of domain — fractional, negative, or NULL weights —
+    * now RAISES at execution (r15) instead of silently vanishing in
+    * the cast-to-BIGINT filter: a caller passing unscaled fractional
+    * weights gets an error, not a quietly biased reservoir.
+    * Pre-scale fractional weights to integer units (token counts
+    * already are).
     *
     * Returns `(strataCol, idCol, weight, key_units, rk)`, `rk` ≤ `k`
     * ordered by (key_units, id) — the id tie-break makes equal
@@ -227,7 +230,15 @@ object Sampling {
     val h48 = h16(1) * lit(4294967296L) + h16(5) * lit(65536L) + h16(9)
     val u = (h48.cast(DoubleType) + lit(0.5)) / lit(281474976710656.0)
     val lq = floor(-log(u) * lit(1000000.0) + lit(0.5)).cast(LongType)
-    df.filter(col(weightCol).cast(LongType) >= 1L)
+    // contract gate: integral ≥ 0 (NULL/fractional/negative raise);
+    // integral zeros are then dropped per the ES zero-probability rule
+    val wl = col(weightCol).cast(LongType)
+    val inContract = col(weightCol).isNotNull &&
+      col(weightCol).cast(DoubleType) === wl.cast(DoubleType) && wl >= 0L
+    df.filter(when(inContract, wl >= 1L).otherwise(raise_error(concat(
+        lit(s"esKeyed: weight column '$weightCol' out of contract " +
+          "(integer units >= 0 required), got "),
+        coalesce(col(weightCol).cast(StringType), lit("NULL"))))))
       .select(col(strataCol), col(idCol),
         col(weightCol).cast(LongType).as("weight"),
         lq.as("_lq"))

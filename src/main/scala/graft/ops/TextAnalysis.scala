@@ -1291,11 +1291,16 @@ object TextAnalysis {
     * calls can no longer both build and release each other's live
     * checkpoint.
     *
-    * Documented contract: (a) a returned frame is valid until its
-    * entry is LRU-evicted by later same-session lm calls on ≥ 3
-    * DIFFERENT corpus/tokenizer/kind combinations; anything
-    * longer-lived should build an [[LmModel]]/[[Kn3Model]] and
-    * `release()` it explicitly. (b) Reuse assumes the INPUT IS
+    * Documented contract: (a) a returned frame is valid for the LIFE
+    * OF THE SESSION — slots hold `persist(MEMORY_AND_DISK)` frames
+    * (r15; was `localCheckpoint` through r14), so LRU eviction merely
+    * unpersists the cache and a still-live frame transparently
+    * RECOMPUTES from lineage on its next action instead of dying with
+    * `CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND` (the r14 race: eviction
+    * destroyed blocks backing frames already returned to callers).
+    * Anything wanting an explicit lifetime should build an
+    * [[LmModel]]/[[Kn3Model]] and `release()` it. (b) Reuse assumes
+    * the INPUT IS
     * IMMUTABLE within the session: the corpus key identifies the
     * PLAN, not the data — re-reading a path whose underlying files
     * changed mid-session yields the same key and would serve the
@@ -1356,8 +1361,12 @@ object TextAnalysis {
       }
       val slot = if (hit != null) hit else LmSlot(key, build)
       dq.addFirst(slot) // most-recently-used at the head
+      // Evicting UNPERSISTS (never checkpoint-releases): the evicted
+      // entry's frame keeps its full lineage, so callers still holding
+      // it recompute on a cache miss rather than crash — the blocks
+      // are reclaimed either way.
       while (dq.size > LmSlotCapacity)
-        releaseLocalCheckpoint(dq.removeLast().frame)
+        dq.removeLast().frame.unpersist(blocking = false)
       slot.frame
     }
 
@@ -1369,7 +1378,7 @@ object TextAnalysis {
     val model = lmSlotGetOrBuild(docs.sparkSession, key)(
       bigramRows(docs, idCol, textCol, tokenize)
         .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-        .localCheckpoint(eager = false))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pr = bigramRows(docs, idCol, textCol, tokenize)
     val ts = lmTokenStats(model)
     val vocab = ts.agg(count(lit(1)).cast(DoubleType).as("vsz"))
@@ -1432,7 +1441,7 @@ object TextAnalysis {
     val model = lmSlotGetOrBuild(docs.sparkSession, key)(
       bigramRows(docs, idCol, textCol, tokenize)
         .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-        .localCheckpoint(eager = false))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pr = bigramRows(docs, idCol, textCol, tokenize)
     val cu = model.groupBy("w1")
       .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1f"))
@@ -1517,7 +1526,7 @@ object TextAnalysis {
     val key = lmCorpusKey("trigram-rows", docs, idCol, textCol, tokenize)
     val pr = lmSlotGetOrBuild(docs.sparkSession, key)(
       trigramRows(docs, idCol, textCol, tokenize)
-        .localCheckpoint(eager = false))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val model = pr.groupBy("w1", "w2", "w3")
       .agg(count(lit(1)).as("c3"))
     val ctx = model.groupBy("w1", "w2")
@@ -1615,7 +1624,7 @@ object TextAnalysis {
       tokenize)
     val pr = lmSlotGetOrBuild(docs.sparkSession, key)(
       fivegramRows(docs, idCol, textCol, tokenize)
-        .localCheckpoint(eager = false))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val t5 = pr.groupBy("w1", "w2", "w3", "w4", "w5")
       .agg(count(lit(1)).as("c5"))
       .filter(col("c5") >= minCount)

@@ -5590,7 +5590,8 @@ object ExtensionCatalog {
           SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
           FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
         SELECT from_type, to_type, n,
-          (n * 1000000) // SUM(n) OVER (PARTITION BY from_type)
+          (n * 1000000)
+            // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
             AS p_micros
         FROM m
         """ + orderedSql(Seq("from_type", "to_type", "n",

@@ -141,12 +141,16 @@ object QueryCatalog {
         WHERE NOT regexp_matches(text, 'merge.*join') GROUP BY lang
         """ + orderedSql(Seq("lang", "n")))),
 
-    // Q4 — inner equi-join + agg; customer is a broadcast-able dimension.
+    // Q4 — inner equi-join + agg. customer GROWS with scale factor
+    // (TPC-H SF100 ⇒ 15 M rows), so no forced broadcast hint — AQE
+    // picks broadcast at small SF from runtime sizes and falls back to
+    // a shuffle join when the dimension outgrows the threshold; a hard
+    // hint here is a driver OOM at 100× (r14 verdict item 4).
     QueryDef("q4_join_agg",
       (s, dir) => {
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
-        ordered(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        ordered(o.join(c, o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment").agg(
             count(lit(1)).as("n"),
             moneySumMicros(col("o_totalprice")).as("sum_price_micros")))
@@ -168,11 +172,14 @@ object QueryCatalog {
         val su = t(s, dir, "supplier")
         val n = t(s, dir, "nation")
         val r = t(s, dir, "region")
+        // customer/supplier grow with SF — broadcast is AQE's call;
+        // nation (25 rows) / region (5 rows) are FIXED-size, so their
+        // hints are safe at any scale
         ordered(li
           .join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
-                               c("c_nationkey") === su("s_nationkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey") &&
+                    c("c_nationkey") === su("s_nationkey"))
           .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("n_name")

@@ -197,8 +197,13 @@ object EventStreams {
 
   /** ONLINE inter-arrival spectrum — the ingest-time twin of batch
     * x142 (`graft.ops.EventAnalytics.interArrivalSpectrum`): per
-    * user, keyed state carries the (t seconds, event_id, type) event
-    * history in the batch op's exact (t, id) total order; each update
+    * user, keyed state carries the (t micros, event_id, type) event
+    * history in the batch op's exact (ts, id) total order — FULL
+    * event-time precision (r15; r14 sorted on second-truncated
+    * seconds, which diverged from batch on sub-second siblings within
+    * one second); gaps are still computed on the batch op's truncated
+    * SECONDS (`floorDiv(t_micros, 1e6)` ≡ `unix_timestamp`); each
+    * update
     * re-derives the user's full (type, base-2 bucket) gap histogram
     * and re-emits it with a monotone `version` stamp (keep each
     * user's max-version rows downstream; summing them across users
@@ -218,7 +223,7 @@ object EventStreams {
   def interArrivalOnline(events: DataFrame): Dataset[SpectrumRow] = {
     import events.sparkSession.implicits._
     events
-      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
         col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
@@ -236,7 +241,10 @@ object EventStreams {
             scala.collection.mutable.Map.empty[(String, Long), Long]
           seen.iterator.sliding(2).withPartial(false).foreach { pair =>
             val a = pair.head
-            val dt = pair(1)._1 - a._1
+            // batch gap semantics: difference of TRUNCATED seconds
+            // (unix_timestamp), even though the ORDER is full-micros
+            val dt = Math.floorDiv(pair(1)._1, 1000000L) -
+              Math.floorDiv(a._1, 1000000L)
             val bucket =
               if (dt <= 0L) 0L
               else (64 - java.lang.Long.numberOfLeadingZeros(dt)).toLong
@@ -246,6 +254,95 @@ object EventStreams {
           counts.iterator.map { case ((et, bkt), n) =>
             SpectrumRow(uid, nv, et, bkt, n)
           }
+      }
+  }
+
+  /** ONLINE transition matrix — the ingest-time twin of batch x138
+    * (`graft.ops.EventAnalytics.transitionReport`): per user, keyed
+    * state carries the (t micros, event_id, type) event history in
+    * the batch op's exact (ts, id) total order; each update re-derives
+    * the user's full (from_type, to_type) consecutive-pair count
+    * matrix and re-emits it with a monotone `version` stamp (keep
+    * each user's max-version rows downstream; summing `n` across
+    * users equals batch x138's count matrix EXACTLY, and the
+    * row-normalized `p_micros` is one exact BIGINT floor division
+    * over that summed matrix — the same final type²-sized reduction
+    * as the batch op's window). Re-emitting the whole matrix instead
+    * of deltas is what makes out-of-order arrivals correct: a late
+    * event splits an existing transition in two and creates two new
+    * pairs — the next emission supersedes every prior row (the
+    * retentionOnline convention).
+    *
+    * State per user is their own event history (two 8-byte words +
+    * the type tag per event) — bounded by per-user activity, the
+    * same argument as the batch op's per-user window partition; a
+    * production deployment bounds it with an event-time TTL.
+    */
+  def transitionsOnline(events: DataFrame): Dataset[TransitionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[(Long, Seq[(Long, Long, String)])]) =>
+          val (ver, seen0) = state.getOption.getOrElse(
+            (0L, Seq.empty[(Long, Long, String)]))
+          val seen = (seen0.iterator ++ rows.map(r => (r._2, r._3, r._4)))
+            .toSeq.distinct.sortBy(e => (e._1, e._2))
+          val nv = ver + 1
+          state.update((nv, seen))
+          val counts =
+            scala.collection.mutable.Map.empty[(String, String), Long]
+          seen.iterator.sliding(2).withPartial(false).foreach { pair =>
+            val k = (pair.head._3, pair(1)._3)
+            counts(k) = counts.getOrElse(k, 0L) + 1L
+          }
+          counts.iterator.map { case ((ft, tt), n) =>
+            TransitionRow(uid, nv, ft, tt, n)
+          }
+      }
+  }
+
+  /** ONLINE per-user activity calendar — the ingest-time twin of
+    * batch x141 (`graft.ops.EventAnalytics.activeUsersReport`): per
+    * user, keyed state carries the distinct set of active epoch-days;
+    * each update re-emits the user's FULL day list with a monotone
+    * `version` stamp (the retentionOnline convention — keep each
+    * user's max-version rows downstream). The final rows are exactly
+    * the batch op's distinct (user, day) activity table, so DAU /
+    * trailing-7 WAU / trailing-30 MAU / stickiness all derive from
+    * them with the batch op's own calendar arithmetic — StreamingSpec
+    * pins the assembled report ≡ batch under forced multi-batch
+    * replay. Out-of-order arrivals are free: a day set only grows,
+    * and re-emission supersedes prior rows.
+    *
+    * State per user is one 8-byte word per DISTINCT active calendar
+    * day — the calendar bounds it, the same argument as the batch
+    * op's activity-table collapse.
+    */
+  def activeDaysOnline(events: DataFrame): Dataset[ActiveDayRow] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+          .cast(LongType).as("d"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Seq[Long])]) =>
+          val (ver, seen0) = state.getOption.getOrElse(
+            (0L, Seq.empty[Long]))
+          val seen = (seen0.iterator ++ rows.map(_._2))
+            .toSet.toSeq.sorted
+          val nv = ver + 1
+          state.update((nv, seen))
+          seen.iterator.map(d => ActiveDayRow(uid, nv, d))
       }
   }
 
@@ -283,6 +380,23 @@ case class SpectrumRow(user_id: Long, version: Long, event_type: String,
   * `COUNT(max_step >= step)` over the final rows.
   */
 case class FunnelStepRow(user_id: Long, version: Long, max_step: Long)
+
+/** Output row of [[EventStreams.transitionsOnline]] — the user's
+  * current (from_type, to_type) consecutive-pair count; `version` is
+  * the per-user monotone emission stamp (keep max per user
+  * downstream; summing `n` across users is batch x138's count
+  * matrix, and `p_micros = (n_sum * 1000000) div row_total` its
+  * published normalization).
+  */
+case class TransitionRow(user_id: Long, version: Long,
+  from_type: String, to_type: String, n: Long)
+
+/** Output row of [[EventStreams.activeDaysOnline]] — one distinct
+  * active epoch-day of the user; `version` is the per-user monotone
+  * emission stamp (keep max per user downstream; the final rows ARE
+  * batch x141's (user, day) activity table).
+  */
+case class ActiveDayRow(user_id: Long, version: Long, day: Long)
 
 /** Output row of [[EventStreams.retentionOnline]] — `cohort_day` is
   * the user's first active day in epoch-day units, `day_offset` the

@@ -196,8 +196,11 @@ class PlanQualitySpec extends SparkSpec {
     val x111 = phys("x111_kn_trigram_quality")
     assert(!x111.contains("SortMergeJoin"),
       s"x111 degraded a model join to a shuffle join:\n$x111")
-    assert(x111.toLowerCase.contains("existingrdd"),
-      s"x111 lost its trigram-table checkpoint barrier:\n$x111")
+    // r15: the LM slot persists (InMemoryTableScan) instead of
+    // localCheckpointing (ExistingRDD) so evicted models recompute
+    // rather than crash — the barrier node changed spelling
+    assert(x111.toLowerCase.contains("inmemorytablescan"),
+      s"x111 lost its trigram-table cache barrier:\n$x111")
     // x113: the one-scan barrier feeds sizes + df-cap + both pair
     // sides, and the per-A rank cut stays a partitioned top-1
     // (WindowGroupLimit applies)
@@ -278,8 +281,8 @@ class PlanQualitySpec extends SparkSpec {
     assert(bhj >= 9,
       s"x124 plans only $bhj BroadcastHashJoin (expected the 9-join " +
         s"scoring chain):\n$x124")
-    assert(x124.toLowerCase.contains("existingrdd"),
-      s"x124 lost its 5-gram-table checkpoint barrier:\n$x124")
+    assert(x124.toLowerCase.contains("inmemorytablescan"),
+      s"x124 lost its 5-gram-table cache barrier:\n$x124")
     // x129: the production blocklist gate must join the rule table as
     // a BROADCAST (a shuffle join there would move the corpus for a
     // model-sized list) and shuffle only the per-doc aggregate + the
@@ -405,6 +408,39 @@ class PlanQualitySpec extends SparkSpec {
       s"x151 must be union + two aggregates:\n$x151")
     assert("Exchange hashpartitioning".r.findAllIn(x151).length <= 2,
       s"x151 plans more than its two aggregate exchanges:\n$x151")
+  }
+
+  test("round-15 hint discipline: q4/q5 never force-broadcast " +
+      "SF-growing dimensions; fixed-size nation/region keep theirs") {
+    // customer/supplier grow linearly with scale factor — a hard
+    // broadcast() hint on them is a driver OOM at 100× (r14 verdict
+    // item 4). nation (25 rows) and region (5 rows) are constant-size
+    // per the TPC-H spec, so their hints are safe forever.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hintedRelations(name: String): Seq[String] = {
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.analyzed
+      plan.collect { case h: ResolvedHint =>
+        // identify the hinted side by which table's key columns it has
+        val cols = h.child.output.map(_.name).toSet
+        if (cols.contains("c_custkey")) "customer"
+        else if (cols.contains("s_suppkey")) "supplier"
+        else if (cols.contains("n_nationkey")) "nation"
+        else if (cols.contains("r_regionkey")) "region"
+        else "other"
+      }
+    }
+    assert(hintedRelations("q4_join_agg").isEmpty,
+      "q4 must leave the customer join strategy to AQE")
+    val q5hints = hintedRelations("q5_multiway_join").sorted
+    assert(q5hints == Seq("nation", "region"),
+      s"q5 hints must be exactly fixed-size nation+region, got $q5hints")
+    // at fixture scale AQE still picks broadcast for every q5 join —
+    // the hint removal costs nothing where it used to apply
+    val q5phys = SparkEntry.queries("q5_multiway_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(q5phys.contains("BroadcastHashJoin"),
+      s"q5 lost all broadcast joins at fixture scale:\n$q5phys")
   }
 
   test("no declared query plans an unpartitioned window or cartesian product") {

@@ -61,11 +61,10 @@ import org.apache.spark.sql.types._
   * (`GraftPlanBridge.ofRows`). Sites inside higher-order-function
   * lambdas (`transform`/`zip_with` — e.g. x95's per-coordinate
   * residual round) are measured by swapping the lambda body for the
-  * margin expression and exploding the result. Ops with the
-  * one-model-per-session checkpoint slot (the KN/LM family releases
-  * the PREVIOUS query's model when the next builds) are re-measured on
-  * a freshly constructed instance when the batch-discovered plan's
-  * checkpoint is already gone.
+  * margin expression and exploding the result. Batch-discovered plans
+  * stay executable throughout: the LM slot persists (rather than
+  * checkpoints) its model tables, so an evicted model recomputes from
+  * lineage instead of failing (LmSlotLivenessSpec pins this).
   */
 class RoundingMarginSpec extends SparkSpec {
 
@@ -448,29 +447,15 @@ class RoundingMarginSpec extends SparkSpec {
     t
   }
 
-  /** Measure with a fresh-rebuild retry: ops with the
-    * one-model-per-session checkpoint slot (KN/LM family) release the
-    * PREVIOUS construction's checkpointed model when the next query
-    * builds, so a batch-discovered plan may no longer execute.
-    * Rebuilding the single query and measuring immediately restores a
-    * live checkpoint.
+  /** r15: the LM slot now holds `persist`ed frames (full lineage), so
+    * an evicted model recomputes on its next action instead of dying
+    * with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — the r12–r14
+    * fresh-rebuild `withRetry` shim that masked that race is GONE, and
+    * [[graft.LmSlotLivenessSpec]] pins that batch-discovered plans
+    * stay executable after arbitrary later builds.
     */
-  private def withRetry[T](site: Site, dir: String)(f: Site => T): T =
-    try noBroadcast(f(site)) catch {
-      case e1: Throwable =>
-        val df = SparkEntry.queries(site.query)(spark, dir)
-        val fresh = quantSites(site.query, df)
-          .filter(s2 => s2.kind == site.kind &&
-            s2.targetScale == site.targetScale)
-        val match0 = fresh.find(
-            _.raw.canonicalized.toString ==
-              site.raw.canonicalized.toString)
-          .orElse(fresh.headOption)
-        match0 match {
-          case Some(s2) => noBroadcast(f(s2))
-          case None => throw e1
-        }
-    }
+  private def measure[T](site: Site)(f: Site => T): T =
+    noBroadcast(f(site))
 
   // ---- adjudicated exceptions ------------------------------------
 
@@ -517,7 +502,7 @@ class RoundingMarginSpec extends SparkSpec {
       sites.foreach { s =>
         if (!siteAllow.contains(key(s)))
           try {
-            val m = withRetry(s, dir)(measureDouble)
+            val m = measure(s)(measureDouble)
             // hazard drift bound: a few ulps of the value in g-space,
             // ≈ 8·|g|·2⁻⁵²; pin 10² above it (fixture minima sit
             // 10³–10⁴× above the TRUE drift even then), floored at
@@ -553,7 +538,7 @@ class RoundingMarginSpec extends SparkSpec {
         .flatMap { s =>
           if (siteAllow.contains(key(s))) None
           else try {
-            val ties = withRetry(s, dir)(countTies)
+            val ties = measure(s)(countTies)
             if (ties > 0L)
               Some(s"${key(s)}: $ties exact half-ties (engine decimal " +
                 "tie semantics can diverge)")
@@ -579,7 +564,7 @@ class RoundingMarginSpec extends SparkSpec {
         .flatMap { s =>
           if (siteAllow.contains(key(s))) None
           else try {
-            val rep = withRetry(s, dir)(measureRep)
+            val rep = measure(s)(measureRep)
             if (rep >= bound)
               Some(f"${key(s)}: integer rep $rep%.3g ≥ 2^53/8 — " +
                 "conversion may differ in the last ulp cross-engine")

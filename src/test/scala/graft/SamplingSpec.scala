@@ -462,6 +462,28 @@ class SamplingSpec extends SparkSpec {
       s"sampled mean weight $sampledMean !> corpus mean $corpusMean")
   }
 
+  test("esKeyed weight contract (r15): fractional, negative, and NULL " +
+      "weights RAISE; integral zeros are dropped, not clamped") {
+    def run(weights: Seq[Option[Double]]): Seq[Long] =
+      Sampling.weightedSampleTopK(
+          weights.zipWithIndex
+            .map { case (w, i) => (i.toLong, "s", w) }
+            .toDF("id", "stratum", "w"),
+          "id", "stratum", "w", k = 10)
+        .select($"id").as[Long].collect().toSeq.sorted
+    // in contract: integral doubles >= 0; the zero is dropped
+    assert(run(Seq(Some(3.0), Some(1.0), Some(0.0))) === Seq(0L, 1L))
+    // out of contract: each variant must fail the JOB, not bias it
+    for (bad <- Seq[Option[Double]](Some(0.5), Some(-2.0), None)) {
+      val e = intercept[Exception] { run(Seq(Some(3.0), bad)) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("out of contract")),
+        s"weight $bad did not raise the contract error: $e")
+    }
+  }
+
   test("bootstrapMeanCI (x148): a constant metric collapses the " +
       "interval to the exact point; weights average ~Poisson(1); " +
       "the report is deterministic") {

@@ -306,6 +306,126 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionsOnline final state aggregates to the batch x138 " +
+      "matrix (counts AND p_micros) under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.transitionsOnline(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_transitions").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stream_transitions")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val latest = emitted
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+      // assemble the published report: sum per pair, then the batch
+      // op's own exact BIGINT row normalization
+      val wrow = org.apache.spark.sql.expressions.Window
+        .partitionBy($"from_type")
+      val assembled = latest
+        .groupBy($"from_type", $"to_type")
+        .agg(sum($"n").as("n"))
+        .withColumn("_tot", sum($"n").over(wrow))
+        .select($"from_type", $"to_type", $"n",
+          expr("(n * 1000000) div _tot").as("p_micros"))
+        .as[(String, String, Long, Long)].collect().toSet
+      val batch = graft.ops.EventAnalytics.transitionReport(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(assembled.nonEmpty)
+      assert(assembled === batch)
+      val multi = emitted.groupBy($"user_id")
+        .agg(countDistinct($"version").as("v")).filter($"v" > 1).count()
+      assert(multi > 0, "expected a user updated across batches")
+    } finally q.stop()
+  }
+
+  test("activeDaysOnline final state assembles to the batch x141 " +
+      "DAU/WAU/MAU report under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.activeDaysOnline(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_activedays").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stream_activedays")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      // final rows ARE the (user, day) activity table — rebuild a
+      // day-resolution event frame and run the batch derivation on it
+      val activity = emitted
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+        .select($"user_id",
+          ($"day" * 86400L).cast("timestamp").as("ts"))
+      // day publishes NTZ on the batch path and instant on the
+      // rebuilt one — normalize both to epoch days for the compare
+      def epochDays(df: org.apache.spark.sql.DataFrame) = df
+        .select((unix_timestamp($"day") / 86400L).cast("long").as("d"),
+          $"dau", $"wau", $"mau", $"stickiness_micros")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val assembled = epochDays(graft.ops.EventAnalytics
+        .activeUsersReport(activity, "user_id", "ts"))
+      val batch = epochDays(graft.ops.EventAnalytics.activeUsersReport(
+        Tables.load(spark, sf0001, "events"), "user_id", "ts"))
+      assert(assembled.nonEmpty)
+      assert(assembled === batch)
+      val multi = emitted.groupBy($"user_id")
+        .agg(countDistinct($"version").as("v")).filter($"v" > 1).count()
+      assert(multi > 0, "expected a user updated across batches")
+    } finally q.stop()
+  }
+
+  test("sub-second event-time ordering: transitionsOnline and " +
+      "interArrivalOnline match batch when siblings share a second " +
+      "(the r14 second-truncated sort-key divergence)") {
+    import java.sql.Timestamp
+    // one user, three events inside the same second plus one later:
+    // full-precision order is (A .100, B .400, C .900, D +5s) but id
+    // order disagrees with sub-second time order — a second-truncated
+    // sort key would attribute gaps to the wrong from_type
+    val rows = Seq(
+      (3L, Timestamp.valueOf("2024-01-01 00:00:10.1"), 1L, "A", 0.0, ""),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:10.4"), 1L, "B", 0.0, ""),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:10.9"), 1L, "C", 0.0, ""),
+      (4L, Timestamp.valueOf("2024-01-01 00:00:15.0"), 1L, "D", 0.0, ""))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val batchT = graft.ops.EventAnalytics.transitionReport(
+        events, "user_id", "ts", "event_id", "event_type")
+      .select($"from_type", $"to_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(batchT === Set(("A", "B", 1L), ("B", "C", 1L),
+      ("C", "D", 1L)), s"batch order not full-precision: $batchT")
+    // one-shot batch-mode run of both stateful twins
+    val onlineT = EventStreams.transitionsOnline(events)
+      .collect().map(r => (r.from_type, r.to_type, r.n)).toSet
+    assert(onlineT === batchT,
+      s"transitionsOnline diverged on sub-second siblings: $onlineT")
+    val batchS = graft.ops.EventAnalytics.interArrivalSpectrum(
+        events, "user_id", "ts", "event_id", "event_type")
+      .select($"event_type", $"bucket", $"n")
+      .as[(String, Long, Long)].collect().toSet
+    val onlineS = EventStreams.interArrivalOnline(events)
+      .collect().map(r => (r.event_type, r.bucket, r.n)).toSet
+    assert(onlineS === batchS,
+      s"interArrivalOnline diverged on sub-second siblings: $onlineS")
+    // the C→D gap is 5 truncated seconds → bucket 3; the same-second
+    // gaps land in bucket 0 under A and B
+    assert(batchS === Set(("A", 0L, 1L), ("B", 0L, 1L), ("C", 3L, 1L)))
+  }
+
   test("funnelOnline handles OUT-OF-ORDER arrivals: a late step-1 " +
       "event re-folds the whole funnel and supersedes prior emissions") {
     import java.sql.Timestamp
