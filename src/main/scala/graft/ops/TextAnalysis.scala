@@ -1275,14 +1275,18 @@ object TextAnalysis {
     * of rebuilding — x115 runs the full x111 model chain, x92/x96/x109
     * re-run x73's, and a bench/pipeline loop re-scores one corpus many
     * times; the corpus scan + model aggregates all come for free on a
-    * key hit. Capacity 3 (not 1) because the suite interleaves THREE
-    * model families over one corpus — bigram-model (x73/x92/x96/x97/
-    * x101/x109), trigram-rows (x111/x115/x128), fivegram-rows (x124) —
-    * and the r13 single slot made x124 and x128 evict each other's
-    * checkpoint on every pass (the r13 verdict's 5.7 s x124 row was
-    * exactly that rebuild). With 3 entries each family key stays
-    * resident across a whole suite pass; a 4th distinct
-    * corpus/tokenizer/kind evicts the least-recently-used occupant.
+    * key hit. r15 also slots the SCORED model tables (the windowed
+    * nlp chain — "…-scored" kinds), so a same-corpus re-score skips
+    * the whole serial model-stage chain, not just the corpus scan:
+    * one corpus can hold up to seven live keys at once (bigram-model
+    * rows, trigram rows, fivegram rows, and the four scored tables —
+    * add-one + KN bigram, KN trigram, KN 5-gram). Capacity 8 keeps a
+    * full single-corpus family set resident (the r13 single slot made
+    * x124 and x128 evict each other every pass — the 5.7 s x124 row);
+    * entries are model-sized (vocab-bounded) so eight of them stay
+    * cheap, and any further distinct corpus/tokenizer/kind evicts the
+    * least-recently-used occupant — which, since r15, only costs a
+    * recompute.
     *
     * Concurrency (r14, the r13 ADVICE item): lookup-or-build-and-
     * install is ONE compute-if-absent under the cache lock —
@@ -1309,7 +1313,7 @@ object TextAnalysis {
     * path/view per snapshot (the x53/x69 snapshot pattern) so the
     * plan — and hence the key — changes with the data.
     */
-  private[graft] val LmSlotCapacity = 3
+  private[graft] val LmSlotCapacity = 8
 
   private final case class LmSlot(key: String, frame: DataFrame)
 
@@ -1380,14 +1384,24 @@ object TextAnalysis {
         .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pr = bigramRows(docs, idCol, textCol, tokenize)
-    val ts = lmTokenStats(model)
-    val vocab = ts.agg(count(lit(1)).cast(DoubleType).as("vsz"))
-    val scored = model
-      .join(ts.select(col("w").as("w1"), col("cu")), "w1")
+    val vocab = lmTokenStats(model)
+      .agg(count(lit(1)).cast(DoubleType).as("vsz"))
+    // r15 fusion: the per-prefix total `cu` is a WINDOW sum over the
+    // model table (every model row w1-prefixes, so the old inner join
+    // against lmTokenStats attached exactly this value) — one exchange
+    // on w1 replaces the token-stats aggregate + broadcast join pair.
+    // The SCORED table gets its own slot: a same-corpus re-score
+    // (x92/x96/x97/x109 all ride this model) skips the whole chain.
+    val scored = lmSlotGetOrBuild(docs.sparkSession,
+      lmCorpusKey("bigram-scored-addone", docs, idCol, textCol,
+        tokenize))(model
+      .withColumn("cu", sum(col("cb")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w1")))
       .crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         round(-log((col("cb") + 1).cast(DoubleType) /
           (col("cu").cast(DoubleType) + col("vsz"))), 6).as("nlp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val modelSide =
       if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
           broadcastHintMaxInputBytes) broadcast(scored)
@@ -1443,17 +1457,27 @@ object TextAnalysis {
         .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pr = bigramRows(docs, idCol, textCol, tokenize)
-    val cu = model.groupBy("w1")
-      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1f"))
-    val np = model.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    // r15 fusion: cu/n1f/n1p are WINDOW aggregates over the model
+    // table (two exchanges on w1 / w2) instead of three separate
+    // aggregates re-joined back — the values are identical integers,
+    // the per-token skew bound is the per-token bigram-type count
+    // (≤ the broadcastable model itself on the hinted path).
+    val ww1 = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val ww2 = org.apache.spark.sql.expressions.Window.partitionBy("w2")
     val bt = model.agg(count(lit(1)).as("bt"))
-    val scored = model.join(cu, "w1").join(np, "w2")
+    val scored = lmSlotGetOrBuild(docs.sparkSession,
+      lmCorpusKey("bigram-scored-kn", docs, idCol, textCol,
+        tokenize))(model
+      .withColumn("cu", sum(col("cb")).over(ww1))
+      .withColumn("n1f", count(lit(1)).over(ww1))
+      .withColumn("n1p", count(lit(1)).over(ww2))
       .crossJoin(broadcast(bt))
       .select(col("w1"), col("w2"),
         round(-log(
           ((col("cb") - 0.75) / col("cu")) +
           (((lit(0.75) * col("n1f")) / col("cu")) *
             (col("n1p").cast(DoubleType) / col("bt")))), 6).as("nlp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val modelSide =
       if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
           broadcastHintMaxInputBytes) broadcast(scored)
@@ -1491,14 +1515,13 @@ object TextAnalysis {
     * that holds the driver's gate), rounded at 6 dp; the per-doc mean
     * routes through DECIMAL(18,6).
     *
-    * Scale: the corpus is touched exactly twice (the checkpointed
-    * trigram-type aggregate; the probe join) — every other table
-    * (`ctx`, `cont`, `mid`, `pred`, `bt`) is a MODEL-sized aggregate
-    * of the type table, exchanges carrying (w, counts) rows only;
-    * the scored model rides the probe join as a broadcast under the
-    * same size hint as [[lmQuality]]. Shares the one-checkpoint-
-    * per-session release slot (a returned frame is valid until the
-    * same session's next lm call).
+    * Scale: the corpus is touched exactly twice (the cached
+    * trigram-row slot feeds the type aggregate AND the probe join) —
+    * every other count (`ctx`, `cont`, `mid`, `pred`) is a fused
+    * WINDOW aggregate over the one type table (r15; two model-sized
+    * exchanges total), `bt` a tiny distinct-count branch; the scored
+    * model is slot-cached and rides the probe join as a broadcast
+    * under the same size hint as [[lmQuality]].
     *
     * Returns `(doc_id, n_trigrams, avg_nll)`.
     */
@@ -1529,18 +1552,44 @@ object TextAnalysis {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val model = pr.groupBy("w1", "w2", "w3")
       .agg(count(lit(1)).as("c3"))
-    val ctx = model.groupBy("w1", "w2")
-      .agg(sum(col("c3")).as("ctx"), count(lit(1)).as("n3f"))
-    // distinct-context count per suffix bigram: N1+(·w2w3)
-    val cont = model.groupBy("w2", "w3").agg(count(lit(1)).as("cont"))
-    // Σ_w3 N1+(·w2w3) = |{(w1,w3)}| per w2, and distinct successors
-    val mid = cont.groupBy("w2")
-      .agg(sum(col("cont")).as("mid"), count(lit(1)).as("n2f"))
-    val pred = cont.groupBy("w3").agg(count(lit(1)).as("pred"))
-    val bt = cont.agg(count(lit(1)).as("bt"))
-    val scored = model.join(ctx, Seq("w1", "w2"))
-      .join(cont, Seq("w2", "w3"))
-      .join(mid, "w2").join(pred, "w3")
+    // r15 fusion (the r14 verdict's item 5): ctx/cont/mid/pred are
+    // WINDOW aggregates over the ONE model table instead of four
+    // separate aggregates broadcast-joined back. Every window key
+    // except pred's contains w2, and HashPartitioning(w2) satisfies
+    // ClusteredDistribution on any superset key — so ONE w2 exchange
+    // (plus local re-sorts) serves ctx/cont/mid, pred adds one w3
+    // exchange, and four broadcast-build jobs disappear. Identities
+    // (model rows are UNIQUE per (w1,w2,w3), so counts over windows
+    // equal the old aggregate-join values exactly):
+    //   ctx/n3f  = sum(c3)/count(*)      over (w1,w2)
+    //   cont     = count(*)              over (w2,w3)  [distinct w1s]
+    //   mid      = count(*)              over (w2)     [= Σ_w3 cont]
+    //   n2f      = Σ first-of-(w2,w3)    over (w2)     [distinct w3s]
+    //   pred     = Σ first-of-(w2,w3)    over (w3)     [distinct w2s]
+    // Skew bound: a single-token window partition holds that token's
+    // trigram types — ≤ the whole model, which the hinted path
+    // BROADCASTS whole; the aggregate spelling's map-side combine is
+    // not needed on a table already collapsed to types. At 100 TB the
+    // model exchange still carries (w, counts) rows only.
+    import org.apache.spark.sql.expressions.Window
+    val w12 = Window.partitionBy("w1", "w2")
+    val w23 = Window.partitionBy("w2", "w3")
+    val ww2 = Window.partitionBy("w2")
+    val ww3 = Window.partitionBy("w3")
+    val bt = model.select(col("w2"), col("w3")).distinct()
+      .agg(count(lit(1)).as("bt"))
+    val scored = lmSlotGetOrBuild(docs.sparkSession,
+      lmCorpusKey("trigram-scored", docs, idCol, textCol,
+        tokenize))(model.repartition(col("w2"))
+      .withColumn("ctx", sum(col("c3")).over(w12))
+      .withColumn("n3f", count(lit(1)).over(w12))
+      .withColumn("cont", count(lit(1)).over(w23))
+      .withColumn("_f23",
+        when(row_number().over(w23.orderBy(col("w1"))) === 1, 1L)
+          .otherwise(0L))
+      .withColumn("mid", count(lit(1)).over(ww2))
+      .withColumn("n2f", sum(col("_f23")).over(ww2))
+      .withColumn("pred", sum(col("_f23")).over(ww3))
       .crossJoin(broadcast(bt))
       .select(col("w1"), col("w2"), col("w3"),
         round(-log(
@@ -1550,6 +1599,7 @@ object TextAnalysis {
               (((lit(0.75) * col("n2f")) / col("mid")) *
                 (col("pred").cast(DoubleType) / col("bt")))))), 6)
           .as("nlp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val modelSide =
       if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
           broadcastHintMaxInputBytes) broadcast(scored)
@@ -1608,9 +1658,10 @@ object TextAnalysis {
     * Determinism: the full x111 contract — every factor an exact
     * Long, ONE per-row IEEE expression rounded at 6 dp
     * (RoundingMarginSpec pins its boundary margins), per-doc mean
-    * DECIMAL-routed. Scale: one corpus pass (the checkpointed 5-gram
-    * rows feed the model build AND the probe join through the
-    * corpus-keyed slot), nine model-sized exchanges, frozen-model
+    * DECIMAL-routed. Scale: one corpus pass (the cached 5-gram rows
+    * feed the model build AND the probe join through the corpus-keyed
+    * slot), the nine model tables fused into ONE window pass over the
+    * type table (r15; two model-sized exchanges total), frozen-model
     * broadcast scoring under the [[lmQuality]] size hint.
     *
     * Returns `(doc_id, n_5grams, avg_nll)`.
@@ -1628,30 +1679,53 @@ object TextAnalysis {
     val t5 = pr.groupBy("w1", "w2", "w3", "w4", "w5")
       .agg(count(lit(1)).as("c5"))
       .filter(col("c5") >= minCount)
-    val ctx5 = t5.groupBy("w1", "w2", "w3", "w4")
-      .agg(sum(col("c5")).as("ctx5"), count(lit(1)).as("n5f"))
-    val cont4 = t5.groupBy("w2", "w3", "w4", "w5")
-      .agg(count(lit(1)).as("cont4"))
-    val mid4 = cont4.groupBy("w2", "w3", "w4")
-      .agg(sum(col("cont4")).as("mid4"), count(lit(1)).as("n4f"))
-    val cont3 = cont4.groupBy("w3", "w4", "w5")
-      .agg(count(lit(1)).as("cont3"))
-    val mid3 = cont3.groupBy("w3", "w4")
-      .agg(sum(col("cont3")).as("mid3"), count(lit(1)).as("n3f"))
-    val cont2 = cont3.groupBy("w4", "w5").agg(count(lit(1)).as("cont2"))
-    val mid2 = cont2.groupBy("w4")
-      .agg(sum(col("cont2")).as("mid2"), count(lit(1)).as("n2f"))
-    val pred = cont2.groupBy("w5").agg(count(lit(1)).as("pred"))
-    val bt = cont2.agg(count(lit(1)).as("bt"))
-    val scored = t5
-      .join(ctx5, Seq("w1", "w2", "w3", "w4"))
-      .join(cont4, Seq("w2", "w3", "w4", "w5"))
-      .join(mid4, Seq("w2", "w3", "w4"))
-      .join(cont3, Seq("w3", "w4", "w5"))
-      .join(mid3, Seq("w3", "w4"))
-      .join(cont2, Seq("w4", "w5"))
-      .join(mid2, Seq("w4"))
-      .join(pred, Seq("w5"))
+    // r15 fusion (the kn3DocSumsImpl identities one recursion deeper):
+    // all nine model tables become WINDOW aggregates over the ONE
+    // pruned 5-gram type table. First-of-group flags stand in for the
+    // old intermediate distinct tables (t5 rows are unique per
+    // (w1..w5)): _f4 marks one row per (w2..w5) group [a cont4 row],
+    // _f3 one per (w3,w4,w5) [a cont3 row], _f2 one per (w4,w5)
+    // [a cont2 row]; summing a flag over a coarser window counts that
+    // level's distinct groups exactly as the old groupBy chain did.
+    // Every window key except pred's (w5) contains w4, so ONE w4
+    // exchange (plus local re-sorts) serves all seven — eight
+    // broadcast-build jobs and eight aggregate exchanges collapse to
+    // two exchanges. Skew bound: a single-token partition holds that
+    // token's PRUNED 5-gram types — ≤ the whole model, which the
+    // hinted path broadcasts whole.
+    import org.apache.spark.sql.expressions.Window
+    val wc5 = Window.partitionBy("w1", "w2", "w3", "w4")
+    val w2345 = Window.partitionBy("w2", "w3", "w4", "w5")
+    val w234 = Window.partitionBy("w2", "w3", "w4")
+    val w345 = Window.partitionBy("w3", "w4", "w5")
+    val w34 = Window.partitionBy("w3", "w4")
+    val w45 = Window.partitionBy("w4", "w5")
+    val ww4 = Window.partitionBy("w4")
+    val ww5 = Window.partitionBy("w5")
+    def firstOf(w: org.apache.spark.sql.expressions.WindowSpec,
+        order: Column*): Column =
+      when(row_number().over(w.orderBy(order: _*)) === 1, 1L)
+        .otherwise(0L)
+    val bt = t5.select(col("w4"), col("w5")).distinct()
+      .agg(count(lit(1)).as("bt"))
+    val scored = lmSlotGetOrBuild(docs.sparkSession,
+      lmCorpusKey(s"fivegram-scored-$minCount", docs, idCol, textCol,
+        tokenize))(t5.repartition(col("w4"))
+      .withColumn("ctx5", sum(col("c5")).over(wc5))
+      .withColumn("n5f", count(lit(1)).over(wc5))
+      .withColumn("cont4", count(lit(1)).over(w2345))
+      .withColumn("_f4", firstOf(w2345, col("w1")))
+      .withColumn("mid4", count(lit(1)).over(w234))
+      .withColumn("n4f", sum(col("_f4")).over(w234))
+      .withColumn("cont3", sum(col("_f4")).over(w345))
+      .withColumn("_f3", firstOf(w345, col("w2"), col("w1")))
+      .withColumn("mid3", sum(col("_f4")).over(w34))
+      .withColumn("n3f", sum(col("_f3")).over(w34))
+      .withColumn("cont2", sum(col("_f3")).over(w45))
+      .withColumn("_f2", firstOf(w45, col("w3"), col("w2"), col("w1")))
+      .withColumn("mid2", sum(col("_f3")).over(ww4))
+      .withColumn("n2f", sum(col("_f2")).over(ww4))
+      .withColumn("pred", sum(col("_f2")).over(ww5))
       .crossJoin(broadcast(bt))
       .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
         round(-log(
@@ -1665,6 +1739,7 @@ object TextAnalysis {
                       (((lit(0.75) * col("n2f")) / col("mid2")) *
                         (col("pred").cast(DoubleType) /
                           col("bt")))))))))), 6).as("nlp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val modelSide =
       if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
           broadcastHintMaxInputBytes) broadcast(scored)

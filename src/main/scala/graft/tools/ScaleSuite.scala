@@ -747,6 +747,67 @@ object R12bOpScale {
   }
 }
 
+/** 10×-growth check for the round-14 wave (x133–x151, the r14
+  * verdict's item 8): one combined 10× fixture dir (shared-vocab
+  * documents from [[ScaleFixture]], id-offset events ×10, id-offset
+  * embeddings ×10), then each declared query AS SHIPPED
+  * (`SparkEntry.queries`, presentation sort included) timed 3-warm
+  * median at sf0.1 and at the 10× dir. One JSON line of
+  * per-op [small, big, growth] triples — captured into BENCH_LOCAL.
+  */
+object R14OpScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf10r14")
+    val spark = Sessions.local("graft-r14-scale")
+    if (!Files.exists(Paths.get(s"$big/documents.parquet")))
+      ScaleFixture.main(Array(small, big, "10"))
+    if (!Files.exists(Paths.get(s"$big/_events10"))) {
+      val e = graft.Tables.load(spark, small, "events")
+      (0 until 10).map { c =>
+        e.select((col("event_id") + c * 100000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + c * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/events.parquet")
+      Files.createFile(Paths.get(s"$big/_events10"))
+    }
+    if (!Files.exists(Paths.get(s"$big/_emb10"))) {
+      val e = spark.read.parquet(s"$small/embeddings.parquet")
+      (0 until 10).map { c =>
+        e.select((col("vec_id") + c * 10000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(1.0f + c * 0.003f)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/embeddings.parquet")
+      Files.createFile(Paths.get(s"$big/_emb10"))
+    }
+    def median3(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(3)(run()).sorted.apply(1)
+    }
+    val wave = (133 to 151).map(i =>
+      graft.SparkEntry.queries.keys.find(_.startsWith(s"x${i}_")).get)
+    val parts = wave.map { name =>
+      val s = median3(name, small)
+      val b = median3(name, big)
+      f""""$name":[$s%.2f,$b%.2f,${b / s}%.2f]"""
+    }
+    println(parts.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

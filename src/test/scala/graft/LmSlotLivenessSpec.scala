@@ -34,13 +34,17 @@ class LmSlotLivenessSpec extends SparkSpec {
     val before = first.orderBy("doc_id").collect()
     assert(before.nonEmpty)
     // now churn through > LmSlotCapacity DISTINCT slot keys: trigram
-    // rows, fivegram rows, and a different-tokenizer bigram model —
-    // with the cap at 3 this evicts the original "bigram-model" entry
+    // + fivegram rows/scored, then distinct-tokenizer bigram models
+    // (each lmQuality call installs TWO keys: rows + scored) — enough
+    // to evict the original bigram-model/scored entries at any
+    // capacity ≤ 12
     TextAnalysis.knTrigramQuality(d, "doc_id", "text").count()
     TextAnalysis.kn5Quality(d, "doc_id", "text").count()
-    TextAnalysis.lmQuality(d, "doc_id", "text",
-      tokenize = c => org.apache.spark.sql.functions.split(
-        org.apache.spark.sql.functions.lower(c), "\\s+")).count()
+    for (pat <- Seq("\\s+", " +", "[ ]+", "[\\s]+")) {
+      TextAnalysis.lmQuality(d, "doc_id", "text",
+        tokenize = c => org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(c), pat)).count()
+    }
     // the original frame's slot entry is gone; executing it again must
     // RECOMPUTE (not crash) and reproduce the identical result
     val after = first.orderBy("doc_id").collect()
