@@ -293,13 +293,18 @@ object Dedup {
     val nChunks = lit(1L) + floor(
       (greatest(size(toks) - chunkSize, lit(0)) + (chunkSize - 1))
         / lit(chunkSize))
+    // r15: pre-slice into a per-doc chunk ARRAY and posexplode — the
+    // old explode(sequence)-then-slice spelling copied the FULL token
+    // array into every generated row (a docLen× amplification inside
+    // the generator stage; x133 measured 13.6× wall growth on the 10×
+    // fixture, ~linear after this change)
+    val chunkArr = transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(toks,
+        (i * chunkSize + 1).cast(IntegerType), lit(chunkSize))))
     val chunks = docs.select(col(idCol).as("doc_id"),
-        col(scopeCol).as("scope"), toks.as("_toks"),
-        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("scope"), col("chunk_id"),
-        concat_ws(" ", slice(col("_toks"),
-          (col("chunk_id") * chunkSize + 1).cast(IntegerType),
-          lit(chunkSize))).as("chunk"))
+        col(scopeCol).as("scope"),
+        posexplode(chunkArr).as(Seq("chunk_id", "chunk")))
+      .withColumn("chunk_id", col("chunk_id").cast(LongType))
       .withColumn("_k", xxhash64(col("scope"), col("chunk")))
     // `_k` already encodes the scope (hashed over (scope, chunk)), so
     // the frequency aggregate and the hot-key join run on the ONE

@@ -285,6 +285,192 @@ object EventAnalytics {
     * Returns `(bucket, n_users, total_events, lo_micros, hi_micros)`
     * — bucket = entropy_micros div 50000.
     */
+  /** The q25 gap-sessionization primitive shared by
+    * [[sessionStats]] and [[sessionTypeLift]]: per user, events take
+    * the event_id total order (the q25 convention — ids are assigned
+    * in ingest order and tie-free, where timestamps need not be), a
+    * session break is a gap > `gapUs` micros, and the session index
+    * is the running break count. Returns one row per EVENT:
+    * `(userCol, session_idx, tus, <typeCol if given>)`.
+    *
+    * Scale: ONE user-keyed exchange feeds both windows (lag + running
+    * sum share the partition+order); a power user bounds a task at
+    * their own event count — the q8/q9 partitioned-window shape.
+    */
+  private def sessionized(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, gapUs: Long,
+      keep: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(col(idCol))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val base = events.select((Seq(col(userCol), col(idCol),
+      unix_micros(col(tsCol).cast(TimestampType)).as("tus")) ++
+      keep.map(col)): _*)
+    val isNew = when(lag(col("tus"), 1).over(wOrd).isNull ||
+      col("tus") - lag(col("tus"), 1).over(wOrd) > gapUs, 1L)
+      .otherwise(0L)
+    base.withColumn("session_idx",
+      sum(isNew).over(wRun).cast(LongType))
+  }
+
+  /** Session-length distribution — the engagement report read next to
+    * x142's inter-arrival spectrum: gap-sessionize (10-minute
+    * inactivity, the q25 convention), then publish, per exact session
+    * EVENT COUNT, how many sessions have it, their total wall
+    * duration, and the session-share in exact floor-division micros.
+    *
+    * Determinism: integer microsecond arithmetic end to end — session
+    * indices from exact lag/running-sum windows, durations as
+    * max−min of epoch micros, the share one BIGINT floor division.
+    *
+    * Scale: one user-keyed exchange (the shared [[sessionized]]
+    * windows), the session rollup partial-aggregates map-side to a
+    * (user × session) table bounded by event count, and the published
+    * distribution is session-length-bounded (≲ hundreds of rows). The
+    * global session total rides a broadcast one-row frame.
+    *
+    * Returns `(n_events, n_sessions, sum_duration_us,
+    * p_micros BIGINT)`.
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapUs: Long = 600000000L): DataFrame = {
+    val sess = sessionized(events, userCol, tsCol, idCol, gapUs, Nil)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tus")) - min(col("tus"))).as("dur_us"))
+    val dist = sess.groupBy("n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("dur_us")).as("sum_duration_us"))
+    val total = dist.agg(sum(col("n_sessions")).as("_tot"))
+    dist.crossJoin(broadcast(total))
+      .select(col("n_events"), col("n_sessions"),
+        col("sum_duration_us"),
+        expr("(n_sessions * 1000000) div _tot").as("p_micros"))
+  }
+
+  /** Hour-of-day activity profile — per event type, the 24-bucket
+    * histogram with the within-type share in exact micros and the
+    * peak-hour flag (ties break to the earliest hour). The signal a
+    * bot/abuse triage reads first: human types have a diurnal shape,
+    * machine traffic is flat or single-spike.
+    *
+    * Determinism: `hour()` on the instant-cast timestamp is exact
+    * integer arithmetic in the UTC session; counts are BIGINTs; the
+    * share is one floor division; the peak flag is a deterministic
+    * (n DESC, hour ASC) row_number.
+    *
+    * Scale: one map-side-combinable (type × 24)-bounded aggregate;
+    * the share/peak windows run over that tiny table.
+    *
+    * Returns `(event_type, hour, n, share_micros, is_peak BIGINT)`.
+    */
+  def hourlyProfile(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        hour(col(tsCol).cast(TimestampType)).cast(LongType).as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("_tot", sum(col("n")).over(wt))
+      .withColumn("_rk", row_number().over(
+        wt.orderBy(col("n").desc, col("hour").asc)))
+      .select(col("event_type"), col("hour"), col("n"),
+        expr("(n * 1000000) div _tot").as("share_micros"),
+        when(col("_rk") === 1, 1L).otherwise(0L).as("is_peak"))
+  }
+
+  /** User-lifespan distribution — per user, the span in calendar days
+    * from first to last activity and the count of distinct active
+    * days; published as the per-span rollup with the exact activity
+    * density in summed micros (density = active_days/span per user,
+    * floor-divided in micros, summed exactly). The churn-analysis
+    * companion to x130's cohort matrix: spans say HOW LONG users
+    * stay, densities how consistently they show up while they do.
+    *
+    * Determinism: epoch-day truncation is one integer floor division
+    * of epoch micros (`tus div 86400000000` — identical in both
+    * engines on post-1970 fixtures); everything else is exact BIGINT
+    * min/max/count and one floor division per user.
+    *
+    * Scale: the corpus collapses FIRST to the distinct (user, day)
+    * activity table (map-side combinable — the x141 argument); the
+    * per-user rollup is user-keyed; the published table is
+    * span-bounded (≤ calendar days).
+    *
+    * Returns `(span_days, n_users, total_active_days,
+    * sum_density_micros)`.
+    */
+  def userLifespan(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val act = events.select(col(userCol).as("_u"),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000")
+          .as("_d"))
+      .distinct()
+    val per = act.groupBy("_u")
+      .agg((max(col("_d")) - min(col("_d")) + 1L).as("span_days"),
+        count(lit(1)).as("adays"))
+      .withColumn("density_micros",
+        expr("(adays * 1000000) div span_days"))
+    per.groupBy("span_days")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("adays")).as("total_active_days"),
+        sum(col("density_micros")).as("sum_density_micros"))
+  }
+
+  /** Session-level event-type co-occurrence lift — for every
+    * unordered type pair, in how many sessions both appear, and the
+    * pointwise lift `P(a,b)/(P(a)·P(b)) = n_ab·S/(n_a·n_b)` in exact
+    * floor-division micros (>1e6 ⇒ the types attract, <1e6 ⇒ they
+    * repel). The session-granular sibling of x63's document PMI —
+    * the report a funnel designer reads before ordering steps.
+    *
+    * Determinism: exact BIGINT counts and ONE floor division; the
+    * pair key is the lexicographic (a < b) order.
+    *
+    * Long headroom: `n_ab · S · 1000000` must stay below 2⁶³ —
+    * S·n_ab < 9.2e12, i.e. fine through ~3M sessions with fully
+    * co-occurring types; past that, sample sessions first (the
+    * x112/x137 sample-above convention).
+    *
+    * Scale: one user-keyed exchange (shared [[sessionized]]), the
+    * per-session distinct-type table partial-aggregates map-side,
+    * and the pair self-join is per-session bounded (k types ⇒
+    * k(k−1)/2 pairs — type-vocabulary small by construction). All
+    * published tables are type²-bounded.
+    *
+    * Returns `(type_a, type_b, n_ab, lift_micros)`.
+    */
+  def sessionTypeLift(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    val st = sessionized(events, userCol, tsCol, idCol, gapUs,
+        Seq(typeCol))
+      .select(col(userCol).as("_u"), col("session_idx"),
+        col(typeCol).as("_t"))
+      .distinct()
+    val total = st.select(col("_u"), col("session_idx")).distinct()
+      .agg(count(lit(1)).as("_s"))
+    val perType = st.groupBy(col("_t")).agg(count(lit(1)).as("_n"))
+    val a = st.select(col("_u"), col("session_idx"),
+      col("_t").as("type_a"))
+    val b = st.select(col("_u"), col("session_idx"),
+      col("_t").as("type_b"))
+    a.join(b, Seq("_u", "session_idx"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(perType.select(col("_t").as("type_a"),
+        col("_n").as("_na"))), "type_a")
+      .join(broadcast(perType.select(col("_t").as("type_b"),
+        col("_n").as("_nb"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr("(n_ab * _s * 1000000) div (_na * _nb)")
+          .as("lift_micros"))
+  }
+
   def userEntropyReport(events: DataFrame, userCol: String,
       typeCol: String): DataFrame = {
     val ut = events.groupBy(col(userCol).as("_u"),

@@ -263,12 +263,18 @@ object TextAnalysis {
     val nChunks = lit(1L) + floor(
       (greatest(size(toks) - chunkSize, lit(0)) + (stride - 1))
         / lit(stride))
-    docs.select(col(idCol).as("doc_id"), toks.as("_toks"),
-        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        slice(col("_toks"), (col("chunk_id") * stride + 1).cast(IntegerType),
-          lit(chunkSize)).as("_c"))
-      .select(col("doc_id"), col("chunk_id"),
+    // r15: pre-slice into a per-doc chunk ARRAY and posexplode it —
+    // the old explode(sequence)-then-slice spelling made every
+    // generated row carry the FULL token array until the slice
+    // projection, a docLen× row-copy amplification inside the
+    // generator stage (measured 13.6× wall growth on the 10× fixture
+    // for x133's sibling; ~linear after this change)
+    val chunkArr = transform(sequence(lit(0L), nChunks - 1),
+      i => slice(toks, (i * stride + 1).cast(IntegerType),
+        lit(chunkSize)))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(chunkArr).as(Seq("chunk_id", "_c")))
+      .select(col("doc_id"), col("chunk_id").cast(LongType),
         size(col("_c")).cast(LongType).as("n_tokens"),
         concat_ws(" ", col("_c")).as("chunk"))
   }
@@ -2633,14 +2639,16 @@ object TextAnalysis {
       (0 until model.dim).map(b => (lg, b.toLong, model.lamMicros(li)(b)))
     }
     val mdf = broadcast(mrows.toDF("lang", "bucket", "m"))
+    // r15: hash the trigram INSIDE a transform over the position
+    // array, exploding only the bucket longs — the old spelling made
+    // every generated row carry the full text until the substr
+    // projection (a charLen× row-copy amplification)
     docs.filter(col(textCol).isNotNull && length(col(textCol)) >= 3)
       .select(col(idCol).as("doc_id"),
-        explode(sequence(lit(1), length(col(textCol)) - 2)).as("i"),
-        col(textCol).as("_t"))
-      .select(col("doc_id"),
-        pmod(graft.functions.HashFunctions.rollingFingerprint(
-          substr(col("_t"), col("i"), lit(3))),
-          lit(model.dim.toLong)).as("bucket"))
+        explode(transform(sequence(lit(1), length(col(textCol)) - 2),
+          i => pmod(graft.functions.HashFunctions.rollingFingerprint(
+            substr(col(textCol), i, lit(3))),
+            lit(model.dim.toLong)))).as("bucket"))
       .join(mdf, Seq("bucket"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_trigrams"), sum(col("m")).as("s"))
@@ -2746,5 +2754,51 @@ object TextAnalysis {
         sum(when(col("_c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
       .withColumn("unseen_mass_micros",
         expr("(n_singletons * 1000000) div n_tokens"))
+  }
+
+  /** Per-block character-class profile — the charset audit a crawl
+    * triage reads before language filters: per block (source), the
+    * exact share of ASCII letters, digits, spaces, and everything
+    * else, in floor-division micros of the block's total character
+    * mass. A near-zero letter share flags binary-junk sources; a
+    * digit-heavy profile flags logs/tables; the "other" share proxies
+    * non-ASCII scripts without a decoder.
+    *
+    * Determinism: class counts come from `length(x) −
+    * length(regexp_replace(x, class, ''))` with EXPLICIT ASCII ranges
+    * (`[A-Za-z]`, `[0-9]`, the literal space) — both engines delete
+    * identical codepoint sets, and `length` counts codepoints in
+    * both; sums are exact BIGINTs; shares are one floor division
+    * each. (DuckDB needs the 'g' regexp flag for global replace —
+    * the oracle spells it.)
+    *
+    * Scale: ONE stateless per-row projection (three codegen'd regex
+    * passes over the text) into a block-bounded aggregate; no joins,
+    * no windows, the only exchange is the block rollup.
+    *
+    * Returns `(block, n_chars, alpha_micros, digit_micros,
+    * space_micros, other_micros)`.
+    */
+  def charsetProfile(docs: DataFrame, textCol: String,
+      blockCol: String): DataFrame = {
+    def classCount(cls: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), cls, ""))).cast(LongType)
+    docs
+      .select(col(blockCol).as("block"),
+        length(col(textCol)).cast(LongType).as("_n"),
+        classCount("[A-Za-z]").as("_a"),
+        classCount("[0-9]").as("_d"),
+        classCount(" ").as("_s"))
+      .groupBy("block")
+      .agg(sum(col("_n")).as("n_chars"),
+        sum(col("_a")).as("_as"), sum(col("_d")).as("_ds"),
+        sum(col("_s")).as("_ss"))
+      .select(col("block"), col("n_chars"),
+        expr("(_as * 1000000) div n_chars").as("alpha_micros"),
+        expr("(_ds * 1000000) div n_chars").as("digit_micros"),
+        expr("(_ss * 1000000) div n_chars").as("space_micros"),
+        expr("((n_chars - _as - _ds - _ss) * 1000000) div n_chars")
+          .as("other_micros"))
   }
 }

@@ -6142,6 +6142,184 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("stratum", "n_old", "n_new", "shared",
           "added", "removed", "jaccard_micros")))),
 
+    // x152 — session-length distribution: q25's gap sessionization
+    // (10-minute inactivity, event_id total order) rolled up to the
+    // per-event-count histogram with exact durations and a
+    // floor-division session share. One user-keyed exchange; the
+    // published table is session-length-bounded.
+    QueryDef("x152_session_stats",
+      (s, dir) => ordered(graft.ops.EventAnalytics.sessionStats(
+        t(s, dir, "events"), "user_id", "ts", "event_id")),
+      Some("""WITH b AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        m AS (
+          SELECT user_id, event_id, tus,
+            CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) IS NULL
+                 OR tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM b),
+        sx AS (
+          SELECT user_id, tus,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+          FROM m),
+        sess AS (
+          SELECT user_id, session_idx,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            MAX(tus) - MIN(tus) AS dur_us
+          FROM sx GROUP BY 1, 2),
+        dist AS (
+          SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+            CAST(SUM(dur_us) AS BIGINT) AS sum_duration_us
+          FROM sess GROUP BY 1)
+        SELECT n_events, n_sessions, sum_duration_us,
+          (n_sessions * 1000000)
+            // (SELECT CAST(SUM(n_sessions) AS BIGINT) FROM dist)
+            AS p_micros
+        FROM dist
+        """ + orderedSql(Seq("n_events", "n_sessions",
+          "sum_duration_us", "p_micros")))),
+
+    // x153 — hour-of-day activity profile: per type the 24-bucket
+    // histogram, within-type share micros, deterministic peak flag
+    // ((n DESC, hour ASC) row_number). One (type x 24)-bounded
+    // map-combinable aggregate.
+    QueryDef("x153_hourly_profile",
+      (s, dir) => ordered(graft.ops.EventAnalytics.hourlyProfile(
+        t(s, dir, "events"), "ts", "event_type")),
+      Some("""WITH c AS (
+          SELECT event_type, date_part('hour', ts) AS hour,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, hour, n,
+            CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+              AS tot,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY n DESC, hour ASC) AS rk
+          FROM c)
+        SELECT event_type, hour, n,
+          (n * 1000000) // tot AS share_micros,
+          CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT)
+            AS is_peak
+        FROM r
+        """ + orderedSql(Seq("event_type", "hour", "n",
+          "share_micros", "is_peak")))),
+
+    // x154 — user-lifespan distribution: per user the first-to-last
+    // calendar-day span and distinct active days, rolled up per span
+    // with summed exact density micros. Epoch-day truncation is one
+    // integer floor division in both engines.
+    QueryDef("x154_user_lifespan",
+      (s, dir) => ordered(graft.ops.EventAnalytics.userLifespan(
+        t(s, dir, "events"), "user_id", "ts")),
+      Some("""WITH act AS (
+          SELECT DISTINCT user_id AS u,
+            epoch_us(ts) // 86400000000 AS d
+          FROM events),
+        per AS (
+          SELECT u, MAX(d) - MIN(d) + 1 AS span_days,
+            CAST(COUNT(*) AS BIGINT) AS adays
+          FROM act GROUP BY 1)
+        SELECT span_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(adays) AS BIGINT) AS total_active_days,
+          CAST(SUM((adays * 1000000) // span_days) AS BIGINT)
+            AS sum_density_micros
+        FROM per GROUP BY 1
+        """ + orderedSql(Seq("span_days", "n_users",
+          "total_active_days", "sum_density_micros")))),
+
+    // x155 — session-level type co-occurrence lift (the session
+    // sibling of x63's document PMI): per unordered type pair the
+    // co-session count and the exact floor-division lift micros
+    // (n_ab*S*1e6 div n_a*n_b; Long headroom documented in the op —
+    // sample sessions above ~3M-session corpora). Same sessionization
+    // as x152; all published tables type^2-bounded.
+    QueryDef("x155_session_type_lift",
+      (s, dir) => ordered(graft.ops.EventAnalytics.sessionTypeLift(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")),
+      Some("""WITH b AS (
+          SELECT user_id, event_id, event_type,
+            epoch_us(ts) AS tus FROM events),
+        m AS (
+          SELECT user_id, event_id, tus, event_type,
+            CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) IS NULL
+                 OR tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM b),
+        sx AS (
+          SELECT user_id, event_type,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+          FROM m),
+        st AS (
+          SELECT DISTINCT user_id AS u, session_idx, event_type AS t
+          FROM sx),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM
+          (SELECT DISTINCT u, session_idx FROM st)),
+        pt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+          FROM st GROUP BY 1),
+        pairs AS (
+          SELECT a.t AS type_a, b.t AS type_b,
+            CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM st a JOIN st b
+            ON a.u = b.u AND a.session_idx = b.session_idx
+            AND a.t < b.t
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_ab,
+          (n_ab * (SELECT s FROM tot) * 1000000)
+            // (pa.n * pb.n) AS lift_micros
+        FROM pairs
+        JOIN pt pa ON pa.t = type_a
+        JOIN pt pb ON pb.t = type_b
+        """ + orderedSql(Seq("type_a", "type_b", "n_ab",
+          "lift_micros")))),
+
+    // x156 — per-source charset profile: exact ASCII
+    // letter/digit/space/other shares in floor-division micros off
+    // one stateless projection (explicit ranges; DuckDB regexp gets
+    // the 'g' flag the oracle spells). Zero joins, one block rollup.
+    QueryDef("x156_charset_profile",
+      (s, dir) => ordered(TextAnalysis.charsetProfile(
+        t(s, dir, "documents"), "text", "source")),
+      Some("""WITH per AS (
+          SELECT source,
+            CAST(length(text) AS BIGINT) AS n,
+            CAST(length(text) -
+              length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS a,
+            CAST(length(text) -
+              length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS d,
+            CAST(length(text) -
+              length(regexp_replace(text, ' ', '', 'g'))
+              AS BIGINT) AS sp
+          FROM documents),
+        agg AS (
+          SELECT source AS block, CAST(SUM(n) AS BIGINT) AS n_chars,
+            CAST(SUM(a) AS BIGINT) AS sa,
+            CAST(SUM(d) AS BIGINT) AS sd,
+            CAST(SUM(sp) AS BIGINT) AS ss
+          FROM per GROUP BY 1)
+        SELECT block, n_chars,
+          (sa * 1000000) // n_chars AS alpha_micros,
+          (sd * 1000000) // n_chars AS digit_micros,
+          (ss * 1000000) // n_chars AS space_micros,
+          ((n_chars - sa - sd - ss) * 1000000) // n_chars
+            AS other_micros
+        FROM agg
+        """ + orderedSql(Seq("block", "n_chars", "alpha_micros",
+          "digit_micros", "space_micros", "other_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -346,6 +346,68 @@ object EventStreams {
       }
   }
 
+  /** ONLINE session-length histogram — the ingest-time twin of batch
+    * x152 (`graft.ops.EventAnalytics.sessionStats`): per user, keyed
+    * state carries the (event_id, t micros) history in the batch op's
+    * event_id total order (the q25 sessionization convention); each
+    * update re-folds the user's gap sessions (10-minute inactivity)
+    * and re-emits the full per-length histogram with a monotone
+    * `version` stamp (keep each user's max-version rows downstream;
+    * summing `n_sessions`/`sum_duration_us` across users equals the
+    * batch distribution EXACTLY, and `p_micros` is the same one
+    * floor division over the summed totals). Re-emission over deltas
+    * is what makes out-of-order arrivals correct: a late mid-gap
+    * event can merge two sessions into one — the next emission
+    * supersedes every prior row.
+    *
+    * State per user is two 8-byte words per event — bounded by
+    * per-user activity; a production deployment bounds it with an
+    * event-time TTL.
+    */
+  def sessionStatsOnline(events: DataFrame,
+      gapUs: Long = 600000000L): Dataset[SessionLenRow] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          val (ver, seen0) = state.getOption.getOrElse(
+            (0L, Seq.empty[(Long, Long)]))
+          val seen = (seen0.iterator ++ rows.map(r => (r._2, r._3)))
+            .toSeq.distinct.sortBy(_._1)
+          val nv = ver + 1
+          state.update((nv, seen))
+          // fold sessions in event_id order, breaking on time gaps;
+          // duration is max−min of the session's timestamps (the id
+          // order need not be time-monotonic — the batch op's
+          // max(tus)−min(tus) semantics)
+          val hist =
+            scala.collection.mutable.Map.empty[Long, (Long, Long)]
+          var n = 0L; var tMin = 0L; var tMax = 0L; var tPrev = 0L
+          def close(): Unit = if (n > 0) {
+            val (c, d) = hist.getOrElse(n, (0L, 0L))
+            hist(n) = (c + 1L, d + (tMax - tMin))
+          }
+          seen.foreach { case (_, t) =>
+            if (n == 0L || t - tPrev > gapUs) {
+              close(); n = 0L; tMin = t; tMax = t
+            }
+            n += 1L; tPrev = t
+            if (t < tMin) tMin = t
+            if (t > tMax) tMax = t
+          }
+          close()
+          hist.iterator.map { case (len, (c, d)) =>
+            SessionLenRow(uid, nv, len, c, d)
+          }
+      }
+  }
+
   def statefulUserTotals(events: DataFrame): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events.selectExpr("user_id", "event_id").as[(Long, Long)]
@@ -380,6 +442,15 @@ case class SpectrumRow(user_id: Long, version: Long, event_type: String,
   * `COUNT(max_step >= step)` over the final rows.
   */
 case class FunnelStepRow(user_id: Long, version: Long, max_step: Long)
+
+/** Output row of [[EventStreams.sessionStatsOnline]] — the user's
+  * current count and total duration of `n_events`-long sessions;
+  * `version` is the per-user monotone emission stamp (keep max per
+  * user downstream; summing across users gives batch x152's
+  * distribution, `p_micros` one floor division over the sums).
+  */
+case class SessionLenRow(user_id: Long, version: Long, n_events: Long,
+  n_sessions: Long, sum_duration_us: Long)
 
 /** Output row of [[EventStreams.transitionsOnline]] — the user's
   * current (from_type, to_type) consecutive-pair count; `version` is

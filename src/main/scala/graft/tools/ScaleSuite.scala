@@ -759,9 +759,11 @@ object R14OpScale {
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val big = args.lift(1).getOrElse("/tmp/sf10r14")
-    val spark = Sessions.local("graft-r14-scale")
+    // build the docs fixture BEFORE opening this run's session:
+    // ScaleFixture stops its (shared-JVM) SparkContext on exit
     if (!Files.exists(Paths.get(s"$big/documents.parquet")))
       ScaleFixture.main(Array(small, big, "10"))
+    val spark = Sessions.local("graft-r14-scale")
     if (!Files.exists(Paths.get(s"$big/_events10"))) {
       val e = graft.Tables.load(spark, small, "events")
       (0 until 10).map { c =>
@@ -786,7 +788,11 @@ object R14OpScale {
         .parquet(s"$big/embeddings.parquet")
       Files.createFile(Paths.get(s"$big/_emb10"))
     }
-    def median3(name: String, dir: String): Double = {
+    // MIN of 4 warm runs, not median: this host shows multi-second
+    // CPU-steal windows (load spikes with no local process) that
+    // inflate any single run ~10x — the min is the robust steady-state
+    // estimator for a growth RATIO (both sides estimated the same way)
+    def best4(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -794,13 +800,13 @@ object R14OpScale {
         (System.nanoTime() - t0) / 1e9
       }
       run() // cold, discarded
-      Seq.fill(3)(run()).sorted.apply(1)
+      Seq.fill(4)(run()).min
     }
     val wave = (133 to 151).map(i =>
       graft.SparkEntry.queries.keys.find(_.startsWith(s"x${i}_")).get)
     val parts = wave.map { name =>
-      val s = median3(name, small)
-      val b = median3(name, big)
+      val s = best4(name, small)
+      val b = best4(name, big)
       f""""$name":[$s%.2f,$b%.2f,${b / s}%.2f]"""
     }
     println(parts.mkString("{", ",", "}"))

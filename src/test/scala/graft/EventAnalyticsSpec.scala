@@ -237,6 +237,91 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.forall(_._3 >= 1L))
   }
 
+  test("sessionStats (x152): hand-built sessions, durations, and " +
+      "floor-division shares; fixture sessions match q25's count") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // u1: events at 0s, 60s | gap > 600 s | 1000s, 1030s → two
+    // 2-event sessions; u2: one lone event → one 1-event session
+    val events = Seq(
+      (1L, ts(0), 10L), (2L, ts(60), 10L),
+      (3L, ts(1000), 10L), (4L, ts(1030), 10L),
+      (5L, ts(0), 20L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = EventAnalytics.sessionStats(events, "user_id", "ts",
+        "event_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 0L, 333333L),
+      (2L, 2L, 90000000L, 666666L)))
+    // fixture: session total equals q25's sessionization row count
+    val fx = Tables.load(spark, sf0001, "events")
+    val nSessions = EventAnalytics.sessionStats(fx, "user_id", "ts",
+      "event_id").agg(sum($"n_sessions")).as[Long].head()
+    assert(nSessions === SparkEntry.queries("q25_sessionize")(
+      spark, sf0001).count())
+  }
+
+  test("hourlyProfile (x153): shares sum within a quantum of 1e6 per " +
+      "type, exactly one peak per type, peak has the max count") {
+    val got = EventAnalytics.hourlyProfile(
+        Tables.load(spark, sf0001, "events"), "ts", "event_type")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.forall(r => r._2 >= 0 && r._2 <= 23))
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val share = rows.map(_._4).sum
+      assert(share <= 1000000L && share > 1000000L - rows.length,
+        s"$t shares sum $share")
+      val peaks = rows.filter(_._5 == 1L)
+      assert(peaks.length === 1, s"$t has ${peaks.length} peaks")
+      assert(peaks.head._3 === rows.map(_._3).max)
+    }
+  }
+
+  test("userLifespan (x154): hand fixture — span, active days, " +
+      "density micros; fixture user total matches") {
+    def ts(day: Long) = new Timestamp(day * 86400L * 1000L)
+    // u1 active days {0, 2}: span 3, adays 2, density 666666
+    // u2 active day {5}: span 1, adays 1, density 1000000
+    val events = Seq(
+      (1L, ts(0), 1L), (2L, ts(0), 1L), (3L, ts(2), 1L),
+      (4L, ts(5), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = EventAnalytics.userLifespan(events, "user_id", "ts")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (3L, 1L, 2L, 666666L),
+      (1L, 1L, 1L, 1000000L)))
+    val fx = Tables.load(spark, sf0001, "events")
+    val nUsers = EventAnalytics.userLifespan(fx, "user_id", "ts")
+      .agg(sum($"n_users")).as[Long].head()
+    assert(nUsers === fx.select(countDistinct($"user_id"))
+      .as[Long].head())
+  }
+
+  test("sessionTypeLift (x155): hand fixture — independent-ish pair " +
+      "lands at exactly 1e6; pairs are lexicographic") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // sessions: u1-s1 {a,b}, u1-s2 {a} (after a >10-min gap),
+    // u2-s1 {a,b} → S=3, n_a=3, n_b=2, n_ab=2 →
+    // lift = 2·3·1e6 div (3·2) = 1000000 exactly
+    val events = Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(10), 1L, "b"),
+      (3L, ts(2000), 1L, "a"),
+      (4L, ts(0), 2L, "b"), (5L, ts(5), 2L, "a")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.sessionTypeLift(events, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(("a", "b", 2L, 1000000L)))
+    // fixture sanity: every pair lexicographic, lifts positive
+    val fx = EventAnalytics.sessionTypeLift(
+        Tables.load(spark, sf0001, "events"), "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect()
+    assert(fx.nonEmpty)
+    assert(fx.forall(r => r._1 < r._2 && r._4 > 0L))
+  }
+
   test("userEntropyReport (x149): one-type users land in bucket 0 " +
       "exactly, a 50/50 two-type user lands at ln(2), quantization " +
       "matches hand arithmetic") {

@@ -447,6 +447,45 @@ class PlanQualitySpec extends SparkSpec {
       s"q5 lost all broadcast joins at fixture scale:\n$q5phys")
   }
 
+  test("round-15 wave plan shapes: x152-x156 bounded exchanges, " +
+      "broadcast-only small sides, x156 pure projection") {
+    def phys(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+    // x152: one user-keyed window exchange + session/dist aggregates;
+    // the global total rides a broadcast one-row frame — never a
+    // shuffle join
+    val x152 = phys("x152_session_stats")
+    assert(!x152.contains("SortMergeJoin"),
+      s"x152 shuffle-joins a one-row total:\n$x152")
+    // x153: no join anywhere — two windows + one aggregate over the
+    // (type x 24)-bounded table
+    val x153 = phys("x153_hourly_profile")
+    assert(!x153.contains("Join"), s"x153 must not join:\n$x153")
+    // x154: no joins, no windows — distinct + per-user + span rollup
+    val x154 = phys("x154_user_lifespan")
+    assert(!x154.contains("Join") && !x154.contains("Window"),
+      s"x154 must be pure nested aggregation:\n$x154")
+    // x155: the type totals and the session total must ride
+    // broadcasts (model-sized sides); the pair self-join may shuffle
+    // (it is corpus-scale co-partitioned at 100 TB) but never
+    // cartesian
+    val x155 = phys("x155_session_type_lift")
+    assert(!x155.contains("CartesianProduct"),
+      s"x155 plans a cartesian:\n$x155")
+    assert(x155.contains("BroadcastHashJoin") ||
+        x155.contains("BroadcastNestedLoopJoin"),
+      s"x155 lost the broadcast total/type-count sides:\n$x155")
+    // x156: one stateless projection into the block rollup — no
+    // joins, no windows, bounded exchanges
+    val x156 = phys("x156_charset_profile")
+    assert(!x156.contains("Join") && !x156.contains("Window"),
+      s"x156 must be a pure projection + rollup:\n$x156")
+    val exchanges156 = "Exchange".r.findAllIn(x156).length
+    assert(exchanges156 <= 3,
+      s"x156 plans $exchanges156 exchanges:\n$x156")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)

@@ -387,6 +387,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionStatsOnline final state assembles to the batch x152 " +
+      "distribution under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.sessionStatsOnline(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_sessions").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stream_sessions")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val latest = emitted
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+      val dist = latest.groupBy($"n_events")
+        .agg(sum($"n_sessions").as("n_sessions"),
+          sum($"sum_duration_us").as("sum_duration_us"))
+      val total = dist.agg(sum($"n_sessions").as("_tot"))
+      val assembled = dist.crossJoin(broadcast(total))
+        .select($"n_events", $"n_sessions", $"sum_duration_us",
+          expr("(n_sessions * 1000000) div _tot").as("p_micros"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.EventAnalytics.sessionStats(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(assembled.nonEmpty)
+      assert(assembled === batch)
+      val multi = emitted.groupBy($"user_id")
+        .agg(countDistinct($"version").as("v")).filter($"v" > 1).count()
+      assert(multi > 0, "expected a user updated across batches")
+    } finally q.stop()
+  }
+
   test("sub-second event-time ordering: transitionsOnline and " +
       "interArrivalOnline match batch when siblings share a second " +
       "(the r14 second-truncated sort-key divergence)") {

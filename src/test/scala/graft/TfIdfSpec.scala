@@ -957,4 +957,28 @@ class TfIdfSpec extends SparkSpec {
       ("A", 4L, 3L, 2L, 1L, 500000L),
       ("B", 4L, 2L, 0L, 2L, 0L)))
   }
+
+  test("charsetProfile (x156): hand corpus exact class counts; " +
+      "shares partition the mass within a quantum each") {
+    import spark.implicits._
+    // "ab 12" → n=5 alpha=2 digit=2 space=1 other=0
+    // "..."   → n=3 all other
+    val docs = Seq(("A", "ab 12"), ("B", "...")).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.charsetProfile(docs, "text",
+        "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 5L, 400000L, 400000L, 200000L, 0L),
+      ("B", 3L, 0L, 0L, 0L, 1000000L)))
+    // fixture: per block the four shares sum within 4 quanta of 1e6
+    val fx = graft.ops.TextAnalysis.charsetProfile(
+        Tables.load(spark, sf0001, "documents"), "text", "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(fx.nonEmpty)
+    fx.foreach { case (b, n, a, d, s, o) =>
+      assert(n > 0L, s"block $b empty")
+      val tot = a + d + s + o
+      assert(tot <= 1000000L && tot > 1000000L - 4, s"block $b: $tot")
+    }
+  }
 }
