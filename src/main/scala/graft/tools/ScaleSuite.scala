@@ -802,7 +802,11 @@ object R14OpScale {
       run() // cold, discarded
       Seq.fill(4)(run()).min
     }
-    val wave = (133 to 151).map(i =>
+    val wave = (args.lift(2) match {
+      case Some(range) =>
+        val Array(a, b) = range.split("-").map(_.toInt); a to b
+      case None => 133 to 156
+    }).map(i =>
       graft.SparkEntry.queries.keys.find(_.startsWith(s"x${i}_")).get)
     val parts = wave.map { name =>
       val s = best4(name, small)
