@@ -471,6 +471,90 @@ object EventAnalytics {
           .as("lift_micros"))
   }
 
+  /** Conversion-lag spectrum — per user, the exact gap in seconds
+    * from their FIRST event of any type to their FIRST `target`-type
+    * event, bucketed on x142's base-2 grid (bucket = bit length of
+    * the gap seconds; 0 for same-second conversion); users who never
+    * reach `target` are excluded. The activation-latency histogram a
+    * growth team reads next to x135's funnel depth: the funnel says
+    * how FAR users get, this says how FAST.
+    *
+    * Determinism: exact integer second arithmetic (`unix_timestamp`
+    * truncation, min aggregates, one subtraction); the bucket is the
+    * `length(bin(dt))` integer both engines compute identically.
+    *
+    * Scale: ONE map-side-combinable user-keyed aggregate (two
+    * conditional mins), then the ~40-bucket rollup. No windows, no
+    * joins.
+    *
+    * Returns `(bucket, n_users, lo_s, hi_s)`.
+    */
+  def conversionLagSpectrum(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, target: String): DataFrame = {
+    val t = unix_timestamp(col(tsCol).cast(TimestampType))
+    val per = events
+      .groupBy(col(userCol))
+      .agg(min(t).as("_t0"),
+        min(when(col(typeCol) === target, t)).as("_tc"))
+      .filter(col("_tc").isNotNull)
+      .select((col("_tc") - col("_t0")).as("_dt"))
+    val bucket = when(col("_dt") <= 0L, lit(0L))
+      .otherwise(length(bin(col("_dt"))).cast(LongType))
+    per.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+      .select(col("bucket"), col("n_users"),
+        when(col("bucket") === 0L, 0L)
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)"))
+          .cast(LongType).as("lo_s"),
+        when(col("bucket") === 0L, 0L)
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))") - 1L)
+          .cast(LongType).as("hi_s"))
+  }
+
+  /** Per-from-type transition entropy — x149's behavioral-entropy
+    * quantization applied to x138's transition matrix: for each
+    * from_type, the Shannon entropy of its to_type distribution in
+    * exact floor-division micros. Near-zero says the next action is
+    * deterministic (bots, redirect chains); near ln(#types) says the
+    * type carries no routing signal.
+    *
+    * Determinism: the x149 contract verbatim — per-cell draw
+    * `q = FLOOR(n·ln(n)·10⁶ + 0.5)` (exactly 0 at n = 1,
+    * margin-gated), `H·10⁶ = greatest(FLOOR(N·lnN·10⁶+0.5) − Σq, 0)
+    * div N` (the clamp keeps the one negative-division divergence
+    * out).
+    *
+    * Scale: the x138 user-keyed lead window feeds a type²-bounded
+    * matrix; everything after is type-sized.
+    *
+    * Returns `(from_type, n, entropy_micros)`.
+    */
+  def transitionEntropy(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val m = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_q",
+        floor(col("_c").cast("double") * log(col("_c").cast("double"))
+          * 1e6 + 0.5).cast(LongType))
+    m.groupBy(col("from_type"))
+      .agg(sum(col("_c")).as("n"), sum(col("_q")).as("_qs"))
+      .withColumn("_hn",
+        floor(col("n").cast("double") * log(col("n").cast("double"))
+          * 1e6 + 0.5).cast(LongType))
+      .select(col("from_type"), col("n"),
+        expr("greatest(_hn - _qs, 0L) div n").as("entropy_micros"))
+  }
+
   def userEntropyReport(events: DataFrame, userCol: String,
       typeCol: String): DataFrame = {
     val ut = events.groupBy(col(userCol).as("_u"),

@@ -1178,4 +1178,39 @@ object Similarity {
       floor(msRaw * lit(1000000.0) + lit(0.5)).cast(LongType)
         .as("mean_shift_u6"))
   }
+
+  /** Embedding-norm spectrum — the vector-health audit run before
+    * trusting ANY cosine machinery (x6/x7/x18/x79): per label, the
+    * distribution of squared L2 norms on a base-2 grid over exact
+    * 1e-4 norm² units (`q = FLOOR(‖v‖²·10⁴ + 0.5)`, bucket = bit
+    * length of q; bucket 0 collects the ~zero vectors that break
+    * cosine normalization). A spread-out spectrum inside one label
+    * flags unnormalized mixtures; a bucket-0 population flags dead
+    * embeddings.
+    *
+    * Determinism: the norm² is the same sequential-fold dot product
+    * as the proven cosine chain (q18 driver-green precedent —
+    * DuckDB's list_dot_product folds in the same order); one
+    * FLOOR(x·10⁴+0.5) quantization (margin-gated); exact BIGINT
+    * sums; the bit-length bucket is the x142 grid.
+    *
+    * Scale: ONE stateless projection (codegen dot) into a
+    * (label × ~60 bucket)-bounded map-side-combinable aggregate — no
+    * joins, no windows.
+    *
+    * Returns `(label, bucket, n_vecs, sum_q)`.
+    */
+  def normSpectrum(vectors: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dv = toDouble(col(vecCol))
+    val q = floor(dot(dv, dv) * lit(10000.0) + lit(0.5)).cast(LongType)
+    vectors
+      .select(col(labelCol).as("label"), q.as("_q"))
+      .select(col("label"),
+        when(col("_q") <= 0L, 0L)
+          .otherwise(length(bin(col("_q"))).cast(LongType)).as("bucket"),
+        col("_q"))
+      .groupBy("label", "bucket")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("_q")).as("sum_q"))
+  }
 }

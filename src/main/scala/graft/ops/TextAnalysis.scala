@@ -2756,6 +2756,79 @@ object TextAnalysis {
         expr("(n_singletons * 1000000) div n_tokens"))
   }
 
+  /** Per-source signature n-grams — the template/boilerplate
+    * DISCOVERY gauge (x133 removes known repeats; this one says what
+    * a source's repeats ARE): per block, the top-k word n-grams by
+    * source-level TF-IDF `tf · ln(S/df)` where `tf` counts the gram's
+    * occurrences in the block, `df` the number of blocks containing
+    * it, and `S` the block count — a gram scoring high is frequent
+    * HERE and rare elsewhere, i.e. this site's navigation, footer, or
+    * house style.
+    *
+    * Determinism: the x39 contract — exact BIGINT tf/df, one IEEE
+    * `tf·ln(S/df)` per row rounded at 6 dp (RoundingMarginSpec pins
+    * the libm boundary margins), rank on (score DESC, term ASC).
+    *
+    * Scale: ONE map-side-combinable (block × gram) aggregate — the
+    * table is gram-vocabulary-bounded, Heaps-sublinear in the corpus;
+    * `df` is a WINDOW count over it (gram-keyed exchange, never a
+    * re-join); `S` rides a broadcast one-row frame; the per-block
+    * rank cut pushes down as a WindowGroupLimit.
+    *
+    * Returns `(block, term, tf, df, score, rk)`, `rk` ≤ `k`.
+    */
+  def sourceSignatureNgrams(docs: DataFrame, textCol: String,
+      blockCol: String, n: Int = 3, k: Int = 5): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(blockCol).as("block"),
+        explode(ngrams(tokens(col(textCol)), n, keepPartial = false))
+          .as("term"))
+      .groupBy("block", "term").agg(count(lit(1)).as("tf"))
+    val s = docs.select(col(blockCol)).distinct()
+      .agg(count(lit(1)).cast(DoubleType).as("_s"))
+    tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(s))
+      .withColumn("score",
+        round(col("tf") * log(col("_s") / col("df")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("block")
+        .orderBy(col("score").desc, col("term").asc)).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("block"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
+  /** Exact-duplicate cluster-size spectrum — the concentration gauge
+    * behind q19's dedup stats: group documents by exact content hash,
+    * then publish, per GROUP SIZE, how many groups have it, how many
+    * documents they hold, and that mass as a floor-division share of
+    * the corpus. A heavy tail (big sizes carrying real mass) says the
+    * corpus needs the x33/x48 cluster passes, not just pair dedup.
+    *
+    * Determinism: md5 grouping and exact BIGINT counts; the share is
+    * one floor division against a broadcast total.
+    *
+    * Scale: one map-side-combinable hash aggregate (the exact-dedup
+    * shape), one group-size rollup (size-bounded output).
+    *
+    * Returns `(group_size, n_groups, n_docs, mass_micros)`.
+    */
+  def dupClusterSpectrum(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sizes = docs
+      .select(md5(col(textCol)).as("_h"), col(idCol))
+      .groupBy("_h").agg(count(lit(1)).as("group_size"))
+    val dist = sizes.groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_docs", col("group_size") * col("n_groups"))
+    val total = dist.agg(sum(col("n_docs")).as("_tot"))
+    dist.crossJoin(broadcast(total))
+      .select(col("group_size"), col("n_groups"), col("n_docs"),
+        expr("(n_docs * 1000000) div _tot").as("mass_micros"))
+  }
+
   /** Per-block character-class profile — the charset audit a crawl
     * triage reads before language filters: per block (source), the
     * exact share of ASCII letters, digits, spaces, and everything

@@ -6320,6 +6320,138 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("block", "n_chars", "alpha_micros",
           "digit_micros", "space_micros", "other_micros")))),
 
+    // x157 — per-source signature n-grams: source-level TF-IDF top-k
+    // word trigrams (the template-DISCOVERY gauge next to x133's
+    // removal). x39's determinism contract at block granularity; df
+    // is a window count over the one (block, gram) aggregate.
+    QueryDef("x157_source_signature",
+      (s, dir) => ordered(TextAnalysis.sourceSignatureNgrams(
+        t(s, dir, "documents"), "text", "source", n = 3, k = 5)),
+      Some("""WITH tok AS (
+          SELECT source, unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+            AS term
+          FROM documents),
+        tf AS (
+          SELECT source AS block, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY 1, 2),
+        dfq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+          FROM tf GROUP BY term),
+        s AS (
+          SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS s
+          FROM documents),
+        scored AS (
+          SELECT tf.block, tf.term, tf.tf, dfq.df,
+            ROUND(tf.tf * ln(s.s / dfq.df), 6) AS score
+          FROM tf JOIN dfq USING (term) CROSS JOIN s),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY block
+            ORDER BY score DESC, term) AS BIGINT) AS rk
+          FROM scored)
+        SELECT block, term, tf, df, score, rk FROM ranked WHERE rk <= 5
+        """ + orderedSql(Seq("block", "term", "tf", "df", "score",
+          "rk")))),
+
+    // x158 — conversion-lag spectrum: first-any-event to
+    // first-'purchase' gap per user on x142's base-2 second grid.
+    // One user-keyed conditional-min aggregate, ~40-bucket rollup.
+    QueryDef("x158_conversion_lag",
+      (s, dir) => ordered(graft.ops.EventAnalytics.conversionLagSpectrum(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        target = "purchase")),
+      Some("""WITH per AS (
+          SELECT user_id, epoch(MIN(ts)) AS t0,
+            epoch(MIN(CASE WHEN event_type = 'purchase' THEN ts END))
+              AS tc
+          FROM events GROUP BY 1),
+        g AS (
+          SELECT CAST(tc - t0 AS BIGINT) AS dt FROM per
+          WHERE tc IS NOT NULL),
+        b AS (
+          SELECT CASE WHEN dt <= 0 THEN 0
+            ELSE CAST(length(bin(dt)) AS BIGINT) END AS bucket
+          FROM g)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+          CASE WHEN bucket = 0 THEN 0 ELSE
+            (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) END AS lo_s,
+          CASE WHEN bucket = 0 THEN 0 ELSE
+            (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 END AS hi_s
+        FROM b GROUP BY bucket
+        """ + orderedSql(Seq("bucket", "n_users", "lo_s", "hi_s")))),
+
+    // x159 — embedding-norm spectrum: per label the base-2 histogram
+    // of FLOOR(norm2*1e4+0.5) units — the vector-health audit before
+    // any cosine machinery. Sequential-fold dot both engines (q18
+    // precedent); exact BIGINT sums.
+    QueryDef("x159_norm_spectrum",
+      (s, dir) => ordered(Similarity.normSpectrum(
+        t(s, dir, "embeddings"), "embedding", "label")),
+      Some("""WITH per AS (
+          SELECT label,
+            CAST(FLOOR(list_dot_product(
+              CAST(embedding AS DOUBLE[]),
+              CAST(embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)
+              AS q
+          FROM embeddings),
+        b AS (
+          SELECT label, CASE WHEN q <= 0 THEN 0
+            ELSE CAST(length(bin(q)) AS BIGINT) END AS bucket, q
+          FROM per)
+        SELECT label, bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          CAST(SUM(q) AS BIGINT) AS sum_q
+        FROM b GROUP BY 1, 2
+        """ + orderedSql(Seq("label", "bucket", "n_vecs", "sum_q")))),
+
+    // x160 — exact-duplicate cluster-size spectrum: md5 group sizes
+    // rolled to a size histogram with floor-division corpus mass —
+    // the concentration gauge behind q19. All-integer.
+    QueryDef("x160_dup_spectrum",
+      (s, dir) => ordered(TextAnalysis.dupClusterSpectrum(
+        t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH g AS (
+          SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS group_size
+          FROM documents GROUP BY 1),
+        d AS (
+          SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+            group_size * CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM g GROUP BY 1)
+        SELECT group_size, n_groups, n_docs,
+          (n_docs * 1000000)
+            // (SELECT CAST(SUM(n_docs) AS BIGINT) FROM d)
+            AS mass_micros
+        FROM d
+        """ + orderedSql(Seq("group_size", "n_groups", "n_docs",
+          "mass_micros")))),
+
+    // x161 — per-from-type transition entropy: x149's integer-ln
+    // quantization over x138's matrix — deterministic-next-action
+    // detection. Type²-bounded after the one user-keyed window.
+    QueryDef("x161_transition_entropy",
+      (s, dir) => ordered(graft.ops.EventAnalytics.transitionEntropy(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")),
+      Some("""WITH p AS (
+          SELECT user_id, event_type AS from_type,
+            LEAD(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+          FROM events),
+        m AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c,
+            CAST(FLOOR(COUNT(*) * ln(COUNT(*)) * 1000000 + 0.5)
+              AS BIGINT) AS q
+          FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        a AS (
+          SELECT from_type, CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(q) AS BIGINT) AS qs
+          FROM m GROUP BY 1)
+        SELECT from_type, n,
+          GREATEST(CAST(FLOOR(n * ln(n) * 1000000 + 0.5) AS BIGINT)
+            - qs, 0) // n AS entropy_micros
+        FROM a
+        """ + orderedSql(Seq("from_type", "n", "entropy_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

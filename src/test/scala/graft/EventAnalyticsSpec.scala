@@ -322,6 +322,40 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(fx.forall(r => r._1 < r._2 && r._4 > 0L))
   }
 
+  test("conversionLagSpectrum (x158): hand fixture — 9s lag lands in " +
+      "bucket 4, same-second conversion in bucket 0, non-converters " +
+      "excluded") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(9), 1L, "purchase"),
+      (3L, ts(0), 2L, "purchase"),
+      (4L, ts(0), 3L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.conversionLagSpectrum(events, "user_id",
+        "ts", "event_type", "purchase")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((4L, 1L, 8L, 15L), (0L, 1L, 0L, 0L)))
+  }
+
+  test("transitionEntropy (x161): deterministic next-action scores 0 " +
+      "exactly; a 2/1 split matches the hand-quantized arithmetic") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // u1: A B A B  → A→B ×2 (and B→A ×1); u2: A C → A→C ×1
+    // from A: n=3, counts {B:2, C:1}: qs = q(2)+q(1) = 1386294 + 0,
+    //   hn = FLOOR(3·ln3·1e6+0.5) = 3295837 →
+    //   H = (3295837−1386294) div 3 = 636514 (≈ ln3 − (2/3)ln2)
+    // from B: n=1 single successor → 0 exactly
+    val events = Seq(
+      (1L, ts(0), 1L, "A"), (2L, ts(1), 1L, "B"),
+      (3L, ts(2), 1L, "A"), (4L, ts(3), 1L, "B"),
+      (5L, ts(0), 2L, "A"), (6L, ts(1), 2L, "C")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.transitionEntropy(events, "user_id",
+        "ts", "event_id", "event_type")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("A", 3L, 636514L), ("B", 1L, 0L)))
+  }
+
   test("userEntropyReport (x149): one-type users land in bucket 0 " +
       "exactly, a 50/50 two-type user lands at ln(2), quantization " +
       "matches hand arithmetic") {

@@ -484,6 +484,36 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges156 = "Exchange".r.findAllIn(x156).length
     assert(exchanges156 <= 3,
       s"x156 plans $exchanges156 exchanges:\n$x156")
+    // x157: the per-block rank cut must push down as a
+    // WindowGroupLimit (map-side bounded heap before the shuffle);
+    // df is a window, never a re-join against the gram table
+    val x157 = phys("x157_source_signature")
+    assert(x157.contains("WindowGroupLimit"),
+      s"x157 lost the top-k window pushdown:\n$x157")
+    assert(!x157.contains("SortMergeJoin"),
+      s"x157 re-joins the gram table for df:\n$x157")
+    // x158: one user-keyed aggregate + the bucket rollup — no joins,
+    // no windows
+    val x158 = phys("x158_conversion_lag")
+    assert(!x158.contains("Join") && !x158.contains("Window"),
+      s"x158 must be pure nested aggregation:\n$x158")
+    // x159: stateless dot projection + one aggregate — no joins, no
+    // windows; the native DotProduct kernel must be in the plan
+    val x159 = phys("x159_norm_spectrum")
+    assert(!x159.contains("Join") && !x159.contains("Window"),
+      s"x159 must be projection + rollup:\n$x159")
+    assert(x159.toLowerCase.contains("dotproduct") ||
+        x159.toLowerCase.contains("dot_product"),
+      s"x159 lost the codegen dot kernel:\n$x159")
+    // x160: hash aggregate + size rollup; the only join is the
+    // broadcast one-row total
+    val x160 = phys("x160_dup_spectrum")
+    assert(!x160.contains("SortMergeJoin"),
+      s"x160 shuffle-joins a one-row total:\n$x160")
+    // x161: the x138 user-keyed window feeding type-bounded
+    // aggregates — no joins
+    val x161 = phys("x161_transition_entropy")
+    assert(!x161.contains("Join"), s"x161 must not join:\n$x161")
   }
 
   test("no declared query plans an unpartitioned window or cartesian product") {

@@ -614,4 +614,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(7) ===
       math.floor(msRaw * 1000000.0 + 0.5).toLong)
   }
+
+  test("normSpectrum (x159): unit vector lands at q=10000/bucket 14, " +
+      "the zero vector in bucket 0, a 2-norm vector in bucket 16") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 0.0f), 0),
+      (3L, Seq(2.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.normSpectrum(vecs, "embedding",
+        "label")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0, 14L, 1L, 10000L), // 10000 is 14 binary digits
+      (0, 0L, 1L, 0L),
+      (1, 16L, 1L, 40000L))) // 2^15 <= 40000 < 2^16
+    // fixture: every vector lands in exactly one bucket; totals match
+    val fx = graft.ops.Similarity.normSpectrum(
+      Tables.load(spark, sf0001, "embeddings"), "embedding", "label")
+    val n = fx.agg(org.apache.spark.sql.functions.sum($"n_vecs"))
+      .as[Long].head()
+    assert(n === Tables.load(spark, sf0001, "embeddings").count())
+  }
 }

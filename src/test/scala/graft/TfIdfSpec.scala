@@ -958,6 +958,48 @@ class TfIdfSpec extends SparkSpec {
       ("B", 4L, 2L, 0L, 2L, 0L)))
   }
 
+  test("sourceSignatureNgrams (x157): hand corpus — tf and scores " +
+      "match the x39 arithmetic at block granularity") {
+    import spark.implicits._
+    // A: "a b c a b c" → trigrams (a b c)×2, (b c a), (c a b);
+    // B: "x y z" → (x y z). S = 2, every gram df = 1 → score =
+    // tf·ln(2): 1.386294 for the double, 0.693147 for singles.
+    val docs = Seq(("A", "a b c a b c"), ("B", "x y z"))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.sourceSignatureNgrams(
+        docs, "text", "source", n = 3, k = 5)
+      .as[(String, String, Long, Long, Double, Long)].collect().toSet
+    assert(got === Set(
+      ("A", "a b c", 2L, 1L, 1.386294, 1L),
+      ("A", "b c a", 1L, 1L, 0.693147, 2L),
+      ("A", "c a b", 1L, 1L, 0.693147, 3L),
+      ("B", "x y z", 1L, 1L, 0.693147, 1L)))
+    // fixture: rk dense 1..k per block, df ≤ S, scores rank-ordered
+    val fx = graft.ops.TextAnalysis.sourceSignatureNgrams(
+        Tables.load(spark, sf0001, "documents"), "text", "source",
+        n = 3, k = 5)
+      .as[(String, String, Long, Long, Double, Long)].collect()
+    assert(fx.nonEmpty)
+    fx.groupBy(_._1).foreach { case (b, rows) =>
+      assert(rows.map(_._6).sorted.toSeq ===
+        (1L to rows.length.toLong), s"block $b ranks not dense")
+      val byRank = rows.sortBy(_._6).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, c) => a >= c },
+        s"block $b scores not rank-ordered")
+    }
+  }
+
+  test("dupClusterSpectrum (x160): hand corpus — sizes, group counts, " +
+      "and floor-division mass shares") {
+    import spark.implicits._
+    val docs = Seq((1L, "t1"), (2L, "t1"), (3L, "t1"), (4L, "t2"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.dupClusterSpectrum(docs,
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L, 3L, 750000L), (1L, 1L, 1L, 250000L)))
+  }
+
   test("charsetProfile (x156): hand corpus exact class counts; " +
       "shares partition the mass within a quantum each") {
     import spark.implicits._
