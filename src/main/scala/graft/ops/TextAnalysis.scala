@@ -1761,7 +1761,7 @@ object TextAnalysis {
     * internally, exported for online scoring
     * ([[graft.streaming.DocStreams.kn3Scores]]) — the [[LmModel]]
     * pattern one order up. All five count tables derive from the ONE
-    * checkpointed trigram-type table; `btCount` is collected eagerly
+    * persisted trigram-type table; `btCount` is collected eagerly
     * (a model build is an offline batch step). Carries its tokenizer
     * for the same reason [[LmModel]] does. Call [[Kn3Model.release]]
     * when done.
@@ -1769,7 +1769,9 @@ object TextAnalysis {
   final case class Kn3Model(tri: DataFrame, ctx: DataFrame,
       cont: DataFrame, mid: DataFrame, pred: DataFrame, btCount: Long,
       tokenize: Column => Column = tokens) {
-    def release(): Unit = releaseLocalCheckpoint(tri)
+    /** r15: persisted, not checkpointed — post-release use recomputes
+      * (the LM-slot liveness contract). */
+    def release(): Unit = tri.unpersist(blocking = false)
   }
 
   /** Build the frozen trigram-KN model of [[knTrigramQuality]]: same
@@ -1779,7 +1781,7 @@ object TextAnalysis {
     val pr = trigramRows(docs, idCol, textCol, tokenize)
     val tri = pr.groupBy("w1", "w2", "w3")
       .agg(count(lit(1)).as("c3"))
-      .localCheckpoint(eager = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = tri.groupBy("w1", "w2")
       .agg(sum(col("c3")).as("ctx"), count(lit(1)).as("n3f"))
     val cont = tri.groupBy("w2", "w3").agg(count(lit(1)).as("cont"))
@@ -1899,10 +1901,12 @@ object TextAnalysis {
     */
   final case class LmModel(bigrams: DataFrame, prefixes: DataFrame,
       vocabSize: Double, tokenize: Column => Column = tokens) {
-    /** Frees the model's checkpointed blocks. The model — and any plan
-      * scored against it — must not be computed after this.
+    /** Frees the model's cached blocks (r15: the model is `persist`ed,
+      * not checkpointed, so a frame scored against it AFTER release
+      * transparently recomputes from lineage instead of failing — the
+      * LM-slot liveness contract, uniform across every cached model).
       */
-    def release(): Unit = releaseLocalCheckpoint(bigrams)
+    def release(): Unit = bigrams.unpersist(blocking = false)
   }
 
   /** Build the add-one bigram model of [[lmQuality]] from a corpus:
@@ -1914,7 +1918,7 @@ object TextAnalysis {
       tokenize: Column => Column = tokens): LmModel = {
     val pr = bigramRows(docs, idCol, textCol, tokenize)
     val big = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .localCheckpoint(eager = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokStats = lmTokenStats(big)
     val prefix = tokStats.filter(col("cu").isNotNull)
       .select(col("w").as("w1"), col("cu"))

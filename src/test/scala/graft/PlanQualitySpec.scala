@@ -447,7 +447,7 @@ class PlanQualitySpec extends SparkSpec {
       s"q5 lost all broadcast joins at fixture scale:\n$q5phys")
   }
 
-  test("round-15 wave plan shapes: x152-x156 bounded exchanges, " +
+  test("round-15 wave plan shapes: x152-x161 bounded exchanges, " +
       "broadcast-only small sides, x156 pure projection") {
     def phys(name: String): String =
       SparkEntry.queries(name)(spark, sf0001)

@@ -341,6 +341,26 @@ class StreamingSpec extends SparkSpec {
         .as[(String, String, Long, Long)].collect().toSet
       assert(assembled.nonEmpty)
       assert(assembled === batch)
+      // the same final rows also assemble batch x161's entropy report
+      // (sum per pair → the x149 quantization chain) — one stream
+      // serves both published gauges
+      val entropy = latest
+        .groupBy($"from_type", $"to_type")
+        .agg(sum($"n").as("_c"))
+        .withColumn("_q", floor($"_c".cast("double") *
+          log($"_c".cast("double")) * 1e6 + 0.5).cast("long"))
+        .groupBy($"from_type")
+        .agg(sum($"_c").as("n"), sum($"_q").as("_qs"))
+        .withColumn("_hn", floor($"n".cast("double") *
+          log($"n".cast("double")) * 1e6 + 0.5).cast("long"))
+        .select($"from_type", $"n",
+          expr("greatest(_hn - _qs, 0L) div n").as("entropy_micros"))
+        .as[(String, Long, Long)].collect().toSet
+      val batchEntropy = graft.ops.EventAnalytics.transitionEntropy(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .as[(String, Long, Long)].collect().toSet
+      assert(entropy === batchEntropy)
       val multi = emitted.groupBy($"user_id")
         .agg(countDistinct($"version").as("v")).filter($"v" > 1).count()
       assert(multi > 0, "expected a user updated across batches")
