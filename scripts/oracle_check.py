@@ -185,10 +185,13 @@ def selftest():
     assert type_ok("STRUCT(a BIGINT, b VARCHAR)")
     # gate 2: value render distinguishes int64 197275 from float 197275.0
     assert render(197275) != render(197275.0), "value gate float-coerces"
-    # arrow path: HUGEINT arrives as decimal128 -> Decimal('197275')
+    # arrow path: HUGEINT arrives as decimal128 -> Decimal('197275');
+    # render() canonicalizes it to the plain integer string, so the
+    # DESCRIBE type gate above (not the value hash) is the HUGEINT
+    # detector. Pin that contract.
     v = con.execute("SELECT SUM(x) AS s FROM (VALUES (197275::BIGINT)) t(x)"
                     ).arrow().column("s").to_pylist()[0]
-    assert render(v) == "197275" or render(v) != render(197275) or True
+    assert render(v) == "197275", f"decimal128 render drifted: {render(v)!r}"
     # NaN / null sanity
     assert render(float("nan")) == "nan" and render(None) == "<null>"
     print("SELFTEST PASS: HUGEINT red in type gate; "

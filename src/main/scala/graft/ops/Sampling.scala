@@ -231,17 +231,29 @@ object Sampling {
     val u = (h48.cast(DoubleType) + lit(0.5)) / lit(281474976710656.0)
     val lq = floor(-log(u) * lit(1000000.0) + lit(0.5)).cast(LongType)
     // contract gate: integral ≥ 0 (NULL/fractional/negative raise);
-    // integral zeros are then dropped per the ES zero-probability rule
+    // integral zeros are then dropped per the ES zero-probability rule.
+    // The raise rides a PROJECT (the checked `weight` value), not a
+    // Filter predicate — CombineFilters can merge adjacent Filter
+    // conjuncts with a caller's own upstream filter, and a merged
+    // conjunct order is not contractual, so a predicate-borne
+    // raise_error could fire on rows the caller meant to exclude.
+    // Residual hazard (documented): the zero-drop filter below can be
+    // rewritten through this projection by predicate pushdown, so the
+    // gate is a data-quality ASSERTION on the frame handed in — callers
+    // must pass a frame whose weight column is entirely in contract,
+    // not rely on a same-stage filter to route bad rows around it.
     val wl = col(weightCol).cast(LongType)
     val inContract = col(weightCol).isNotNull &&
       col(weightCol).cast(DoubleType) === wl.cast(DoubleType) && wl >= 0L
-    df.filter(when(inContract, wl >= 1L).otherwise(raise_error(concat(
+    val checkedW = when(inContract, wl).otherwise(raise_error(concat(
         lit(s"esKeyed: weight column '$weightCol' out of contract " +
           "(integer units >= 0 required), got "),
-        coalesce(col(weightCol).cast(StringType), lit("NULL"))))))
-      .select(col(strataCol), col(idCol),
-        col(weightCol).cast(LongType).as("weight"),
+        coalesce(col(weightCol).cast(StringType), lit("NULL"))))
+      .cast(LongType))
+    df.select(col(strataCol), col(idCol),
+        checkedW.as("weight"),
         lq.as("_lq"))
+      .filter(col("weight") >= 1L)
       .withColumn("key_units", expr("(_lq * 1000000) div weight"))
       .drop("_lq")
   }

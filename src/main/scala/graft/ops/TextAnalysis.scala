@@ -2790,8 +2790,10 @@ object TextAnalysis {
         explode(ngrams(tokens(col(textCol)), n, keepPartial = false))
           .as("term"))
       .groupBy("block", "term").agg(count(lit(1)).as("tf"))
+    // count(col), not count(lit(1)): a NULL block must not inflate S —
+    // the COUNT(DISTINCT source) portable twin excludes NULLs
     val s = docs.select(col(blockCol)).distinct()
-      .agg(count(lit(1)).cast(DoubleType).as("_s"))
+      .agg(count(col(blockCol)).cast(DoubleType).as("_s"))
     tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(s))
@@ -2872,10 +2874,17 @@ object TextAnalysis {
         sum(col("_a")).as("_as"), sum(col("_d")).as("_ds"),
         sum(col("_s")).as("_ss"))
       .select(col("block"), col("n_chars"),
-        expr("(_as * 1000000) div n_chars").as("alpha_micros"),
-        expr("(_ds * 1000000) div n_chars").as("digit_micros"),
-        expr("(_ss * 1000000) div n_chars").as("space_micros"),
-        expr("((n_chars - _as - _ds - _ss) * 1000000) div n_chars")
+        // zero guard: a block whose texts are all empty (or all NULL)
+        // has n_chars = 0 (or NULL) — publish NULL shares instead of
+        // div-by-zero (ANSI error / engine-divergent // behavior)
+        when(col("n_chars") > 0L,
+          expr("(_as * 1000000) div n_chars")).as("alpha_micros"),
+        when(col("n_chars") > 0L,
+          expr("(_ds * 1000000) div n_chars")).as("digit_micros"),
+        when(col("n_chars") > 0L,
+          expr("(_ss * 1000000) div n_chars")).as("space_micros"),
+        when(col("n_chars") > 0L,
+          expr("((n_chars - _as - _ds - _ss) * 1000000) div n_chars"))
           .as("other_micros"))
   }
 }

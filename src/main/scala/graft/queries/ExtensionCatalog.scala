@@ -6311,10 +6311,14 @@ object ExtensionCatalog {
             CAST(SUM(sp) AS BIGINT) AS ss
           FROM per GROUP BY 1)
         SELECT block, n_chars,
-          (sa * 1000000) // n_chars AS alpha_micros,
-          (sd * 1000000) // n_chars AS digit_micros,
-          (ss * 1000000) // n_chars AS space_micros,
-          ((n_chars - sa - sd - ss) * 1000000) // n_chars
+          CASE WHEN n_chars > 0 THEN (sa * 1000000) // n_chars END
+            AS alpha_micros,
+          CASE WHEN n_chars > 0 THEN (sd * 1000000) // n_chars END
+            AS digit_micros,
+          CASE WHEN n_chars > 0 THEN (ss * 1000000) // n_chars END
+            AS space_micros,
+          CASE WHEN n_chars > 0 THEN
+            ((n_chars - sa - sd - ss) * 1000000) // n_chars END
             AS other_micros
         FROM agg
         """ + orderedSql(Seq("block", "n_chars", "alpha_micros",
@@ -6361,10 +6365,17 @@ object ExtensionCatalog {
       (s, dir) => ordered(graft.ops.EventAnalytics.conversionLagSpectrum(
         t(s, dir, "events"), "user_id", "ts", "event_type",
         target = "purchase")),
+      // Oracle floor-truncates EACH timestamp to whole epoch seconds
+      // BEFORE the min/subtract, mirroring Spark's unix_timestamp
+      // semantics exactly — epoch(MIN(ts)) would return a fractional
+      // DOUBLE and CAST..BIGINT would round half-to-even, a latent
+      // cross-engine divergence on sub-second timestamps. (No SQL
+      // comments in oracle strings: the check pipeline collapses
+      // newlines, so `--` would swallow the rest of the query.)
       Some("""WITH per AS (
-          SELECT user_id, epoch(MIN(ts)) AS t0,
-            epoch(MIN(CASE WHEN event_type = 'purchase' THEN ts END))
-              AS tc
+          SELECT user_id, MIN(epoch_us(ts) // 1000000) AS t0,
+            MIN(CASE WHEN event_type = 'purchase'
+              THEN epoch_us(ts) // 1000000 END) AS tc
           FROM events GROUP BY 1),
         g AS (
           SELECT CAST(tc - t0 AS BIGINT) AS dt FROM per
