@@ -1126,83 +1126,76 @@ object TextAnalysis {
     * Returns `(doc_id, n_bigrams, avg_nll)` — one row per document
     * with at least one bigram (>= 2 tokens).
     */
-  /** Adjacent-bigram rows `(doc_id, w1, w2)` — lambda-free extraction
-    * (sequence + element_at instead of a zip_with lambda): no
-    * interpreted per-element lambdas on the corpus-sized path. The
-    * sequence guard matters: sequence(1, 0) counts DOWN, so
-    * single-token docs need the explicit empty array.
+  /** Adjacent n-gram STRUCT array `[(w1..wn), ...]` built inside ONE
+    * `transform` over the position array — the r16 respelling of the
+    * old explode(sequence)-then-element_at extraction, which made
+    * every generated row carry the FULL token array until the
+    * downstream projection: a docLen× row-copy amplification inside
+    * the generator stage (the exact class the r15 tokenChunks fix
+    * measured at 13.6× wall growth on a 10× fixture — quadratic
+    * bytes-in-stage on book-length documents). Here the generator
+    * emits slim n-token structs only; bytes-in-stage is O(tokens·n),
+    * never O(tokens·docLen). The lambda captures `t` as a bound
+    * attribute (O(1) per element) — the ~10× interpreted-HOF hazard
+    * [[ngrams]] documents applies to RECOMPUTED captures (a split
+    * re-run per element), not to a materialized column reference.
+    * Docs with < n tokens yield the typed empty array (the
+    * sequence(1,0)-counts-DOWN guard, unchanged).
     */
+  private def gramStructArr(t: Column, n: Int): Column =
+    when(size(t) > (n - 1),
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => struct((0 until n).map(j =>
+          element_at(t, i + j).as(s"w${j + 1}")): _*)))
+      .otherwise(array().cast(ArrayType(StructType(
+        (1 to n).map(j => StructField(s"w$j", StringType))))))
+
+  /** Shared adjacent n-gram ROW extractor: `(doc_id[, carry],
+    * w1..wn)` — one spelling for all five public shapes so the
+    * generator-amplification fix cannot drift per-order.
+    */
+  private def gramRows(docs: DataFrame, idCol: String,
+      textCol: String, carryCol: Option[String], n: Int,
+      tokenize: Column => Column): DataFrame = {
+    val head = col(idCol).as("doc_id") ::
+      carryCol.map(c => col(c).as("carry")).toList
+    val out = col("doc_id") :: carryCol.map(_ => col("carry")).toList
+    docs.filter(col(textCol).isNotNull)
+      .select(head :+ tokenize(col(textCol)).as("_t"): _*)
+      .select(out :+ explode(gramStructArr(col("_t"), n)).as("_g"): _*)
+      .select(out ++ (1 to n).map(j =>
+        col(s"_g.w$j").as(s"w$j")): _*)
+  }
+
+  /** Adjacent-bigram rows `(doc_id, w1, w2)` — [[gramRows]] at n=2;
+    * docs with < 2 tokens yield no rows.
+    */
+  private[graft] def bigramRows(docs: DataFrame, idCol: String,
+      textCol: String, tokenize: Column => Column): DataFrame =
+    gramRows(docs, idCol, textCol, None, 2, tokenize)
+
   /** [[bigramRows]] with one carried-through column (as `carry`) —
     * the online CCNet gate needs the language riding next to each
     * bigram so the per-doc fold can bucket without a second join.
     */
   private[graft] def bigramRowsWith(docs: DataFrame, idCol: String,
       textCol: String, carryCol: String,
-      tokenize: Column => Column): DataFrame = {
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), col(carryCol).as("carry"),
-        tokenize(col(textCol)).as("_t"))
-    toks.select(col("doc_id"), col("carry"),
-        explode(when(size(col("_t")) > 1,
-            sequence(lit(1), size(col("_t")) - 1))
-          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"),
-        col("_t"))
-      .select(col("doc_id"), col("carry"),
-        element_at(col("_t"), col("i")).as("w1"),
-        element_at(col("_t"), col("i") + 1).as("w2"))
-  }
+      tokenize: Column => Column): DataFrame =
+    gramRows(docs, idCol, textCol, Some(carryCol), 2, tokenize)
 
-  private[graft] def bigramRows(docs: DataFrame, idCol: String,
-      textCol: String, tokenize: Column => Column): DataFrame = {
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("_t"))
-    toks.select(col("doc_id"),
-        explode(when(size(col("_t")) > 1,
-            sequence(lit(1), size(col("_t")) - 1))
-          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"),
-        col("_t"))
-      .select(col("doc_id"),
-        element_at(col("_t"), col("i")).as("w1"),
-        element_at(col("_t"), col("i") + 1).as("w2"))
-  }
-
-  /** Adjacent-trigram rows `(doc_id, w1, w2, w3)` — the [[bigramRows]]
-    * extraction one order up; docs with < 3 tokens yield no rows.
+  /** Adjacent-trigram rows `(doc_id, w1, w2, w3)` — [[gramRows]] at
+    * n=3; docs with < 3 tokens yield no rows.
     */
   private[graft] def trigramRows(docs: DataFrame, idCol: String,
-      textCol: String, tokenize: Column => Column): DataFrame = {
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("_t"))
-    toks.select(col("doc_id"),
-        explode(when(size(col("_t")) > 2,
-            sequence(lit(1), size(col("_t")) - 2))
-          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"),
-        col("_t"))
-      .select(col("doc_id"),
-        element_at(col("_t"), col("i")).as("w1"),
-        element_at(col("_t"), col("i") + 1).as("w2"),
-        element_at(col("_t"), col("i") + 2).as("w3"))
-  }
+      textCol: String, tokenize: Column => Column): DataFrame =
+    gramRows(docs, idCol, textCol, None, 3, tokenize)
 
-  /** Adjacent-5-gram rows `(doc_id, w1..w5)` — [[trigramRows]] two
-    * orders up; docs with < 5 tokens yield no rows.
+  /** Adjacent-5-gram rows `(doc_id, w1..w5)` — [[gramRows]] at n=5;
+    * docs with < 5 tokens yield no rows.
     */
   private[graft] def fivegramRows(docs: DataFrame, idCol: String,
-      textCol: String, tokenize: Column => Column): DataFrame = {
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("_t"))
-    toks.select(col("doc_id"),
-        explode(when(size(col("_t")) > 4,
-            sequence(lit(1), size(col("_t")) - 4))
-          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"),
-        col("_t"))
-      .select(col("doc_id"),
-        element_at(col("_t"), col("i")).as("w1"),
-        element_at(col("_t"), col("i") + 1).as("w2"),
-        element_at(col("_t"), col("i") + 2).as("w3"),
-        element_at(col("_t"), col("i") + 3).as("w4"),
-        element_at(col("_t"), col("i") + 4).as("w5"))
-  }
+      textCol: String, tokenize: Column => Column): DataFrame =
+    gramRows(docs, idCol, textCol, None, 5, tokenize)
 
   /** [[trigramRows]] with one carried-through column (as `carry`) —
     * the online KN gate needs the language riding next to each
@@ -1210,20 +1203,8 @@ object TextAnalysis {
     */
   private[graft] def trigramRowsWith(docs: DataFrame, idCol: String,
       textCol: String, carryCol: String,
-      tokenize: Column => Column): DataFrame = {
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), col(carryCol).as("carry"),
-        tokenize(col(textCol)).as("_t"))
-    toks.select(col("doc_id"), col("carry"),
-        explode(when(size(col("_t")) > 2,
-            sequence(lit(1), size(col("_t")) - 2))
-          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"),
-        col("_t"))
-      .select(col("doc_id"), col("carry"),
-        element_at(col("_t"), col("i")).as("w1"),
-        element_at(col("_t"), col("i") + 1).as("w2"),
-        element_at(col("_t"), col("i") + 2).as("w3"))
-  }
+      tokenize: Column => Column): DataFrame =
+    gramRows(docs, idCol, textCol, Some(carryCol), 3, tokenize)
 
   /** Inputs estimated (Catalyst plan stats — file sizes for a scan)
     * at or under this get an explicit broadcast hint on the

@@ -818,6 +818,57 @@ object R14OpScale {
   }
 }
 
+/** Long-document growth check for the r16 n-gram generator respelling
+  * (VERDICT r15 item 1): the old explode(sequence)+element_at row
+  * extractors carried the FULL token array in every generated row —
+  * bytes-in-stage O(tokens · docLen), invisible at the fixture's ~54
+  * tokens/doc but quadratic on book-length documents. This fixture
+  * holds doc COUNT low and doc LENGTH high: `docs` documents whose
+  * text is the sf0.1 text repeated `reps`× (250 × 200 reps ≈ 10.8k
+  * tokens/doc, ~2.7M total tokens = 10× the sf0.1 corpus), so a
+  * ~linear wall ratio on x111/x124 certifies the generator stage now
+  * moves O(tokens · n) bytes. Min-of-4 warm per side (host CPU-steal
+  * protocol, BENCH_LOCAL "growth-check" section).
+  */
+object R16LongDocScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/longdoc16")
+    val nDocs = args.lift(2).map(_.toInt).getOrElse(250)
+    val reps = args.lift(3).map(_.toInt).getOrElse(200)
+    val spark = Sessions.local("graft-r16-longdoc")
+    if (!Files.exists(Paths.get(s"$big/documents.parquet"))) {
+      val base = spark.read.parquet(s"$small/documents.parquet")
+        .orderBy("doc_id").limit(nDocs)
+      base.select(col("doc_id"),
+          concat_ws(" ", array_repeat(col("text"), reps)).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/documents.parquet")
+    }
+    def best4(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(4)(run()).min
+    }
+    val names = if (args.length > 4) args.drop(4).toSeq
+      else Seq("x111_kn_trigram_quality", "x124_kn5_quality")
+    val parts = names.map { name =>
+      val s = best4(name, small)
+      val b = best4(name, big)
+      f""""$name":[$s%.2f,$b%.2f,${b / s}%.2f]"""
+    }
+    println(parts.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
