@@ -48,16 +48,14 @@ object Bench {
           // on the x71/x72 rows in a 117-query suite, none solo
           System.gc()
           run(fn) // cold run, discarded
-          def median5(): Double = {
-            val warm = (1 to warmRuns).map(_ => run(fn)).sorted
-            warm(warm.size / 2)
-          }
-          val m1 = median5()
-          // sub-second entries are dominated by JIT/codegen cold-start
-          // order (the r6/r7 phantom-regression tails): re-measure and
-          // take the better median — the floor is the signal there,
-          // and >=1 s rows keep the single-median protocol
-          if (m1 < 1.0) math.min(m1, median5()) else m1
+          // MIN of warm runs, not median (r16, VERDICT r15 item 4):
+          // this host shows multi-second CPU-steal windows (load
+          // spikes with no local process) that inflate ANY single
+          // run ~10×, so an in-suite median is not adjudication-grade
+          // — r15's x64 read 10.08 s in-suite vs 6.35 s solo
+          // min-of-4. The min is the steady-state estimator; steal
+          // only ever ADDS time.
+          (1 to warmRuns).map(_ => run(fn)).min
         } catch { case _: Throwable => -1.0 }
       name -> sec
     }
