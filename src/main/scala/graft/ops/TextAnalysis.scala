@@ -1302,11 +1302,55 @@ object TextAnalysis {
     */
   private[graft] val LmSlotCapacity = 8
 
+  /** Session conf overriding [[LmSlotCapacity]] (r16, VERDICT r15
+    * item 8): the default 8 keeps ONE corpus's full model-family set
+    * resident (three gram tables + four scored tables + headroom); a
+    * pipeline scoring SEVERAL corpora concurrently needs more slots
+    * or it thrashes — correct but slow (recompute-on-miss), and
+    * silent until now. Set `spark.graft.lm.slotCapacity` to the
+    * number of concurrently-scored corpora × ~7; watch the hit/miss
+    * counters this cache logs on every miss to see the thrash.
+    */
+  private[graft] val LmSlotCapacityConf = "spark.graft.lm.slotCapacity"
+
+  private def lmSlotCapacity(session: SparkSession): Int = {
+    val v = session.conf.get(LmSlotCapacityConf, LmSlotCapacity.toString)
+    val n = try v.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$LmSlotCapacityConf must be a positive int, got '$v'")
+    }
+    require(n >= 1, s"$LmSlotCapacityConf must be >= 1, got $n")
+    n
+  }
+
   private final case class LmSlot(key: String, frame: DataFrame)
 
+  /** Per-session slot deque + hit/miss counters (all mutation under
+    * the [[lmCheckpoints]] lock).
+    */
+  private final class LmSessionCache {
+    val slots = new java.util.ArrayDeque[LmSlot]()
+    var hits = 0L
+    var misses = 0L
+  }
+
+  private val lmLog =
+    org.slf4j.LoggerFactory.getLogger("graft.ops.TextAnalysis.lmSlots")
+
   private val lmCheckpoints =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.ArrayDeque[LmSlot]]()
+    new java.util.WeakHashMap[SparkSession, LmSessionCache]()
+
+  /** Cumulative (hits, misses) of the LM-slot cache for `session` —
+    * the thrash gauge: a pipeline whose misses keep growing on
+    * repeated scoring of the same corpora has outgrown
+    * [[LmSlotCapacityConf]].
+    */
+  private[graft] def lmSlotStats(session: SparkSession): (Long, Long) =
+    lmCheckpoints.synchronized {
+      val c = lmCheckpoints.get(session)
+      if (c == null) (0L, 0L) else (c.hits, c.misses)
+    }
 
   private def purgeStoppedLmSessions(): Unit =
     lmCheckpoints.entrySet().removeIf(e =>
@@ -1339,24 +1383,34 @@ object TextAnalysis {
       (build: => DataFrame): DataFrame =
     lmCheckpoints.synchronized {
       purgeStoppedLmSessions()
-      var dq = lmCheckpoints.get(session)
-      if (dq == null) {
-        dq = new java.util.ArrayDeque[LmSlot]()
-        lmCheckpoints.put(session, dq)
+      var cache = lmCheckpoints.get(session)
+      if (cache == null) {
+        cache = new LmSessionCache()
+        lmCheckpoints.put(session, cache)
       }
+      val dq = cache.slots
       val it = dq.iterator()
       var hit: LmSlot = null
       while (hit == null && it.hasNext) {
         val s = it.next()
         if (s.key == key) { hit = s; it.remove() }
       }
-      val slot = if (hit != null) hit else LmSlot(key, build)
+      val capacity = lmSlotCapacity(session)
+      val slot = if (hit != null) { cache.hits += 1; hit }
+        else {
+          cache.misses += 1
+          // every miss is logged so slot thrash (a concurrency set
+          // larger than the capacity) is observable, not silent
+          lmLog.info(s"lm-slot miss key=$key hits=${cache.hits} " +
+            s"misses=${cache.misses} capacity=$capacity")
+          LmSlot(key, build)
+        }
       dq.addFirst(slot) // most-recently-used at the head
       // Evicting UNPERSISTS (never checkpoint-releases): the evicted
       // entry's frame keeps its full lineage, so callers still holding
       // it recompute on a cache miss rather than crash — the blocks
       // are reclaimed either way.
-      while (dq.size > LmSlotCapacity)
+      while (dq.size > capacity)
         dq.removeLast().frame.unpersist(blocking = false)
       slot.frame
     }

@@ -65,4 +65,41 @@ class LmSlotLivenessSpec extends SparkSpec {
     assert(a.orderBy("doc_id").collect()
       .sameElements(b.orderBy("doc_id").collect()))
   }
+
+  test("slot capacity conf is respected and hit/miss counters expose " +
+      "thrash (r16, VERDICT r15 item 8)") {
+    // fresh session: its own slot cache, counters from zero, and the
+    // capacity conf stays scoped away from the other tests
+    val s2 = spark.newSession()
+    s2.conf.set(TextAnalysis.LmSlotCapacityConf, "2")
+    val d = s2.read.parquet(s"$sf0001/documents.parquet")
+    assert(TextAnalysis.lmSlotStats(s2) == ((0L, 0L)))
+    // first score: both keys (model rows + scored table) are misses
+    TextAnalysis.lmQuality(d, "doc_id", "text").count()
+    val (h1, m1) = TextAnalysis.lmSlotStats(s2)
+    assert(h1 == 0L && m1 >= 2L, s"expected cold misses, got ($h1, $m1)")
+    // same-corpus re-score: pure hits, no new misses
+    TextAnalysis.lmQuality(d, "doc_id", "text").count()
+    val (h2, m2) = TextAnalysis.lmSlotStats(s2)
+    assert(h2 >= 1L && m2 == m1,
+      s"re-score should hit the cache, got ($h2, $m2) after ($h1, $m1)")
+    // churn 2 distinct trigram keys through the capacity-2 cache: the
+    // bigram entries are evicted, so the next bigram score MISSES —
+    // at the default capacity 8 it would have hit
+    TextAnalysis.knTrigramQuality(d, "doc_id", "text").count()
+    val (_, m3) = TextAnalysis.lmSlotStats(s2)
+    TextAnalysis.lmQuality(d, "doc_id", "text").count()
+    val (_, m4) = TextAnalysis.lmSlotStats(s2)
+    assert(m4 > m3,
+      "capacity-2 cache failed to evict the bigram entries: " +
+        s"$LmCapMsg")
+    // out-of-domain capacity raises, not silently clamps
+    s2.conf.set(TextAnalysis.LmSlotCapacityConf, "0")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lmQuality(d, "doc_id", "text").count()
+    }
+    s2.conf.unset(TextAnalysis.LmSlotCapacityConf)
+  }
+
+  private val LmCapMsg = "spark.graft.lm.slotCapacity not respected"
 }
