@@ -19,6 +19,84 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Default event-time watermark delay for the keyed-state twins —
+    * generous (35 days ≥ any realistic ingest disorder) because the
+    * re-emission contract NEEDS late arrivals to reach the state
+    * function; tighten per deployment.
+    */
+  val DefaultWatermarkDelay = "35 days"
+
+  /** Default idle horizon for the keyed-state twins (micros): a user
+    * with no event for this long has their history COLLAPSED (state
+    * shrinks to the bare version counter, O(1)); a user idle for TWO
+    * consecutive horizons is REMOVED outright. See
+    * [[boundedStateDoc]] for the full drop semantics.
+    */
+  val DefaultIdleTtlUs: Long = 90L * 86400L * 1000000L
+
+  /** Default per-user history cap for the keyed-state twins. */
+  val DefaultMaxEventsPerUser: Int = 100000
+
+  /** r16 bounded-state contract shared by [[interArrivalOnline]],
+    * [[transitionsOnline]], [[sessionStatsOnline]], [[funnelOnline]]
+    * (VERDICT r15 item 3 — through r15 these held each user's FULL
+    * history under `NoTimeout`, so one hammered key grew without
+    * bound):
+    *
+    *  - **History cap** (`maxEventsPerUser`): per-user retained
+    *    history is capped; past the cap the OLDEST events are dropped
+    *    (the recent-window semantics — funnel keeps the EARLIEST
+    *    times per step instead, since its fold consumes earliest
+    *    chains). Within the cap, emissions are exact; a trim drops
+    *    the trimmed events' contribution from the NEXT emission.
+    *  - **Idle collapse** (`idleTtlUs`, via
+    *    `GroupStateTimeout.EventTimeTimeout`): when the watermark
+    *    passes a user's last event + TTL, the history is dropped but
+    *    the VERSION COUNTER is kept (O(1) state), so a returning
+    *    user's next emission still SUPERSEDES its pre-idle rows under
+    *    the keep-max-version assembly — the user's assembled
+    *    contribution freezes at the final pre-idle emission until
+    *    post-return activity re-emits, covering post-return history
+    *    only (gaps/transitions across the idle horizon are by design
+    *    not counted).
+    *  - **Removal**: a user idle for a SECOND consecutive horizon is
+    *    removed outright; if they return after that, the version
+    *    restarts at 1 — downstream assemblies should treat rows older
+    *    than 2 × TTL as expired (the same retention contract as any
+    *    state-store deployment).
+    *
+    * Batch equivalence: on a batch DataFrame the watermark and
+    * timeout are inert, and the specs' fixtures sit far inside the
+    * default cap/TTL, so batch ≡ stream stays EXACT within the
+    * bounded window (StreamingSpec pins both the equivalence and the
+    * cap/collapse paths).
+    */
+  private[streaming] def boundedStateDoc(): Unit = ()
+
+  /** Timeout branch shared by the keyed-state twins: first fire
+    * collapses the history to the bare version counter and re-arms
+    * one more horizon; second consecutive fire (still empty) removes
+    * the key outright — [[boundedStateDoc]].
+    */
+  private def onIdle[S](state: GroupState[(Long, S)], emptyHist: S,
+      isEmpty: S => Boolean, idleTtlUs: Long): Unit = {
+    val (ver, hist) = state.get
+    if (isEmpty(hist)) state.remove()
+    else {
+      state.update((ver, emptyHist))
+      state.setTimeoutTimestamp(
+        state.getCurrentWatermarkMs() + idleTtlUs / 1000L)
+    }
+  }
+
+  /** Arms the idle timer at (user's max event time + TTL). The user
+    * has ≥ 1 row this batch, so `maxTUs` is at or past the watermark
+    * and the timestamp is always legal. No-op in batch execution.
+    */
+  private def armIdleTimer(state: GroupState[_], maxTUs: Long,
+      idleTtlUs: Long): Unit =
+    state.setTimeoutTimestamp(maxTUs / 1000L + idleTtlUs / 1000L)
+
   /** Schema of the events stream. `ts` is TimestampType (not NTZ):
     * Structured Streaming watermarks require an instant-typed event time.
     */
@@ -148,15 +226,18 @@ object EventStreams {
     * fold (StreamingSpec pins final ≡ batch and the late-step-1
     * cascade).
     *
-    * State per user is bounded by the user's FUNNEL-event history —
-    * 8-byte timestamps only, and non-funnel event types are filtered
-    * BEFORE the shuffle so the state never sees them. A production
-    * deployment bounds it further with an event-time TTL (the
-    * standard funnel-window product semantics — "convert within N
-    * days"); the untruncated form here is what makes the batch
-    * equivalence exact.
+    * State per user is their FUNNEL-event time sets — 8-byte
+    * timestamps only, non-funnel event types filtered BEFORE the
+    * shuffle — bounded by [[boundedStateDoc]]'s r16 cap +
+    * idle-collapse contract. The cap here keeps the EARLIEST
+    * `maxEventsPerUser` times per STEP (the fold consumes earliest
+    * chains, so dropping the newest overflow can only matter when a
+    * chain needs times past the cap-th earliest).
     */
-  def funnelOnline(events: DataFrame, steps: Seq[String])
+  def funnelOnline(events: DataFrame, steps: Seq[String],
+      watermarkDelay: String = DefaultWatermarkDelay,
+      maxEventsPerUser: Int = DefaultMaxEventsPerUser,
+      idleTtlUs: Long = DefaultIdleTtlUs)
       : Dataset[FunnelStepRow] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnel steps must be non-empty and distinct, got $steps")
@@ -164,21 +245,28 @@ object EventStreams {
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.size
     events
+      .withWatermark("ts", watermarkDelay)
       .filter(col("event_type").isin(steps: _*))
       .select(col("user_id"), col("event_type"),
-        expr("unix_micros(ts)").as("t"))
-      .as[(Long, String, Long)]
+        expr("unix_micros(ts)").as("t"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[(Long, String, Long)],
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long,
+            rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
             state: GroupState[(Long, Seq[Seq[Long]])]) =>
+          if (state.hasTimedOut) {
+            onIdle(state, Seq.fill(k)(Seq.empty[Long]),
+              (s: Seq[Seq[Long]]) => s.forall(_.isEmpty), idleTtlUs)
+            Iterator.empty
+          } else {
           val (ver, seen0) = state.getOption.getOrElse(
             (0L, Seq.fill(k)(Seq.empty[Long])))
           val sets = seen0.map(s =>
             scala.collection.mutable.SortedSet.empty[Long] ++ s)
-          rows.foreach { case (_, et, t) => sets(stepIdx(et)) += t }
-          val seen = sets.map(_.toSeq)
+          rows.foreach { case (_, et, t, _) => sets(stepIdx(et)) += t }
+          val seen = sets.map(_.toSeq.take(maxEventsPerUser))
           var reached = 0
           var last = Long.MinValue
           var i = 0
@@ -191,7 +279,9 @@ object EventStreams {
           }
           val nv = ver + 1
           state.update((nv, seen))
+          armIdleTimer(state, seen.iterator.flatten.max, idleTtlUs)
           Iterator(FunnelStepRow(uid, nv, reached.toLong))
+          }
       }
   }
 
@@ -216,27 +306,45 @@ object EventStreams {
     * bit-length grid (`64 − nlz(dt)` ≡ `length(bin(dt))`).
     *
     * State per user is their own event history (three 8-byte words +
-    * the type tag per event) — bounded by per-user activity, the
-    * same argument as the batch op's per-user window partition; a
-    * production deployment bounds it with an event-time TTL.
+    * the type tag per event), bounded by [[boundedStateDoc]]'s r16
+    * cap + idle-collapse contract.
     */
-  def interArrivalOnline(events: DataFrame): Dataset[SpectrumRow] = {
+  def interArrivalOnline(events: DataFrame,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      maxEventsPerUser: Int = DefaultMaxEventsPerUser,
+      idleTtlUs: Long = DefaultIdleTtlUs): Dataset[SpectrumRow] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
+      // `ts` rides along untouched: the EventTimeTimeout checker needs
+      // the WATERMARKED column (its metadata) in the state operator's
+      // input — the lambda ignores it
       .select(col("user_id"), expr("unix_micros(ts)").as("t"),
-        col("event_id"), col("event_type"))
-      .as[(Long, Long, Long, String)]
+        col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long,
+            rows: Iterator[(Long, Long, Long, String,
+              java.sql.Timestamp)],
             state: GroupState[(Long, Seq[(Long, Long, String)])]) =>
+          if (state.hasTimedOut) {
+            onIdle(state, Seq.empty[(Long, Long, String)],
+              (s: Seq[(Long, Long, String)]) => s.isEmpty, idleTtlUs)
+            Iterator.empty
+          } else {
           val (ver, seen0) = state.getOption.getOrElse(
             (0L, Seq.empty[(Long, Long, String)]))
-          val seen = (seen0.iterator ++ rows.map(r => (r._2, r._3, r._4)))
+          val merged = (seen0.iterator ++ rows.map(r => (r._2, r._3, r._4)))
             .toSeq.distinct.sortBy(e => (e._1, e._2))
+          // cap: retain the NEWEST maxEventsPerUser (recent-window
+          // drop semantics — boundedStateDoc)
+          val seen = if (merged.size > maxEventsPerUser)
+            merged.takeRight(maxEventsPerUser) else merged
           val nv = ver + 1
           state.update((nv, seen))
+          armIdleTimer(state, seen.last._1, idleTtlUs)
           val counts =
             scala.collection.mutable.Map.empty[(String, Long), Long]
           seen.iterator.sliding(2).withPartial(false).foreach { pair =>
@@ -253,6 +361,7 @@ object EventStreams {
           }
           counts.iterator.map { case ((et, bkt), n) =>
             SpectrumRow(uid, nv, et, bkt, n)
+          }
           }
       }
   }
@@ -274,27 +383,43 @@ object EventStreams {
     * retentionOnline convention).
     *
     * State per user is their own event history (two 8-byte words +
-    * the type tag per event) — bounded by per-user activity, the
-    * same argument as the batch op's per-user window partition; a
-    * production deployment bounds it with an event-time TTL.
+    * the type tag per event), bounded by [[boundedStateDoc]]'s r16
+    * cap + idle-collapse contract.
     */
-  def transitionsOnline(events: DataFrame): Dataset[TransitionRow] = {
+  def transitionsOnline(events: DataFrame,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      maxEventsPerUser: Int = DefaultMaxEventsPerUser,
+      idleTtlUs: Long = DefaultIdleTtlUs): Dataset[TransitionRow] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
+      // `ts` rides along untouched: the EventTimeTimeout checker needs
+      // the WATERMARKED column (its metadata) in the state operator's
+      // input — the lambda ignores it
       .select(col("user_id"), expr("unix_micros(ts)").as("t"),
-        col("event_id"), col("event_type"))
-      .as[(Long, Long, Long, String)]
+        col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long,
+            rows: Iterator[(Long, Long, Long, String,
+              java.sql.Timestamp)],
             state: GroupState[(Long, Seq[(Long, Long, String)])]) =>
+          if (state.hasTimedOut) {
+            onIdle(state, Seq.empty[(Long, Long, String)],
+              (s: Seq[(Long, Long, String)]) => s.isEmpty, idleTtlUs)
+            Iterator.empty
+          } else {
           val (ver, seen0) = state.getOption.getOrElse(
             (0L, Seq.empty[(Long, Long, String)]))
-          val seen = (seen0.iterator ++ rows.map(r => (r._2, r._3, r._4)))
+          val merged = (seen0.iterator ++ rows.map(r => (r._2, r._3, r._4)))
             .toSeq.distinct.sortBy(e => (e._1, e._2))
+          val seen = if (merged.size > maxEventsPerUser)
+            merged.takeRight(maxEventsPerUser) else merged
           val nv = ver + 1
           state.update((nv, seen))
+          armIdleTimer(state, seen.last._1, idleTtlUs)
           val counts =
             scala.collection.mutable.Map.empty[(String, String), Long]
           seen.iterator.sliding(2).withPartial(false).foreach { pair =>
@@ -303,6 +428,7 @@ object EventStreams {
           }
           counts.iterator.map { case ((ft, tt), n) =>
             TransitionRow(uid, nv, ft, tt, n)
+          }
           }
       }
   }
@@ -360,28 +486,42 @@ object EventStreams {
     * event can merge two sessions into one — the next emission
     * supersedes every prior row.
     *
-    * State per user is two 8-byte words per event — bounded by
-    * per-user activity; a production deployment bounds it with an
-    * event-time TTL.
+    * State per user is two 8-byte words per event, bounded by
+    * [[boundedStateDoc]]'s r16 cap + idle-collapse contract (the cap
+    * drops the OLDEST event_ids — id order is the session fold
+    * order, so the retained window stays fold-consistent).
     */
   def sessionStatsOnline(events: DataFrame,
-      gapUs: Long = 600000000L): Dataset[SessionLenRow] = {
+      gapUs: Long = 600000000L,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      maxEventsPerUser: Int = DefaultMaxEventsPerUser,
+      idleTtlUs: Long = DefaultIdleTtlUs): Dataset[SessionLenRow] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), col("event_id"),
-        expr("unix_micros(ts)").as("t"))
-      .as[(Long, Long, Long)]
+        expr("unix_micros(ts)").as("t"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Long, Long)],
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long,
+            rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
             state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          if (state.hasTimedOut) {
+            onIdle(state, Seq.empty[(Long, Long)],
+              (s: Seq[(Long, Long)]) => s.isEmpty, idleTtlUs)
+            Iterator.empty
+          } else {
           val (ver, seen0) = state.getOption.getOrElse(
             (0L, Seq.empty[(Long, Long)]))
-          val seen = (seen0.iterator ++ rows.map(r => (r._2, r._3)))
+          val merged = (seen0.iterator ++ rows.map(r => (r._2, r._3)))
             .toSeq.distinct.sortBy(_._1)
+          val seen = if (merged.size > maxEventsPerUser)
+            merged.takeRight(maxEventsPerUser) else merged
           val nv = ver + 1
           state.update((nv, seen))
+          armIdleTimer(state, seen.iterator.map(_._2).max, idleTtlUs)
           // fold sessions in event_id order, breaking on time gaps;
           // duration is max−min of the session's timestamps (the id
           // order need not be time-monotonic — the batch op's
@@ -404,6 +544,7 @@ object EventStreams {
           close()
           hist.iterator.map { case (len, (c, d)) =>
             SessionLenRow(uid, nv, len, c, d)
+          }
           }
       }
   }

@@ -571,6 +571,90 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("r16 bounded state: the per-user history cap trims the OLDEST " +
+      "events (interArrivalOnline, maxEventsPerUser = 3)") {
+    import java.sql.Timestamp
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long, String, Double, String)](spark)
+    val events = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams
+      .interArrivalOnline(events, maxEventsPerUser = 3)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_cap").start()
+    // user 1, type E, gaps 1 s / 1 s / 2 s / 4 s — uncapped buckets
+    // {1:2, 2:1, 3:1}; with the newest 3 events kept, only the 2 s
+    // and 4 s gaps survive
+    def ev(id: Long, t: String) =
+      (id, Timestamp.valueOf(t), 1L, "E", 1.0, "{}")
+    try {
+      ms.addData(
+        ev(1, "2024-01-05 10:00:00"), ev(2, "2024-01-05 10:00:01"),
+        ev(3, "2024-01-05 10:00:02"), ev(4, "2024-01-05 10:00:04"),
+        ev(5, "2024-01-05 10:00:08"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_cap")
+        .as[(Long, Long, String, Long, Long)].collect()
+      val maxV = rows.map(_._2).max
+      val latest = rows.filter(_._2 == maxV)
+        .map(r => (r._3, r._4, r._5)).toSet
+      assert(latest === Set(("E", 2L, 1L), ("E", 3L, 1L)),
+        s"capped spectrum wrong: $latest")
+    } finally q.stop()
+  }
+
+  test("r16 bounded state: idle collapse drops a user's history at " +
+      "the event-time TTL but keeps the version monotone " +
+      "(transitionsOnline)") {
+    import java.sql.Timestamp
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long, String, Double, String)](spark)
+    val events = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // tight deployment bounds: 1-minute disorder, 30-day idle horizon
+    val q = EventStreams.transitionsOnline(events,
+        watermarkDelay = "1 minute",
+        idleTtlUs = 30L * 86400L * 1000000L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_idle").start()
+    def ev(id: Long, t: String, u: Long, et: String) =
+      (id, Timestamp.valueOf(t), u, et, 1.0, "{}")
+    try {
+      // batch 1: user 1 walks X -> Y -> Z (v1: pairs XY, YZ)
+      ms.addData(ev(1, "2024-01-05 10:00:00", 1L, "X"),
+        ev(2, "2024-01-05 10:00:01", 1L, "Y"),
+        ev(3, "2024-01-05 10:00:02", 1L, "Z"))
+      q.processAllAvailable()
+      // batch 2: user 2 far in the future — advances the watermark
+      // past user 1's (last event + TTL)
+      ms.addData(ev(10, "2024-07-25 10:00:00", 2L, "X"))
+      q.processAllAvailable()
+      // batch 3: the timeout fires against batch 2's watermark —
+      // user 1's history collapses (no emission)
+      ms.addData(ev(11, "2024-07-25 11:00:00", 2L, "Y"))
+      q.processAllAvailable()
+      // batch 4: user 1 returns with P -> Q
+      ms.addData(ev(20, "2024-07-26 10:00:00", 1L, "P"),
+        ev(21, "2024-07-26 10:00:01", 1L, "Q"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_idle")
+        .filter($"user_id" === 1L)
+        .as[(Long, Long, String, String, Long)].collect()
+      val maxV = rows.map(_._2).max
+      val latest = rows.filter(_._2 == maxV)
+        .map(r => (r._3, r._4, r._5)).toSet
+      // post-return emission covers POST-RETURN history only: no
+      // Z -> P pair across the idle horizon, no stale X/Y/Z pairs
+      assert(latest === Set(("P", "Q", 1L)),
+        s"post-collapse matrix wrong: $latest")
+      // and the version stayed monotone (supersede still works)
+      val v1 = rows.filter(_._2 < maxV)
+      assert(v1.nonEmpty && v1.map(_._2).max < maxV)
+      assert(rows.filter(_._2 == 1L).map(r => (r._3, r._4)).toSet ===
+        Set(("X", "Y"), ("Y", "Z")))
+    } finally q.stop()
+  }
+
   test("streaming LSH candidates equal the batch generator, any batching") {
     val docs = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"text").limit(120).cache()
