@@ -500,7 +500,17 @@ object EventAnalytics {
       .select((col("_tc") - col("_t0")).as("_dt"))
     val bucket = when(col("_dt") <= 0L, lit(0L))
       .otherwise(length(bin(col("_dt"))).cast(LongType))
-    per.select(bucket.as("bucket"))
+    lagSpectrumPublish(per.select(bucket.as("bucket")))
+  }
+
+  /** The x158 publish tail over per-user `bucket` rows — ONE spelling
+    * shared by the batch spectrum above and the online twin's
+    * assembly (`EventStreams.conversionLagOnline`), so the published
+    * (bucket, n_users, lo_s, hi_s) arithmetic cannot drift.
+    */
+  private[graft] def lagSpectrumPublish(bucketRows: DataFrame)
+      : DataFrame =
+    bucketRows
       .groupBy("bucket").agg(count(lit(1)).as("n_users"))
       .select(col("bucket"), col("n_users"),
         when(col("bucket") === 0L, 0L)
@@ -511,7 +521,6 @@ object EventAnalytics {
           .otherwise(expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))") - 1L)
           .cast(LongType).as("hi_s"))
-  }
 
   /** Per-from-type transition entropy — x149's behavioral-entropy
     * quantization applied to x138's transition matrix: for each
@@ -541,19 +550,30 @@ object EventAnalytics {
         col(typeCol).as("from_type"))
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
-    val m = pairs.groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("_c"))
+    transitionEntropyFromMatrix(
+      pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n")))
+  }
+
+  /** The x161 entropy reduction over an ALREADY-COUNTED transition
+    * matrix `(from_type, to_type, n)` — ONE spelling shared by the
+    * batch op above and the online twin's assembly (sum the
+    * max-version `EventStreams.transitionsOnline` rows per pair, then
+    * call this), so the x149 quantization contract cannot drift.
+    */
+  private[graft] def transitionEntropyFromMatrix(matrix: DataFrame)
+      : DataFrame =
+    matrix
       .withColumn("_q",
-        floor(col("_c").cast("double") * log(col("_c").cast("double"))
+        floor(col("n").cast("double") * log(col("n").cast("double"))
           * 1e6 + 0.5).cast(LongType))
-    m.groupBy(col("from_type"))
-      .agg(sum(col("_c")).as("n"), sum(col("_q")).as("_qs"))
+      .groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n"), sum(col("_q")).as("_qs"))
       .withColumn("_hn",
         floor(col("n").cast("double") * log(col("n").cast("double"))
           * 1e6 + 0.5).cast(LongType))
       .select(col("from_type"), col("n"),
         expr("greatest(_hn - _qs, 0L) div n").as("entropy_micros"))
-  }
 
   def userEntropyReport(events: DataFrame, userCol: String,
       typeCol: String): DataFrame = {

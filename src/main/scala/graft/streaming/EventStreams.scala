@@ -433,6 +433,63 @@ object EventStreams {
       }
   }
 
+  /** ONLINE conversion lag — the ingest-time twin of batch x158
+    * (`graft.ops.EventAnalytics.conversionLagSpectrum`): per user,
+    * keyed state is O(1) — the version counter plus two running mins
+    * (first event time, first `target` event time, micros) — the
+    * statefulUserTotals bounded-state class, so no history cap or
+    * idle collapse is needed. Each update re-emits the user's current
+    * base-2 lag bucket with a monotone `version` stamp; `bucket` is
+    * −1 while the user has not converted (the explicit
+    * not-yet-converted marker, so a LATE earlier event that changes
+    * t0 — or the first `target` arrival — supersedes prior rows under
+    * the keep-max-version assembly). Assemble the spectrum by keeping
+    * each user's max-version row, dropping `bucket < 0`, and applying
+    * `EventAnalytics.lagSpectrumPublish` — the batch op's own publish
+    * tail (StreamingSpec pins assembled ≡ batch under forced
+    * multi-batch replay).
+    *
+    * The gap is computed on floor-truncated SECONDS like the batch op
+    * (`unix_timestamp` semantics): floor is monotone, so the running
+    * micros mins floor-divide at emission time to exactly the batch
+    * op's `min(unix_timestamp(ts))`.
+    */
+  def conversionLagOnline(events: DataFrame, target: String,
+      watermarkDelay: String = DefaultWatermarkDelay)
+      : Dataset[ConversionLagRow] = {
+    import events.sparkSession.implicits._
+    val NoTc = Long.MaxValue
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        (col("event_type") === target).as("is_target"), col("ts"))
+      .as[(Long, Long, Boolean, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Boolean,
+            java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (ver, t0, tc) = state.getOption.getOrElse(
+            (0L, Long.MaxValue, NoTc))
+          rows.foreach { case (_, t, isTarget, _) =>
+            if (t < t0) t0 = t
+            if (isTarget && t < tc) tc = t
+          }
+          val nv = ver + 1
+          state.update((nv, t0, tc))
+          val bucket =
+            if (tc == NoTc) -1L
+            else {
+              val dt = Math.floorDiv(tc, 1000000L) -
+                Math.floorDiv(t0, 1000000L)
+              if (dt <= 0L) 0L
+              else (64 - java.lang.Long.numberOfLeadingZeros(dt)).toLong
+            }
+          Iterator(ConversionLagRow(uid, nv, bucket))
+      }
+  }
+
   /** ONLINE per-user activity calendar — the ingest-time twin of
     * batch x141 (`graft.ops.EventAnalytics.activeUsersReport`): per
     * user, keyed state carries the distinct set of active epoch-days;
@@ -602,6 +659,14 @@ case class SessionLenRow(user_id: Long, version: Long, n_events: Long,
   */
 case class TransitionRow(user_id: Long, version: Long,
   from_type: String, to_type: String, n: Long)
+
+/** Output row of [[EventStreams.conversionLagOnline]] — the user's
+  * current base-2 conversion-lag bucket (−1 = not yet converted);
+  * `version` is the per-user monotone emission stamp (keep max per
+  * user downstream; dropping bucket < 0 and applying
+  * `EventAnalytics.lagSpectrumPublish` yields batch x158's spectrum).
+  */
+case class ConversionLagRow(user_id: Long, version: Long, bucket: Long)
 
 /** Output row of [[EventStreams.activeDaysOnline]] — one distinct
   * active epoch-day of the user; `version` is the per-user monotone

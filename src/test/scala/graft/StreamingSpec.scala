@@ -571,6 +571,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversionLagOnline final state assembles to the batch x158 " +
+      "spectrum under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.conversionLagOnline(stream, "purchase")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_lag").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stream_lag")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val latest = emitted
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+        .filter($"bucket" >= 0L)
+        .select($"bucket")
+      val assembled = graft.ops.EventAnalytics
+        .lagSpectrumPublish(latest)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.EventAnalytics.conversionLagSpectrum(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_type", target = "purchase")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(assembled.nonEmpty)
+      assert(assembled === batch)
+      // state genuinely crossed micro-batches
+      val multi = emitted.groupBy($"user_id")
+        .agg(countDistinct($"version").as("v")).filter($"v" > 1).count()
+      assert(multi > 0, "expected a user updated across batches")
+    } finally q.stop()
+  }
+
+  test("transitionsOnline final state assembles to the batch x161 " +
+      "transition entropy (the shared matrix reduction)") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.transitionsOnline(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_trans_ent").start()
+    try {
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val matrix = spark.table("stream_trans_ent")
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+        .groupBy($"from_type", $"to_type")
+        .agg(sum($"n").as("n"))
+      val assembled = graft.ops.EventAnalytics
+        .transitionEntropyFromMatrix(matrix)
+        .as[(String, Long, Long)].collect().toSet
+      val batch = graft.ops.EventAnalytics.transitionEntropy(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .as[(String, Long, Long)].collect().toSet
+      assert(assembled.nonEmpty)
+      assert(assembled === batch)
+    } finally q.stop()
+  }
+
   test("r16 bounded state: the per-user history cap trims the OLDEST " +
       "events (interArrivalOnline, maxEventsPerUser = 3)") {
     import java.sql.Timestamp
