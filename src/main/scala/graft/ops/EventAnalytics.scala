@@ -504,15 +504,16 @@ object EventAnalytics {
   }
 
   /** The x158 publish tail over per-user `bucket` rows — ONE spelling
-    * shared by the batch spectrum above and the online twin's
-    * assembly (`EventStreams.conversionLagOnline`), so the published
-    * (bucket, n_users, lo_s, hi_s) arithmetic cannot drift.
+    * shared by the batch spectrum above, the online twin's assembly
+    * (`EventStreams.conversionLagOnline`), and the repeat-interval
+    * spectrum (x163, which counts GAPS, hence `countName`), so the
+    * published (bucket, count, lo_s, hi_s) arithmetic cannot drift.
     */
-  private[graft] def lagSpectrumPublish(bucketRows: DataFrame)
-      : DataFrame =
+  private[graft] def lagSpectrumPublish(bucketRows: DataFrame,
+      countName: String = "n_users"): DataFrame =
     bucketRows
-      .groupBy("bucket").agg(count(lit(1)).as("n_users"))
-      .select(col("bucket"), col("n_users"),
+      .groupBy("bucket").agg(count(lit(1)).as(countName))
+      .select(col("bucket"), col(countName),
         when(col("bucket") === 0L, 0L)
           .otherwise(expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)"))
@@ -596,5 +597,77 @@ object EventAnalytics {
       .select(col("bucket"), col("n_users"), col("total_events"),
         (col("bucket") * 50000L).as("lo_micros"),
         (col("bucket") * 50000L + 49999L).as("hi_micros"))
+  }
+
+  /** Entry-type conversion lift — first-touch attribution's simplest
+    * honest form: group users by the TYPE OF THEIR FIRST EVENT (the
+    * acquisition channel proxy) and report each entry type's
+    * conversion rate to `target` against the corpus baseline. Lift
+    * far from 10⁶ says the entry surface routes conversion; ~10⁶
+    * says it doesn't matter.
+    *
+    * Determinism: the first event is the MIN of (ts, id, type)
+    * structs — the (ts, id) total order every event op uses, spelled
+    * as ONE map-side-combinable struct-min (no window, no shuffle of
+    * raw events beyond the user-keyed aggregate); conversion is a
+    * max-flag aggregate; rates/lift are exact BIGINT floor divisions
+    * against a broadcast one-row totals frame.
+    *
+    * Long headroom: `n_converted · total_users · 10⁶` caps the exact
+    * path at ~10⁶ users per entry type with 10⁶ converted — far past
+    * the fixture; above that, sample users first (the x29/x112
+    * convention).
+    *
+    * Returns `(entry_type, n_users, n_converted, conv_micros,
+    * lift_micros)`; `lift_micros` NULL when nobody converted.
+    */
+  def entryTypeLift(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, target: String): DataFrame = {
+    val per = events
+      .groupBy(col(userCol))
+      .agg(min(struct(col(tsCol), col(idCol), col(typeCol)))
+          .as("_first"),
+        max((col(typeCol) === target).cast(LongType)).as("_conv"))
+      .select(col("_first").getField(typeCol).as("entry_type"),
+        col("_conv"))
+    val tot = per.agg(count(lit(1)).as("_tu"), sum(col("_conv")).as("_tc"))
+    per.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("_conv")).as("n_converted"))
+      .crossJoin(broadcast(tot))
+      .select(col("entry_type"), col("n_users"), col("n_converted"),
+        expr("(n_converted * 1000000) div n_users").as("conv_micros"),
+        when(col("_tc") > 0L,
+          expr("(n_converted * _tu * 1000000) div (n_users * _tc)"))
+          .as("lift_micros"))
+  }
+
+  /** Repeat-interval spectrum — x142's base-2 gap histogram restricted
+    * to CONSECUTIVE `target` events per user (purchase-to-purchase
+    * cadence): the repeat-behavior gauge x158's first-conversion lag
+    * cannot see. Order is the full-precision (ts, id) pair; gaps are
+    * truncated-second differences (the x142/x158 contract).
+    *
+    * Scale: the corpus is filtered to `target` rows BEFORE the
+    * user-keyed lag window — the window partition carries only each
+    * user's target events.
+    *
+    * Returns `(bucket, n_gaps, lo_s, hi_s)`.
+    */
+  def repeatIntervalSpectrum(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      target: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val s = unix_timestamp(col(tsCol).cast(TimestampType))
+    val gaps = events.filter(col(typeCol) === target)
+      .select(col(userCol), col(tsCol), col(idCol), s.as("_s"))
+      .withColumn("_prev", lag(col("_s"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select((col("_s") - col("_prev")).as("_dt"))
+    val bucket = when(col("_dt") <= 0L, lit(0L))
+      .otherwise(length(bin(col("_dt"))).cast(LongType))
+    lagSpectrumPublish(gaps.select(bucket.as("bucket")),
+      countName = "n_gaps")
   }
 }

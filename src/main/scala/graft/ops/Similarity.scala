@@ -1213,4 +1213,51 @@ object Similarity {
       .groupBy("label", "bucket")
       .agg(count(lit(1)).as("n_vecs"), sum(col("_q")).as("sum_q"))
   }
+
+  /** ANN-margin report — the nearest-neighbor CONFIDENCE audit: for a
+    * deterministic sample of query vectors, the exact top-1 and top-2
+    * cosine neighbors and their separation in integer milli-units.
+    * Small margins mean the top-1 answer is fragile (any approximate
+    * index will flip it); the margin distribution is the
+    * recall-vs-speed dial for tuning x7/x37/x93's probe counts.
+    *
+    * Determinism: q18's rounded-cosine contract — per-pair IEEE dot,
+    * ROUND(·, 3), rank on (sim DESC, id ASC); the margin is a
+    * difference of FLOOR(s·1000 + 0.5) integers, so the published
+    * value is exact.
+    *
+    * Scale: the query set is a bounded hash sample (broadcast), so
+    * the scored frame is |corpus| × |sample| with NO shuffle until
+    * the per-query rank window (WindowGroupLimit caps it map-side at
+    * rk ≤ 2). At production scale the sample rides the same plan; the
+    * brute-force scoring side is the audit's cost by construction —
+    * run it on the x112-style sampled corpus when |corpus| · |sample|
+    * outgrows the cluster.
+    *
+    * Returns `(q_id, top1_id, top2_id, margin_milli)`.
+    */
+  def annMarginReport(vectors: DataFrame, idCol: String,
+      vecCol: String, sampleRate: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = vectors
+      .filter(Sampling.keepPredicate(col(idCol), sampleRate))
+      .select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("_q"))
+    val v = vectors
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("_v"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("_v"), col("_q")), 3).as("_s3"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("_s3").desc, col("vec_id").asc)
+    val milli = (rk: Int) => floor(
+      min(when(col("rk") === rk, col("_s3"))) * 1000 + 0.5)
+      .cast(LongType)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy("q_id")
+      .agg(min(when(col("rk") === 1, col("vec_id"))).as("top1_id"),
+        min(when(col("rk") === 2, col("vec_id"))).as("top2_id"),
+        (milli(1) - milli(2)).as("margin_milli"))
+  }
 }

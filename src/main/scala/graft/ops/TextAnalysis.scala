@@ -2912,6 +2912,7 @@ object TextAnalysis {
         // zero guard: a block whose texts are all empty (or all NULL)
         // has n_chars = 0 (or NULL) — publish NULL shares instead of
         // div-by-zero (ANSI error / engine-divergent // behavior)
+        // (r16 ADVICE fix)
         when(col("n_chars") > 0L,
           expr("(_as * 1000000) div n_chars")).as("alpha_micros"),
         when(col("n_chars") > 0L,
@@ -2921,5 +2922,63 @@ object TextAnalysis {
         when(col("n_chars") > 0L,
           expr("((n_chars - _as - _ds - _ss) * 1000000) div n_chars"))
           .as("other_micros"))
+  }
+
+  /** Per-block lexical-diversity profile — the type/token-ratio
+    * histogram: TTR = distinct tokens / tokens per document in exact
+    * floor-division micros, rolled into per-block decile buckets
+    * (`ttr div 100000`, 0–10). Low-bucket mass marks repetitive /
+    * template text the per-document repetition gauge (x41) sees one
+    * document at a time; this shows the BLOCK-level distribution.
+    *
+    * Determinism: all-integer (BIGINT counts, two floor divisions);
+    * tokens-per-doc is ≥ 1 by split semantics (both engines split ""
+    * to [""]), so no zero guard is needed.
+    *
+    * Scale: one stateless per-row projection, one map-side-combinable
+    * (block × bucket) aggregate — the charsetProfile shape.
+    *
+    * Returns `(block, bucket, n_docs, sum_tokens)`.
+    */
+  def lexicalDiversityProfile(docs: DataFrame, textCol: String,
+      blockCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(blockCol).as("block"),
+        size(toks).cast(LongType).as("_n"),
+        size(array_distinct(toks)).cast(LongType).as("_d"))
+      .select(col("block"), col("_n"),
+        expr("(_d * 1000000) div _n").as("_ttr"))
+      .groupBy(col("block"), expr("_ttr div 100000").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("sum_tokens"))
+  }
+
+  /** Prefix-duplicate spectrum — head-dup detection: documents
+    * sharing their first `k` tokens verbatim (mirrored scrapes,
+    * templated intros, truncation artifacts) grouped by the md5 of
+    * that prefix, published as the x160 group-size spectrum. Exact
+    * whole-document dedup (q19/x160) misses these when tails differ;
+    * chunk dedup (x45) sees them only when the prefix aligns to a
+    * chunk boundary.
+    *
+    * Determinism: md5 over the space-joined prefix (both engines
+    * clamp the slice at the token count); exact BIGINT counts.
+    *
+    * Scale: one hash-keyed aggregate + one size rollup — the exact
+    * dedup shape; no joins, no windows.
+    *
+    * Returns `(group_size, n_groups, n_docs)`.
+    */
+  def prefixDupSpectrum(docs: DataFrame, textCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val pref = md5(concat_ws(" ", slice(tokens(col(textCol)), 1, k)))
+    docs.filter(col(textCol).isNotNull)
+      .select(pref.as("_h"))
+      .groupBy("_h").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"))
   }
 }

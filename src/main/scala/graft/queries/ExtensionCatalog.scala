@@ -6468,6 +6468,138 @@ object ExtensionCatalog {
         FROM a
         """ + orderedSql(Seq("from_type", "n", "entropy_micros")))),
 
+    // x162 — entry-type conversion lift: first-touch attribution over
+    // the (ts, id) struct-min first event; exact BIGINT rates and
+    // baseline lift off a broadcast totals frame. One user-keyed
+    // map-side-combinable aggregate, no window.
+    QueryDef("x162_entry_type_lift",
+      (s, dir) => ordered(graft.ops.EventAnalytics.entryTypeLift(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", target = "purchase")),
+      Some("""WITH f AS (
+          SELECT user_id, event_type,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rk
+          FROM events),
+        conv AS (
+          SELECT user_id,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS c
+          FROM events GROUP BY 1),
+        per AS (
+          SELECT f.user_id, f.event_type AS entry_type, conv.c
+          FROM f JOIN conv USING (user_id) WHERE f.rk = 1),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS tu,
+            CAST(SUM(c) AS BIGINT) AS tc
+          FROM per),
+        g AS (
+          SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+            CAST(SUM(c) AS BIGINT) AS n_converted
+          FROM per GROUP BY 1)
+        SELECT entry_type, n_users, n_converted,
+          (n_converted * 1000000) // n_users AS conv_micros,
+          CASE WHEN tc > 0 THEN
+            (n_converted * tu * 1000000) // (n_users * tc) END
+            AS lift_micros
+        FROM g CROSS JOIN tot
+        """ + orderedSql(Seq("entry_type", "n_users", "n_converted",
+          "conv_micros", "lift_micros")))),
+
+    // x163 — repeat-interval spectrum: x142's base-2 gap grid over
+    // CONSECUTIVE purchase events per user (repeat cadence). Corpus
+    // filtered to the target type BEFORE the user-keyed lag window.
+    QueryDef("x163_repeat_interval",
+      (s, dir) => ordered(graft.ops.EventAnalytics
+        .repeatIntervalSpectrum(t(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type", target = "purchase")),
+      Some("""WITH p AS (
+          SELECT user_id, epoch_us(ts) // 1000000 AS s,
+            LAG(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev
+          FROM events WHERE event_type = 'purchase'),
+        g AS (SELECT s - prev AS dt FROM p WHERE prev IS NOT NULL),
+        b AS (
+          SELECT CASE WHEN dt <= 0 THEN 0
+            ELSE CAST(length(bin(dt)) AS BIGINT) END AS bucket
+          FROM g)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          CASE WHEN bucket = 0 THEN 0 ELSE
+            (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) END AS lo_s,
+          CASE WHEN bucket = 0 THEN 0 ELSE
+            (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 END AS hi_s
+        FROM b GROUP BY bucket
+        """ + orderedSql(Seq("bucket", "n_gaps", "lo_s", "hi_s")))),
+
+    // x164 — per-source lexical-diversity profile: TTR floor-division
+    // micros per doc, decile-bucketed per block. All-integer; one
+    // stateless projection + one (block, bucket) aggregate.
+    QueryDef("x164_lexical_diversity",
+      (s, dir) => ordered(TextAnalysis.lexicalDiversityProfile(
+        t(s, dir, "documents"), "text", "source")),
+      Some("""WITH per AS (
+          SELECT source AS block,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+            CAST(len(list_distinct(string_split(text, ' ')))
+              AS BIGINT) AS d
+          FROM documents WHERE text IS NOT NULL),
+        t AS (
+          SELECT block, n, (d * 1000000) // n AS ttr FROM per)
+        SELECT block, ttr // 100000 AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS sum_tokens
+        FROM t GROUP BY 1, 2
+        """ + orderedSql(Seq("block", "bucket", "n_docs",
+          "sum_tokens")))),
+
+    // x165 — prefix-duplicate spectrum: md5 of the first-10-token
+    // prefix, group sizes rolled to the x160 spectrum shape. The
+    // head-dup gauge whole-document and chunk dedup both miss.
+    QueryDef("x165_prefix_dup",
+      (s, dir) => ordered(TextAnalysis.prefixDupSpectrum(
+        t(s, dir, "documents"), "text", k = 10)),
+      Some("""WITH g AS (
+          SELECT md5(array_to_string(
+              (string_split(text, ' '))[1:10], ' ')) AS h,
+            CAST(COUNT(*) AS BIGINT) AS group_size
+          FROM documents WHERE text IS NOT NULL GROUP BY 1)
+        SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+          group_size * CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1
+        """ + orderedSql(Seq("group_size", "n_groups", "n_docs")))),
+
+    // x166 — ANN-margin report: exact top-1/top-2 rounded cosines for
+    // a 10% hash sample of query vectors, margin as a difference of
+    // FLOOR(s·1000 + 0.5) integers (q18's rounded-cosine contract).
+    // The index-confidence audit behind x7/x37/x93 probe tuning.
+    QueryDef("x166_ann_margin",
+      (s, dir) => ordered(Similarity.annMarginReport(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        sampleRate = 0.1)),
+      Some("""WITH q AS (
+          SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings
+          WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '199a'),
+        s AS (
+          SELECT q.q_id, v.vec_id,
+            ROUND(list_cosine_similarity(
+              CAST(v.embedding AS DOUBLE[]), q.qv), 3) AS s3
+          FROM embeddings v CROSS JOIN q WHERE v.vec_id <> q.q_id),
+        r AS (
+          SELECT q_id, vec_id, s3,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY s3 DESC, vec_id) AS rk
+          FROM s)
+        SELECT q_id,
+          MIN(CASE WHEN rk = 1 THEN vec_id END) AS top1_id,
+          MIN(CASE WHEN rk = 2 THEN vec_id END) AS top2_id,
+          CAST(MIN(CASE WHEN rk = 1 THEN FLOOR(s3 * 1000 + 0.5) END)
+            - MIN(CASE WHEN rk = 2 THEN FLOOR(s3 * 1000 + 0.5) END)
+            AS BIGINT) AS margin_milli
+        FROM r WHERE rk <= 2 GROUP BY q_id
+        """ + orderedSql(Seq("q_id", "top1_id", "top2_id",
+          "margin_milli")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -377,4 +377,58 @@ class EventAnalyticsSpec extends SparkSpec {
       (0L, 2L, 5L, 0L, 49999L),
       (13L, 1L, 4L, 650000L, 699999L)))
   }
+
+  test("entryTypeLift (x162): hand fixture — struct-min first event, " +
+      "exact conv and lift floor divisions") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1 enters via 'ad' (tie on ts broken by event_id 1 < 2),
+    //   converts; u2 enters 'ad', no purchase; u3 enters 'organic',
+    //   converts. Totals: tu=3, tc=2.
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "ad"),
+      (2L, ts("2024-01-01 08:00:00"), 1L, "organic"),
+      (3L, ts("2024-01-02 08:00:00"), 1L, "purchase"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "ad"),
+      (5L, ts("2024-01-01 10:00:00"), 3L, "organic"),
+      (6L, ts("2024-01-01 11:00:00"), 3L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.entryTypeLift(events, "user_id", "ts",
+        "event_id", "event_type", target = "purchase")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // ad: 2 users, 1 converted -> conv 500000, lift (1*3*1e6)//(2*2)
+    // organic: 1 user, 1 converted -> conv 1e6, lift (1*3*1e6)//(1*2)
+    assert(got === Set(
+      ("ad", 2L, 1L, 500000L, 750000L),
+      ("organic", 1L, 1L, 1000000L, 1500000L)))
+  }
+
+  test("entryTypeLift: zero-conversion corpus publishes NULL lift") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq((1L, ts("2024-01-01 08:00:00"), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.entryTypeLift(events, "user_id", "ts",
+        "event_id", "event_type", target = "purchase")
+      .collect()
+    assert(got.length == 1 && got.head.getLong(2) == 0L &&
+      got.head.isNullAt(4))
+  }
+
+  test("repeatIntervalSpectrum (x163): hand fixture — only " +
+      "target-to-target gaps, truncated-second buckets") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1 purchases at 0s, 9s, 10s (gaps 9 -> bucket 4, 1 -> bucket 1);
+    // the intervening 'view' at 5s must NOT split the 9 s gap;
+    // u2's single purchase yields no gap
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "purchase"),
+      (2L, ts("2024-01-01 08:00:05"), 1L, "view"),
+      (3L, ts("2024-01-01 08:00:09"), 1L, "purchase"),
+      (4L, ts("2024-01-01 08:00:10"), 1L, "purchase"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.repeatIntervalSpectrum(events, "user_id",
+        "ts", "event_id", "event_type", target = "purchase")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((4L, 1L, 8L, 15L), (1L, 1L, 1L, 1L)))
+  }
 }

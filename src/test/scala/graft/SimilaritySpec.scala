@@ -637,4 +637,24 @@ class SimilaritySpec extends SparkSpec {
       .as[Long].head()
     assert(n === Tables.load(spark, sf0001, "embeddings").count())
   }
+
+  test("annMarginReport (x166): hand vectors — exact top-2 ranks, id " +
+      "tie-break, and integer milli margins") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.6f, 0.8f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.annMarginReport(vecs, "vec_id",
+        "embedding", sampleRate = 1.0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      // q1: v4 is an exact dup (sim 1.0), then v2 at 0.6
+      (1L, 4L, 2L, 400L),
+      // q2: v3 at 0.8; v1 and v4 tie at 0.6 -> id 1 wins rank 2
+      (2L, 3L, 1L, 200L),
+      // q3: v2 at 0.8; v1/v4 tie at 0.0 -> id 1
+      (3L, 2L, 1L, 800L),
+      (4L, 1L, 2L, 400L)))
+  }
 }

@@ -1023,4 +1023,46 @@ class TfIdfSpec extends SparkSpec {
       assert(tot <= 1000000L && tot > 1000000L - 4, s"block $b: $tot")
     }
   }
+
+  test("charsetProfile: an all-empty block publishes NULL shares, " +
+      "not div-by-zero (r16 ADVICE guard)") {
+    import spark.implicits._
+    val docs = Seq(("A", ""), ("A", ""), ("B", "ab"))
+      .toDF("source", "text")
+    val rows = graft.ops.TextAnalysis.charsetProfile(docs, "text",
+      "source").collect()
+    val a = rows.find(_.getString(0) == "A").get
+    assert(a.getLong(1) == 0L && (2 to 5).forall(a.isNullAt))
+    val b = rows.find(_.getString(0) == "B").get
+    assert(b.getLong(2) == 1000000L)
+  }
+
+  test("lexicalDiversityProfile (x164): hand corpus — exact TTR " +
+      "deciles and token sums per block") {
+    import spark.implicits._
+    // "a b c d" ttr=1e6 -> bucket 10; "a a a a" ttr=250000 -> bucket 2
+    // "a a b b" ttr=500000 -> bucket 5 (block B)
+    val docs = Seq(("A", "a b c d"), ("A", "a a a a"),
+      ("B", "a a b b")).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.lexicalDiversityProfile(docs,
+        "text", "source")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 10L, 1L, 4L), ("A", 2L, 1L, 4L), ("B", 5L, 1L, 4L)))
+  }
+
+  test("prefixDupSpectrum (x165): docs sharing the first k tokens " +
+      "group together; differing tails do not split them") {
+    import spark.implicits._
+    val p = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val docs = Seq(
+      s"$p tail one", s"$p another tail entirely", // same 10-prefix
+      "t1 t2 t3 t4 t5 t6 t7 t8 t9 DIFF tail",      // 10th token differs
+      "short doc")                                  // < k tokens
+      .map(Tuple1(_)).toDF("text")
+    val got = graft.ops.TextAnalysis.prefixDupSpectrum(docs, "text",
+        k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L, 2L), (1L, 2L, 2L)))
+  }
 }
