@@ -670,4 +670,41 @@ object EventAnalytics {
     lagSpectrumPublish(gaps.select(bucket.as("bucket")),
       countName = "n_gaps")
   }
+
+  /** Session entry→exit matrix — the navigation fingerprint: gap-
+    * sessionize (the q25/x152 convention — id order, 10-minute
+    * inactivity), take each session's FIRST and LAST event type, and
+    * publish the (entry_type, exit_type) count matrix with x138's
+    * exact row normalization. Where x138 reads single-step routing,
+    * this reads whole-VISIT routing: which surface people arrive on
+    * and where the visit dies.
+    *
+    * Determinism: entry/exit are struct-min/struct-max over (id,
+    * type) within the session — event ids are unique, so both are
+    * total; counts BIGINT, shares one floor division.
+    *
+    * Scale: the ONE user-keyed sessionization exchange (shared lag +
+    * running-sum windows), a (user × session)-keyed aggregate, then
+    * a type²-bounded matrix — the x138 tail.
+    *
+    * Returns `(entry_type, exit_type, n, p_micros)`.
+    */
+  def sessionEntryExit(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = sessionized(events, userCol, tsCol, idCol, gapUs,
+        Seq(typeCol))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(min(struct(col(idCol), col(typeCol))).as("_in"),
+        max(struct(col(idCol), col(typeCol))).as("_out"))
+      .select(col("_in").getField(typeCol).as("entry_type"),
+        col("_out").getField(typeCol).as("exit_type"))
+    val w = Window.partitionBy(col("entry_type"))
+    per.groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_tot", sum(col("n")).over(w))
+      .select(col("entry_type"), col("exit_type"), col("n"),
+        expr("(n * 1000000) div _tot").as("p_micros"))
+  }
 }

@@ -1260,4 +1260,49 @@ object Similarity {
         min(when(col("rk") === 2, col("vec_id"))).as("top2_id"),
         (milli(1) - milli(2)).as("margin_milli"))
   }
+
+  /** kNN label purity — the embedding-quality audit run before any
+    * label-aware curation (x65's centroid confusion, x81's balanced
+    * subsets): for a deterministic sample of query vectors, the
+    * fraction of their exact top-`k` cosine neighbors sharing the
+    * query's label, in integer micros. Low purity means the space
+    * does not separate the labels and every cluster-based gate built
+    * on it inherits the noise.
+    *
+    * Determinism: the [[annMarginReport]] contract — rounded cosine,
+    * (sim DESC, id ASC) rank — plus one exact match-count aggregate
+    * and one floor division by the constant `k`.
+    *
+    * Scale: same shape as [[annMarginReport]] (bounded broadcast
+    * sample, WindowGroupLimit-capped rank window at rk ≤ k); same
+    * sampled-corpus knob past cluster scale.
+    *
+    * Returns `(q_id, label, n_matched, purity_micros)`.
+    */
+  def knnLabelPurity(vectors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int = 5,
+      sampleRate: Double = 0.1): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val q = vectors
+      .filter(Sampling.keepPredicate(col(idCol), sampleRate))
+      .select(col(idCol).as("q_id"), col(labelCol).as("_ql"),
+        toDouble(col(vecCol)).as("_q"))
+    val v = vectors
+      .select(col(idCol).as("vec_id"), col(labelCol).as("_vl"),
+        toDouble(col(vecCol)).as("_v"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("_ql"), col("_vl"), col("vec_id"),
+        round(cosine(col("_v"), col("_q")), 3).as("_s3"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("_s3").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("q_id"), col("_ql").as("label"))
+      .agg(sum((col("_vl") === col("_ql")).cast(LongType))
+        .as("n_matched"))
+      .select(col("q_id"), col("label"), col("n_matched"),
+        expr(s"(n_matched * 1000000) div $k").as("purity_micros"))
+  }
 }

@@ -2981,4 +2981,82 @@ object TextAnalysis {
       .select(col("group_size"), col("n_groups"),
         (col("group_size") * col("n_groups")).as("n_docs"))
   }
+
+  /** Per-block n-gram HEAD coverage — the boilerplate-mass gauge: how
+    * much of a block's n-gram OCCURRENCE volume its top-10 / top-100
+    * gram types carry (count-desc, term-asc rank). Natural text is
+    * Zipf-heavy but long-tailed; a block whose top-10 covers most of
+    * its mass is template output — the aggregate warning that x157's
+    * per-gram signatures then itemize.
+    *
+    * Determinism: exact BIGINT counts, deterministic (count DESC,
+    * term ASC) rank, two floor divisions.
+    *
+    * Scale: ONE map-side-combinable (block × gram) aggregate
+    * (gram-vocabulary-bounded), one block-PARTITIONED rank window
+    * over it, one block rollup. No global sort, no joins.
+    *
+    * Returns `(block, total_occ, top10_occ, top100_occ, cov10_micros,
+    * cov100_micros)` — blocks with no n-gram (every doc < n tokens)
+    * yield no row.
+    */
+  def ngramHeadCoverage(docs: DataFrame, textCol: String,
+      blockCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(blockCol).as("block"),
+        explode(ngrams(tokens(col(textCol)), n, keepPartial = false))
+          .as("term"))
+      .groupBy("block", "term").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("block"))
+      .orderBy(col("c").desc, col("term").asc)
+    tf.withColumn("rk", row_number().over(w))
+      .groupBy("block")
+      .agg(sum(col("c")).as("total_occ"),
+        sum(when(col("rk") <= 10, col("c")).otherwise(0L))
+          .as("top10_occ"),
+        sum(when(col("rk") <= 100, col("c")).otherwise(0L))
+          .as("top100_occ"))
+      .select(col("block"), col("total_occ"), col("top10_occ"),
+        col("top100_occ"),
+        expr("(top10_occ * 1000000) div total_occ").as("cov10_micros"),
+        expr("(top100_occ * 1000000) div total_occ")
+          .as("cov100_micros"))
+  }
+
+  /** Language × source association matrix — the multilinguality map a
+    * curation pipeline reads before routing per-language gates (x92's
+    * buckets, x87's lang-id): per (lang, source) cell the document
+    * count and its exact lift against independence (~10⁶ = the source
+    * is language-neutral; high = this source IS that language's
+    * supply).
+    *
+    * Determinism: one BIGINT cell aggregate; marginals are window
+    * sums OVER that aggregate (never a re-scan); lift is one floor
+    * division of exact integer products.
+    *
+    * Long headroom: `n · N · 10⁶` caps the exact path at ~10⁵ docs
+    * per cell on a 10⁸-doc corpus; above that, sample (the x29/x112
+    * convention).
+    *
+    * Returns `(lang, source, n_docs, lift_micros)`.
+    */
+  def langSourceLift(docs: DataFrame, langCol: String,
+      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = docs
+      .filter(col(langCol).isNotNull && col(sourceCol).isNotNull)
+      .groupBy(col(langCol).as("lang"), col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = m.agg(sum(col("n_docs")).as("_nt"))
+    m.withColumn("_nl",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .withColumn("_ns",
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"),
+        expr("(n_docs * _nt * 1000000) div (_nl * _ns)")
+          .as("lift_micros"))
+  }
 }

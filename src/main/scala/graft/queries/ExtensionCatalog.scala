@@ -6600,6 +6600,133 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("q_id", "top1_id", "top2_id",
           "margin_milli")))),
 
+    // x167 — session entry→exit matrix: q25/x152 gap-sessionization,
+    // struct-min/max entry and exit types per session, x138's exact
+    // row normalization. Whole-visit routing next to x138's
+    // single-step matrix.
+    QueryDef("x167_session_entry_exit",
+      (s, dir) => ordered(graft.ops.EventAnalytics.sessionEntryExit(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")),
+      Some("""WITH b AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+          FROM events),
+        m AS (
+          SELECT user_id, event_id, event_type, tus,
+            CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) IS NULL
+                 OR tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM b),
+        sx AS (
+          SELECT user_id, event_id, event_type,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+          FROM m),
+        per AS (
+          SELECT user_id, session_idx,
+            min_by(event_type, event_id) AS entry_type,
+            max_by(event_type, event_id) AS exit_type
+          FROM sx GROUP BY 1, 2),
+        mm AS (
+          SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM per GROUP BY 1, 2)
+        SELECT entry_type, exit_type, n,
+          (n * 1000000)
+            // CAST(SUM(n) OVER (PARTITION BY entry_type) AS BIGINT)
+            AS p_micros
+        FROM mm
+        """ + orderedSql(Seq("entry_type", "exit_type", "n",
+          "p_micros")))),
+
+    // x168 — per-source trigram head coverage: top-10/top-100 gram
+    // occurrence mass per block in exact micros — the boilerplate-
+    // mass aggregate next to x157's per-gram signatures.
+    QueryDef("x168_ngram_coverage",
+      (s, dir) => ordered(TextAnalysis.ngramHeadCoverage(
+        t(s, dir, "documents"), "text", "source", n = 3)),
+      Some("""WITH tok AS (
+          SELECT source AS block, unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+            AS term
+          FROM documents WHERE text IS NOT NULL),
+        tf AS (
+          SELECT block, term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2),
+        r AS (
+          SELECT block, c, ROW_NUMBER() OVER (PARTITION BY block
+            ORDER BY c DESC, term) AS rk
+          FROM tf),
+        g AS (
+          SELECT block, CAST(SUM(c) AS BIGINT) AS total_occ,
+            CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT)
+              AS top10_occ,
+            CAST(SUM(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS BIGINT)
+              AS top100_occ
+          FROM r GROUP BY 1)
+        SELECT block, total_occ, top10_occ, top100_occ,
+          (top10_occ * 1000000) // total_occ AS cov10_micros,
+          (top100_occ * 1000000) // total_occ AS cov100_micros
+        FROM g
+        """ + orderedSql(Seq("block", "total_occ", "top10_occ",
+          "top100_occ", "cov10_micros", "cov100_micros")))),
+
+    // x169 — language × source lift matrix: exact cell counts with
+    // window-sum marginals over the one aggregate and a broadcast
+    // total; lift ~1e6 = language-neutral source.
+    QueryDef("x169_lang_source_lift",
+      (s, dir) => ordered(TextAnalysis.langSourceLift(
+        t(s, dir, "documents"), "lang", "source")),
+      Some("""WITH m AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL
+          GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt FROM m)
+        SELECT lang, source, n_docs,
+          (n_docs * nt * 1000000) //
+            (CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) *
+             CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT))
+            AS lift_micros
+        FROM m CROSS JOIN tot
+        """ + orderedSql(Seq("lang", "source", "n_docs",
+          "lift_micros")))),
+
+    // x170 — kNN label purity: top-5 rounded-cosine neighbors for a
+    // 10% query sample, share with matching label in exact micros —
+    // the embedding-quality audit under x65/x81.
+    QueryDef("x170_knn_purity",
+      (s, dir) => ordered(Similarity.knnLabelPurity(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        k = 5, sampleRate = 0.1)),
+      Some("""WITH q AS (
+          SELECT vec_id AS q_id, label AS ql,
+            CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings
+          WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '199a'),
+        s AS (
+          SELECT q.q_id, q.ql, v.label AS vl, v.vec_id,
+            ROUND(list_cosine_similarity(
+              CAST(v.embedding AS DOUBLE[]), q.qv), 3) AS s3
+          FROM embeddings v CROSS JOIN q WHERE v.vec_id <> q.q_id),
+        r AS (
+          SELECT q_id, ql, vl, s3,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY s3 DESC, vec_id) AS rk
+          FROM s)
+        SELECT q_id, ql AS label,
+          CAST(SUM(CASE WHEN vl = ql THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_matched,
+          (CAST(SUM(CASE WHEN vl = ql THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000) // 5 AS purity_micros
+        FROM r WHERE rk <= 5 GROUP BY 1, 2
+        """ + orderedSql(Seq("q_id", "label", "n_matched",
+          "purity_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

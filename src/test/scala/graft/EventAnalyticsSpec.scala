@@ -431,4 +431,28 @@ class EventAnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got === Set((4L, 1L, 8L, 15L), (1L, 1L, 1L, 1L)))
   }
+
+  test("sessionEntryExit (x167): hand sessions — 10-min gap splits, " +
+      "id-order entry/exit, exact row normalization") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1 session A: ids 1,2,3 (view -> click -> purchase);
+    // 20-min gap; session B: id 4 alone (view -> view).
+    // u2 session: ids 5,6 (view -> click).
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 08:01:00"), 1L, "click"),
+      (3L, ts("2024-01-01 08:02:00"), 1L, "purchase"),
+      (4L, ts("2024-01-01 08:22:01"), 1L, "view"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      (6L, ts("2024-01-01 09:05:00"), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.sessionEntryExit(events, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect().toSet
+    // entry 'view' rows: ->purchase 1, ->view 1, ->click 1 (3 total)
+    assert(got === Set(
+      ("view", "purchase", 1L, 333333L),
+      ("view", "view", 1L, 333333L),
+      ("view", "click", 1L, 333333L)))
+  }
 }

@@ -657,4 +657,24 @@ class SimilaritySpec extends SparkSpec {
       (3L, 2L, 1L, 800L),
       (4L, 1L, 2L, 400L)))
   }
+
+  test("knnLabelPurity (x170): hand vectors — exact match counts and " +
+      "floor-division purity at k = 2") {
+    import spark.implicits._
+    // labels: 1,4 -> 0; 2,3 -> 1. Neighbors by cosine:
+    // q1 top2 = v4 (1.0, label 0), v2 (0.6, label 1) -> 1 match
+    // q2 top2 = v3 (0.8, 1), v1 (0.6, 0)             -> 1 match
+    // q3 top2 = v2 (0.8, 1), v1 (0.0, 0)             -> 1 match
+    // q4 top2 = v1 (1.0, 0), v2 (0.6, 1)             -> 1 match
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.6f, 0.8f), 1),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.knnLabelPurity(vecs, "vec_id",
+        "embedding", "label", k = 2, sampleRate = 1.0)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0, 1L, 500000L), (2L, 1, 1L, 500000L),
+      (3L, 1, 1L, 500000L), (4L, 0, 1L, 500000L)))
+  }
 }

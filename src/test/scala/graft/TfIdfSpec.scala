@@ -1065,4 +1065,37 @@ class TfIdfSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((2L, 1L, 2L), (1L, 2L, 2L)))
   }
+
+  test("ngramHeadCoverage (x168): hand corpus — bigram ranks, exact " +
+      "coverage shares, sub-n docs yield no grams") {
+    import spark.implicits._
+    // block A bigrams: "a b" ×3 (from "a b a b a b": a b, b a, a b...
+    // careful: "a b a b" -> grams "a b","b a","a b"). Use explicit:
+    // doc1 "x y x y x y": grams xy, yx, xy, yx, xy -> xy:3 yx:2
+    // doc2 "z z": gram "z z" -> 1. Total 6; top10 covers all -> 1e6.
+    // block B: one doc "solo" (1 token, no bigram) -> no row.
+    val docs = Seq(("A", "x y x y x y"), ("A", "z z"), ("B", "solo"))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.ngramHeadCoverage(docs, "text",
+        "source", n = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(("A", 6L, 6L, 6L, 1000000L, 1000000L)))
+  }
+
+  test("langSourceLift (x169): hand corpus — independence lands at " +
+      "1e6, concentration above, depletion below") {
+    import spark.implicits._
+    // en: s1 ×2, s2 ×1; fr: s2 ×1. N=4, n_en=3, n_fr=1, n_s1=2, n_s2=2
+    val docs = Seq(("en", "s1"), ("en", "s1"), ("en", "s2"),
+      ("fr", "s2")).toDF("lang", "source")
+    val got = graft.ops.TextAnalysis.langSourceLift(docs, "lang",
+        "source")
+      .as[(String, String, Long, Long)].collect().toSet
+    // (en,s1): 2*4e6 // (3*2) = 1333333; (en,s2): 1*4e6 // 6 = 666666
+    // (fr,s2): 1*4e6 // (1*2) = 2000000
+    assert(got === Set(
+      ("en", "s1", 2L, 1333333L),
+      ("en", "s2", 1L, 666666L),
+      ("fr", "s2", 1L, 2000000L)))
+  }
 }
