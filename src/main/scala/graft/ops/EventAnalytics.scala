@@ -630,6 +630,15 @@ object EventAnalytics {
         max((col(typeCol) === target).cast(LongType)).as("_conv"))
       .select(col("_first").getField(typeCol).as("entry_type"),
         col("_conv"))
+    entryLiftPublish(per)
+  }
+
+  /** The x162 publish tail over per-user `(entry_type, _conv)` rows —
+    * ONE spelling shared by the batch op above and the online twin's
+    * assembly (`EventStreams.entryTypeOnline`), so the published
+    * rate/lift arithmetic cannot drift.
+    */
+  private[graft] def entryLiftPublish(per: DataFrame): DataFrame = {
     val tot = per.agg(count(lit(1)).as("_tu"), sum(col("_conv")).as("_tc"))
     per.groupBy("entry_type")
       .agg(count(lit(1)).as("n_users"), sum(col("_conv")).as("n_converted"))

@@ -490,6 +490,49 @@ object EventStreams {
       }
   }
 
+  /** ONLINE entry-type attribution — the ingest-time twin of batch
+    * x162 (`graft.ops.EventAnalytics.entryTypeLift`): per user, keyed
+    * state is O(1) — the version counter, the running (t, id, type)
+    * struct-min first event, and the conversion flag (the
+    * conversionLagOnline bounded-state class). Each update re-emits
+    * the user's current (entry_type, converted) with a monotone
+    * `version` stamp, so a LATE earlier event that changes the entry
+    * attribution supersedes prior rows. Assemble the lift table by
+    * keeping each user's max-version row and applying
+    * `EventAnalytics.entryLiftPublish` — the batch op's own publish
+    * tail (StreamingSpec pins assembled ≡ batch under forced
+    * multi-batch replay).
+    */
+  def entryTypeOnline(events: DataFrame, target: String,
+      watermarkDelay: String = DefaultWatermarkDelay)
+      : Dataset[EntryTypeRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type"),
+        (col("event_type") === target).as("is_target"), col("ts"))
+      .as[(Long, Long, Long, String, Boolean, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String,
+            Boolean, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long, String, Boolean)]) =>
+          var (ver, ft, fid, fty, conv) = state.getOption.getOrElse(
+            (0L, Long.MaxValue, Long.MaxValue, "", false))
+          rows.foreach { case (_, t, id, ty, isT, _) =>
+            if (t < ft || (t == ft && id < fid)) {
+              ft = t; fid = id; fty = ty
+            }
+            if (isT) conv = true
+          }
+          val nv = ver + 1
+          state.update((nv, ft, fid, fty, conv))
+          Iterator(EntryTypeRow(uid, nv, fty, if (conv) 1L else 0L))
+      }
+  }
+
   /** ONLINE per-user activity calendar — the ingest-time twin of
     * batch x141 (`graft.ops.EventAnalytics.activeUsersReport`): per
     * user, keyed state carries the distinct set of active epoch-days;
@@ -667,6 +710,15 @@ case class TransitionRow(user_id: Long, version: Long,
   * `EventAnalytics.lagSpectrumPublish` yields batch x158's spectrum).
   */
 case class ConversionLagRow(user_id: Long, version: Long, bucket: Long)
+
+/** Output row of [[EventStreams.entryTypeOnline]] — the user's
+  * current first-event type and conversion flag; `version` is the
+  * per-user monotone emission stamp (keep max per user downstream;
+  * renaming `converted` to `_conv` and applying
+  * `EventAnalytics.entryLiftPublish` yields batch x162's table).
+  */
+case class EntryTypeRow(user_id: Long, version: Long,
+  entry_type: String, converted: Long)
 
 /** Output row of [[EventStreams.activeDaysOnline]] — one distinct
   * active epoch-day of the user; `version` is the per-user monotone

@@ -638,6 +638,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("entryTypeOnline final state assembles to the batch x162 lift " +
+      "table under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.entryTypeOnline(stream, "purchase")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_entry").start()
+    try {
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val latest = spark.table("stream_entry")
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+        .select($"entry_type", $"converted".as("_conv"))
+      val assembled = graft.ops.EventAnalytics.entryLiftPublish(latest)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.EventAnalytics.entryTypeLift(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_id", "event_type", target = "purchase")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(assembled.nonEmpty)
+      assert(assembled === batch)
+    } finally q.stop()
+  }
+
   test("r16 bounded state: the per-user history cap trims the OLDEST " +
       "events (interArrivalOnline, maxEventsPerUser = 3)") {
     import java.sql.Timestamp
