@@ -716,4 +716,44 @@ object EventAnalytics {
       .select(col("entry_type"), col("exit_type"), col("n"),
         expr("(n * 1000000) div _tot").as("p_micros"))
   }
+
+  /** Session-length conversion lift — does visit DEPTH buy
+    * conversion: per exact session event count, how many sessions
+    * contain a `target` event, the rate in micros, and the lift
+    * against the all-sessions baseline (the x162 rate/lift
+    * arithmetic keyed by x152's session length instead of entry
+    * type). Flat lift across lengths says depth is engagement
+    * theater; sharply rising says the funnel needs the long visits.
+    *
+    * Determinism: the q25/x152 sessionization (id order, gap break),
+    * a max-flag per session, exact BIGINT floor divisions.
+    *
+    * Scale: the one user-keyed sessionization exchange, a (user ×
+    * session) aggregate, a length-bounded rollup, a broadcast
+    * totals frame. Long headroom as x162.
+    *
+    * Returns `(n_events, n_sessions, n_converted, conv_micros,
+    * lift_micros)`; `lift_micros` NULL when no session converted.
+    */
+  def sessionConversionByLength(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, target: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    val dist = sessionized(events, userCol, tsCol, idCol, gapUs,
+        Seq(typeCol))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        max((col(typeCol) === target).cast(LongType)).as("_conv"))
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("_conv")).as("n_converted"))
+    val tot = dist.agg(sum(col("n_sessions")).as("_ts"),
+      sum(col("n_converted")).as("_tc"))
+    dist.crossJoin(broadcast(tot))
+      .select(col("n_events"), col("n_sessions"), col("n_converted"),
+        expr("(n_converted * 1000000) div n_sessions")
+          .as("conv_micros"),
+        when(col("_tc") > 0L,
+          expr("(n_converted * _ts * 1000000) div (n_sessions * _tc)"))
+          .as("lift_micros"))
+  }
 }

@@ -3059,4 +3059,47 @@ object TextAnalysis {
         expr("(n_docs * _nt * 1000000) div (_nl * _ns)")
           .as("lift_micros"))
   }
+
+  /** Cross-source duplication matrix — WHO copies WHOM: for every
+    * exact-content group (md5 of text) spanning two sources, one
+    * count per unordered source pair, with each side's duplicated
+    * document mass. High off-diagonal cells mark mirror/syndication
+    * relationships a per-source dedup pass never sees; they are the
+    * blocks to collapse FIRST at 100 TB (dedup across exactly these
+    * pairs, skip the rest).
+    *
+    * Determinism: md5 grouping, exact BIGINT counts, (least, greatest)
+    * pair canonicalization via `source_a < source_b`.
+    *
+    * `prefixK` > 0 keys on the first-k-token prefix (the x165 head-dup
+    * key) instead of whole text — the looser relationship that
+    * catches syndication with differing tails; 0 keys on exact
+    * content.
+    *
+    * Scale: one (hash × source) map-side-combinable aggregate, then a
+    * self-join ON THE HASH whose per-key bucket is bounded by the
+    * source count (never by document count — a million-way duplicate
+    * is ONE row per source here).
+    *
+    * Returns `(source_a, source_b, n_groups, n_docs_a, n_docs_b)`.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, textCol: String,
+      sourceCol: String, prefixK: Int = 0): DataFrame = {
+    val key = if (prefixK > 0)
+      md5(concat_ws(" ", slice(tokens(col(textCol)), 1, prefixK)))
+    else md5(col(textCol))
+    val g = docs.filter(col(textCol).isNotNull)
+      .select(key.as("_h"), col(sourceCol).as("_s"))
+      .groupBy("_h", "_s").agg(count(lit(1)).as("_c"))
+    val a = g.select(col("_h"), col("_s").as("source_a"),
+      col("_c").as("_ca"))
+    val b = g.select(col("_h"), col("_s").as("source_b"),
+      col("_c").as("_cb"))
+    a.join(b, Seq("_h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("_ca")).as("n_docs_a"),
+        sum(col("_cb")).as("n_docs_b"))
+  }
 }

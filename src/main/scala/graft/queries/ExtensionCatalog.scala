@@ -6727,6 +6727,78 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("q_id", "label", "n_matched",
           "purity_micros")))),
 
+    // x171 — cross-source duplication matrix on the x165 head-dup key
+    // (first-10-token prefix md5): shared-prefix groups spanning two
+    // sources, one count per unordered source pair with each side's
+    // doc mass. The who-copies-whom map a per-source dedup never
+    // sees (the prefix key, not whole-text md5, because syndication
+    // edits tails — and the fixture's exact-dup mass is zero below
+    // sf0.1).
+    QueryDef("x171_cross_source_dup",
+      (s, dir) => ordered(TextAnalysis.crossSourceDupMatrix(
+        t(s, dir, "documents"), "text", "source", prefixK = 10)),
+      Some("""WITH g AS (
+          SELECT md5(array_to_string(
+              (string_split(text, ' '))[1:10], ' ')) AS h,
+            source AS s, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents WHERE text IS NOT NULL GROUP BY 1, 2)
+        SELECT a.s AS source_a, b.s AS source_b,
+          CAST(COUNT(*) AS BIGINT) AS n_groups,
+          CAST(SUM(a.c) AS BIGINT) AS n_docs_a,
+          CAST(SUM(b.c) AS BIGINT) AS n_docs_b
+        FROM g a JOIN g b ON a.h = b.h AND a.s < b.s
+        GROUP BY 1, 2
+        """ + orderedSql(Seq("source_a", "source_b", "n_groups",
+          "n_docs_a", "n_docs_b")))),
+
+    // x172 — session-length conversion lift: x152's sessionization,
+    // x162's rate/lift arithmetic keyed by session event count —
+    // does visit depth buy conversion.
+    QueryDef("x172_session_conversion",
+      (s, dir) => ordered(graft.ops.EventAnalytics
+        .sessionConversionByLength(t(s, dir, "events"), "user_id",
+          "ts", "event_id", "event_type", target = "purchase")),
+      Some("""WITH b AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+          FROM events),
+        m AS (
+          SELECT user_id, event_id, event_type, tus,
+            CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) IS NULL
+                 OR tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM b),
+        sx AS (
+          SELECT user_id, event_type,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+          FROM m),
+        sess AS (
+          SELECT user_id, session_idx,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS conv
+          FROM sx GROUP BY 1, 2),
+        dist AS (
+          SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+            CAST(SUM(conv) AS BIGINT) AS n_converted
+          FROM sess GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n_sessions) AS BIGINT) AS ts,
+            CAST(SUM(n_converted) AS BIGINT) AS tc
+          FROM dist)
+        SELECT n_events, n_sessions, n_converted,
+          (n_converted * 1000000) // n_sessions AS conv_micros,
+          CASE WHEN tc > 0 THEN
+            (n_converted * ts * 1000000) // (n_sessions * tc) END
+            AS lift_micros
+        FROM dist CROSS JOIN tot
+        """ + orderedSql(Seq("n_events", "n_sessions", "n_converted",
+          "conv_micros", "lift_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

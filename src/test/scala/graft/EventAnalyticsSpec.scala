@@ -455,4 +455,35 @@ class EventAnalyticsSpec extends SparkSpec {
       ("view", "view", 1L, 333333L),
       ("view", "click", 1L, 333333L)))
   }
+
+  test("sessionConversionByLength (x172): hand sessions — depth-keyed " +
+      "rates and baseline lift, NULL lift when nothing converts") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 3-event session WITH purchase; 3-event session without;
+    // 1-event session without. Totals: ts=3 sessions, tc=1.
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 08:01:00"), 1L, "click"),
+      (3L, ts("2024-01-01 08:02:00"), 1L, "purchase"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 09:01:00"), 2L, "view"),
+      (6L, ts("2024-01-01 09:02:00"), 2L, "click"),
+      (7L, ts("2024-01-01 10:00:00"), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.sessionConversionByLength(events,
+        "user_id", "ts", "event_id", "event_type",
+        target = "purchase")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // len 3: 2 sessions, 1 converted -> conv 500000,
+    //   lift (1*3*1e6)//(2*1) = 1500000
+    // len 1: 1 session, 0 converted -> conv 0, lift 0
+    assert(got === Set(
+      (3L, 2L, 1L, 500000L, 1500000L),
+      (1L, 1L, 0L, 0L, 0L)))
+    // zero-conversion corpus: NULL lift everywhere
+    val none = EventAnalytics.sessionConversionByLength(
+        events.filter($"event_type" =!= "purchase"), "user_id", "ts",
+        "event_id", "event_type", target = "purchase").collect()
+    assert(none.nonEmpty && none.forall(_.isNullAt(4)))
+  }
 }

@@ -1098,4 +1098,30 @@ class TfIdfSpec extends SparkSpec {
       ("en", "s2", 1L, 666666L),
       ("fr", "s2", 1L, 2000000L)))
   }
+
+  test("crossSourceDupMatrix (x171): shared keys pair sources with " +
+      "per-side masses; same-source dups never pair") {
+    import spark.implicits._
+    // key "dup": s1 ×2, s2 ×1, s3 ×1 -> pairs (s1,s2),(s1,s3),(s2,s3)
+    // key "only": s1 ×2 (same-source dup — no pair)
+    val docs = Seq(("s1", "dup"), ("s1", "dup"), ("s2", "dup"),
+      ("s3", "dup"), ("s1", "only"), ("s1", "only"))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.crossSourceDupMatrix(docs,
+        "text", "source")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("s1", "s2", 1L, 2L, 1L),
+      ("s1", "s3", 1L, 2L, 1L),
+      ("s2", "s3", 1L, 1L, 1L)))
+    // prefix keying: tails differ, first-2-token prefixes collide
+    val pdocs = Seq(("s1", "p q tail one"), ("s2", "p q other"))
+      .toDF("source", "text")
+    val pgot = graft.ops.TextAnalysis.crossSourceDupMatrix(pdocs,
+        "text", "source", prefixK = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(pgot === Set(("s1", "s2", 1L, 1L, 1L)))
+    assert(graft.ops.TextAnalysis.crossSourceDupMatrix(pdocs,
+      "text", "source").count() === 0L)
+  }
 }
