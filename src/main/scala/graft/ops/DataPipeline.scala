@@ -463,6 +463,55 @@ object DataPipeline {
           .as("p75"))
   }
 
+  /** Per-stratum quantile normalization — the rank-based feature
+    * rescaling a mixture designer applies before comparing scores
+    * ACROSS sources: within each stratum, a value's normalized score
+    * is its empirical quantile position in exact micros,
+    * `pr = (rank − 1) · 10⁶ div (n − 1)` over the deterministic
+    * (value asc, id asc) total order (0 for the stratum minimum, 10⁶
+    * for the maximum; singleton strata publish 0 by the same
+    * arithmetic). Quantile-normalized scores from different strata
+    * are directly comparable even when the raw distributions differ
+    * in location and scale — the cross-source calibration x92's
+    * within-lang terciles apply at coarser grain.
+    *
+    * The published frame is the deterministic ~10% md5 id sample of
+    * the per-row result (the x166/x170 sample convention — ranks are
+    * computed over the FULL stratum, the sample only bounds the
+    * publish; pass `sampleHex4 = "ffff"` for the full frame).
+    *
+    * Determinism: ranks are tie-broken on id (exact); the score is
+    * one BIGINT floor division of non-negative operands; the sample
+    * predicate is a pure md5-prefix compare both engines spell
+    * identically.
+    *
+    * Scale: ONE stratum-keyed exchange serves the rank and count
+    * windows (the q8/x150 partitioned shape — a stratum bounds a
+    * task); the sample filter prunes before the publish. No joins,
+    * no global window, no collect.
+    *
+    * Returns `(id, stratum, v BIGINT, pr_micros BIGINT)`.
+    */
+  def quantileNormalize(df: DataFrame, idCol: String,
+      strataCol: String, value: Column,
+      sampleHex4: String = "199a"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(strataCol).as("stratum"),
+      col(idCol).as("id"), value.cast("long").as("v"))
+    val rk = Window.partitionBy(col("stratum"))
+      .orderBy(col("v").asc, col("id").asc)
+    val tot = Window.partitionBy(col("stratum"))
+    base
+      .withColumn("_i", row_number().over(rk).cast("long"))
+      .withColumn("_n", count(lit(1)).over(tot).cast("long"))
+      .withColumn("pr_micros",
+        when(col("_n") === 1L, 0L)
+          .otherwise(expr("((_i - 1) * 1000000) div (_n - 1)")))
+      .filter(substring(md5(col("id").cast("string")), 1, 4)
+        < lit(sampleHex4))
+      .select(col("id"), col("stratum"), col("v"), col("pr_micros"))
+  }
+
   /** Corpus snapshot diff — the data-versioning report run between two
     * corpus versions before retraining: per id, `added` (only in new),
     * `removed` (only in old), `modified` (both, content hash differs)

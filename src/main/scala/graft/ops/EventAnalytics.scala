@@ -756,4 +756,222 @@ object EventAnalytics {
           expr("(n_converted * _ts * 1000000) div (n_sessions * _tc)"))
           .as("lift_micros"))
   }
+
+  /** Hopping (sliding) window activity profile — per overlapping
+    * time window of `lengthSec` seconds advancing every `hopSec`
+    * seconds, the exact event count and distinct-user count per event
+    * type. The smoothing view q20's tumbling grid cannot give: a
+    * burst straddling a tumbling boundary splits into two half-counts,
+    * while every hop that covers it sees it whole. Uses Spark's
+    * native `window()` expression (the same operator Structured
+    * Streaming runs with a watermark), so the batch spelling here IS
+    * the streaming spelling.
+    *
+    * Semantics: windows are epoch-aligned — starts are the multiples
+    * of `hopSec` with `start ≤ t < start + lengthSec`; each event
+    * lands in exactly `lengthSec/hopSec` windows. `lengthSec` must be
+    * a multiple of `hopSec` (Spark would otherwise emit partial
+    * windows at fractional offsets — rejected here to keep the
+    * contract enumerable).
+    *
+    * Determinism: window assignment is pure integer arithmetic on
+    * epoch micros; counts are exact BIGINTs; distinct users are exact
+    * (both engines drop NULL users from COUNT(DISTINCT)). The window
+    * start publishes as TIMESTAMP (the q15/q20/x130 convention).
+    *
+    * Scale: the expansion is a bounded `lengthSec/hopSec`× row blowup
+    * (2× at the default), then ONE map-side-combinable (window × type)
+    * aggregate; distinct-user dedup shuffles (window, type, user) id
+    * rows only. No window functions, no per-user state. The published
+    * table is calendar-bounded: one row per (hop grid slot × type).
+    *
+    * Returns `(window_start TIMESTAMP, event_type, n_events BIGINT,
+    * n_users BIGINT)`.
+    */
+  def hoppingProfile(events: DataFrame, tsCol: String,
+      userCol: String, typeCol: String, lengthSec: Int = 600,
+      hopSec: Int = 300): DataFrame = {
+    require(lengthSec > 0 && hopSec > 0 && lengthSec % hopSec == 0,
+      s"window length ($lengthSec s) must be a positive multiple of " +
+        s"the hop ($hopSec s)")
+    events
+      .select(window(col(tsCol).cast(TimestampType),
+          s"$lengthSec seconds", s"$hopSec seconds").as("_w"),
+        col(typeCol).as("event_type"), col(userCol).as("_u"))
+      .groupBy(col("_w.start").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("_u")).as("n_users"))
+  }
+
+  /** RFM user segmentation — the classic CRM cut: per user, Recency
+    * (days since their last active day, measured from the corpus's
+    * last active day), Frequency (their event count), and Monetary
+    * (their exact summed `valueCol` over `target`-type events, in
+    * micros). Each metric is split at its corpus lower median, and
+    * the report publishes the 8-cell segment grid: per
+    * (r_stale, f_hi, m_hi) bit triple, the user count, their total
+    * event volume, and their total monetary micros. The cell
+    * (0, 1, 1) — recent, busy, paying — is the retention core;
+    * (1, 0, 0) is churn.
+    *
+    * Bit convention (one arithmetic for all three): a bit is 1 iff
+    * the user's metric is STRICTLY ABOVE its corpus lower median —
+    * so `r_stale = 1` means longer-ago-than-median (staleness rises
+    * with the raw metric), `f_hi`/`m_hi` mean above-median activity
+    * and spend.
+    *
+    * Determinism: days are exact epoch-day floor divisions (the x154
+    * convention); monetary sums route through DECIMAL(18,6) (exact,
+    * order-independent — the x128 money convention) and publish as
+    * integer micros; the lower median of each metric is the value at
+    * rank `(n+1) div 2` in the ascending (metric, user id) total
+    * order — selected WITHOUT a global window via the two-pass
+    * [[PrefixSum.withPosition]] ordinal (the scale-sound spelling of
+    * `ROW_NUMBER()` with no PARTITION BY, which Spark would otherwise
+    * run on one partition). Users with no target-type spend hold
+    * monetary 0 (not NULL) so the median is over all users.
+    *
+    * Scale: the corpus collapses FIRST to the user-sized RFM frame
+    * (one map-side-combinable aggregate + one broadcast one-row
+    * corpus-max frame); each median is a distributed sort of that
+    * user frame + the O(#partitions) offset scan; the three
+    * single-row median frames broadcast back onto the user frame; the
+    * published grid is 8 rows. Nothing bigger than the user frame
+    * ever shuffles.
+    *
+    * Returns `(r_stale, f_hi, m_hi, n_users, sum_events,
+    * sum_monetary_micros)` — all BIGINT.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, target: String): DataFrame = {
+    val base = events.select(col(userCol).as("_u"),
+      expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000")
+        .as("_d"),
+      when(col(typeCol) === target && col(valueCol).isNotNull,
+        col(valueCol)).otherwise(lit(0.0)).cast(DecimalType(18, 6))
+        .as("_v"))
+    val corpMax = base.agg(max(col("_d")).as("_cd"))
+    val rfm = base.groupBy("_u")
+      .agg(max(col("_d")).as("_ud"), count(lit(1)).as("freq"),
+        (sum(col("_v")) * lit(1000000L)).cast(LongType)
+          .as("mon_micros"))
+      .crossJoin(broadcast(corpMax))
+      .select(col("_u"), (col("_cd") - col("_ud")).as("rec_days"),
+        col("freq"), col("mon_micros"))
+    def lowerMedian(metric: String, as: String): DataFrame = {
+      val sorted = rfm.select(col(metric), col("_u"))
+        .sort(col(metric).asc, col("_u").asc)
+      val pos = PrefixSum.withPosition(sorted, "_pos")
+      val n = pos.agg(count(lit(1)).as("_n"))
+      pos.crossJoin(broadcast(n))
+        .filter(col("_pos") + 1L === expr("(_n + 1) div 2"))
+        .select(col(metric).as(as))
+    }
+    val meds = lowerMedian("rec_days", "_mr")
+      .crossJoin(broadcast(lowerMedian("freq", "_mf")))
+      .crossJoin(broadcast(lowerMedian("mon_micros", "_mm")))
+    rfm.crossJoin(broadcast(meds))
+      .groupBy((col("rec_days") > col("_mr")).cast(LongType)
+          .as("r_stale"),
+        (col("freq") > col("_mf")).cast(LongType).as("f_hi"),
+        (col("mon_micros") > col("_mm")).cast(LongType).as("m_hi"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("freq")).as("sum_events"),
+        sum(col("mon_micros")).as("sum_monetary_micros"))
+  }
+
+  /** Second-order event-type transition report — the Markov-2 view
+    * over x138's first-order matrix: per user in the (ts, id) total
+    * order, every consecutive TRIPLE becomes one (prev2, prev1, next)
+    * transition, published with the exact count and the
+    * context-normalized probability in micros (`n · 10⁶ div
+    * Σ_next n` within each (prev2, prev1) context). Read against
+    * x138: where P(next | prev1) ≈ P(next | prev2, prev1) the process
+    * is genuinely first-order and x138's matrix is the whole model;
+    * where they diverge, single-step transition tooling (and any
+    * session-stitching built on it) is dropping real signal.
+    *
+    * Determinism: the x138 contract verbatim — tie-free (ts, id)
+    * order, exact BIGINT counts, one floor division with non-negative
+    * operands.
+    *
+    * Scale: ONE user-keyed exchange feeds both lag windows (same
+    * partition+order — one WindowExec), triples partial-aggregate
+    * map-side to the type³-bounded matrix, and the context
+    * normalization is a window over that matrix — type³-sized, never
+    * corpus-sized. A power user bounds a task at their own event
+    * count (the q8/q9 partitioned shape).
+    *
+    * Returns `(prev2_type, prev1_type, next_type, n BIGINT,
+    * p_micros BIGINT)`.
+    */
+  def transition2Report(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val triples = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("next_type"))
+      .withColumn("prev1_type", lag(col("next_type"), 1).over(w))
+      .withColumn("prev2_type", lag(col("next_type"), 2).over(w))
+      .filter(col("prev2_type").isNotNull)
+    val m = triples.groupBy(col("prev2_type"), col("prev1_type"),
+        col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val ctx = Window.partitionBy(col("prev2_type"), col("prev1_type"))
+    m.withColumn("_tot", sum(col("n")).over(ctx))
+      .select(col("prev2_type"), col("prev1_type"), col("next_type"),
+        col("n"), expr("(n * 1000000) div _tot").as("p_micros"))
+  }
+
+  /** Weekly cohort value curves — x130's retention matrix upgraded
+    * from presence to VALUE: users cohort by the ISO week of their
+    * first event, and the report publishes, per (cohort week, age in
+    * whole weeks), the distinct active users, the exact monetary
+    * micros booked that week, and the cohort's cumulative micros
+    * through that age — the LTV curve read cohort-over-cohort to see
+    * whether newer cohorts monetize faster.
+    *
+    * Determinism: `date_trunc('week')` is Monday-aligned in both
+    * engines; the age is an exact integer `datediff div 7` of two
+    * week-truncated days; value sums route through DECIMAL(18,6)
+    * (the x128 money convention — exact and order-independent, NULL
+    * values drop from SUM in both engines) and publish as integer
+    * micros; the cumulative is a running BIGINT sum over the already
+    * aggregated matrix. The cohort week publishes as TIMESTAMP
+    * (q15/q20/x130 convention).
+    *
+    * Scale: one user-keyed first-week aggregate (map-side
+    * combinable), a co-partitioned user-keyed join back onto the
+    * event stream (id+week+decimal rows only — no payload), one
+    * (cohort × age) aggregate, and the cumulative window runs
+    * PARTITIONED BY cohort over the calendar-bounded matrix (weeks ×
+    * weeks rows), never the corpus.
+    *
+    * Returns `(cohort_week TIMESTAMP, age_weeks BIGINT,
+    * n_active_users BIGINT, value_micros BIGINT,
+    * cum_value_micros BIGINT)`.
+    */
+  def cohortValueCurves(events: DataFrame, userCol: String,
+      tsCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(userCol).as("_u"),
+      date_trunc("week", col(tsCol).cast(TimestampType)).as("_w"),
+      coalesce(col(valueCol), lit(0.0)).cast(DecimalType(18, 6))
+        .as("_v"))
+    val first = base.groupBy("_u").agg(min(col("_w")).as("cohort_week"))
+    val m = base.join(first, "_u")
+      .withColumn("age_weeks",
+        expr("CAST(datediff(_w, cohort_week) AS BIGINT) div 7"))
+      .groupBy(col("cohort_week"), col("age_weeks"))
+      .agg(countDistinct(col("_u")).as("n_active_users"),
+        (sum(col("_v")) * lit(1000000L)).cast(LongType)
+          .as("value_micros"))
+    val cum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("age_weeks").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("cum_value_micros",
+      sum(col("value_micros")).over(cum).cast(LongType))
+  }
 }

@@ -6799,6 +6799,163 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("n_events", "n_sessions", "n_converted",
           "conv_micros", "lift_micros")))),
 
+    // x173 — hopping (sliding) window profile: 10-minute windows
+    // advancing every 5, per (window, type) exact event and distinct
+    // user counts via Spark's NATIVE window() expression — the same
+    // operator Structured Streaming runs, so this batch row proves
+    // the streaming spelling. The oracle expands each event to its
+    // two epoch-aligned hop slots explicitly.
+    QueryDef("x173_hopping_window",
+      (s, dir) => ordered(graft.ops.EventAnalytics.hoppingProfile(
+        t(s, dir, "events"), "ts", "user_id", "event_type",
+        lengthSec = 600, hopSec = 300)),
+      Some("""WITH b AS (
+          SELECT event_type, user_id,
+            epoch_us(ts) // 1000000 AS tsec
+          FROM events),
+        w AS (
+          SELECT event_type, user_id,
+            unnest([(tsec // 300) * 300, (tsec // 300) * 300 - 300])
+              AS ws
+          FROM b)
+        SELECT make_timestamp(ws * 1000000) AS window_start,
+          event_type,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM w GROUP BY 1, 2
+        """ + orderedSql(Seq("window_start", "event_type", "n_events",
+          "n_users")))),
+
+    // x174 — RFM segmentation: per-user recency/frequency/monetary,
+    // each split at its corpus lower median (rank (n+1) div 2 in the
+    // (metric, user) order — computed WITHOUT a global window via the
+    // two-pass PrefixSum ordinal), published as the 8-cell bit grid.
+    // Monetary routes through DECIMAL(18,6) (x128 money convention)
+    // so the sum is exact and order-independent in both engines.
+    QueryDef("x174_rfm_segments",
+      (s, dir) => ordered(graft.ops.EventAnalytics.rfmSegments(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "value",
+        target = "purchase")),
+      Some("""WITH base AS (
+          SELECT user_id AS u,
+            epoch_us(ts) // 86400000000 AS d,
+            CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+              THEN CAST(value AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END AS v
+          FROM events),
+        cm AS (SELECT MAX(d) AS cd FROM base),
+        rfm AS (
+          SELECT u, cd - MAX(d) AS rec_days,
+            CAST(COUNT(*) AS BIGINT) AS freq,
+            CAST(SUM(v) * 1000000 AS BIGINT) AS mon
+          FROM base CROSS JOIN cm GROUP BY u, cd),
+        mr AS (SELECT rec_days AS m FROM (
+          SELECT rec_days,
+            ROW_NUMBER() OVER (ORDER BY rec_days, u) AS rk,
+            COUNT(*) OVER () AS n
+          FROM rfm) WHERE rk = (n + 1) // 2),
+        mf AS (SELECT freq AS m FROM (
+          SELECT freq,
+            ROW_NUMBER() OVER (ORDER BY freq, u) AS rk,
+            COUNT(*) OVER () AS n
+          FROM rfm) WHERE rk = (n + 1) // 2),
+        mm AS (SELECT mon AS m FROM (
+          SELECT mon,
+            ROW_NUMBER() OVER (ORDER BY mon, u) AS rk,
+            COUNT(*) OVER () AS n
+          FROM rfm) WHERE rk = (n + 1) // 2)
+        SELECT CAST(rec_days > mr.m AS BIGINT) AS r_stale,
+          CAST(freq > mf.m AS BIGINT) AS f_hi,
+          CAST(mon > mm.m AS BIGINT) AS m_hi,
+          CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(freq) AS BIGINT) AS sum_events,
+          CAST(SUM(mon) AS BIGINT) AS sum_monetary_micros
+        FROM rfm CROSS JOIN mr CROSS JOIN mf CROSS JOIN mm
+        GROUP BY 1, 2, 3
+        """ + orderedSql(Seq("r_stale", "f_hi", "m_hi", "n_users",
+          "sum_events", "sum_monetary_micros")))),
+
+    // x175 — second-order (Markov-2) transition matrix: x138's
+    // contract with two lags; context-normalized probabilities in
+    // exact floor-division micros within each (prev2, prev1) pair.
+    QueryDef("x175_markov2",
+      (s, dir) => ordered(graft.ops.EventAnalytics.transition2Report(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")),
+      Some("""WITH p AS (
+          SELECT user_id, event_type AS next_type,
+            LAG(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev1_type,
+            LAG(event_type, 2) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev2_type
+          FROM events),
+        m AS (
+          SELECT prev2_type, prev1_type, next_type,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE prev2_type IS NOT NULL GROUP BY 1, 2, 3)
+        SELECT prev2_type, prev1_type, next_type, n,
+          (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY prev2_type,
+            prev1_type) AS BIGINT) AS p_micros
+        FROM m
+        """ + orderedSql(Seq("prev2_type", "prev1_type", "next_type",
+          "n", "p_micros")))),
+
+    // x176 — weekly cohort VALUE curves (x130 upgraded from presence
+    // to monetary mass): per (cohort week, age week) distinct actives,
+    // exact booked micros, and the cohort-partitioned cumulative —
+    // the LTV curve. Money through DECIMAL(18,6) (x128 convention);
+    // weeks Monday-aligned in both engines.
+    QueryDef("x176_cohort_value",
+      (s, dir) => ordered(graft.ops.EventAnalytics.cohortValueCurves(
+        t(s, dir, "events"), "user_id", "ts", "value")),
+      Some("""WITH base AS (
+          SELECT user_id AS u,
+            CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS w,
+            CAST(COALESCE(value, 0) AS DECIMAL(18,6)) AS v
+          FROM events),
+        f AS (SELECT u, MIN(w) AS cohort_week FROM base GROUP BY u),
+        m AS (
+          SELECT cohort_week,
+            CAST(datediff('day', cohort_week, w) AS BIGINT) // 7
+              AS age_weeks,
+            CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active_users,
+            CAST(SUM(v) * 1000000 AS BIGINT) AS value_micros
+          FROM base JOIN f USING (u) GROUP BY 1, 2)
+        SELECT cohort_week, age_weeks, n_active_users, value_micros,
+          CAST(SUM(value_micros) OVER (PARTITION BY cohort_week
+            ORDER BY age_weeks
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_value_micros
+        FROM m
+        """ + orderedSql(Seq("cohort_week", "age_weeks",
+          "n_active_users", "value_micros", "cum_value_micros")))),
+
+    // x177 — per-source quantile normalization of doc length: each
+    // doc's exact empirical quantile position within its source in
+    // micros ((rank-1)·1e6 div (n-1), ranks over the FULL stratum),
+    // published for the deterministic 10% md5 id sample (the
+    // x166/x170 convention). The cross-source score calibration.
+    QueryDef("x177_quantile_norm",
+      (s, dir) => ordered(graft.ops.DataPipeline.quantileNormalize(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "source",
+        size(split(col("text"), " ")).cast(LongType))),
+      Some("""WITH base AS (
+          SELECT doc_id AS id, source AS stratum,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+          FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT id, stratum, v,
+            CAST(ROW_NUMBER() OVER (PARTITION BY stratum
+              ORDER BY v, id) AS BIGINT) AS i,
+            CAST(COUNT(*) OVER (PARTITION BY stratum) AS BIGINT) AS n
+          FROM base)
+        SELECT id, stratum, v,
+          CASE WHEN n = 1 THEN 0
+            ELSE ((i - 1) * 1000000) // (n - 1) END AS pr_micros
+        FROM r WHERE substr(md5(CAST(id AS VARCHAR)), 1, 4) < '199a'
+        """ + orderedSql(Seq("id", "stratum", "v", "pr_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -331,4 +331,26 @@ class DataPipelineSpec extends SparkSpec {
       .as[(String, String, Long, Long, Option[Long])].collect().toSet
     assert(got === Set(("A", "s1~s2", 4L, 2L, Some(800000L))))
   }
+
+  test("quantileNormalize (x177): per-stratum rank positions in " +
+      "micros, id tie-break, singleton stratum publishes 0") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L), // tie on v=10
+      (4L, "b", 99L))                                 // singleton
+      .toDF("id", "src", "v")
+    // full publish (sample predicate disabled via max hex)
+    val got = DataPipeline.quantileNormalize(df, "id", "src",
+        col("v"), sampleHex4 = "ffff")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "a", 10L, 0L),       // rank 1 (v tie -> id order)
+      (2L, "a", 10L, 500000L),  // rank 2
+      (3L, "a", 20L, 1000000L), // rank 3: the stratum max
+      (4L, "b", 99L, 0L)))      // singleton: 0 by the n=1 guard
+    // the sample only bounds the publish — ranks are whole-stratum:
+    // every sampled row keeps the pr it had in the full frame
+    val sampled = DataPipeline.quantileNormalize(df, "id", "src",
+        col("v")).as[(Long, String, Long, Long)].collect().toSet
+    assert(sampled.subsetOf(got))
+  }
 }

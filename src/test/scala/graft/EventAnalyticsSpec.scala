@@ -486,4 +486,102 @@ class EventAnalyticsSpec extends SparkSpec {
         "event_id", "event_type", target = "purchase").collect()
     assert(none.nonEmpty && none.forall(_.isNullAt(4)))
   }
+
+  test("hoppingProfile (x173): each event lands in length/hop " +
+      "epoch-aligned windows, straddling burst seen whole") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 00:00:00 UTC is a multiple of 300 s since epoch, so
+    // hop slots align with the clock times below.
+    // e1 at 00:02:00 -> windows [23:55 prev day, 00:00]
+    // e2 at 00:07:30 -> windows [00:00, 00:05]
+    // the 00:00 window sees BOTH events (a tumbling 5-min grid
+    // would split them across 00:00 and 00:05)
+    val events = Seq(
+      (ts("2024-01-01 00:02:00"), 1L, "a"),
+      (ts("2024-01-01 00:07:30"), 1L, "a"))
+      .toDF("ts", "user_id", "event_type")
+    val got = EventAnalytics.hoppingProfile(events, "ts", "user_id",
+        "event_type", lengthSec = 600, hopSec = 300)
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      (ts("2023-12-31 23:55:00"), "a", 1L, 1L),
+      (ts("2024-01-01 00:00:00"), "a", 2L, 1L),
+      (ts("2024-01-01 00:05:00"), "a", 1L, 1L)))
+    // length must be a multiple of hop
+    intercept[IllegalArgumentException] {
+      EventAnalytics.hoppingProfile(events, "ts", "user_id",
+        "event_type", lengthSec = 500, hopSec = 300)
+    }
+  }
+
+  test("rfmSegments (x174): lower-median splits, strict-above bits, " +
+      "no-spend user holds monetary 0") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // corpus max day = Jan 3.
+    // u1: 3 events (last Jan 3), one 10.0 purchase -> rec 0, f 3, m 10e6
+    // u2: 1 purchase 2.0 on Jan 3                  -> rec 0, f 1, m 2e6
+    // u3: 2 non-purchases (last Jan 2)             -> rec 1, f 2, m 0
+    // lower medians (n=3, rank 2): rec 0, freq 2, mon 2e6
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "view", Some(0.5)),
+      (2L, ts("2024-01-02 08:00:00"), "purchase", Some(10.0)),
+      (3L, ts("2024-01-03 08:00:00"), "view", None),
+      (4L, ts("2024-01-03 09:00:00"), "purchase", Some(2.0)),
+      (5L, ts("2024-01-01 10:00:00"), "view", Some(1.0)),
+      (6L, ts("2024-01-02 10:00:00"), "click", None))
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id",
+        when($"event_id" <= 3, 1L)
+          .otherwise(when($"event_id" === 4, 2L).otherwise(3L)))
+    val got = EventAnalytics.rfmSegments(events, "user_id", "ts",
+        "event_type", "value", target = "purchase")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, 1L, 1L, 1L, 3L, 10000000L), // u1: recent, busy, paying
+      (0L, 0L, 0L, 1L, 1L, 2000000L),  // u2: at-median everywhere
+      (1L, 0L, 0L, 1L, 2L, 0L)))       // u3: stale, no spend
+  }
+
+  test("transition2Report (x175): per-user (ts,id)-ordered triples, " +
+      "context-normalized micros") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1: a b a b -> (a,b,a), (b,a,b); u2: a b c -> (a,b,c)
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 08:01:00"), 1L, "b"),
+      (3L, ts("2024-01-01 08:02:00"), 1L, "a"),
+      (4L, ts("2024-01-01 08:03:00"), 1L, "b"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "a"),
+      (6L, ts("2024-01-01 09:01:00"), 2L, "b"),
+      (7L, ts("2024-01-01 09:02:00"), 2L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.transition2Report(events, "user_id",
+        "ts", "event_id", "event_type")
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", "b", "a", 1L, 500000L),
+      ("a", "b", "c", 1L, 500000L),
+      ("b", "a", "b", 1L, 1000000L)))
+  }
+
+  test("cohortValueCurves (x176): Monday-aligned weekly cohorts, " +
+      "exact decimal money, cohort-partitioned cumulative") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. u1 cohort week Jan 1: 1.5 + 2.5 in
+    // week 0, 1.0 in week 1. u2 cohort week Jan 8: NULL value -> 0.
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), Some(1.5)),
+      (1L, ts("2024-01-03 08:00:00"), Some(2.5)),
+      (1L, ts("2024-01-08 08:00:00"), Some(1.0)),
+      (2L, ts("2024-01-08 09:00:00"), None))
+      .toDF("user_id", "ts", "value")
+    val got = EventAnalytics.cohortValueCurves(events, "user_id",
+        "ts", "value")
+      .as[(Timestamp, Long, Long, Long, Long)].collect().toSet
+    def mon(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    assert(got === Set(
+      (mon("2024-01-01"), 0L, 1L, 4000000L, 4000000L),
+      (mon("2024-01-01"), 1L, 1L, 1000000L, 5000000L),
+      (mon("2024-01-08"), 0L, 1L, 0L, 0L)))
+  }
 }
