@@ -858,18 +858,14 @@ object EventAnalytics {
       .crossJoin(broadcast(corpMax))
       .select(col("_u"), (col("_cd") - col("_ud")).as("rec_days"),
         col("freq"), col("mon_micros"))
-    def lowerMedian(metric: String, as: String): DataFrame = {
-      val sorted = rfm.select(col(metric), col("_u"))
-        .sort(col(metric).asc, col("_u").asc)
-      val pos = PrefixSum.withPosition(sorted, "_pos")
-      val n = pos.agg(count(lit(1)).as("_n"))
-      pos.crossJoin(broadcast(n))
-        .filter(col("_pos") + 1L === expr("(_n + 1) div 2"))
-        .select(col(metric).as(as))
-    }
-    val meds = lowerMedian("rec_days", "_mr")
-      .crossJoin(broadcast(lowerMedian("freq", "_mf")))
-      .crossJoin(broadcast(lowerMedian("mon_micros", "_mm")))
+      // lazy barrier: the three median passes and the final grid all
+      // consume this user-sized frame — without it each consumer
+      // re-runs the corpus aggregate (measured 7.6 s -> the barrier
+      // collapses the 10x fixture to one corpus scan)
+      .localCheckpoint(eager = false)
+    val meds = lowerMedianOf(rfm, "rec_days", "_u", "_mr")
+      .crossJoin(broadcast(lowerMedianOf(rfm, "freq", "_u", "_mf")))
+      .crossJoin(broadcast(lowerMedianOf(rfm, "mon_micros", "_u", "_mm")))
     rfm.crossJoin(broadcast(meds))
       .groupBy((col("rec_days") > col("_mr")).cast(LongType)
           .as("r_stale"),
@@ -973,5 +969,496 @@ object EventAnalytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     m.withColumn("cum_value_micros",
       sum(col("value_micros")).over(cum).cast(LongType))
+  }
+
+  /** Lower median of `metric` over a bounded frame, selected WITHOUT a
+    * global window: the frame distributed-sorts on (metric, tie) and
+    * the rank-(n+1)div2 row is picked by the two-pass
+    * [[PrefixSum.withPosition]] ordinal (count job + per-partition
+    * offsets — the scale-sound spelling of `ROW_NUMBER()` with no
+    * PARTITION BY, which Spark would otherwise run on one partition).
+    * Shared by [[rfmSegments]] and [[dailyAnomaly]] so the median
+    * convention cannot drift between the RFM splits and the MAD gate.
+    * Returns a one-row frame `(as)`.
+    */
+  private def lowerMedianOf(df: DataFrame, metric: String,
+      tie: String, as: String): DataFrame = {
+    val sorted = df.select(col(metric), col(tie))
+      .sort(col(metric).asc, col(tie).asc)
+    val pos = PrefixSum.withPosition(sorted, "_pos")
+    val n = pos.agg(count(lit(1)).as("_n"))
+    pos.crossJoin(broadcast(n))
+      .filter(col("_pos") + 1L === expr("(_n + 1) div 2"))
+      .select(col(metric).as(as))
+  }
+
+  /** Daily-volume anomaly report — the robust outlier gate an
+    * ingestion pipeline runs before trusting a day's data: per
+    * calendar day, the event count, its signed deviation from the
+    * corpus's median daily count, and the MAD-normalized robust
+    * z-score (`|dev| · 10⁶ div MAD` — the median-absolute-deviation
+    * analogue of 0.6745·|x−med|/MAD, left unscaled so the arithmetic
+    * stays integer-exact), flagged at the conventional 3.5 threshold
+    * (z_micros > 3 500 000). Median/MAD, not mean/stddev: one
+    * double-volume backfill day shifts a mean gate's own baseline;
+    * the median gate flags it and leaves the baseline untouched.
+    *
+    * Degenerate guard: MAD = 0 (at least half the days share the
+    * median count) publishes NULL z and flags exactly the days whose
+    * count differs from the median — the strictest consistent gate,
+    * spelled identically in the oracle.
+    *
+    * Determinism: day truncation and counts are exact; both medians
+    * use the repo's lower-median convention (rank (n+1) div 2 over
+    * the (metric, day) total order — the x174 split arithmetic); the
+    * z is one floor division of non-negative BIGINTs.
+    *
+    * Scale: ONE map-side-combinable daily aggregate collapses the
+    * corpus to a calendar-bounded day frame; both medians are
+    * distributed sorts of THAT frame (never the corpus) via the
+    * shared [[lowerMedianOf]]; the one-row median frames broadcast
+    * back. No corpus-sized window, join, or collect.
+    *
+    * Returns `(day TIMESTAMP, n_events BIGINT, dev BIGINT,
+    * z_micros BIGINT — NULL when MAD = 0, is_anomaly BIGINT)`.
+    */
+  def dailyAnomaly(events: DataFrame, tsCol: String,
+      zThresholdMicros: Long = 3500000L): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol).cast(TimestampType))
+        .as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      // lazy barrier (the x174 pattern): the median pass, the
+      // deviation frame, and the publish all consume this
+      // calendar-bounded frame — one corpus scan, not four
+      .localCheckpoint(eager = false)
+    val med = lowerMedianOf(daily, "n_events", "day", "_med")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", col("n_events") - col("_med"))
+      .withColumn("_ad", abs(col("dev")))
+      .localCheckpoint(eager = false)
+    val mad = lowerMedianOf(dev, "_ad", "day", "_mad")
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n_events"), col("dev"),
+        when(col("_mad") > 0L,
+          expr("(_ad * 1000000) div _mad")).as("z_micros"),
+        when(col("_mad") > 0L,
+          (expr("(_ad * 1000000) div _mad") > zThresholdMicros)
+            .cast(LongType))
+          .otherwise((col("dev") =!= 0L).cast(LongType))
+          .as("is_anomaly"))
+  }
+
+  /** Benford first-digit audit — the fabrication/synthetic-data smell
+    * test on a positive value column: the distribution of first
+    * significant digits of `valueCol`, against Benford's law
+    * (P(d) = log₁₀(1 + 1/d)). Organic multiplicative quantities
+    * (transaction amounts, populations) track the curve; uniform
+    * synthetic fills and fabricated figures don't — a large positive
+    * `dev_micros` on digits 5–9 is the classic tell.
+    *
+    * Digit extraction is INTEGER arithmetic, not float log10: the
+    * value routes through the x128 money convention
+    * (`CAST(v AS DECIMAL(18,6)) · 10⁶ → BIGINT` — exact micros), and
+    * the first digit is the leading character of that positive
+    * BIGINT's decimal rendering. A float `log10` spelling would risk
+    * last-ulp digit flips at powers of ten across libm
+    * implementations; strings of integers cannot disagree. Benford
+    * expectations ship as frozen integer micros (⌊log₁₀(1+1/d)·10⁶⌋ —
+    * plan literals, identical in the oracle), so the report carries
+    * no transcendental arithmetic at all. NULL and non-positive
+    * values are excluded (Benford is defined on positive magnitudes);
+    * every digit row publishes even at zero count.
+    *
+    * Determinism: exact counts; shares/deviations are floor
+    * divisions; the empty-corpus guard publishes zero shares.
+    *
+    * Scale: one stateless projection into a 9-row-bounded aggregate;
+    * the one-row total and the 9-row expectation table ride
+    * broadcasts. Nothing corpus-sized shuffles but the digit rollup's
+    * partial aggregates.
+    *
+    * Returns `(digit BIGINT, n BIGINT, share_micros BIGINT,
+    * benford_micros BIGINT, dev_micros BIGINT)`.
+    */
+  def benfordAudit(events: DataFrame, valueCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val vm = events.filter(col(valueCol).isNotNull)
+      .select((col(valueCol).cast(DecimalType(18, 6)) * lit(1000000L))
+        .cast(LongType).as("_vm"))
+      .filter(col("_vm") > 0L)
+      .select(substring(col("_vm").cast(StringType), 1, 1)
+        .cast(LongType).as("digit"))
+    val counts = vm.groupBy("digit").agg(count(lit(1)).as("_n"))
+    val total = counts.agg(coalesce(sum(col("_n")), lit(0L)).as("_tot"))
+    // frozen integer expectations: floor(log10(1 + 1/d) * 1e6)
+    val expect = Seq(1L -> 301029L, 2L -> 176091L, 3L -> 124938L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66946L, 7L -> 57991L,
+      8L -> 51152L, 9L -> 45757L)
+      .toDF("digit", "benford_micros")
+    expect.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("_n"), lit(0L)).as("n"),
+        when(col("_tot") > 0L,
+          expr("(coalesce(_n, 0) * 1000000) div _tot"))
+          .otherwise(0L).as("share_micros"),
+        col("benford_micros"))
+      .withColumn("dev_micros",
+        col("share_micros") - col("benford_micros"))
+  }
+
+  /** Calendar-densified daily activity — the gap-visible time series a
+    * monitoring layer reads instead of the raw daily rollup: every
+    * day from the corpus's first to its last appears exactly once,
+    * with exact event and distinct-user counts, and zero-count days
+    * flagged (`is_gap`) — a silent ingestion outage is a ROW here,
+    * not an absence the reader must infer by differencing dates.
+    *
+    * Determinism: day truncation is exact; the grid is
+    * `sequence(min_day, max_day, 1 day)` on UTC-midnight timestamps
+    * (the session pins UTC, so the step is exactly 86 400 s — no DST
+    * fold); counts are exact BIGINTs.
+    *
+    * Scale: the corpus collapses in ONE map-side-combinable daily
+    * aggregate (distinct users shuffle (day, user) id rows); the
+    * grid explodes from a one-row bounds frame and is
+    * calendar-bounded (decades ≈ 10⁴ rows), so the grid ⋈ daily join
+    * is trivially broadcastable — never corpus-sized.
+    *
+    * Returns `(day TIMESTAMP, n_events BIGINT, n_users BIGINT,
+    * is_gap BIGINT)`.
+    */
+  def calendarDensify(events: DataFrame, tsCol: String,
+      userCol: String): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol).cast(TimestampType))
+        .as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"))
+      // lazy barrier: bounds aggregate + grid join both read this
+      // calendar-bounded frame
+      .localCheckpoint(eager = false)
+    val grid = daily.agg(min(col("day")).as("_d0"),
+        max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"),
+        expr("interval 1 day"))).as("day"))
+    grid.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("n_events").isNull.cast(LongType).as("is_gap"))
+  }
+
+  /** Daily peak session concurrency — the capacity-planning number:
+    * per calendar day, how many gap-sessions (10-minute inactivity,
+    * the q25/x152 convention) were simultaneously open at the day's
+    * busiest instant, by the classic sweep line — +1 at each
+    * session's start, −1 at its end, peak = max running sum. Sessions
+    * CLIP to day boundaries (a span crossing midnight contributes its
+    * in-day segment to each day), so a day's report is self-contained.
+    *
+    * Overlap convention: endpoints are inclusive — a session ending
+    * at instant t overlaps one starting at t (ties order +1 before
+    * −1, then (user, session) for a total order). A zero-duration
+    * session (one event) still counts 1 at its instant. The day-max
+    * is invariant to the residual ordering freedom inside an equal-
+    * (t, delta) run: consecutive +1s only reorder intermediate
+    * prefixes below the run's final value, and a −1 run's max is its
+    * entry value.
+    *
+    * Determinism: epoch-micro integer arithmetic end to end; the
+    * running sum is a day-partitioned window over the tie-free total
+    * order.
+    *
+    * Scale: sessionization is the shared user-keyed window pass; the
+    * corpus collapses to a (user × session) frame before the sweep;
+    * the sweep window partitions by DAY — a task is bounded by one
+    * day's session count, the same per-partition bound the daily
+    * rollups carry (a deployment needing tighter bounds clips to
+    * hours by changing one constant). Published table is
+    * calendar-bounded.
+    *
+    * Returns `(day TIMESTAMP, n_sessions BIGINT,
+    * peak_concurrency BIGINT)`.
+    */
+  def peakConcurrency(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val sess = sessionized(events, userCol, tsCol, idCol, gapUs, Nil)
+      .groupBy(col(userCol).as("_u"), col("session_idx"))
+      .agg(min(col("tus")).as("_t0"), max(col("tus")).as("_t1"))
+    val spans = sess
+      .withColumn("_day", explode(sequence(
+        expr(s"_t0 div $dayUs"), expr(s"_t1 div $dayUs"))))
+      .select(col("_day"), col("_u"), col("session_idx"),
+        greatest(col("_t0"), col("_day") * dayUs).as("_s"),
+        least(col("_t1"), (col("_day") + 1L) * dayUs - 1L).as("_e"))
+      // lazy barrier: both endpoint projections read the clipped spans
+      .localCheckpoint(eager = false)
+    val pts = spans.select(col("_day"), col("_s").as("_t"),
+        lit(1L).as("_delta"), col("_u"), col("session_idx"))
+      .unionByName(spans.select(col("_day"), col("_e").as("_t"),
+        lit(-1L).as("_delta"), col("_u"), col("session_idx")))
+    val sweep = Window.partitionBy(col("_day"))
+      .orderBy(col("_t").asc, col("_delta").desc, col("_u").asc,
+        col("session_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("_run", sum(col("_delta")).over(sweep))
+      .groupBy(col("_day"))
+      .agg((count(lit(1)) / 2L).cast(LongType).as("n_sessions"),
+        max(col("_run")).cast(LongType).as("peak_concurrency"))
+      .select(timestamp_micros(col("_day") * dayUs).as("day"),
+        col("n_sessions"), col("peak_concurrency"))
+  }
+
+  /** Event-type audience overlap matrix — which feature audiences are
+    * the same people: per unordered type pair, the exact distinct-user
+    * intersection and the Jaccard overlap in floor-division micros
+    * (`|A∩B| · 10⁶ div |A∪B|`). Read next to x155's SESSION
+    * co-occurrence lift: x155 says types fire together in time; this
+    * says audiences coincide at all — a high-lift low-Jaccard pair is
+    * a niche ritual, a low-lift high-Jaccard pair two habits of the
+    * same crowd.
+    *
+    * Determinism: exact distinct counts (NULL users excluded — the
+    * COUNT(DISTINCT) convention both engines share); the union size
+    * is |A| + |B| − |A∩B| by inclusion–exclusion; one floor division.
+    * Pairs with ZERO overlap are absent (the matrix publishes only
+    * pairs the user-keyed join materializes — at type² grain the
+    * reader infers absence as 0, and the publish never densifies).
+    *
+    * Scale: the corpus collapses FIRST to the distinct (type, user)
+    * frame (map-side combinable); the pair join is a user-keyed
+    * self-join of that frame — co-partitioned on the user key, each
+    * user contributing at most type² pair rows (type count is small
+    * and bounded); per-type audience sizes are a type-bounded
+    * broadcast. Published matrix is type²-bounded.
+    *
+    * Returns `(type_a, type_b, n_both BIGINT, jaccard_micros
+    * BIGINT)`.
+    */
+  def audienceOverlap(events: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    val tu = events.filter(col(userCol).isNotNull)
+      .select(col(typeCol).as("_t"), col(userCol).as("_u"))
+      .distinct()
+      // lazy barrier: the size rollup and both self-join sides read
+      // this (type, user)-sized frame
+      .localCheckpoint(eager = false)
+    val sizes = tu.groupBy(col("_t")).agg(count(lit(1)).as("_n"))
+    val pairs = tu.as("a")
+      .join(tu.as("b"), col("a._u") === col("b._u") &&
+        col("a._t") < col("b._t"))
+      .groupBy(col("a._t").as("type_a"), col("b._t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("_t").as("type_a"),
+        col("_n").as("_na"))), "type_a")
+      .join(broadcast(sizes.select(col("_t").as("type_b"),
+        col("_n").as("_nb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        expr("(n_both * 1000000) div (_na + _nb - n_both)")
+          .as("jaccard_micros"))
+  }
+
+  /** Weekday × hour activity heatmap — the seasonality grid behind
+    * x153's hour-of-day profile: per (day-of-week, hour) cell, the
+    * exact event count, its share of total traffic, and the lift
+    * against the uniform 1/168 cell — lift well above 10⁶ marks the
+    * weekly rush, far below it the maintenance window.
+    *
+    * Day-of-week is PURE INTEGER arithmetic, immune to engine
+    * conventions: `dow = (epoch_day + 4) mod 7` with 0 = Sunday
+    * (1970-01-01 was a Thursday), and the hour is
+    * `(epoch_micros div 3600·10⁶) mod 24` — no `dayofweek()`/
+    * `date_part` calls whose origin differs per engine. Shares and
+    * lifts are floor divisions; `lift = n · 168 · 10⁶ div total`.
+    *
+    * Scale: one stateless projection into a 168-cell-bounded
+    * aggregate; the one-row total broadcasts. Nothing else moves.
+    *
+    * Returns `(dow BIGINT 0=Sunday, hour BIGINT, n BIGINT,
+    * share_micros BIGINT, lift_micros BIGINT)`.
+    */
+  def weekHeatmap(events: DataFrame, tsCol: String): DataFrame = {
+    val cells = events
+      .select(unix_micros(col(tsCol).cast(TimestampType)).as("_tus"))
+      .select(pmod(expr("_tus div 86400000000") + 4L, lit(7L))
+          .as("dow"),
+        pmod(expr("_tus div 3600000000"), lit(24L)).as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("_tot"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n"),
+        expr("(n * 1000000) div _tot").as("share_micros"),
+        expr("(n * 168 * 1000000) div _tot").as("lift_micros"))
+  }
+
+  /** Transition latency report — how long each step of the journey
+    * takes: per ordered (prev_type → next_type) pair in the per-user
+    * (ts, id) event order, the exact transition count, the mean gap
+    * in floor-division micros, and the largest observed gap. Read
+    * against x138's transition PROBABILITIES: a likely-but-slow edge
+    * is a friction point; an unlikely-but-instant one is usually a
+    * client burst, not a decision.
+    *
+    * Determinism: the x138 contract — tie-free (ts, id) order, exact
+    * epoch-micro gaps (same-timestamp transitions contribute 0),
+    * BIGINT sums, one floor division for the mean.
+    *
+    * Long headroom: `sum(gap)` per pair caps at ~9.2e18 µs ≈ 292k
+    * user-years per pair — beyond any event corpus's total on-screen
+    * time; no sampling convention needed.
+    *
+    * Scale: ONE user-keyed exchange feeds the lag window (a power
+    * user bounds a task at their own event count — the q8/q9 shape),
+    * then the pairs partial-aggregate map-side to the type²-bounded
+    * matrix. The publish is type²-sized.
+    *
+    * Returns `(prev_type, next_type, n BIGINT, mean_gap_micros
+    * BIGINT, max_gap_micros BIGINT)`.
+    */
+  def transitionLatency(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (_tus, id) orders identically to (ts, id): unix_micros is
+    // strictly monotone on timestamps
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_tus").asc, col(idCol).asc)
+    events
+      .select(col(userCol), col(idCol),
+        unix_micros(col(tsCol).cast(TimestampType)).as("_tus"),
+        col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .withColumn("_gap", col("_tus") - lag(col("_tus"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"), sum(col("_gap")).as("_sg"),
+        max(col("_gap")).as("max_gap_micros"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("_sg div n").as("mean_gap_micros"),
+        col("max_gap_micros"))
+  }
+
+  /** Session survival curve — x152's distribution read as the
+    * engagement funnel: per observed session length k (events), how
+    * many sessions reached AT LEAST k events and that count's share
+    * of all sessions in floor-division micros. The curve's decay rate
+    * is the product-health number the raw histogram hides: survival
+    * at k=2 is "did anyone do a second thing".
+    *
+    * Determinism: the shared q25-convention sessionization (exact
+    * windows), exact counts; the suffix accumulation runs over the
+    * session-length-bounded histogram in the (length DESC) total
+    * order via the two-pass [[PrefixSum.withRunningLongSum]] — the
+    * scale-sound spelling of an unpartitioned running sum (sort +
+    * broadcast partition offsets, no single-partition window).
+    *
+    * Scale: the corpus collapses through the user-keyed session
+    * window to a (user × session) frame, then to the length histogram
+    * (≲ hundreds of rows); the suffix sum and the share division run
+    * on THAT. One corpus-sized exchange total.
+    *
+    * Returns `(n_events BIGINT, n_sessions BIGINT, n_reached BIGINT,
+    * survival_micros BIGINT)`.
+    */
+  def sessionSurvival(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    val hist = sessionized(events, userCol, tsCol, idCol, gapUs, Nil)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("_neg", -col("n_events"))
+      // lazy barrier: the suffix sum and the total both read this
+      // length-bounded histogram — one sessionization pass, not two
+      .localCheckpoint(eager = false)
+    val suffixed = PrefixSum.withRunningLongSum(hist,
+      Seq("_neg"), "n_sessions", "n_reached")
+    val total = hist.agg(sum(col("n_sessions")).as("_tot"))
+    suffixed.crossJoin(broadcast(total))
+      .select(col("n_events"), col("n_sessions"), col("n_reached"),
+        expr("(n_reached * 1000000) div _tot").as("survival_micros"))
+  }
+
+  /** Event-props payload profile — the schema-drift audit on the
+    * semi-structured column: per event type, the exact event count,
+    * the share of events whose JSON `props` carries NO readable
+    * integer `k` (NULL props, malformed JSON, or missing key — the
+    * producer-bug signal when it moves), and the mean/min/max of `k`
+    * where present. q17 sums `k`; this is the payload HEALTH view a
+    * pipeline alerts on.
+    *
+    * Determinism: q17's proven-portable extraction (`from_json`
+    * struct field ↔ `json_extract` + BIGINT cast — both NULL on
+    * missing/malformed); exact BIGINT rollups; the mean is one floor
+    * division guarded for all-null types (NULL mean, spelled
+    * identically in the oracle).
+    *
+    * Scale: ONE stateless projection (codegen'd JSON path probe)
+    * into a type-bounded map-side-combinable aggregate. No joins,
+    * no windows.
+    *
+    * Returns `(event_type, n BIGINT, null_micros BIGINT,
+    * mean_k_micros BIGINT — NULL when no k present, min_k BIGINT,
+    * max_k BIGINT)`.
+    */
+  def propsProfile(events: DataFrame, propsCol: String,
+      typeCol: String): DataFrame = {
+    val k = from_json(col(propsCol),
+      StructType(Seq(StructField("k", LongType)))).getField("k")
+    events.select(col(typeCol).as("event_type"), k.as("_k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_k").isNull.cast(LongType)).as("_nn"),
+        sum(col("_k")).as("_sk"),
+        min(col("_k")).as("min_k"), max(col("_k")).as("max_k"))
+      .select(col("event_type"), col("n"),
+        expr("(_nn * 1000000) div n").as("null_micros"),
+        when(col("n") - col("_nn") > 0L,
+          expr("(_sk * 1000000) div (n - _nn)")).as("mean_k_micros"),
+        col("min_k"), col("max_k"))
+  }
+
+  /** Per-type value spectrum — the monetary distribution audit next
+    * to x147's doc-length spectrum: event values route through the
+    * x128 money convention (exact BIGINT micros), bucket by the bit
+    * length of the positive micro amount (base-2 magnitude bands —
+    * the x142/x147 grid; zero/negative amounts hold bucket 0), and
+    * the report publishes exact counts and exact summed micros per
+    * (type, bucket) cell. A type whose mass jumps a band
+    * round-over-round repriced; a fat bucket-0 cell is the
+    * refund/zero-fill signal.
+    *
+    * Determinism: the exact per-row decimal→micros cast, integer
+    * bit-length buckets (`length(bin(v))` on positive BIGINTs — both
+    * engines), exact sums. NULL values are excluded.
+    *
+    * Scale: ONE stateless projection into a (type × ≲60
+    * bucket)-bounded map-side-combinable aggregate. No joins, no
+    * windows.
+    *
+    * Returns `(event_type, bucket BIGINT, n BIGINT,
+    * sum_value_micros BIGINT)`.
+    */
+  def valueSpectrum(events: DataFrame, typeCol: String,
+      valueCol: String): DataFrame = {
+    val vm = (col(valueCol).cast(DecimalType(18, 6)) * lit(1000000L))
+      .cast(LongType)
+    events.filter(col(valueCol).isNotNull)
+      .select(col(typeCol).as("event_type"), vm.as("_vm"))
+      .select(col("event_type"),
+        when(col("_vm") <= 0L, 0L)
+          .otherwise(length(bin(col("_vm"))).cast(LongType))
+          .as("bucket"),
+        col("_vm"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), sum(col("_vm")).as("sum_value_micros"))
   }
 }

@@ -1200,6 +1200,44 @@ object Similarity {
     *
     * Returns `(label, bucket, n_vecs, sum_q)`.
     */
+  /** Per-label class profile — the balance + scale audit a training
+    * run reads before trusting its labels: per label, the exact
+    * vector count, its corpus share in floor-division micros (class
+    * imbalance at a glance), and the mean squared norm in the
+    * [[normSpectrum]] 10⁻⁴ quantization (a label whose mean norm sits
+    * far off its peers was embedded by a different code path — the
+    * classic silent-mixup tell).
+    *
+    * Determinism: [[normSpectrum]]'s contract — per-row IEEE dot
+    * (bit-deterministic), FLOOR(·10⁴ + 0.5) quantization, exact
+    * BIGINT sums, floor-division publishes.
+    *
+    * Scale: ONE stateless projection into a label-bounded map-side-
+    * combinable aggregate; the one-row total broadcasts back onto
+    * the label-bounded frame (lazily checkpointed so the total does
+    * not re-scan the corpus). No joins, no windows.
+    *
+    * Returns `(label, n_vecs BIGINT, share_micros BIGINT,
+    * mean_normsq_q4 BIGINT)`.
+    */
+  def labelProfile(vectors: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dv = toDouble(col(vecCol))
+    val q = floor(dot(dv, dv) * lit(10000.0) + lit(0.5)).cast(LongType)
+    val per = vectors
+      .select(col(labelCol).as("label"), q.as("_q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("_q")).as("_sq"))
+      // lazy barrier: the total and the publish both read this
+      // label-bounded frame — one corpus scan, not two
+      .localCheckpoint(eager = false)
+    val total = per.agg(sum(col("n_vecs")).as("_tot"))
+    per.crossJoin(broadcast(total))
+      .select(col("label"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div _tot").as("share_micros"),
+        expr("_sq div n_vecs").as("mean_normsq_q4"))
+  }
+
   def normSpectrum(vectors: DataFrame, vecCol: String,
       labelCol: String): DataFrame = {
     val dv = toDouble(col(vecCol))

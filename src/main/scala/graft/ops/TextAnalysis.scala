@@ -2870,6 +2870,147 @@ object TextAnalysis {
         expr("(n_docs * 1000000) div _tot").as("mass_micros"))
   }
 
+  /** Duplication-vs-quality lift — does boilerplate correlate with a
+    * quality proxy? Documents group into exact-duplicate clusters (md5
+    * of the text, the q19d key), each doc is classed by its cluster
+    * size capped at `capClass` (the `5` class means "5 or more
+    * copies"), and the report publishes, per size class, the doc
+    * count, the mean of `lenCol` in micros, and that mean's lift
+    * against the corpus mean. A lift well under 10⁶ on the high-copy
+    * classes is the classic crawl signature — heavily duplicated text
+    * is short template chrome — and justifies dedup BEFORE quality
+    * filtering (the filter would otherwise spend its budget
+    * re-judging copies of the same short page).
+    *
+    * Determinism: exact BIGINT sums/counts; both means round to
+    * micros by floor division FIRST, then the lift is one floor
+    * division of those micros — spelled identically in the oracle so
+    * the double rounding cannot diverge.
+    *
+    * Long headroom: `sum_len · 10⁶` caps at ~9.2e18, so corpora
+    * beyond ~9e12 total chars in one class should sample ids first
+    * (the documented sample-above convention of the lift family);
+    * `mean_class_micros · 10⁶` is bounded by max doc length · 10¹²,
+    * safe through ~9M-char documents.
+    *
+    * Scale: one hash aggregate on the md5 key (text never shuffles —
+    * the key is the 32-char digest plus one BIGINT length), a
+    * class-bounded rollup (≤ capClass rows), and a broadcast one-row
+    * corpus total. No joins, no windows.
+    *
+    * Returns `(size_class BIGINT, n_docs BIGINT, mean_len_micros
+    * BIGINT, lift_micros BIGINT)`.
+    */
+  /** Per-block sentence statistics — the readability triage next to
+    * [[charsetProfile]]: documents segment on terminal-punctuation
+    * runs (`[.!?]+`), non-blank segments count as sentences, and the
+    * report publishes, per block, the doc count, total sentence
+    * count, the mean sentence length in character micros, and the
+    * share of docs with NO sentence boundary at all (one giant
+    * segment — the run-on/log-dump tell; a near-1 share flags a
+    * source that isn't prose).
+    *
+    * Determinism: both engines split on the IDENTICAL regex and trim
+    * plain spaces; segment lengths count codepoints (`length` in
+    * both); all rollups are exact BIGINTs; means are floor divisions
+    * guarded for empty blocks. NULL texts are excluded. A doc whose
+    * text contains only punctuation/spaces yields zero sentences and
+    * still counts in `n_docs` (and as boundary-free).
+    *
+    * Scale: one stateless per-row projection (split + filter +
+    * aggregate over the segment array — codegen'd HOFs) into a
+    * block-bounded rollup. No joins, no windows.
+    *
+    * Returns `(block, n_docs BIGINT, n_sentences BIGINT,
+    * mean_sent_len_micros BIGINT — NULL for a sentence-free block,
+    * no_boundary_micros BIGINT)`.
+    */
+  def sentenceStats(docs: DataFrame, textCol: String,
+      blockCol: String): DataFrame = {
+    val segs = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val per = docs.filter(col(textCol).isNotNull)
+      .select(col(blockCol).as("block"),
+        size(segs).cast(LongType).as("_ns"),
+        coalesce(aggregate(segs, lit(0L),
+          (acc, s) => acc + length(s).cast(LongType)), lit(0L))
+          .as("_sl"),
+        // boundary-free: the text holds no terminal punctuation at
+        // all (a trailing "." still counts as a boundary even though
+        // it opens no second segment)
+        (!col(textCol).rlike("[.!?]")).cast(LongType).as("_nb"))
+    per.groupBy(col("block"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_ns")).as("n_sentences"),
+        sum(col("_sl")).as("_sum_len"),
+        sum(col("_nb")).as("_nb"))
+      .select(col("block"), col("n_docs"), col("n_sentences"),
+        when(col("n_sentences") > 0L,
+          expr("(_sum_len * 1000000) div n_sentences"))
+          .as("mean_sent_len_micros"),
+        expr("(_nb * 1000000) div n_docs").as("no_boundary_micros"))
+  }
+
+  /** Per-block markup/contact profile — the crawl-artifact incidence
+    * report a curation pass reads before choosing extraction rules:
+    * per block, the share of documents containing a URL, an email
+    * address, or an HTML tag, in floor-division micros. High URL+tag
+    * shares mean the extractor (x89) must run before quality gates;
+    * a high email share routes the block through PII scrubbing (x46)
+    * first.
+    *
+    * Determinism: three fixed regexes via `rlike`/`regexp_matches` —
+    * explicit ASCII classes only (no `\\w`/`\\b` whose Unicode
+    * semantics differ per engine); presence is a per-doc 0/1 so the
+    * rollup is an exact sum; shares are floor divisions. NULL texts
+    * are excluded.
+    *
+    * Scale: one stateless projection (three codegen'd regex probes)
+    * into a block-bounded rollup. No joins, no windows.
+    *
+    * Returns `(block, n_docs BIGINT, url_micros BIGINT, email_micros
+    * BIGINT, tag_micros BIGINT)`.
+    */
+  def markupProfile(docs: DataFrame, textCol: String,
+      blockCol: String): DataFrame = {
+    def share(pat: String): Column =
+      col(textCol).rlike(pat).cast(LongType)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(blockCol).as("block"),
+        share("https?://").as("_u"),
+        share("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}")
+          .as("_e"),
+        share("<[A-Za-z][A-Za-z0-9]*[^>]*>").as("_t"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_u")).as("_su"),
+        sum(col("_e")).as("_se"), sum(col("_t")).as("_st"))
+      .select(col("block"), col("n_docs"),
+        expr("(_su * 1000000) div n_docs").as("url_micros"),
+        expr("(_se * 1000000) div n_docs").as("email_micros"),
+        expr("(_st * 1000000) div n_docs").as("tag_micros"))
+  }
+
+  def dupQualityLift(docs: DataFrame, textCol: String,
+      lenCol: String, capClass: Long = 5L): DataFrame = {
+    val grouped = docs
+      .select(md5(col(textCol)).as("_h"),
+        col(lenCol).cast(LongType).as("_len"))
+      .groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"), sum(col("_len")).as("_slen"))
+    val classed = grouped
+      .withColumn("size_class", least(col("_c"), lit(capClass)))
+      .groupBy(col("size_class"))
+      .agg(sum(col("_c")).as("n_docs"), sum(col("_slen")).as("_sum"))
+    val tot = classed.agg(sum(col("n_docs")).as("_n"),
+      sum(col("_sum")).as("_l"))
+    classed.crossJoin(broadcast(tot))
+      .select(col("size_class"), col("n_docs"),
+        expr("(_sum * 1000000) div n_docs").as("mean_len_micros"),
+        expr("(((_sum * 1000000) div n_docs) * 1000000) div " +
+          "((_l * 1000000) div _n)").as("lift_micros"))
+  }
+
   /** Per-block character-class profile — the charset audit a crawl
     * triage reads before language filters: per block (source), the
     * exact share of ASCII letters, digits, spaces, and everything

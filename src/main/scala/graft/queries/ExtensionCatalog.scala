@@ -6956,6 +6956,418 @@ object ExtensionCatalog {
         FROM r WHERE substr(md5(CAST(id AS VARCHAR)), 1, 4) < '199a'
         """ + orderedSql(Seq("id", "stratum", "v", "pr_micros")))),
 
+    // x178 — robust daily-volume anomaly gate: median/MAD z-scores in
+    // exact micros over the calendar-day frame, the repo's
+    // lower-median convention ((n+1) div 2 rank) for BOTH medians,
+    // MAD=0 degenerating to the strict any-deviation flag.
+    QueryDef("x178_daily_anomaly",
+      (s, dir) => ordered(graft.ops.EventAnalytics.dailyAnomaly(
+        t(s, dir, "events"), "ts")),
+      Some("""WITH d AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+            CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1),
+        md AS (SELECT n_events AS m FROM (
+          SELECT n_events,
+            ROW_NUMBER() OVER (ORDER BY n_events, day) AS rk,
+            COUNT(*) OVER () AS n
+          FROM d) WHERE rk = (n + 1) // 2),
+        dv AS (SELECT day, n_events,
+            n_events - md.m AS dev, abs(n_events - md.m) AS ad
+          FROM d CROSS JOIN md),
+        mad AS (SELECT ad AS m FROM (
+          SELECT ad, day,
+            ROW_NUMBER() OVER (ORDER BY ad, day) AS rk,
+            COUNT(*) OVER () AS n
+          FROM dv) WHERE rk = (n + 1) // 2)
+        SELECT day, n_events, dev,
+          CASE WHEN mad.m > 0
+            THEN (ad * 1000000) // mad.m END AS z_micros,
+          CASE WHEN mad.m > 0
+            THEN CAST((ad * 1000000) // mad.m > 3500000 AS BIGINT)
+            ELSE CAST(dev <> 0 AS BIGINT) END AS is_anomaly
+        FROM dv CROSS JOIN mad
+        """ + orderedSql(Seq("day", "n_events", "dev", "z_micros",
+          "is_anomaly")))),
+
+    // x179 — Benford first-digit audit on positive event values:
+    // digits from the BIGINT micro rendering (never float log10),
+    // frozen integer expectations, floor-division shares; all nine
+    // digit rows publish even at zero count.
+    QueryDef("x179_benford",
+      (s, dir) => ordered(graft.ops.EventAnalytics.benfordAudit(
+        t(s, dir, "events"), "value")),
+      Some("""WITH v AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+            AS BIGINT) AS vm
+          FROM events WHERE value IS NOT NULL),
+        c AS (
+          SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS BIGINT)
+              AS digit,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM v WHERE vm > 0 GROUP BY 1),
+        tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS t
+          FROM c),
+        b AS (
+          SELECT CAST(UNNEST([1,2,3,4,5,6,7,8,9]) AS BIGINT)
+              AS digit,
+            CAST(UNNEST([301029,176091,124938,96910,79181,66946,
+              57991,51152,45757]) AS BIGINT) AS benford_micros)
+        , out AS (
+          SELECT b.digit AS digit,
+            CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+            CASE WHEN tot.t > 0
+              THEN (COALESCE(c.n, 0) * 1000000) // tot.t
+              ELSE 0 END AS share_micros,
+            b.benford_micros AS benford_micros,
+            (CASE WHEN tot.t > 0
+              THEN (COALESCE(c.n, 0) * 1000000) // tot.t
+              ELSE 0 END) - b.benford_micros AS dev_micros
+          FROM b LEFT JOIN c ON b.digit = c.digit CROSS JOIN tot)
+        SELECT * FROM out
+        """ + orderedSql(Seq("digit", "n", "share_micros",
+          "benford_micros", "dev_micros")))),
+
+    // x180 — calendar-densified daily series: the full min..max day
+    // grid with zero-filled counts and explicit gap flags; grid from
+    // native sequence()/generate_series on UTC midnights.
+    QueryDef("x180_calendar_densify",
+      (s, dir) => ordered(graft.ops.EventAnalytics.calendarDensify(
+        t(s, dir, "events"), "ts", "user_id")),
+      Some("""WITH d AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events GROUP BY 1),
+        b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+        g AS (SELECT UNNEST(generate_series(d0, d1,
+          INTERVAL 1 DAY)) AS day FROM b)
+, out AS (
+          SELECT g.day AS day,
+            CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+            CAST(COALESCE(d.n_users, 0) AS BIGINT) AS n_users,
+            CAST(d.day IS NULL AS BIGINT) AS is_gap
+          FROM g LEFT JOIN d ON g.day = d.day)
+        SELECT * FROM out
+        """ + orderedSql(Seq("day", "n_events", "n_users",
+          "is_gap")))),
+
+    // x181 — daily peak session concurrency: q25-convention gap
+    // sessions, day-clipped spans, inclusive-endpoint sweep line
+    // (+1 before −1 on ties) under a day-partitioned running sum.
+    QueryDef("x181_peak_concurrency",
+      (s, dir) => ordered(graft.ops.EventAnalytics.peakConcurrency(
+        t(s, dir, "events"), "user_id", "ts", "event_id")),
+      Some("""WITH b AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        m AS (
+          SELECT user_id, event_id, tus,
+            CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) IS NULL
+                 OR tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM b),
+        sx AS (
+          SELECT user_id, tus,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+          FROM m),
+        se AS (SELECT user_id AS u, session_idx,
+            MIN(tus) AS t0, MAX(tus) AS t1
+          FROM sx GROUP BY 1, 2),
+        sp AS (SELECT u, session_idx, t0, t1,
+            UNNEST(generate_series(t0 // 86400000000,
+              t1 // 86400000000)) AS day
+          FROM se),
+        cl AS (SELECT day, u, session_idx,
+            GREATEST(t0, day * 86400000000) AS s,
+            LEAST(t1, (day + 1) * 86400000000 - 1) AS e
+          FROM sp),
+        pts AS (
+          SELECT day, s AS t, CAST(1 AS BIGINT) AS delta, u,
+            session_idx FROM cl
+          UNION ALL
+          SELECT day, e AS t, CAST(-1 AS BIGINT) AS delta, u,
+            session_idx FROM cl),
+        run AS (SELECT day,
+            SUM(delta) OVER (PARTITION BY day
+              ORDER BY t, delta DESC, u, session_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+          FROM pts)
+        SELECT make_timestamp(day * 86400000000) AS day,
+          CAST(COUNT(*) // 2 AS BIGINT) AS n_sessions,
+          CAST(MAX(r) AS BIGINT) AS peak_concurrency
+        FROM run GROUP BY 1
+        """ + orderedSql(Seq("day", "n_sessions",
+          "peak_concurrency")))),
+
+    // x182 — duplication-vs-quality lift: md5 exact-dup clusters
+    // (q19d key), size classes capped at 5+, means micro-rounded
+    // BEFORE the lift division in both engines.
+    QueryDef("x182_dup_quality",
+      (s, dir) => ordered(graft.ops.TextAnalysis.dupQualityLift(
+        t(s, dir, "documents"), "text", "n_chars")),
+      Some("""WITH g AS (
+          SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS c,
+            CAST(SUM(n_chars) AS BIGINT) AS slen
+          FROM documents GROUP BY 1),
+        cl AS (
+          SELECT LEAST(c, 5) AS size_class,
+            CAST(SUM(c) AS BIGINT) AS n_docs,
+            CAST(SUM(slen) AS BIGINT) AS s
+          FROM g GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+            CAST(SUM(s) AS BIGINT) AS l
+          FROM cl)
+        SELECT size_class, n_docs,
+          (s * 1000000) // n_docs AS mean_len_micros,
+          (((s * 1000000) // n_docs) * 1000000) //
+            ((l * 1000000) // n) AS lift_micros
+        FROM cl CROSS JOIN tot
+        """ + orderedSql(Seq("size_class", "n_docs",
+          "mean_len_micros", "lift_micros")))),
+
+    // x183 — event-type audience overlap: distinct-user Jaccard per
+    // unordered type pair by inclusion–exclusion; the user-grain
+    // companion of x155's session-grain lift.
+    QueryDef("x183_audience_overlap",
+      (s, dir) => ordered(graft.ops.EventAnalytics.audienceOverlap(
+        t(s, dir, "events"), "user_id", "event_type")),
+      Some("""WITH tu AS (
+          SELECT DISTINCT event_type AS t, user_id AS u
+          FROM events WHERE user_id IS NOT NULL),
+        sz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tu GROUP BY 1),
+        p AS (
+          SELECT a.t AS type_a, b.t AS type_b,
+            CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_both,
+          (n_both * 1000000) // (sa.n + sb.n - n_both)
+            AS jaccard_micros
+        FROM p
+        JOIN sz sa ON sa.t = type_a
+        JOIN sz sb ON sb.t = type_b
+        """ + orderedSql(Seq("type_a", "type_b", "n_both",
+          "jaccard_micros")))),
+
+    // x184 — weekday × hour traffic heatmap: dow from pure integer
+    // epoch-day arithmetic ((d+4) mod 7, 0=Sunday — no engine
+    // date_part conventions), lift vs the uniform 1/168 cell.
+    QueryDef("x184_week_heatmap",
+      (s, dir) => ordered(graft.ops.EventAnalytics.weekHeatmap(
+        t(s, dir, "events"), "ts")),
+      Some("""WITH b AS (
+          SELECT epoch_us(ts) AS tus FROM events),
+        c AS (
+          SELECT ((tus // 86400000000 + 4) % 7 + 7) % 7 AS dow,
+            ((tus // 3600000000) % 24 + 24) % 24 AS hour,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+        SELECT CAST(dow AS BIGINT) AS dow,
+          CAST(hour AS BIGINT) AS hour, n,
+          (n * 1000000) // tot.t AS share_micros,
+          (n * 168 * 1000000) // tot.t AS lift_micros
+        FROM c CROSS JOIN tot
+        """ + orderedSql(Seq("dow", "hour", "n", "share_micros",
+          "lift_micros")))),
+
+    // x185 — transition latency: mean/max gap micros per ordered
+    // type pair in the x138 (ts, id) order; same-instant transitions
+    // contribute 0.
+    QueryDef("x185_transition_latency",
+      (s, dir) => ordered(graft.ops.EventAnalytics.transitionLatency(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")),
+      Some("""WITH p AS (
+          SELECT user_id, event_type AS next_type,
+            LAG(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type,
+            epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+        SELECT prev_type, next_type,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(gap) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+            AS mean_gap_micros,
+          CAST(MAX(gap) AS BIGINT) AS max_gap_micros
+        FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """ + orderedSql(Seq("prev_type", "next_type", "n",
+          "mean_gap_micros", "max_gap_micros")))),
+
+    // x186 — per-source sentence statistics: [.!?]+ segmentation,
+    // trimmed non-blank segments, boundary-free doc share.
+    QueryDef("x186_sentence_stats",
+      (s, dir) => ordered(graft.ops.TextAnalysis.sentenceStats(
+        t(s, dir, "documents"), "text", "source")),
+      Some("""WITH per AS (
+          SELECT source AS block,
+            len(list_filter(list_transform(
+              string_split_regex(text, '[.!?]+'), s -> trim(s)),
+              s -> s <> '')) AS ns,
+            list_sum(list_transform(list_filter(list_transform(
+              string_split_regex(text, '[.!?]+'), s -> trim(s)),
+              s -> s <> ''), s -> CAST(len(s) AS BIGINT))) AS sl,
+            CAST(NOT regexp_matches(text, '[.!?]') AS BIGINT) AS nb
+          FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT block, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(ns) AS BIGINT) AS n_sentences,
+            CAST(SUM(COALESCE(sl, 0)) AS BIGINT) AS sum_len,
+            CAST(SUM(nb) AS BIGINT) AS nbd
+          FROM per GROUP BY 1)
+        SELECT block, n_docs, n_sentences,
+          CASE WHEN n_sentences > 0
+            THEN (sum_len * 1000000) // n_sentences
+            END AS mean_sent_len_micros,
+          (nbd * 1000000) // n_docs AS no_boundary_micros
+        FROM r
+        """ + orderedSql(Seq("block", "n_docs", "n_sentences",
+          "mean_sent_len_micros", "no_boundary_micros")))),
+
+    // x187 — per-source markup/contact incidence: URL, email, and
+    // HTML-tag doc shares off three explicit-ASCII regex probes.
+    QueryDef("x187_markup_profile",
+      (s, dir) => ordered(graft.ops.TextAnalysis.markupProfile(
+        t(s, dir, "documents"), "text", "source")),
+      Some("""WITH per AS (
+          SELECT source AS block,
+            CAST(regexp_matches(text, 'https?://') AS BIGINT) AS u,
+            CAST(regexp_matches(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')
+              AS BIGINT) AS e,
+            CAST(regexp_matches(text,
+              '<[A-Za-z][A-Za-z0-9]*[^>]*>') AS BIGINT) AS tg
+          FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT block, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(u) AS BIGINT) AS su,
+            CAST(SUM(e) AS BIGINT) AS se,
+            CAST(SUM(tg) AS BIGINT) AS st
+          FROM per GROUP BY 1)
+        SELECT block, n_docs,
+          (su * 1000000) // n_docs AS url_micros,
+          (se * 1000000) // n_docs AS email_micros,
+          (st * 1000000) // n_docs AS tag_micros
+        FROM r
+        """ + orderedSql(Seq("block", "n_docs", "url_micros",
+          "email_micros", "tag_micros")))),
+
+    // x188 — session survival curve: suffix-accumulated x152
+    // histogram (sessions reaching ≥ k events) with share micros;
+    // the suffix sum runs via the two-pass prefix-sum primitive, not
+    // a global window.
+    QueryDef("x188_session_survival",
+      (s, dir) => ordered(graft.ops.EventAnalytics.sessionSurvival(
+        t(s, dir, "events"), "user_id", "ts", "event_id")),
+      Some("""WITH b AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        m AS (
+          SELECT user_id, event_id,
+            CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) IS NULL
+                 OR tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM b),
+        sx AS (
+          SELECT user_id,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+          FROM m),
+        sl AS (SELECT user_id, session_idx,
+            CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM sx GROUP BY 1, 2),
+        h AS (SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions
+          FROM sl GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS t FROM h),
+        sfx AS (SELECT n_events, n_sessions,
+            CAST(SUM(n_sessions) OVER (ORDER BY n_events DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_reached
+          FROM h)
+        SELECT n_events, n_sessions, n_reached,
+          (n_reached * 1000000) // tot.t AS survival_micros
+        FROM sfx CROSS JOIN tot
+        """ + orderedSql(Seq("n_events", "n_sessions", "n_reached",
+          "survival_micros")))),
+
+    // x189 — per-label class profile: exact balance shares plus the
+    // x159-quantized mean squared norm (the silent-mixup tell).
+    QueryDef("x189_label_profile",
+      (s, dir) => ordered(Similarity.labelProfile(
+        t(s, dir, "embeddings"), "embedding", "label")),
+      Some("""WITH per AS (
+          SELECT label,
+            CAST(FLOOR(list_dot_product(
+              CAST(embedding AS DOUBLE[]),
+              CAST(embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)
+              AS q
+          FROM embeddings),
+        r AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            CAST(SUM(q) AS BIGINT) AS sq
+          FROM per GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS t FROM r)
+        SELECT label, n_vecs,
+          (n_vecs * 1000000) // tot.t AS share_micros,
+          sq // n_vecs AS mean_normsq_q4
+        FROM r CROSS JOIN tot
+        """ + orderedSql(Seq("label", "n_vecs", "share_micros",
+          "mean_normsq_q4")))),
+
+    // x190 — props payload health: q17's JSON extraction read as a
+    // null-share + mean/min/max profile per type.
+    QueryDef("x190_props_profile",
+      (s, dir) => ordered(graft.ops.EventAnalytics.propsProfile(
+        t(s, dir, "events"), "props", "event_type")),
+      Some("""WITH per AS (
+          SELECT event_type,
+            CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events),
+        r AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(k IS NULL AS BIGINT)) AS BIGINT) AS nn,
+            CAST(SUM(k) AS BIGINT) AS sk,
+            CAST(MIN(k) AS BIGINT) AS min_k,
+            CAST(MAX(k) AS BIGINT) AS max_k
+          FROM per GROUP BY 1)
+        SELECT event_type, n,
+          (nn * 1000000) // n AS null_micros,
+          CASE WHEN n - nn > 0
+            THEN (sk * 1000000) // (n - nn) END AS mean_k_micros,
+          min_k, max_k
+        FROM r
+        """ + orderedSql(Seq("event_type", "n", "null_micros",
+          "mean_k_micros", "min_k", "max_k")))),
+
+    // x191 — per-type value spectrum: x128 money micros bucketed by
+    // bit length (the x147 grid), exact counts and sums per cell.
+    QueryDef("x191_value_spectrum",
+      (s, dir) => ordered(graft.ops.EventAnalytics.valueSpectrum(
+        t(s, dir, "events"), "event_type", "value")),
+      Some("""WITH v AS (
+          SELECT event_type,
+            CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+              AS vm
+          FROM events WHERE value IS NOT NULL),
+        b AS (
+          SELECT event_type,
+            CASE WHEN vm <= 0 THEN 0
+              ELSE CAST(length(bin(vm)) AS BIGINT) END AS bucket, vm
+          FROM v)
+        SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(vm) AS BIGINT) AS sum_value_micros
+        FROM b GROUP BY 1, 2
+        """ + orderedSql(Seq("event_type", "bucket", "n",
+          "sum_value_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -433,6 +433,69 @@ object EventStreams {
       }
   }
 
+  /** ONLINE transition latency — the ingest-time twin of batch x185
+    * (`graft.ops.EventAnalytics.transitionLatency`): the
+    * [[transitionsOnline]] state machine (same bounded (t, id, type)
+    * history under the [[boundedStateDoc]] cap/TTL contract), but
+    * each emission carries, per (from_type, to_type) pair of the
+    * user's CURRENT history, the pair count, the exact SUM of gaps in
+    * micros, and the max gap — the mergeable partials of x185's
+    * mean/max publish. Assemble by keeping each user's max-version
+    * rows, then per pair `n = Σn`, `mean_gap_micros = Σsum_gap div
+    * Σn`, `max_gap_micros = max(max_gap)` (StreamingSpec pins
+    * assembled ≡ batch under forced multi-batch replay).
+    *
+    * Sum-not-mean in the emission: means don't merge across users;
+    * the (Σ, max) pair does, exactly — the same partials the batch
+    * aggregate itself pushes map-side.
+    */
+  def transitionLatencyOnline(events: DataFrame,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      maxEventsPerUser: Int = DefaultMaxEventsPerUser,
+      idleTtlUs: Long = DefaultIdleTtlUs)
+      : Dataset[TransitionLatencyRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long,
+            rows: Iterator[(Long, Long, Long, String,
+              java.sql.Timestamp)],
+            state: GroupState[(Long, Seq[(Long, Long, String)])]) =>
+          if (state.hasTimedOut) {
+            onIdle(state, Seq.empty[(Long, Long, String)],
+              (s: Seq[(Long, Long, String)]) => s.isEmpty, idleTtlUs)
+            Iterator.empty
+          } else {
+          val (ver, seen0) = state.getOption.getOrElse(
+            (0L, Seq.empty[(Long, Long, String)]))
+          val merged = (seen0.iterator ++ rows.map(r => (r._2, r._3, r._4)))
+            .toSeq.distinct.sortBy(e => (e._1, e._2))
+          val seen = if (merged.size > maxEventsPerUser)
+            merged.takeRight(maxEventsPerUser) else merged
+          val nv = ver + 1
+          state.update((nv, seen))
+          armIdleTimer(state, seen.last._1, idleTtlUs)
+          val acc = scala.collection.mutable
+            .Map.empty[(String, String), (Long, Long, Long)]
+          seen.iterator.sliding(2).withPartial(false).foreach { pair =>
+            val k = (pair.head._3, pair(1)._3)
+            val gap = pair(1)._1 - pair.head._1
+            val (n, sg, mg) = acc.getOrElse(k, (0L, 0L, 0L))
+            acc(k) = (n + 1L, sg + gap, math.max(mg, gap))
+          }
+          acc.iterator.map { case ((ft, tt), (n, sg, mg)) =>
+            TransitionLatencyRow(uid, nv, ft, tt, n, sg, mg)
+          }
+          }
+      }
+  }
+
   /** ONLINE conversion lag — the ingest-time twin of batch x158
     * (`graft.ops.EventAnalytics.conversionLagSpectrum`): per user,
     * keyed state is O(1) — the version counter plus two running mins
@@ -702,6 +765,17 @@ case class SessionLenRow(user_id: Long, version: Long, n_events: Long,
   */
 case class TransitionRow(user_id: Long, version: Long,
   from_type: String, to_type: String, n: Long)
+
+/** Output row of [[EventStreams.transitionLatencyOnline]] — the
+  * user's current (from_type, to_type) pair count plus its exact
+  * gap-sum and gap-max partials (micros); `version` is the per-user
+  * monotone emission stamp (keep max per user downstream; per pair
+  * `Σn`, `Σsum_gap div Σn`, `max(max_gap)` is batch x185's published
+  * row).
+  */
+case class TransitionLatencyRow(user_id: Long, version: Long,
+  from_type: String, to_type: String, n: Long, sum_gap: Long,
+  max_gap: Long)
 
 /** Output row of [[EventStreams.conversionLagOnline]] — the user's
   * current base-2 conversion-lag bucket (−1 = not yet converted);

@@ -584,4 +584,189 @@ class EventAnalyticsSpec extends SparkSpec {
       (mon("2024-01-01"), 1L, 1L, 1000000L, 5000000L),
       (mon("2024-01-08"), 0L, 1L, 0L, 0L)))
   }
+
+  test("dailyAnomaly (x178): MAD-normalized z flags the spike; " +
+      "MAD=0 degenerates to the strict any-deviation flag") {
+    def ts(d: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-0$d%d 08:${i / 60}%02d:${i % 60}%02d")
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-0$d%d 00:00:00")
+    // counts [8, 9, 10, 11, 50]: med 10, MAD 1 -> only day 5 flags
+    val events = Seq(8, 9, 10, 11, 50).zipWithIndex.flatMap {
+      case (n, d) => (0 until n).map(i => (ts(d + 1, i), 1L))
+    }.toDF("ts", "user_id")
+    val got = EventAnalytics.dailyAnomaly(events, "ts")
+      .as[(Timestamp, Long, Long, Option[Long], Long)].collect().toSet
+    assert(got === Set(
+      (day(1), 8L, -2L, Some(2000000L), 0L),
+      (day(2), 9L, -1L, Some(1000000L), 0L),
+      (day(3), 10L, 0L, Some(0L), 0L),
+      (day(4), 11L, 1L, Some(1000000L), 0L),
+      (day(5), 50L, 40L, Some(40000000L), 1L)))
+    // counts [10, 10, 10, 10, 100]: MAD 0 -> NULL z, dev<>0 flags
+    val flat = Seq(10, 10, 10, 10, 100).zipWithIndex.flatMap {
+      case (n, d) => (0 until n).map(i => (ts(d + 1, i), 1L))
+    }.toDF("ts", "user_id")
+    val deg = EventAnalytics.dailyAnomaly(flat, "ts")
+      .as[(Timestamp, Long, Long, Option[Long], Long)].collect().toSet
+    assert(deg === Set(
+      (day(1), 10L, 0L, None, 0L), (day(2), 10L, 0L, None, 0L),
+      (day(3), 10L, 0L, None, 0L), (day(4), 10L, 0L, None, 0L),
+      (day(5), 100L, 90L, None, 1L)))
+  }
+
+  test("benfordAudit (x179): digits from integer micros, NULL/" +
+      "non-positive excluded, all nine rows publish") {
+    val events = Seq(Some(1.5), Some(25.0), Some(0.25), Some(-3.0),
+      Some(0.0), None).toDF("value")
+    val got = EventAnalytics.benfordAudit(events, "value")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // digits: 1.5 -> 1; 25.0 and 0.25 -> 2; total 3
+    assert(got.size === 9)
+    assert(got.contains((1L, 1L, 333333L, 301029L, 32304L)))
+    assert(got.contains((2L, 2L, 666666L, 176091L, 490575L)))
+    assert(got.filter(r => r._1 >= 3L)
+      .forall(r => r._2 == 0L && r._3 == 0L &&
+        r._5 == -r._4))
+    // empty-corpus guard: zero shares, no division error
+    val empty = EventAnalytics.benfordAudit(
+      Seq(Option.empty[Double]).toDF("value"), "value")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(empty.length === 9 && empty.forall(r =>
+      r._2 == 0L && r._3 == 0L))
+  }
+
+  test("calendarDensify (x180): gap day publishes a zero row with " +
+      "the flag set") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (ts("2024-01-01 08:00:00"), 1L), (ts("2024-01-01 09:00:00"), 2L),
+      (ts("2024-01-03 10:00:00"), 1L))
+      .toDF("ts", "user_id")
+    val got = EventAnalytics.calendarDensify(events, "ts", "user_id")
+      .as[(Timestamp, Long, Long, Long)].collect().toSet
+    def day(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    assert(got === Set(
+      (day("2024-01-01"), 2L, 2L, 0L),
+      (day("2024-01-02"), 0L, 0L, 1L),
+      (day("2024-01-03"), 1L, 1L, 0L)))
+  }
+
+  test("peakConcurrency (x181): inclusive-endpoint overlap at the " +
+      "shared instant, midnight-spanning session clips to both days") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1 session [10:00, 10:05]; u2 point session AT 10:05 (overlaps
+    // u1's endpoint -> peak 2); u3 session 23:58 -> 00:04 next day
+    // (6-min gap, one session, clipped to both days)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:05:00"), 1L),
+      (3L, ts("2024-01-01 10:05:00"), 2L),
+      (4L, ts("2024-01-01 23:58:00"), 3L),
+      (5L, ts("2024-01-02 00:04:00"), 3L))
+      .toDF("event_id", "ts", "user_id")
+    val got = EventAnalytics.peakConcurrency(events, "user_id", "ts",
+        "event_id").as[(Timestamp, Long, Long)].collect().toSet
+    def day(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    assert(got === Set(
+      (day("2024-01-01"), 3L, 2L),
+      (day("2024-01-02"), 1L, 1L)))
+  }
+
+  test("audienceOverlap (x183): inclusion-exclusion Jaccard, NULL " +
+      "users dropped, zero-overlap pairs absent") {
+    val events = Seq(
+      ("A", Some(1L)), ("A", Some(2L)), ("A", Some(3L)),
+      ("A", Some(2L)),                      // dup (A,2) counts once
+      ("B", Some(2L)), ("B", Some(3L)),
+      ("C", Some(4L)),                      // disjoint from A and B
+      ("A", Option.empty[Long]))            // NULL user dropped
+      .toDF("event_type", "user_id")
+    val got = EventAnalytics.audienceOverlap(events, "user_id",
+        "event_type").as[(String, String, Long, Long)].collect().toSet
+    // |A|=3 |B|=2, A∩B={2,3} -> 2/3; (A,C),(B,C) never co-occur
+    assert(got === Set(("A", "B", 2L, 666666L)))
+  }
+
+  test("weekHeatmap (x184): integer dow (0=Sunday), hour cells, " +
+      "lift vs the uniform 1/168 cell") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday (dow 1); 2024-01-07 a Sunday (dow 0)
+    val events = Seq(
+      ts("2024-01-01 10:15:00"), ts("2024-01-01 10:45:00"),
+      ts("2024-01-07 23:30:00")).map(Tuple1(_)).toDF("ts")
+    val got = EventAnalytics.weekHeatmap(events, "ts")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 10L, 2L, 666666L, 112000000L),
+      (0L, 23L, 1L, 333333L, 56000000L)))
+  }
+
+  test("transitionLatency (x185): per-pair mean/max gap micros, " +
+      "same-instant transitions contribute zero") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 08:01:00"), 1L, "b"),
+      (3L, ts("2024-01-01 08:01:00"), 1L, "c"), // tie -> id order
+      (4L, ts("2024-01-01 09:00:00"), 2L, "a"),
+      (5L, ts("2024-01-01 09:02:00"), 2L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.transitionLatency(events, "user_id",
+        "ts", "event_id", "event_type")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", "b", 2L, 90000000L, 120000000L),
+      ("b", "c", 1L, 0L, 0L)))
+  }
+
+  test("sessionSurvival (x188): suffix-accumulated reach counts " +
+      "and survival shares") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1: one 3-event session; u2: two 1-event sessions (20-min gap)
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L),
+      (2L, ts("2024-01-01 08:01:00"), 1L),
+      (3L, ts("2024-01-01 08:02:00"), 1L),
+      (4L, ts("2024-01-01 09:00:00"), 2L),
+      (5L, ts("2024-01-01 09:20:00"), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val got = EventAnalytics.sessionSurvival(events, "user_id", "ts",
+        "event_id").as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (3L, 1L, 1L, 333333L),
+      (1L, 2L, 3L, 1000000L)))
+  }
+
+  test("propsProfile (x190): null/malformed/missing k share, " +
+      "mean guarded NULL for all-null types") {
+    val events = Seq(
+      ("a", Some("""{"k": 5}""")),
+      ("a", Some("""{"k": 7}""")),
+      ("a", Option.empty[String]),      // NULL props
+      ("b", Some("""{"x": 1}""")))      // missing key
+      .toDF("event_type", "props")
+    val got = EventAnalytics.propsProfile(events, "props",
+        "event_type")
+      .as[(String, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().toSet
+    assert(got === Set(
+      ("a", 3L, 333333L, Some(6000000L), Some(5L), Some(7L)),
+      ("b", 1L, 1000000L, None, None, None)))
+  }
+
+  test("valueSpectrum (x191): bit-length buckets on exact micros, " +
+      "zero/negative in bucket 0, NULL excluded") {
+    val events = Seq(
+      ("a", Some(1.0)),   // 1e6 micros -> 20 bits
+      ("a", Some(3.5)),   // 3.5e6 -> 22 bits
+      ("a", Some(0.0)), ("a", Some(-1.0)), // bucket 0
+      ("a", Option.empty[Double]))
+      .toDF("event_type", "value")
+    val got = EventAnalytics.valueSpectrum(events, "event_type",
+        "value").as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 20L, 1L, 1000000L),
+      ("a", 22L, 1L, 3500000L),
+      ("a", 0L, 2L, -1000000L)))
+  }
 }

@@ -677,4 +677,19 @@ class SimilaritySpec extends SparkSpec {
       (1L, 0, 1L, 500000L), (2L, 1, 1L, 500000L),
       (3L, 1, 1L, 500000L), (4L, 0, 1L, 500000L)))
   }
+
+  test("labelProfile (x189): exact balance shares and mean quantized " +
+      "squared norm per label") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(3.0f, 4.0f), 0),  // normsq 25 -> q 250000
+      (2L, Seq(1.0f, 0.0f), 0),  // q 10000
+      (3L, Seq(0.0f, 2.0f), 1))  // q 40000
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.labelProfile(vecs, "embedding",
+        "label").as[(Int, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0, 2L, 666666L, 130000L),
+      (1, 1L, 333333L, 40000L)))
+  }
 }

@@ -1632,4 +1632,46 @@ class StreamingSpec extends SparkSpec {
       corpus.unpersist()
     }
   }
+
+  test("transitionLatencyOnline final state assembles to the batch " +
+      "x185 latency matrix under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.transitionLatencyOnline(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_trans_lat").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stream_trans_lat")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      // keep-max-version assembly, then the batch op's own publish:
+      // the (Σn, Σsum_gap, max max_gap) partials merge exactly
+      val assembled = emitted
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+        .groupBy($"from_type".as("prev_type"),
+          $"to_type".as("next_type"))
+        .agg(sum($"n").as("n"), sum($"sum_gap").as("_sg"),
+          max($"max_gap").as("max_gap_micros"))
+        .select($"prev_type", $"next_type", $"n",
+          expr("_sg div n").as("mean_gap_micros"),
+          $"max_gap_micros")
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.EventAnalytics.transitionLatency(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      assert(assembled.nonEmpty)
+      assert(assembled === batch)
+      // state genuinely crossed micro-batches
+      val multi = emitted.groupBy($"user_id")
+        .agg(countDistinct($"version").as("v")).filter($"v" > 1)
+        .count()
+      assert(multi > 0, "expected a user updated across batches")
+    } finally q.stop()
+  }
 }

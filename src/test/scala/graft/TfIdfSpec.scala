@@ -1000,6 +1000,55 @@ class TfIdfSpec extends SparkSpec {
     assert(got === Set((3L, 1L, 3L, 750000L), (1L, 1L, 1L, 250000L)))
   }
 
+  test("dupQualityLift (x182): size classes cap at 5+, means " +
+      "micro-round before the lift division") {
+    import spark.implicits._
+    // "aaaa"x3 (len 4), "cc"x6 (len 2, class caps to 5), "bb"x1 (len 2)
+    val docs = (Seq.fill(3)("aaaa") ++ Seq.fill(6)("cc") ++ Seq("bb"))
+      .map(t => (t, t.length.toLong)).toDF("text", "n_chars")
+    val got = graft.ops.TextAnalysis.dupQualityLift(docs, "text",
+        "n_chars").as[(Long, Long, Long, Long)].collect().toSet
+    // totals: n=10 docs, l=26 chars -> corpus mean 2_600_000 micros
+    // class 3: mean 4_000_000 -> lift 4e12 div 2.6e6 = 1_538_461
+    // class 5 (the 6-copy cluster): mean 2e6 -> lift 769_230
+    // class 1: mean 2e6 -> lift 769_230
+    assert(got === Set(
+      (3L, 3L, 4000000L, 1538461L),
+      (5L, 6L, 2000000L, 769230L),
+      (1L, 1L, 2000000L, 769230L)))
+  }
+
+  test("sentenceStats (x186): [.!?]+ segmentation, trimmed non-blank " +
+      "segments, boundary-free share, punct-only doc has 0 sentences") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "Hi there. Bye!"), // 2 sentences, len 8+3
+      ("A", "no punct"),       // 1 sentence, len 8, boundary-free
+      ("B", "..."))            // 0 sentences, has boundary
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.sentenceStats(docs, "text",
+        "source")
+      .as[(String, Long, Long, Option[Long], Long)].collect().toSet
+    assert(got === Set(
+      ("A", 2L, 3L, Some(6333333L), 500000L), // (8+3+8)e6 div 3
+      ("B", 1L, 0L, None, 0L)))
+  }
+
+  test("markupProfile (x187): URL/email/tag doc shares off explicit " +
+      "ASCII regex probes") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "see https://x.co now"),
+      ("A", "mail me a@b.com ok"),
+      ("A", "<div class=x> hi"),
+      ("A", "plain"))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.markupProfile(docs, "text",
+        "source")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(("A", 4L, 250000L, 250000L, 250000L)))
+  }
+
   test("charsetProfile (x156): hand corpus exact class counts; " +
       "shares partition the mass within a quantum each") {
     import spark.implicits._
