@@ -512,6 +512,42 @@ object DataPipeline {
       .select(col("id"), col("stratum"), col("v"), col("pr_micros"))
   }
 
+  /** Source Lorenz curve — the concentration read behind x145's Gini
+    * scalar: strata (sources) rank by document count DESCENDING (ties
+    * broken on the stratum name), and each row publishes the exact
+    * cumulative document count and cumulative corpus share in micros
+    * through that rank. "The top 3 sources are 80% of the corpus" is
+    * this table's first three rows — the mixture designer's
+    * diversification worklist, where the Gini only says 'skewed'.
+    *
+    * Determinism: exact counts; the cumulative runs over the
+    * (−n_docs, stratum) total order via the two-pass
+    * [[PrefixSum.withRunningLongSum]] (distributed sort + broadcast
+    * partition offsets — no single-partition window); shares are
+    * floor divisions.
+    *
+    * Scale: ONE map-side-combinable stratum aggregate collapses the
+    * corpus; the sort/scan runs over the stratum-bounded frame; the
+    * one-row total broadcasts.
+    *
+    * Returns `(stratum, n_docs BIGINT, cum_docs BIGINT,
+    * cum_micros BIGINT)`.
+    */
+  def lorenzSources(docs: DataFrame, strataCol: String): DataFrame = {
+    val per = docs.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("_neg", -col("n_docs"))
+      // lazy barrier: the running sum and the total share this
+      // stratum-bounded frame
+      .localCheckpoint(eager = false)
+    val cum = PrefixSum.withRunningLongSum(per,
+      Seq("_neg", "stratum"), "n_docs", "cum_docs")
+    val total = per.agg(sum(col("n_docs")).as("_tot"))
+    cum.crossJoin(broadcast(total))
+      .select(col("stratum"), col("n_docs"), col("cum_docs"),
+        expr("(cum_docs * 1000000) div _tot").as("cum_micros"))
+  }
+
   /** Corpus snapshot diff — the data-versioning report run between two
     * corpus versions before retraining: per id, `added` (only in new),
     * `removed` (only in old), `modified` (both, content hash differs)

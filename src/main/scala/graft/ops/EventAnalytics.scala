@@ -1461,4 +1461,137 @@ object EventAnalytics {
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n"), sum(col("_vm")).as("sum_value_micros"))
   }
+
+  /** Bounce rate by entry type — the landing-surface quality gauge
+    * x167's entry→exit matrix implies but doesn't publish: per
+    * session entry type, how many gap-sessions (q25 convention) died
+    * after EXACTLY ONE event, as an exact floor-division share. A
+    * high-bounce entry surface either answers instantly (good) or
+    * repels (bad) — x172's depth-conversion lift is the tiebreaker.
+    *
+    * Determinism: the x167 contract — id-ordered sessionization,
+    * struct-min entry type over unique ids, exact counts, one floor
+    * division.
+    *
+    * Scale: the shared user-keyed sessionization exchange, a
+    * (user × session) aggregate, a type-bounded rollup. Nothing else.
+    *
+    * Returns `(entry_type, n_sessions BIGINT, n_bounce BIGINT,
+    * bounce_micros BIGINT)`.
+    */
+  def bounceRate(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    val per = sessionized(events, userCol, tsCol, idCol, gapUs,
+        Seq(typeCol))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(min(struct(col(idCol), col(typeCol))).as("_in"),
+        count(lit(1)).as("_len"))
+      .select(col("_in").getField(typeCol).as("entry_type"),
+        (col("_len") === 1L).cast(LongType).as("_b"))
+    per.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("_b")).as("n_bounce"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+        expr("(n_bounce * 1000000) div n_sessions")
+          .as("bounce_micros"))
+  }
+
+  /** Hourly conversion propensity — WHEN the corpus converts: per
+    * hour of day (the x184 integer-arithmetic hour), the exact event
+    * count, the `target`-type count, the conversion rate in micros,
+    * and the lift against the all-hours baseline (the x162 rate/lift
+    * arithmetic keyed by clock hour). A lift ridge at specific hours
+    * is the send-time/staffing signal.
+    *
+    * Determinism: integer hour extraction, exact counts, the x162
+    * floor-division lift. Long headroom: `n_target · total_n · 10⁶`
+    * follows x162's documented convention — sample above ~3M-target
+    * corpora (the product caps at ~9.2e18).
+    *
+    * Scale: ONE stateless projection into a 24-row-bounded aggregate;
+    * the one-row totals broadcast. Returns all 24 hours that appear;
+    * `lift_micros` is NULL when the corpus has no target events.
+    *
+    * Returns `(hour BIGINT, n BIGINT, n_target BIGINT, conv_micros
+    * BIGINT, lift_micros BIGINT)`.
+    */
+  def hourlyConversion(events: DataFrame, tsCol: String,
+      typeCol: String, target: String): DataFrame = {
+    val per = events
+      .select(pmod(expr(
+          s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 3600000000"),
+          lit(24L)).as("hour"),
+        (col(typeCol) === target).cast(LongType).as("_t"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("_t")).as("n_target"))
+      // lazy barrier: totals + publish share the 24-row frame
+      .localCheckpoint(eager = false)
+    val tot = per.agg(sum(col("n")).as("_tn"),
+      sum(col("n_target")).as("_tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("hour"), col("n"), col("n_target"),
+        expr("(n_target * 1000000) div n").as("conv_micros"),
+        when(col("_tt") > 0L,
+          expr("(n_target * _tn * 1000000) div (n * _tt)"))
+          .as("lift_micros"))
+  }
+
+  /** Weekly growth accounting — the new/retained/resurrected/churned
+    * decomposition of every active count (the standard growth ledger;
+    * x130's cohort matrix re-cut by adjacency): per Monday-aligned
+    * week, the distinct actives split into NEW (first-ever week),
+    * RETAINED (also active the previous week), and RESURRECTED
+    * (active before, but not last week); plus `n_churned_next` — this
+    * week's actives who do NOT return next week. The final week's
+    * churn is right-censored (everyone "churns" from a week with no
+    * successor data) — read it as an upper bound, the standard
+    * caveat of the ledger.
+    *
+    * Determinism: `date_trunc('week')` Monday alignment (both
+    * engines), exact 7-day timestamp arithmetic on UTC midnights (no
+    * DST in the pinned UTC session), exact distinct counts;
+    * `n_active = n_new + n_retained + n_resurrected` by construction.
+    *
+    * Scale: the corpus collapses to the distinct (user, week) frame
+    * ONCE (map-side combinable), then three self-joins on the
+    * (user, week±7d) key — co-partitioned user-keyed equi-joins of
+    * id+timestamp rows, the x130 join shape — and a first-week
+    * user-sized aggregate. The publish is calendar-bounded.
+    *
+    * Returns `(week TIMESTAMP, n_active, n_new, n_retained,
+    * n_resurrected, n_churned_next — all BIGINT)`.
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val act = events
+      .select(col(userCol).as("_u"),
+        date_trunc("week", col(tsCol).cast(TimestampType)).as("_w"))
+      .distinct()
+      // lazy barrier: the first-week aggregate and the three
+      // adjacency joins all read this (user, week) frame
+      .localCheckpoint(eager = false)
+    val first = act.groupBy(col("_u")).agg(min(col("_w")).as("_f"))
+    val prev = act.select(col("_u"),
+      (col("_w") + expr("INTERVAL 7 DAYS")).as("_w"),
+      lit(1L).as("_wasPrev"))
+    val next = act.select(col("_u"),
+      (col("_w") - expr("INTERVAL 7 DAYS")).as("_w"),
+      lit(1L).as("_hasNext"))
+    act
+      .join(first, "_u")
+      .join(prev, Seq("_u", "_w"), "left")
+      .join(next, Seq("_u", "_w"), "left")
+      .select(col("_w").as("week"),
+        when(col("_w") === col("_f"), 1L).otherwise(0L).as("_new"),
+        when(col("_w") =!= col("_f") && col("_wasPrev").isNotNull, 1L)
+          .otherwise(0L).as("_ret"),
+        when(col("_w") =!= col("_f") && col("_wasPrev").isNull, 1L)
+          .otherwise(0L).as("_res"),
+        col("_hasNext").isNull.cast(LongType).as("_ch"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"), sum(col("_new")).as("n_new"),
+        sum(col("_ret")).as("n_retained"),
+        sum(col("_res")).as("n_resurrected"),
+        sum(col("_ch")).as("n_churned_next"))
+  }
 }

@@ -7368,6 +7368,129 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("event_type", "bucket", "n",
           "sum_value_micros")))),
 
+    // x192 — bounce rate by session entry type: one-event-session
+    // share per landing surface (x167's sessionization + min_by
+    // entry, x162's floor-division share).
+    QueryDef("x192_bounce_rate",
+      (s, dir) => ordered(graft.ops.EventAnalytics.bounceRate(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")),
+      Some("""WITH b AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+          FROM events),
+        m AS (
+          SELECT user_id, event_id, event_type, tus,
+            CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) IS NULL
+                 OR tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM b),
+        sx AS (
+          SELECT user_id, event_id, event_type,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+          FROM m),
+        per AS (
+          SELECT user_id, session_idx,
+            min_by(event_type, event_id) AS entry_type,
+            CAST(CAST(COUNT(*) AS BIGINT) = 1 AS BIGINT) AS bounce
+          FROM sx GROUP BY 1, 2)
+        SELECT entry_type,
+          CAST(COUNT(*) AS BIGINT) AS n_sessions,
+          CAST(SUM(bounce) AS BIGINT) AS n_bounce,
+          (CAST(SUM(bounce) AS BIGINT) * 1000000)
+            // CAST(COUNT(*) AS BIGINT) AS bounce_micros
+        FROM per GROUP BY 1
+        """ + orderedSql(Seq("entry_type", "n_sessions", "n_bounce",
+          "bounce_micros")))),
+
+    // x193 — hourly conversion propensity: x184's integer hour, the
+    // x162 rate/lift arithmetic against the all-hours baseline.
+    QueryDef("x193_hourly_conversion",
+      (s, dir) => ordered(graft.ops.EventAnalytics.hourlyConversion(
+        t(s, dir, "events"), "ts", "event_type",
+        target = "purchase")),
+      Some("""WITH per AS (
+          SELECT ((epoch_us(ts) // 3600000000) % 24 + 24) % 24
+              AS hour,
+            CAST(event_type = 'purchase' AS BIGINT) AS t
+          FROM events),
+        r AS (
+          SELECT CAST(hour AS BIGINT) AS hour,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(t) AS BIGINT) AS n_target
+          FROM per GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+            CAST(SUM(n_target) AS BIGINT) AS tt
+          FROM r)
+        SELECT hour, n, n_target,
+          (n_target * 1000000) // n AS conv_micros,
+          CASE WHEN tot.tt > 0
+            THEN (n_target * tot.tn * 1000000) // (n * tot.tt)
+            END AS lift_micros
+        FROM r CROSS JOIN tot
+        """ + orderedSql(Seq("hour", "n", "n_target", "conv_micros",
+          "lift_micros")))),
+
+    // x194 — source Lorenz curve: cumulative corpus mass through the
+    // (count DESC, source) rank order — x145's Gini unrolled into
+    // the worklist.
+    QueryDef("x194_lorenz_sources",
+      (s, dir) => ordered(graft.ops.DataPipeline.lorenzSources(
+        t(s, dir, "documents"), "source")),
+      Some("""WITH r AS (
+          SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM r),
+        c AS (
+          SELECT stratum, n_docs,
+            CAST(SUM(n_docs) OVER (ORDER BY n_docs DESC, stratum
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_docs
+          FROM r)
+        SELECT stratum, n_docs, cum_docs,
+          (cum_docs * 1000000) // tot.t AS cum_micros
+        FROM c CROSS JOIN tot
+        """ + orderedSql(Seq("stratum", "n_docs", "cum_docs",
+          "cum_micros")))),
+
+    // x195 — weekly growth accounting: new/retained/resurrected
+    // actives plus right-censored next-week churn, all off ONE
+    // distinct (user, week) frame with exact 7-day adjacency joins.
+    QueryDef("x195_growth_accounting",
+      (s, dir) => ordered(graft.ops.EventAnalytics.growthAccounting(
+        t(s, dir, "events"), "user_id", "ts")),
+      Some("""WITH act AS (
+          SELECT DISTINCT user_id AS u,
+            CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+          FROM events),
+        f AS (SELECT u, MIN(w) AS fw FROM act GROUP BY 1),
+        j AS (
+          SELECT act.w AS week,
+            CASE WHEN act.w = f.fw THEN 1 ELSE 0 END AS is_new,
+            CASE WHEN act.w <> f.fw AND p.u IS NOT NULL
+              THEN 1 ELSE 0 END AS is_ret,
+            CASE WHEN act.w <> f.fw AND p.u IS NULL
+              THEN 1 ELSE 0 END AS is_res,
+            CASE WHEN nx.u IS NULL THEN 1 ELSE 0 END AS is_ch
+          FROM act
+          JOIN f ON act.u = f.u
+          LEFT JOIN act p ON p.u = act.u
+            AND p.w + INTERVAL 7 DAYS = act.w
+          LEFT JOIN act nx ON nx.u = act.u
+            AND nx.w - INTERVAL 7 DAYS = act.w)
+        SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active,
+          CAST(SUM(is_new) AS BIGINT) AS n_new,
+          CAST(SUM(is_ret) AS BIGINT) AS n_retained,
+          CAST(SUM(is_res) AS BIGINT) AS n_resurrected,
+          CAST(SUM(is_ch) AS BIGINT) AS n_churned_next
+        FROM j GROUP BY 1
+        """ + orderedSql(Seq("week", "n_active", "n_new",
+          "n_retained", "n_resurrected", "n_churned_next")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -353,4 +353,16 @@ class DataPipelineSpec extends SparkSpec {
         col("v")).as[(Long, String, Long, Long)].collect().toSet
     assert(sampled.subsetOf(got))
   }
+
+  test("lorenzSources (x194): cumulative mass through the " +
+      "(count DESC, name) rank order") {
+    val docs = (Seq.fill(3)("s1") ++ Seq("s2", "s3"))
+      .map(Tuple1(_)).toDF("source")
+    val got = DataPipeline.lorenzSources(docs, "source")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("s1", 3L, 3L, 600000L),
+      ("s2", 1L, 4L, 800000L),  // tie with s3 -> name order
+      ("s3", 1L, 5L, 1000000L)))
+  }
 }

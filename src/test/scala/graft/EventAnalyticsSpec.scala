@@ -769,4 +769,69 @@ class EventAnalyticsSpec extends SparkSpec {
       ("a", 22L, 1L, 3500000L),
       ("a", 0L, 2L, -1000000L)))
   }
+
+  test("bounceRate (x192): one-event sessions count as bounces per " +
+      "entry type") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"), // session 1 (len 2)
+      (2L, ts("2024-01-01 10:05:00"), 1L, "b"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "a"), // session 2: bounce
+      (4L, ts("2024-01-01 11:00:00"), 2L, "b")) // u2: bounce
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.bounceRate(events, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 2L, 1L, 500000L),
+      ("b", 1L, 1L, 1000000L)))
+  }
+
+  test("hourlyConversion (x193): integer hours, x162 lift vs the " +
+      "all-hours baseline") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (ts("2024-01-01 10:10:00"), "view"),
+      (ts("2024-01-01 10:20:00"), "purchase"),
+      (ts("2024-01-01 11:10:00"), "view"))
+      .toDF("ts", "event_type")
+    val got = EventAnalytics.hourlyConversion(events, "ts",
+        "event_type", target = "purchase")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    // hour 10: 1/2 convert, lift (1*3e6) div (2*1) = 1.5e6
+    assert(got === Set(
+      (10L, 2L, 1L, 500000L, Some(1500000L)),
+      (11L, 1L, 0L, 0L, Some(0L))))
+    // no-target corpus: lift NULL, rate 0
+    val none = EventAnalytics.hourlyConversion(
+      events.filter($"event_type" =!= "purchase"), "ts",
+      "event_type", target = "purchase")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(none.nonEmpty && none.forall(r => r._4 == 0L &&
+      r._5.isEmpty))
+  }
+
+  test("growthAccounting (x195): new/retained/resurrected split, " +
+      "right-censored next-week churn") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00")), // u1 w1
+      (1L, ts("2024-01-08 08:00:00")), // u1 w2 (retained)
+      (2L, ts("2024-01-02 08:00:00")), // u2 w1
+      (2L, ts("2024-01-16 08:00:00")), // u2 w3 (resurrected)
+      (3L, ts("2024-01-09 08:00:00"))) // u3 w2 (new)
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.growthAccounting(events, "user_id", "ts")
+      .as[(Timestamp, Long, Long, Long, Long, Long)].collect().toSet
+    def mon(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    assert(got === Set(
+      (mon("2024-01-01"), 2L, 2L, 0L, 0L, 1L), // u2 misses w2
+      (mon("2024-01-08"), 2L, 1L, 1L, 0L, 2L), // both miss w3
+      (mon("2024-01-15"), 1L, 0L, 0L, 1L, 1L))) // censored tail
+    // the split always partitions the actives
+    val fx = EventAnalytics.growthAccounting(
+      Tables.load(spark, sf0001, "events"), "user_id", "ts")
+    assert(fx.filter($"n_active" =!=
+      $"n_new" + $"n_retained" + $"n_resurrected").count() === 0L)
+  }
 }
