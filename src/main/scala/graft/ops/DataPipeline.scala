@@ -548,6 +548,55 @@ object DataPipeline {
         expr("(cum_docs * 1000000) div _tot").as("cum_micros"))
   }
 
+  /** Value-weighted Lorenz curve — [[lorenzSources]] generalized from
+    * document counts to an exact BIGINT value (built for `orders`:
+    * cumulative revenue share through the (revenue DESC, customer)
+    * rank — the whale curve account planning reads): per key, the
+    * summed value micros, the cumulative micros through its rank, and
+    * the cumulative corpus share. Published for the deterministic
+    * ~10% md5 key sample (the x177 convention — the CUMULATIVE is
+    * computed over the FULL ranking, the sample only bounds the
+    * publish; `sampleHex4 = "ffff"` for the full frame).
+    *
+    * Determinism: exact per-key sums (callers pass an exact-integer
+    * value column — the x128 money-micros cast); the cumulative runs
+    * over the (−value, key) total order via the two-pass
+    * [[PrefixSum.withRunningLongSum]]; one floor division; the md5
+    * sample predicate both engines spell identically.
+    *
+    * Scale: ONE map-side key aggregate collapses the fact table to
+    * the key-sized frame (lazy-checkpoint barrier); the sort/scan and
+    * the broadcast total run on THAT; the sample prunes the publish.
+    *
+    * Returns `(id, v_micros BIGINT, cum_v_micros BIGINT,
+    * cum_share_micros BIGINT)`.
+    */
+  def lorenzValue(df: DataFrame, keyCol: String, valueMicros: Column,
+      sampleHex4: String = "199a"): DataFrame = {
+    val per = df.groupBy(col(keyCol).as("id"))
+      .agg(sum(valueMicros).as("v_micros"))
+      .withColumn("_neg", -col("v_micros"))
+      .localCheckpoint(eager = false)
+    val cum = PrefixSum.withRunningLongSum(per,
+      Seq("_neg", "id"), "v_micros", "cum_v_micros")
+    val total = per.agg(sum(col("v_micros")).as("_tot"))
+    // share by PRE-DIVIDED denominator: cum · 10⁶ wraps Long on any
+    // corpus past ~9.2e12 value micros (DuckDB raises, Spark would
+    // silently wrap — the x196 sf0.01 overflow), while
+    // cum div (tot div 10⁶) never grows past 10⁶; the ≤1e-6 relative
+    // denominator rounding is spelled identically in both engines.
+    // Sub-$1 corpora (tot < 10⁶ micros ⇒ cum·10⁶ < 10¹² — safe) keep
+    // the exact spelling.
+    cum.crossJoin(broadcast(total))
+      .select(col("id"), col("v_micros"), col("cum_v_micros"),
+        when(col("_tot") >= 1000000L,
+          expr("cum_v_micros div (_tot div 1000000)"))
+          .otherwise(expr("(cum_v_micros * 1000000) div _tot"))
+          .as("cum_share_micros"))
+      .filter(substring(md5(col("id").cast("string")), 1, 4)
+        < lit(sampleHex4))
+  }
+
   /** Corpus snapshot diff — the data-versioning report run between two
     * corpus versions before retraining: per id, `added` (only in new),
     * `removed` (only in old), `modified` (both, content hash differs)

@@ -510,18 +510,19 @@ object EventAnalytics {
     * published (bucket, count, lo_s, hi_s) arithmetic cannot drift.
     */
   private[graft] def lagSpectrumPublish(bucketRows: DataFrame,
-      countName: String = "n_users"): DataFrame =
+      countName: String = "n_users", loName: String = "lo_s",
+      hiName: String = "hi_s"): DataFrame =
     bucketRows
       .groupBy("bucket").agg(count(lit(1)).as(countName))
       .select(col("bucket"), col(countName),
         when(col("bucket") === 0L, 0L)
           .otherwise(expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)"))
-          .cast(LongType).as("lo_s"),
+          .cast(LongType).as(loName),
         when(col("bucket") === 0L, 0L)
           .otherwise(expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))") - 1L)
-          .cast(LongType).as("hi_s"))
+          .cast(LongType).as(hiName))
 
   /** Per-from-type transition entropy — x149's behavioral-entropy
     * quantization applied to x138's transition matrix: for each
@@ -1593,5 +1594,80 @@ object EventAnalytics {
         sum(col("_ret")).as("n_retained"),
         sum(col("_res")).as("n_resurrected"),
         sum(col("_ch")).as("n_churned_next"))
+  }
+
+  /** Key-cadence spectrum — x142's base-2 gap grid at DAY grain over
+    * any keyed timestamped table (built for `orders`: per customer,
+    * the day gaps between consecutive orders): bucket = bit length of
+    * the exact epoch-day difference, bucket 0 for same-day repeats.
+    * The reorder-cycle fingerprint: a subscription business spikes at
+    * one band; a one-shot funnel has no mass past bucket 0.
+    *
+    * Determinism: exact epoch-day floor division (the x154
+    * convention), tie-free (day, id) per-key order, the shared
+    * [[lagSpectrumPublish]] bucket arithmetic (string-length-of-bin —
+    * no libm).
+    *
+    * Scale: ONE key-keyed exchange feeds the lag window (a key bounds
+    * a task at its own row count); the spectrum partial-aggregates
+    * map-side to ≲20 day-band rows.
+    *
+    * Returns `(bucket, n_gaps, lo_days, hi_days)`.
+    */
+  def cadenceSpectrum(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_d").asc, col(idCol).asc)
+    val gaps = df.select(col(keyCol), col(idCol),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000")
+          .as("_d"))
+      .withColumn("_prev", lag(col("_d"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select((col("_d") - col("_prev")).as("_dt"))
+    val bucket = when(col("_dt") <= 0L, lit(0L))
+      .otherwise(length(bin(col("_dt"))).cast(LongType))
+    lagSpectrumPublish(gaps.select(bucket.as("bucket")),
+      countName = "n_gaps", loName = "lo_days", hiName = "hi_days")
+  }
+
+  /** Daily revenue with a trailing window — the smoothed topline: per
+    * ACTIVE day, the exact revenue micros booked that day and the
+    * trailing `win`-day total (that day plus the `win−1` before it).
+    * The trailing sum is built by the x141 explode-forward pattern —
+    * each day's revenue projects onto the `win` days it should count
+    * toward — so no ordered window over the calendar is ever needed.
+    *
+    * Determinism: the x128 money convention per row, exact BIGINT
+    * sums, all-NULL days coalesce to 0; days with no events do not
+    * publish (x180 densifies when the zero rows matter).
+    *
+    * Scale: ONE map-side daily aggregate collapses the corpus
+    * (lazy-checkpoint barrier); the explode is a bounded win× blowup
+    * of the calendar-sized frame; the join is calendar × calendar.
+    *
+    * Returns `(day TIMESTAMP, rev_micros BIGINT,
+    * trail_micros BIGINT)`.
+    */
+  def trailingRevenue(events: DataFrame, tsCol: String,
+      valueCol: String, win: Int = 7): DataFrame = {
+    require(win >= 1, s"window must be >= 1 day, got $win")
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol).cast(TimestampType))
+        .as("day"))
+      .agg(coalesce(sum((col(valueCol).cast(DecimalType(18, 6)) *
+          lit(1000000L)).cast(LongType)), lit(0L)).as("rev_micros"))
+      // lazy barrier: the projection and the join both read this
+      // calendar-bounded frame
+      .localCheckpoint(eager = false)
+    val trail = daily
+      .select(explode(sequence(col("day"),
+          col("day") + expr(s"INTERVAL ${win - 1} DAYS"),
+          expr("INTERVAL 1 DAY"))).as("day"),
+        col("rev_micros"))
+      .groupBy(col("day"))
+      .agg(sum(col("rev_micros")).as("trail_micros"))
+    daily.join(trail, Seq("day"))
+      .select(col("day"), col("rev_micros"), col("trail_micros"))
   }
 }

@@ -7491,6 +7491,89 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("week", "n_active", "n_new",
           "n_retained", "n_resurrected", "n_churned_next")))),
 
+    // x196 — customer revenue Lorenz (the whale curve): x194's
+    // cumulative generalized to exact money micros over orders,
+    // published for the 10% md5 customer sample (cumulative over the
+    // FULL ranking).
+    QueryDef("x196_customer_lorenz",
+      (s, dir) => ordered(graft.ops.DataPipeline.lorenzValue(
+        t(s, dir, "orders"), "o_custkey",
+        (col("o_totalprice").cast(D18_6) * lit(1000000L))
+          .cast(LongType))),
+      Some("""WITH per AS (
+          SELECT o_custkey AS id,
+            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6))
+              * 1000000 AS BIGINT)) AS BIGINT) AS v_micros
+          FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(SUM(v_micros) AS BIGINT) AS t FROM per),
+        c AS (
+          SELECT id, v_micros,
+            CAST(SUM(v_micros) OVER (ORDER BY v_micros DESC, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_v_micros
+          FROM per)
+        SELECT id, v_micros, cum_v_micros,
+          CASE WHEN tot.t >= 1000000
+            THEN cum_v_micros // (tot.t // 1000000)
+            ELSE (cum_v_micros * 1000000) // tot.t
+            END AS cum_share_micros
+        FROM c CROSS JOIN tot
+        WHERE substr(md5(CAST(id AS VARCHAR)), 1, 4) < '199a'
+        """ + orderedSql(Seq("id", "v_micros", "cum_v_micros",
+          "cum_share_micros")))),
+
+    // x197 — order cadence spectrum: x142's base-2 gap grid at DAY
+    // grain over consecutive orders per customer.
+    QueryDef("x197_order_cadence",
+      (s, dir) => ordered(graft.ops.EventAnalytics.cadenceSpectrum(
+        t(s, dir, "orders"), "o_custkey", "o_orderdate",
+        "o_orderkey")),
+      Some("""WITH b AS (
+          SELECT o_custkey AS k, o_orderkey AS id,
+            epoch_us(o_orderdate) // 86400000000 AS d
+          FROM orders),
+        g AS (
+          SELECT d - lag(d) OVER (PARTITION BY k ORDER BY d, id)
+            AS dt
+          FROM b),
+        bk AS (
+          SELECT CASE WHEN dt <= 0 THEN 0
+            ELSE CAST(length(bin(dt)) AS BIGINT) END AS bucket
+          FROM g WHERE dt IS NOT NULL)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          CASE WHEN bucket = 0 THEN 0
+            ELSE (CAST(1 AS BIGINT) << (CAST(bucket AS INT) - 1))
+            END AS lo_days,
+          CASE WHEN bucket = 0 THEN 0
+            ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1
+            END AS hi_days
+        FROM bk GROUP BY 1
+        """ + orderedSql(Seq("bucket", "n_gaps", "lo_days",
+          "hi_days")))),
+
+    // x198 — daily revenue with trailing 7-day total: the x141
+    // explode-forward projection, so no ordered calendar window;
+    // active days only (x180 densifies when zero rows matter).
+    QueryDef("x198_trailing_revenue",
+      (s, dir) => ordered(graft.ops.EventAnalytics.trailingRevenue(
+        t(s, dir, "events"), "ts", "value")),
+      Some("""WITH d AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+            CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,6))
+              * 1000000 AS BIGINT)), 0) AS BIGINT) AS rev_micros
+          FROM events GROUP BY 1),
+        t AS (
+          SELECT UNNEST(generate_series(day,
+              day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day,
+            rev_micros
+          FROM d),
+        s AS (SELECT day, CAST(SUM(rev_micros) AS BIGINT)
+            AS trail_micros
+          FROM t GROUP BY 1)
+        SELECT d.day AS day, d.rev_micros, s.trail_micros
+        FROM d JOIN s ON d.day = s.day
+        """ + orderedSql(Seq("day", "rev_micros", "trail_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

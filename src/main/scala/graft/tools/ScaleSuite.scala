@@ -776,6 +776,26 @@ object R14OpScale {
         .parquet(s"$big/events.parquet")
       Files.createFile(Paths.get(s"$big/_events10"))
     }
+    if (!Files.exists(Paths.get(s"$big/_orders10"))) {
+      val o = spark.read.parquet(s"$small/orders.parquet")
+      (0 until 10).map { c =>
+        o.select((col("o_orderkey") + c * 100000000L).as("o_orderkey"),
+          (col("o_custkey") + c * 10000000L).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/orders10.parquet")
+      // swap in AFTER the write: the ScaleFixture prefill copied the
+      // small orders verbatim; the x196/x197 growth rows need the
+      // replicated one
+      val tgt = Paths.get(s"$big/orders.parquet")
+      // the prefill copies orders.parquet as a single FILE; a prior
+      // run leaves a directory — handle both
+      org.apache.commons.io.FileUtils.forceDelete(tgt.toFile)
+      Files.move(Paths.get(s"$big/orders10.parquet"), tgt)
+      Files.createFile(Paths.get(s"$big/_orders10"))
+    }
     if (!Files.exists(Paths.get(s"$big/_emb10"))) {
       val e = spark.read.parquet(s"$small/embeddings.parquet")
       (0 until 10).map { c =>

@@ -365,4 +365,21 @@ class DataPipelineSpec extends SparkSpec {
       ("s2", 1L, 4L, 800000L),  // tie with s3 -> name order
       ("s3", 1L, 5L, 1000000L)))
   }
+
+  test("lorenzValue (x196): exact money cumulative through the " +
+      "(value DESC, key) order; sample bounds only the publish") {
+    val orders = Seq((1L, 3.0), (1L, 2.0), (2L, 1.0))
+      .toDF("o_custkey", "o_totalprice")
+    val vm = (col("o_totalprice").cast("decimal(18,6)") *
+      lit(1000000L)).cast("long")
+    val full = DataPipeline.lorenzValue(orders, "o_custkey", vm,
+        sampleHex4 = "ffff")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full === Set(
+      (1L, 5000000L, 5000000L, 833333L),
+      (2L, 1000000L, 6000000L, 1000000L)))
+    val sampled = DataPipeline.lorenzValue(orders, "o_custkey", vm)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sampled.subsetOf(full))
+  }
 }

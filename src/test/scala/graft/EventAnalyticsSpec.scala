@@ -834,4 +834,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(fx.filter($"n_active" =!=
       $"n_new" + $"n_retained" + $"n_resurrected").count() === 0L)
   }
+
+  test("cadenceSpectrum (x197): day-grain base-2 gap buckets, " +
+      "same-day repeat in bucket 0, single-order key emits nothing") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val orders = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L),
+      (2L, ts("2024-01-01 18:00:00"), 1L), // same day -> bucket 0
+      (3L, ts("2024-01-04 08:00:00"), 1L), // gap 3 days -> bucket 2
+      (4L, ts("2024-01-02 08:00:00"), 2L)) // single order: no gap
+      .toDF("o_orderkey", "o_orderdate", "o_custkey")
+    val got = EventAnalytics.cadenceSpectrum(orders, "o_custkey",
+        "o_orderdate", "o_orderkey")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L, 0L, 0L), (2L, 1L, 2L, 3L)))
+  }
+
+  test("trailingRevenue (x198): explode-forward trailing 7-day " +
+      "total, all-NULL day coalesces to 0") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (ts("2024-01-01 08:00:00"), Some(1.0)),
+      (ts("2024-01-02 08:00:00"), Some(2.0)),
+      (ts("2024-01-03 08:00:00"), Option.empty[Double]), // rev 0 day
+      (ts("2024-01-10 08:00:00"), Some(5.0)))
+      .toDF("ts", "value")
+    val got = EventAnalytics.trailingRevenue(events, "ts", "value")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    def day(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    assert(got === Set(
+      (day("2024-01-01"), 1000000L, 1000000L),
+      (day("2024-01-02"), 2000000L, 3000000L),
+      (day("2024-01-03"), 0L, 3000000L),
+      (day("2024-01-10"), 5000000L, 5000000L))) // Jan 4-10 window
+  }
 }
