@@ -1670,4 +1670,128 @@ object EventAnalytics {
     daily.join(trail, Seq("day"))
       .select(col("day"), col("rev_micros"), col("trail_micros"))
   }
+
+  /** Inter-SESSION gap spectrum — the return-time histogram at visit
+    * grain (x142 reads event gaps, x163 purchase gaps; this reads the
+    * gap from one session's END to the next session's START per
+    * user): base-2 second buckets via the shared
+    * [[lagSpectrumPublish]] grid. Every gap is > the sessionization
+    * threshold by construction (smaller gaps never split a session),
+    * so the mass starts at the 600 s band — the DAILY-return vs
+    * WEEKLY-return split is the retention cadence x130's matrix
+    * blurs.
+    *
+    * Determinism: the shared sessionization windows, exact epoch
+    * micro → truncated-second arithmetic, session_idx order (dense
+    * per user by construction).
+    *
+    * Scale: the one user-keyed sessionization exchange; the session
+    * frame re-uses the same user partitioning for the lag window; the
+    * spectrum partial-aggregates map-side to ≲40 band rows.
+    *
+    * Returns `(bucket, n_gaps, lo_s, hi_s)`.
+    */
+  def sessionGapSpectrum(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = sessionized(events, userCol, tsCol, idCol, gapUs, Nil)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(min(col("tus")).as("_t0"), max(col("tus")).as("_t1"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("session_idx").asc)
+    val gaps = sess
+      .withColumn("_pe", lag(col("_t1"), 1).over(w))
+      .filter(col("_pe").isNotNull)
+      .select(expr("(_t0 - _pe) div 1000000").as("_dt"))
+    val bucket = when(col("_dt") <= 0L, lit(0L))
+      .otherwise(length(bin(col("_dt"))).cast(LongType))
+    lagSpectrumPublish(gaps.select(bucket.as("bucket")),
+      countName = "n_gaps")
+  }
+
+  /** Month-over-month revenue growth — the board-deck table: per
+    * calendar month, the exact revenue micros, the previous month's,
+    * the signed delta, and the growth ratio in micros (10⁶ = flat).
+    * The ratio uses the x196 overflow-safe spelling — rev div
+    * (prev div 10⁶) once prev ≥ $1 — so the table cannot silently
+    * wrap on a real corpus (rev·10⁶ dies past ~$9.2M months).
+    *
+    * Determinism: `date_trunc('month')` + `INTERVAL 1 MONTH` on
+    * first-of-month UTC midnights — exact and identical in both
+    * engines; x128 money per row; first month publishes NULL
+    * prev/delta/growth (no predecessor), and a month with a zero-
+    * revenue predecessor publishes NULL growth (undefined ratio).
+    * Months with NO events are absent (x180's densify convention
+    * applies if the zero rows matter).
+    *
+    * Scale: ONE map-side monthly aggregate (calendar-bounded,
+    * lazy-checkpoint barrier), one calendar × calendar self-join.
+    *
+    * Returns `(month TIMESTAMP, rev_micros, prev_micros, delta_micros,
+    * growth_micros — BIGINTs, NULLs per the contract above)`.
+    */
+  def monthlyGrowth(events: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val monthly = events
+      .groupBy(date_trunc("month", col(tsCol).cast(TimestampType))
+        .as("month"))
+      .agg(coalesce(sum((col(valueCol).cast(DecimalType(18, 6)) *
+          lit(1000000L)).cast(LongType)), lit(0L)).as("rev_micros"))
+      .localCheckpoint(eager = false)
+    val prev = monthly.select(
+      (col("month") + expr("INTERVAL 1 MONTH")).as("month"),
+      col("rev_micros").as("prev_micros"))
+    monthly.join(prev, Seq("month"), "left")
+      .select(col("month"), col("rev_micros"), col("prev_micros"),
+        (col("rev_micros") - col("prev_micros")).as("delta_micros"),
+        when(col("prev_micros") >= 1000000L,
+          expr("rev_micros div (prev_micros div 1000000)"))
+          .otherwise(when(col("prev_micros") > 0L,
+            expr("(rev_micros * 1000000) div prev_micros")))
+          .as("growth_micros"))
+  }
+
+  /** Transition time-reversal asymmetry — per unordered type pair,
+    * how one-directional the traffic is: `|n(a→b) − n(b→a)| · 10⁶
+    * div (n(a→b) + n(b→a))`. 0 = perfectly reversible (browsing
+    * back-and-forth), 10⁶ = strictly one-way (a funnel edge). Read
+    * against x138: its row-normalized probabilities hide direction
+    * imbalance when marginals differ; this gauge isolates it.
+    * Self-loops are excluded (asymmetry is undefined on a = b).
+    *
+    * Determinism: the x138 count matrix (tie-free (ts, id) order),
+    * canonical (least, greatest) pair keying, exact BIGINTs, one
+    * floor division. A pair whose reverse edge never occurs publishes
+    * with the zero count (asymmetry 10⁶) — absence is data here.
+    *
+    * Scale: the one user-keyed x138 exchange; everything after is
+    * the type²-bounded matrix.
+    *
+    * Returns `(type_a, type_b, n_ab BIGINT, n_ba BIGINT,
+    * asym_micros BIGINT)` with `type_a < type_b`.
+    */
+  def transitionAsymmetry(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_tus").asc, col(idCol).asc)
+    val m = events
+      .select(col(userCol), col(idCol),
+        unix_micros(col(tsCol).cast(TimestampType)).as("_tus"),
+        col(typeCol).as("_next"))
+      .withColumn("_prev", lag(col("_next"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_prev") =!= col("_next"))
+      .groupBy(col("_prev"), col("_next"))
+      .agg(count(lit(1)).as("_n"))
+    m.groupBy(least(col("_prev"), col("_next")).as("type_a"),
+        greatest(col("_prev"), col("_next")).as("type_b"))
+      .agg(coalesce(sum(when(col("_prev") < col("_next"), col("_n"))),
+          lit(0L)).as("n_ab"),
+        coalesce(sum(when(col("_prev") > col("_next"), col("_n"))),
+          lit(0L)).as("n_ba"))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_ba"),
+        expr("(abs(n_ab - n_ba) * 1000000) div (n_ab + n_ba)")
+          .as("asym_micros"))
+  }
 }

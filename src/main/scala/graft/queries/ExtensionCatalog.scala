@@ -7574,6 +7574,115 @@ object ExtensionCatalog {
         FROM d JOIN s ON d.day = s.day
         """ + orderedSql(Seq("day", "rev_micros", "trail_micros")))),
 
+    // x199 — inter-session gap spectrum: return time at visit grain
+    // (end of one session to start of the next), the x142 base-2
+    // second grid; mass starts at the 600 s band by construction.
+    QueryDef("x199_session_gap",
+      (s, dir) => ordered(graft.ops.EventAnalytics.sessionGapSpectrum(
+        t(s, dir, "events"), "user_id", "ts", "event_id")),
+      Some("""WITH b AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        m AS (
+          SELECT user_id, event_id, tus,
+            CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) IS NULL
+                 OR tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY event_id) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM b),
+        sx AS (
+          SELECT user_id, tus,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+          FROM m),
+        se AS (SELECT user_id AS u, session_idx,
+            MIN(tus) AS t0, MAX(tus) AS t1
+          FROM sx GROUP BY 1, 2),
+        g AS (
+          SELECT (t0 - lag(t1) OVER (PARTITION BY u
+            ORDER BY session_idx)) // 1000000 AS dt
+          FROM se),
+        bk AS (
+          SELECT CASE WHEN dt <= 0 THEN 0
+            ELSE CAST(length(bin(dt)) AS BIGINT) END AS bucket
+          FROM g WHERE dt IS NOT NULL)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          CASE WHEN bucket = 0 THEN 0
+            ELSE (CAST(1 AS BIGINT) << (CAST(bucket AS INT) - 1))
+            END AS lo_s,
+          CASE WHEN bucket = 0 THEN 0
+            ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1
+            END AS hi_s
+        FROM bk GROUP BY 1
+        """ + orderedSql(Seq("bucket", "n_gaps", "lo_s", "hi_s")))),
+
+    // x200 — month-over-month revenue growth: exact monthly money
+    // micros, INTERVAL 1 MONTH adjacency join, x196's overflow-safe
+    // ratio; first month and zero-predecessor publish NULLs.
+    QueryDef("x200_monthly_growth",
+      (s, dir) => ordered(graft.ops.EventAnalytics.monthlyGrowth(
+        t(s, dir, "events"), "ts", "value")),
+      Some("""WITH m AS (
+          SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+            CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,6))
+              * 1000000 AS BIGINT)), 0) AS BIGINT) AS rev_micros
+          FROM events GROUP BY 1),
+        p AS (
+          SELECT month + INTERVAL 1 MONTH AS month,
+            rev_micros AS prev_micros
+          FROM m),
+        out AS (
+          SELECT m.month AS month, m.rev_micros AS rev_micros,
+            p.prev_micros AS prev_micros,
+            m.rev_micros - p.prev_micros AS delta_micros,
+            CASE WHEN p.prev_micros >= 1000000
+              THEN m.rev_micros // (p.prev_micros // 1000000)
+              WHEN p.prev_micros > 0
+              THEN (m.rev_micros * 1000000) // p.prev_micros
+              END AS growth_micros
+          FROM m LEFT JOIN p ON m.month = p.month)
+        SELECT * FROM out
+        """ + orderedSql(Seq("month", "rev_micros", "prev_micros",
+          "delta_micros", "growth_micros")))),
+
+    // x201 — transition time-reversal asymmetry: per unordered type
+    // pair |n(a->b) - n(b->a)| / total in micros off the x138
+    // matrix; self-loops excluded, one-way edges publish 1e6.
+    QueryDef("x201_transition_asym",
+      (s, dir) => ordered(graft.ops.EventAnalytics.transitionAsymmetry(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")),
+      Some("""WITH p AS (
+          SELECT user_id, event_type AS next_type,
+            LAG(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        m AS (
+          SELECT prev_type, next_type,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM p
+          WHERE prev_type IS NOT NULL AND prev_type <> next_type
+          GROUP BY 1, 2)
+        SELECT LEAST(prev_type, next_type) AS type_a,
+          GREATEST(prev_type, next_type) AS type_b,
+          CAST(COALESCE(SUM(CASE WHEN prev_type < next_type
+            THEN n END), 0) AS BIGINT) AS n_ab,
+          CAST(COALESCE(SUM(CASE WHEN prev_type > next_type
+            THEN n END), 0) AS BIGINT) AS n_ba,
+          (abs(CAST(COALESCE(SUM(CASE WHEN prev_type < next_type
+              THEN n END), 0) AS BIGINT)
+            - CAST(COALESCE(SUM(CASE WHEN prev_type > next_type
+              THEN n END), 0) AS BIGINT)) * 1000000)
+            // (CAST(COALESCE(SUM(CASE WHEN prev_type < next_type
+              THEN n END), 0) AS BIGINT)
+            + CAST(COALESCE(SUM(CASE WHEN prev_type > next_type
+              THEN n END), 0) AS BIGINT)) AS asym_micros
+        FROM m GROUP BY 1, 2
+        """ + orderedSql(Seq("type_a", "type_b", "n_ab", "n_ba",
+          "asym_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

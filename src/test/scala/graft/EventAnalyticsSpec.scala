@@ -868,4 +868,62 @@ class EventAnalyticsSpec extends SparkSpec {
       (day("2024-01-03"), 0L, 3000000L),
       (day("2024-01-10"), 5000000L, 5000000L))) // Jan 4-10 window
   }
+
+  test("sessionGapSpectrum (x199): end-to-next-start gaps at visit " +
+      "grain, single-session user emits nothing") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:05:00"), 1L), // session 1 ends 10:05
+      (3L, ts("2024-01-01 11:00:00"), 1L), // session 2: gap 3300 s
+      (4L, ts("2024-01-01 09:00:00"), 2L)) // single session: no gap
+      .toDF("event_id", "ts", "user_id")
+    val got = EventAnalytics.sessionGapSpectrum(events, "user_id",
+        "ts", "event_id").as[(Long, Long, Long, Long)].collect().toSet
+    // 2^11 = 2048 <= 3300 < 4096 -> bucket 12
+    assert(got === Set((12L, 1L, 2048L, 4095L)))
+  }
+
+  test("monthlyGrowth (x200): INTERVAL 1 MONTH adjacency, NULL " +
+      "first-month/absent/zero-predecessor branches") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (ts("2024-01-10 08:00:00"), Some(2.0)),
+      (ts("2024-02-10 08:00:00"), Some(3.0)),
+      (ts("2024-03-10 08:00:00"), Option.empty[Double]), // rev-0 month
+      (ts("2024-04-10 08:00:00"), Some(1.0)))
+      .toDF("ts", "value")
+    val got = EventAnalytics.monthlyGrowth(events, "ts", "value")
+      .as[(Timestamp, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    def mon(s: String) = Timestamp.valueOf(s + "-01 00:00:00")
+    assert(got === Set(
+      (mon("2024-01"), 2000000L, None, None, None),
+      (mon("2024-02"), 3000000L, Some(2000000L), Some(1000000L),
+        Some(1500000L)),
+      (mon("2024-03"), 0L, Some(3000000L), Some(-3000000L), Some(0L)),
+      (mon("2024-04"), 1000000L, Some(0L), Some(1000000L), None)))
+  }
+
+  test("transitionAsymmetry (x201): canonical pairs, one-way edge " +
+      "publishes 1e6, self-loops excluded") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 08:01:00"), 1L, "b"),
+      (3L, ts("2024-01-01 08:02:00"), 1L, "a"),
+      (4L, ts("2024-01-01 08:03:00"), 1L, "b"),
+      (5L, ts("2024-01-01 08:04:00"), 1L, "a"), // a<->b fully balanced
+      (6L, ts("2024-01-01 09:00:00"), 2L, "a"),
+      (7L, ts("2024-01-01 09:01:00"), 2L, "c"), // a->c one-way
+      (8L, ts("2024-01-01 10:00:00"), 3L, "d"),
+      (9L, ts("2024-01-01 10:01:00"), 3L, "d")) // self-loop: excluded
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.transitionAsymmetry(events, "user_id",
+        "ts", "event_id", "event_type")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", "b", 2L, 2L, 0L),
+      ("a", "c", 1L, 0L, 1000000L)))
+  }
 }
