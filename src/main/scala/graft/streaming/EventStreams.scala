@@ -433,6 +433,61 @@ object EventStreams {
       }
   }
 
+  /** ONLINE Markov-2 transitions — the ingest-time twin of batch x175
+    * (`graft.ops.EventAnalytics.transition2Report`): the
+    * [[transitionsOnline]] state machine (same bounded (t, id, type)
+    * history, same [[boundedStateDoc]] cap/TTL contract) emitting
+    * consecutive-TRIPLE counts instead of pairs. Assemble by keeping
+    * each user's max-version rows, summing `n` per
+    * (prev2, prev1, next), and applying x175's context normalization
+    * (`n · 10⁶ div Σ_next n` within each (prev2, prev1)) —
+    * StreamingSpec pins assembled ≡ batch under forced multi-batch
+    * replay.
+    */
+  def transitions2Online(events: DataFrame,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      maxEventsPerUser: Int = DefaultMaxEventsPerUser,
+      idleTtlUs: Long = DefaultIdleTtlUs): Dataset[Transition2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long,
+            rows: Iterator[(Long, Long, Long, String,
+              java.sql.Timestamp)],
+            state: GroupState[(Long, Seq[(Long, Long, String)])]) =>
+          if (state.hasTimedOut) {
+            onIdle(state, Seq.empty[(Long, Long, String)],
+              (s: Seq[(Long, Long, String)]) => s.isEmpty, idleTtlUs)
+            Iterator.empty
+          } else {
+          val (ver, seen0) = state.getOption.getOrElse(
+            (0L, Seq.empty[(Long, Long, String)]))
+          val merged = (seen0.iterator ++ rows.map(r => (r._2, r._3, r._4)))
+            .toSeq.distinct.sortBy(e => (e._1, e._2))
+          val seen = if (merged.size > maxEventsPerUser)
+            merged.takeRight(maxEventsPerUser) else merged
+          val nv = ver + 1
+          state.update((nv, seen))
+          armIdleTimer(state, seen.last._1, idleTtlUs)
+          val counts = scala.collection.mutable
+            .Map.empty[(String, String, String), Long]
+          seen.iterator.sliding(3).withPartial(false).foreach { tri =>
+            val k = (tri.head._3, tri(1)._3, tri(2)._3)
+            counts(k) = counts.getOrElse(k, 0L) + 1L
+          }
+          counts.iterator.map { case ((p2, p1, nt), n) =>
+            Transition2Row(uid, nv, p2, p1, nt, n)
+          }
+          }
+      }
+  }
+
   /** ONLINE transition latency — the ingest-time twin of batch x185
     * (`graft.ops.EventAnalytics.transitionLatency`): the
     * [[transitionsOnline]] state machine (same bounded (t, id, type)
@@ -765,6 +820,15 @@ case class SessionLenRow(user_id: Long, version: Long, n_events: Long,
   */
 case class TransitionRow(user_id: Long, version: Long,
   from_type: String, to_type: String, n: Long)
+
+/** Output row of [[EventStreams.transitions2Online]] — the user's
+  * current (prev2, prev1, next) consecutive-triple count; `version`
+  * is the per-user monotone emission stamp (keep max per user
+  * downstream; summing `n` per triple and context-normalizing within
+  * (prev2, prev1) is batch x175's published matrix).
+  */
+case class Transition2Row(user_id: Long, version: Long,
+  prev2_type: String, prev1_type: String, next_type: String, n: Long)
 
 /** Output row of [[EventStreams.transitionLatencyOnline]] — the
   * user's current (from_type, to_type) pair count plus its exact

@@ -1674,4 +1674,38 @@ class StreamingSpec extends SparkSpec {
       assert(multi > 0, "expected a user updated across batches")
     } finally q.stop()
   }
+
+  test("transitions2Online final state assembles to the batch x175 " +
+      "Markov-2 matrix under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.transitions2Online(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_markov2").start()
+    try {
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val wctx = org.apache.spark.sql.expressions.Window
+        .partitionBy($"prev2_type", $"prev1_type")
+      val assembled = spark.table("stream_markov2")
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+        .groupBy($"prev2_type", $"prev1_type", $"next_type")
+        .agg(sum($"n").as("n"))
+        .withColumn("_tot", sum($"n").over(wctx))
+        .select($"prev2_type", $"prev1_type", $"next_type", $"n",
+          expr("(n * 1000000) div _tot").as("p_micros"))
+        .as[(String, String, String, Long, Long)].collect().toSet
+      val batch = graft.ops.EventAnalytics.transition2Report(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .as[(String, String, String, Long, Long)].collect().toSet
+      assert(assembled.nonEmpty)
+      assert(assembled === batch)
+    } finally q.stop()
+  }
 }
