@@ -7683,6 +7683,68 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("type_a", "type_b", "n_ab", "n_ba",
           "asym_micros")))),
 
+    // x202 — supplier revenue whale curve: x196's lorenzValue reused
+    // verbatim on lineitem discounted revenue per supplier — the
+    // supply-concentration risk read.
+    QueryDef("x202_supplier_lorenz",
+      (s, dir) => ordered(graft.ops.DataPipeline.lorenzValue(
+        t(s, dir, "lineitem"), "l_suppkey",
+        (expr("l_extendedprice * (1 - l_discount)").cast(D18_6) *
+          lit(1000000L)).cast(LongType))),
+      Some("""WITH per AS (
+          SELECT l_suppkey AS id,
+            CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+              AS v_micros
+          FROM lineitem GROUP BY 1),
+        tot AS (SELECT CAST(SUM(v_micros) AS BIGINT) AS t FROM per),
+        c AS (
+          SELECT id, v_micros,
+            CAST(SUM(v_micros) OVER (ORDER BY v_micros DESC, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_v_micros
+          FROM per)
+        SELECT id, v_micros, cum_v_micros,
+          CASE WHEN tot.t >= 1000000
+            THEN cum_v_micros // (tot.t // 1000000)
+            ELSE (cum_v_micros * 1000000) // tot.t
+            END AS cum_share_micros
+        FROM c CROSS JOIN tot
+        WHERE substr(md5(CAST(id AS VARCHAR)), 1, 4) < '199a'
+        """ + orderedSql(Seq("id", "v_micros", "cum_v_micros",
+          "cum_share_micros")))),
+
+    // x203 — discount-band revenue impact: per whole-percent discount
+    // band (via the exact DECIMAL(18,6) cast — never double*100,
+    // whose binary representation truncates 0.04 to 3), exact line
+    // counts, discounted revenue micros, and the forgone discount
+    // micros.
+    QueryDef("x203_discount_bands",
+      (s, dir) => ordered(t(s, dir, "lineitem")
+        .select(floor(col("l_discount").cast(D18_6) * lit(100L))
+            .cast(LongType).as("band_pct"),
+          (expr("l_extendedprice * (1 - l_discount)").cast(D18_6) *
+            lit(1000000L)).cast(LongType).as("_rev"),
+          (expr("l_extendedprice * l_discount").cast(D18_6) *
+            lit(1000000L)).cast(LongType).as("_disc"))
+        .groupBy(col("band_pct"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("_rev")).as("rev_micros"),
+          sum(col("_disc")).as("forgone_micros"))),
+      Some("""SELECT
+          CAST(FLOOR(CAST(l_discount AS DECIMAL(18,6)) * 100)
+            AS BIGINT) AS band_pct,
+          CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+            AS rev_micros,
+          CAST(SUM(CAST(CAST(l_extendedprice * l_discount
+            AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+            AS forgone_micros
+        FROM lineitem GROUP BY 1
+        """ + orderedSql(Seq("band_pct", "n_lines", "rev_micros",
+          "forgone_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing

@@ -796,6 +796,23 @@ object R14OpScale {
       Files.move(Paths.get(s"$big/orders10.parquet"), tgt)
       Files.createFile(Paths.get(s"$big/_orders10"))
     }
+    if (!Files.exists(Paths.get(s"$big/_lineitem10"))) {
+      val li = spark.read.parquet(s"$small/lineitem.parquet")
+      (0 until 10).map { c =>
+        li.select((col("l_orderkey") + c * 100000000L).as("l_orderkey"),
+          col("l_partkey"),
+          (col("l_suppkey") + c * 10000000L).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/lineitem10.parquet")
+      val ltgt = Paths.get(s"$big/lineitem.parquet")
+      org.apache.commons.io.FileUtils.forceDelete(ltgt.toFile)
+      Files.move(Paths.get(s"$big/lineitem10.parquet"), ltgt)
+      Files.createFile(Paths.get(s"$big/_lineitem10"))
+    }
     if (!Files.exists(Paths.get(s"$big/_emb10"))) {
       val e = spark.read.parquet(s"$small/embeddings.parquet")
       (0 until 10).map { c =>
