@@ -7745,6 +7745,50 @@ object ExtensionCatalog {
         """ + orderedSql(Seq("band_pct", "n_lines", "rev_micros",
           "forgone_micros")))),
 
+    // x204 — brand revenue mix: lineitem ⋈ part on the part key. NO
+    // broadcast hint — part grows with SF (the r15 q4/q5 discipline:
+    // a forced hint is a driver OOM at 100×); AQE broadcasts while
+    // the pruned two-column dim fits and degrades to a shuffle join
+    // when it outgrows that. Per brand: exact line count, discounted
+    // revenue micros, corpus revenue share (x196 overflow-safe).
+    QueryDef("x204_brand_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_partkey"),
+          (expr("l_extendedprice * (1 - l_discount)").cast(D18_6) *
+            lit(1000000L)).cast(LongType).as("_rev"))
+        val p = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))
+        val per = li.join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("_rev")).as("rev_micros"))
+          .localCheckpoint(eager = false)
+        val tot = per.agg(sum(col("rev_micros")).as("_t"))
+        ordered(per.crossJoin(broadcast(tot))
+          .select(col("p_brand"), col("n_lines"), col("rev_micros"),
+            when(col("_t") >= 1000000L,
+              expr("rev_micros div (_t div 1000000)"))
+              .otherwise(expr("(rev_micros * 1000000) div _t"))
+              .as("share_micros")))
+      },
+      Some("""WITH per AS (
+          SELECT p_brand,
+            CAST(COUNT(*) AS BIGINT) AS n_lines,
+            CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+              AS rev_micros
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        tot AS (SELECT CAST(SUM(rev_micros) AS BIGINT) AS t FROM per)
+        SELECT p_brand, n_lines, rev_micros,
+          CASE WHEN tot.t >= 1000000
+            THEN rev_micros // (tot.t // 1000000)
+            ELSE (rev_micros * 1000000) // tot.t
+            END AS share_micros
+        FROM per CROSS JOIN tot
+        """ + orderedSql(Seq("p_brand", "n_lines", "rev_micros",
+          "share_micros")))),
+
     // x113 — containment dedup in the PRODUCTION configuration: the
     // x103 inverted (block, token) join with the df-cap ON (within-
     // block document frequency > 20 ⇒ the token identifies nothing
