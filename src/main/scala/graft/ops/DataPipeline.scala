@@ -580,16 +580,19 @@ object DataPipeline {
     val cum = PrefixSum.withRunningLongSum(per,
       Seq("_neg", "id"), "v_micros", "cum_v_micros")
     val total = per.agg(sum(col("v_micros")).as("_tot"))
-    // share by PRE-DIVIDED denominator: cum · 10⁶ wraps Long on any
-    // corpus past ~9.2e12 value micros (DuckDB raises, Spark would
-    // silently wrap — the x196 sf0.01 overflow), while
-    // cum div (tot div 10⁶) never grows past 10⁶; the ≤1e-6 relative
-    // denominator rounding is spelled identically in both engines.
-    // Sub-$1 corpora (tot < 10⁶ micros ⇒ cum·10⁶ < 10¹² — safe) keep
-    // the exact spelling.
+    // share spelling, gated on the EXACT overflow boundary: cum ≤ tot,
+    // so cum · 10⁶ stays inside Long whenever tot ≤ Long.Max div 10⁶
+    // = 9223372036854 micros (~$9.2M) — keep the exact spelling there
+    // (shares land precisely in [0, 10⁶], final row exactly 10⁶).
+    // Above it, cum · 10⁶ wraps (DuckDB raises, Spark silently wraps —
+    // the x196 sf0.01 overflow), so switch to the pre-divided
+    // denominator cum div (tot div 10⁶): there tot div 10⁶ ≥ 9.2e6,
+    // so the floor-divided denominator's relative error is ≤ ~1e-7
+    // and the published share overshoots 10⁶ by at most ~1 ulp.
+    // Both branches are spelled identically in the oracle.
     cum.crossJoin(broadcast(total))
       .select(col("id"), col("v_micros"), col("cum_v_micros"),
-        when(col("_tot") >= 1000000L,
+        when(col("_tot") > 9223372036854L,
           expr("cum_v_micros div (_tot div 1000000)"))
           .otherwise(expr("(cum_v_micros * 1000000) div _tot"))
           .as("cum_share_micros"))

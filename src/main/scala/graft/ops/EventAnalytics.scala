@@ -1713,9 +1713,14 @@ object EventAnalytics {
   /** Month-over-month revenue growth — the board-deck table: per
     * calendar month, the exact revenue micros, the previous month's,
     * the signed delta, and the growth ratio in micros (10⁶ = flat).
-    * The ratio uses the x196 overflow-safe spelling — rev div
-    * (prev div 10⁶) once prev ≥ $1 — so the table cannot silently
-    * wrap on a real corpus (rev·10⁶ dies past ~$9.2M months).
+    * The ratio is gated on the EXACT overflow boundary: the precise
+    * spelling rev·10⁶ div prev while |rev| ≤ Long.Max div 10⁶
+    * (~$9.2M — rev·10⁶ provably fits), the pre-divided
+    * rev div (prev div 10⁶) above that once prev ≥ $1, and NULL for
+    * the one unrepresentable corner (a >$9.2M month after a sub-$1
+    * month: the true ratio exceeds 9.2e12·10⁶ and no BIGINT spelling
+    * holds it — Spark would wrap where DuckDB raises, so both
+    * publish NULL).
     *
     * Determinism: `date_trunc('month')` + `INTERVAL 1 MONTH` on
     * first-of-month UTC midnights — exact and identical in both
@@ -1745,10 +1750,11 @@ object EventAnalytics {
     monthly.join(prev, Seq("month"), "left")
       .select(col("month"), col("rev_micros"), col("prev_micros"),
         (col("rev_micros") - col("prev_micros")).as("delta_micros"),
-        when(col("prev_micros") >= 1000000L,
-          expr("rev_micros div (prev_micros div 1000000)"))
-          .otherwise(when(col("prev_micros") > 0L,
-            expr("(rev_micros * 1000000) div prev_micros")))
+        when(col("prev_micros") > 0L &&
+            abs(col("rev_micros")) <= lit(9223372036854L),
+          expr("(rev_micros * 1000000) div prev_micros"))
+          .when(col("prev_micros") >= 1000000L,
+            expr("rev_micros div (prev_micros div 1000000)"))
           .as("growth_micros"))
   }
 

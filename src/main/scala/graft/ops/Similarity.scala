@@ -1179,27 +1179,6 @@ object Similarity {
         .as("mean_shift_u6"))
   }
 
-  /** Embedding-norm spectrum — the vector-health audit run before
-    * trusting ANY cosine machinery (x6/x7/x18/x79): per label, the
-    * distribution of squared L2 norms on a base-2 grid over exact
-    * 1e-4 norm² units (`q = FLOOR(‖v‖²·10⁴ + 0.5)`, bucket = bit
-    * length of q; bucket 0 collects the ~zero vectors that break
-    * cosine normalization). A spread-out spectrum inside one label
-    * flags unnormalized mixtures; a bucket-0 population flags dead
-    * embeddings.
-    *
-    * Determinism: the norm² is the same sequential-fold dot product
-    * as the proven cosine chain (q18 driver-green precedent —
-    * DuckDB's list_dot_product folds in the same order); one
-    * FLOOR(x·10⁴+0.5) quantization (margin-gated); exact BIGINT
-    * sums; the bit-length bucket is the x142 grid.
-    *
-    * Scale: ONE stateless projection (codegen dot) into a
-    * (label × ~60 bucket)-bounded map-side-combinable aggregate — no
-    * joins, no windows.
-    *
-    * Returns `(label, bucket, n_vecs, sum_q)`.
-    */
   /** Per-label class profile — the balance + scale audit a training
     * run reads before trusting its labels: per label, the exact
     * vector count, its corpus share in floor-division micros (class
@@ -1238,6 +1217,27 @@ object Similarity {
         expr("_sq div n_vecs").as("mean_normsq_q4"))
   }
 
+  /** Embedding-norm spectrum — the vector-health audit run before
+    * trusting ANY cosine machinery (x6/x7/x18/x79): per label, the
+    * distribution of squared L2 norms on a base-2 grid over exact
+    * 1e-4 norm² units (`q = FLOOR(‖v‖²·10⁴ + 0.5)`, bucket = bit
+    * length of q; bucket 0 collects the ~zero vectors that break
+    * cosine normalization). A spread-out spectrum inside one label
+    * flags unnormalized mixtures; a bucket-0 population flags dead
+    * embeddings.
+    *
+    * Determinism: the norm² is the same sequential-fold dot product
+    * as the proven cosine chain (q18 driver-green precedent —
+    * DuckDB's list_dot_product folds in the same order); one
+    * FLOOR(x·10⁴+0.5) quantization (margin-gated); exact BIGINT
+    * sums; the bit-length bucket is the x142 grid.
+    *
+    * Scale: ONE stateless projection (codegen dot) into a
+    * (label × ~60 bucket)-bounded map-side-combinable aggregate — no
+    * joins, no windows.
+    *
+    * Returns `(label, bucket, n_vecs, sum_q)`.
+    */
   def normSpectrum(vectors: DataFrame, vecCol: String,
       labelCol: String): DataFrame = {
     val dv = toDouble(col(vecCol))

@@ -2870,37 +2870,6 @@ object TextAnalysis {
         expr("(n_docs * 1000000) div _tot").as("mass_micros"))
   }
 
-  /** Duplication-vs-quality lift — does boilerplate correlate with a
-    * quality proxy? Documents group into exact-duplicate clusters (md5
-    * of the text, the q19d key), each doc is classed by its cluster
-    * size capped at `capClass` (the `5` class means "5 or more
-    * copies"), and the report publishes, per size class, the doc
-    * count, the mean of `lenCol` in micros, and that mean's lift
-    * against the corpus mean. A lift well under 10⁶ on the high-copy
-    * classes is the classic crawl signature — heavily duplicated text
-    * is short template chrome — and justifies dedup BEFORE quality
-    * filtering (the filter would otherwise spend its budget
-    * re-judging copies of the same short page).
-    *
-    * Determinism: exact BIGINT sums/counts; both means round to
-    * micros by floor division FIRST, then the lift is one floor
-    * division of those micros — spelled identically in the oracle so
-    * the double rounding cannot diverge.
-    *
-    * Long headroom: `sum_len · 10⁶` caps at ~9.2e18, so corpora
-    * beyond ~9e12 total chars in one class should sample ids first
-    * (the documented sample-above convention of the lift family);
-    * `mean_class_micros · 10⁶` is bounded by max doc length · 10¹²,
-    * safe through ~9M-char documents.
-    *
-    * Scale: one hash aggregate on the md5 key (text never shuffles —
-    * the key is the 32-char digest plus one BIGINT length), a
-    * class-bounded rollup (≤ capClass rows), and a broadcast one-row
-    * corpus total. No joins, no windows.
-    *
-    * Returns `(size_class BIGINT, n_docs BIGINT, mean_len_micros
-    * BIGINT, lift_micros BIGINT)`.
-    */
   /** Per-block sentence statistics — the readability triage next to
     * [[charsetProfile]]: documents segment on terminal-punctuation
     * runs (`[.!?]+`), non-blank segments count as sentences, and the
@@ -2991,6 +2960,37 @@ object TextAnalysis {
         expr("(_st * 1000000) div n_docs").as("tag_micros"))
   }
 
+  /** Duplication-vs-quality lift — does boilerplate correlate with a
+    * quality proxy? Documents group into exact-duplicate clusters (md5
+    * of the text, the q19d key), each doc is classed by its cluster
+    * size capped at `capClass` (the `5` class means "5 or more
+    * copies"), and the report publishes, per size class, the doc
+    * count, the mean of `lenCol` in micros, and that mean's lift
+    * against the corpus mean. A lift well under 10⁶ on the high-copy
+    * classes is the classic crawl signature — heavily duplicated text
+    * is short template chrome — and justifies dedup BEFORE quality
+    * filtering (the filter would otherwise spend its budget
+    * re-judging copies of the same short page).
+    *
+    * Determinism: exact BIGINT sums/counts; both means round to
+    * micros by floor division FIRST, then the lift is one floor
+    * division of those micros — spelled identically in the oracle so
+    * the double rounding cannot diverge.
+    *
+    * Long headroom: `sum_len · 10⁶` caps at ~9.2e18, so corpora
+    * beyond ~9e12 total chars in one class should sample ids first
+    * (the documented sample-above convention of the lift family);
+    * `mean_class_micros · 10⁶` is bounded by max doc length · 10¹²,
+    * safe through ~9M-char documents.
+    *
+    * Scale: one hash aggregate on the md5 key (text never shuffles —
+    * the key is the 32-char digest plus one BIGINT length), a
+    * class-bounded rollup (≤ capClass rows), and a broadcast one-row
+    * corpus total. No joins, no windows.
+    *
+    * Returns `(size_class BIGINT, n_docs BIGINT, mean_len_micros
+    * BIGINT, lift_micros BIGINT)`.
+    */
   def dupQualityLift(docs: DataFrame, textCol: String,
       lenCol: String, capClass: Long = 5L): DataFrame = {
     val grouped = docs

@@ -7513,7 +7513,7 @@ object ExtensionCatalog {
               AS BIGINT) AS cum_v_micros
           FROM per)
         SELECT id, v_micros, cum_v_micros,
-          CASE WHEN tot.t >= 1000000
+          CASE WHEN tot.t > 9223372036854
             THEN cum_v_micros // (tot.t // 1000000)
             ELSE (cum_v_micros * 1000000) // tot.t
             END AS cum_share_micros
@@ -7637,10 +7637,11 @@ object ExtensionCatalog {
           SELECT m.month AS month, m.rev_micros AS rev_micros,
             p.prev_micros AS prev_micros,
             m.rev_micros - p.prev_micros AS delta_micros,
-            CASE WHEN p.prev_micros >= 1000000
-              THEN m.rev_micros // (p.prev_micros // 1000000)
-              WHEN p.prev_micros > 0
+            CASE WHEN p.prev_micros > 0
+                AND ABS(m.rev_micros) <= 9223372036854
               THEN (m.rev_micros * 1000000) // p.prev_micros
+              WHEN p.prev_micros >= 1000000
+              THEN m.rev_micros // (p.prev_micros // 1000000)
               END AS growth_micros
           FROM m LEFT JOIN p ON m.month = p.month)
         SELECT * FROM out
@@ -7705,7 +7706,7 @@ object ExtensionCatalog {
               AS BIGINT) AS cum_v_micros
           FROM per)
         SELECT id, v_micros, cum_v_micros,
-          CASE WHEN tot.t >= 1000000
+          CASE WHEN tot.t > 9223372036854
             THEN cum_v_micros // (tot.t // 1000000)
             ELSE (cum_v_micros * 1000000) // tot.t
             END AS cum_share_micros
@@ -7766,7 +7767,7 @@ object ExtensionCatalog {
         val tot = per.agg(sum(col("rev_micros")).as("_t"))
         ordered(per.crossJoin(broadcast(tot))
           .select(col("p_brand"), col("n_lines"), col("rev_micros"),
-            when(col("_t") >= 1000000L,
+            when(col("_t") > 9223372036854L,
               expr("rev_micros div (_t div 1000000)"))
               .otherwise(expr("(rev_micros * 1000000) div _t"))
               .as("share_micros")))
@@ -7781,7 +7782,7 @@ object ExtensionCatalog {
           GROUP BY 1),
         tot AS (SELECT CAST(SUM(rev_micros) AS BIGINT) AS t FROM per)
         SELECT p_brand, n_lines, rev_micros,
-          CASE WHEN tot.t >= 1000000
+          CASE WHEN tot.t > 9223372036854
             THEN rev_micros // (tot.t // 1000000)
             ELSE (rev_micros * 1000000) // tot.t
             END AS share_micros
@@ -7902,7 +7903,85 @@ object ExtensionCatalog {
           .mkString(" UNION ALL ")
         s"SELECT * FROM ($unions) " +
           orderedSql(Seq("table_name", "num_rows"))
-      })
+      }),
+
+    // x205 — partition-PRUNED day-range report over the hive-laid-out
+    // events dataset ([[graft.sources.PartitionedTables]]): the query
+    // reads the multi-file tree with a filter on the partition column
+    // (7 of 30 day directories survive — PlanQualitySpec pins the
+    // pruned file count), while the oracle computes the identical
+    // aggregate from the single-file base table, so any row the
+    // write/prune/read cycle loses or duplicates goes hash-red. This
+    // is the one 100 TB surface a single-file fixture cannot show:
+    // pruning happens at the DIRECTORY level, before any footer opens.
+    QueryDef("x205_part_day_prune",
+      (s, dir) => {
+        val ev = graft.sources.PartitionedTables.eventsByDay(s, dir)
+        ordered(ev
+          .filter(col("day").between(to_date(lit("2024-01-08")),
+            to_date(lit("2024-01-14"))))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum((col("value").cast(D18_6) * lit(1000000L))
+              .cast(LongType)).as("value_micros")))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+            AS BIGINT)) AS BIGINT) AS value_micros
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+          AND DATE '2024-01-14'
+        GROUP BY 1
+        """ + orderedSql(Seq("event_type", "n_events",
+          "value_micros")))),
+
+    // x206 — partition-pruned source scan over the hive documents
+    // dataset: 2 of 20 source directories survive the IN filter; the
+    // partition key lives in directory names (zero decode), the text
+    // column decodes only inside the surviving directories. The x1
+    // token accounting, recomputed by the oracle from the base table.
+    QueryDef("x206_part_source_prune",
+      (s, dir) => {
+        val docs = graft.sources.PartitionedTables.docsBySource(s, dir)
+        ordered(docs
+          .filter(col("source").isin("src3", "src7"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+            sum(col("n_chars")).as("sum_chars")))
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+            AS sum_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE source IN ('src3', 'src7')
+        GROUP BY 1
+        """ + orderedSql(Seq("lang", "n_docs", "sum_tokens",
+          "sum_chars")))),
+
+    // x207 — full multi-file scan grouped by the PARTITION column
+    // itself: every one of the 30 day directories is read (file-
+    // granularity parallelism — the scan splits per file, not per
+    // table), and the directory-derived day values must reproduce the
+    // base table's CAST(ts AS DATE) exactly or the hash goes red.
+    // Published as midnight TIMESTAMP, not DATE — the
+    // PublishedTypeSpec portability convention (q15/q20 precedent).
+    QueryDef("x207_part_day_scan",
+      (s, dir) => {
+        val ev = graft.sources.PartitionedTables.eventsByDay(s, dir)
+        ordered(ev.groupBy(col("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum((col("value").cast(D18_6) * lit(1000000L))
+              .cast(LongType)).as("value_micros"))
+          .select(col("day").cast(TimestampNTZType).as("day"),
+            col("n_events"), col("value_micros")))
+      },
+      Some("""SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+            AS BIGINT)) AS BIGINT) AS value_micros
+        FROM events GROUP BY 1
+        """ + orderedSql(Seq("day", "n_events", "value_micros"))))
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

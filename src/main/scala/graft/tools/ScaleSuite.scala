@@ -764,6 +764,16 @@ object R14OpScale {
     if (!Files.exists(Paths.get(s"$big/documents.parquet")))
       ScaleFixture.main(Array(small, big, "10"))
     val spark = Sessions.local("graft-r14-scale")
+    // swap a freshly-written replicated table over the prefill copy.
+    // deleteQuietly, not forceDelete: the target is ABSENT when a prior
+    // run crashed between delete and move (or the prefill never copied
+    // the table), and forceDelete's FileNotFoundException would wedge
+    // the prefill permanently behind the never-created marker file.
+    def swapIn(tmp: String, tgt: String): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        Paths.get(tgt).toFile)
+      Files.move(Paths.get(tmp), Paths.get(tgt))
+    }
     if (!Files.exists(Paths.get(s"$big/_events10"))) {
       val e = graft.Tables.load(spark, small, "events")
       (0 until 10).map { c =>
@@ -789,12 +799,35 @@ object R14OpScale {
       // swap in AFTER the write: the ScaleFixture prefill copied the
       // small orders verbatim; the x196/x197 growth rows need the
       // replicated one
-      val tgt = Paths.get(s"$big/orders.parquet")
-      // the prefill copies orders.parquet as a single FILE; a prior
-      // run leaves a directory — handle both
-      org.apache.commons.io.FileUtils.forceDelete(tgt.toFile)
-      Files.move(Paths.get(s"$big/orders10.parquet"), tgt)
+      swapIn(s"$big/orders10.parquet", s"$big/orders.parquet")
       Files.createFile(Paths.get(s"$big/_orders10"))
+    }
+    // replicate the dimensions WITH the same key shifts the facts got:
+    // without this, 9/10 of the shifted o_custkey/l_suppkey values
+    // dangle and any dim-join query at 10× silently drops most facts
+    // (skewing its growth row toward "too fast")
+    if (!Files.exists(Paths.get(s"$big/_customer10"))) {
+      val cu = spark.read.parquet(s"$small/customer.parquet")
+      (0 until 10).map { c =>
+        cu.select((col("c_custkey") + c * 10000000L).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      }.reduce(_ unionByName _)
+        .repartition(8).write.mode("overwrite")
+        .parquet(s"$big/customer10.parquet")
+      swapIn(s"$big/customer10.parquet", s"$big/customer.parquet")
+      Files.createFile(Paths.get(s"$big/_customer10"))
+    }
+    if (!Files.exists(Paths.get(s"$big/_supplier10"))) {
+      val su = spark.read.parquet(s"$small/supplier.parquet")
+      (0 until 10).map { c =>
+        su.select((col("s_suppkey") + c * 10000000L).as("s_suppkey"),
+          col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      }.reduce(_ unionByName _)
+        .repartition(8).write.mode("overwrite")
+        .parquet(s"$big/supplier10.parquet")
+      swapIn(s"$big/supplier10.parquet", s"$big/supplier.parquet")
+      Files.createFile(Paths.get(s"$big/_supplier10"))
     }
     if (!Files.exists(Paths.get(s"$big/_lineitem10"))) {
       val li = spark.read.parquet(s"$small/lineitem.parquet")
@@ -808,9 +841,7 @@ object R14OpScale {
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite")
         .parquet(s"$big/lineitem10.parquet")
-      val ltgt = Paths.get(s"$big/lineitem.parquet")
-      org.apache.commons.io.FileUtils.forceDelete(ltgt.toFile)
-      Files.move(Paths.get(s"$big/lineitem10.parquet"), ltgt)
+      swapIn(s"$big/lineitem10.parquet", s"$big/lineitem.parquet")
       Files.createFile(Paths.get(s"$big/_lineitem10"))
     }
     if (!Files.exists(Paths.get(s"$big/_emb10"))) {

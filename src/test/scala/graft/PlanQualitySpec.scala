@@ -516,6 +516,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(!x161.contains("Join"), s"x161 must not join:\n$x161")
   }
 
+  test("round-17 hive datasets: directory pruning reaches the file index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scan(name: String): FileSourceScanExec =
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.sparkPlan.collectFirst {
+          case s: FileSourceScanExec => s
+        }.get
+    // x205: the day-range filter must land in partitionFilters (not
+    // dataFilters) and prune the file index to 7 of the 30 day
+    // directories BEFORE any footer is opened
+    val s205 = scan("x205_part_day_prune")
+    assert(s205.partitionFilters.nonEmpty,
+      "x205 lost its partition filter — the day range would scan all files")
+    assert(s205.selectedPartitions.partitionCount == 7,
+      s"x205 selected ${s205.selectedPartitions.partitionCount} day " +
+        "partitions, expected 7 of 30")
+    // x207: the full scan sees all 30 day directories as ≥30 separate
+    // files — the file-granularity parallelism a single-file table
+    // cannot offer
+    val s207 = scan("x207_part_day_scan")
+    assert(s207.selectedPartitions.partitionCount == 30,
+      s"x207 saw ${s207.selectedPartitions.partitionCount} partitions")
+    assert(s207.selectedPartitions.totalNumberOfFiles >= 30L,
+      s"x207 scans ${s207.selectedPartitions.totalNumberOfFiles} files — " +
+        "expected at least one per day directory")
+    // x206: the source IN filter prunes to 2 of the 20 source dirs
+    val s206 = scan("x206_part_source_prune")
+    assert(s206.partitionFilters.nonEmpty,
+      "x206 lost its partition filter")
+    assert(s206.selectedPartitions.partitionCount == 2,
+      s"x206 selected ${s206.selectedPartitions.partitionCount} source " +
+        "partitions, expected 2 of 20")
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
