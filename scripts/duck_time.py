@@ -8,6 +8,7 @@ Reads <verify_out_dir>/oracle_sql.json and times the named queries (all
 if none given). NOT part of the shipped library.
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -24,8 +25,12 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # ScaleFixture/Spark write tables as DIRECTORIES of parts
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * "
-                    f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+                    f"FROM read_parquet('{path}')")
     for name in (names or sorted(oracle)):
         sql = oracle[name]
         con.execute(sql).fetchall()  # cold, discarded

@@ -1489,13 +1489,22 @@ object EventAnalytics {
       .agg(min(struct(col(idCol), col(typeCol))).as("_in"),
         count(lit(1)).as("_len"))
       .select(col("_in").getField(typeCol).as("entry_type"),
+        lit(1L).as("_n"),
         (col("_len") === 1L).cast(LongType).as("_b"))
+    bouncePublish(per)
+  }
+
+  /** The [[bounceRate]] publish tail over `(entry_type, _n, _b)`
+    * partial counts — factored out so the streaming twin's assembled
+    * per-user partials publish through the IDENTICAL arithmetic
+    * (StreamingSpec's x192 assembly).
+    */
+  def bouncePublish(per: DataFrame): DataFrame =
     per.groupBy(col("entry_type"))
-      .agg(count(lit(1)).as("n_sessions"), sum(col("_b")).as("n_bounce"))
+      .agg(sum(col("_n")).as("n_sessions"), sum(col("_b")).as("n_bounce"))
       .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
         expr("(n_bounce * 1000000) div n_sessions")
           .as("bounce_micros"))
-  }
 
   /** Hourly conversion propensity — WHEN the corpus converts: per
     * hour of day (the x184 integer-arithmetic hour), the exact event
@@ -1563,11 +1572,20 @@ object EventAnalytics {
     * n_resurrected, n_churned_next — all BIGINT)`.
     */
   def growthAccounting(events: DataFrame, userCol: String,
-      tsCol: String): DataFrame = {
-    val act = events
+      tsCol: String): DataFrame =
+    growthLedger(events
       .select(col(userCol).as("_u"),
         date_trunc("week", col(tsCol).cast(TimestampType)).as("_w"))
-      .distinct()
+      .distinct())
+
+  /** The [[growthAccounting]] ledger tail over an already-distinct
+    * `(_u, _w)` activity frame (`_w` Monday-aligned week TIMESTAMP) —
+    * factored out so the streaming twin's assembled (user, week)
+    * frame publishes through the IDENTICAL arithmetic
+    * (StreamingSpec's x195 assembly).
+    */
+  def growthLedger(act0: DataFrame): DataFrame = {
+    val act = act0
       // lazy barrier: the first-week aggregate and the three
       // adjacency joins all read this (user, week) frame
       .localCheckpoint(eager = false)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,11 +32,15 @@ import org.apache.spark.sql.functions._
   *  - the partition column lives in directory names, not data pages —
   *    zero storage and zero decode for the hottest filter column.
   *
-  * Materialization is cached per (dataset, source dir) behind a marker
-  * file so bench reruns time the READ path, not the rewrite; the
-  * rewrite itself is one `partitionBy` write — the idiomatic Spark
-  * spelling of the reference's writer surface (W1–W9) lifted to
-  * datasets.
+  * Materialized trees are IMMUTABLE and keyed by the source dir
+  * (`/tmp/graft_hive/<dir key>/<dataset>`): a returned DataFrame's
+  * file listing can never be invalidated by a later materialization
+  * for a different SF (the first cut rewrote one shared path in place,
+  * and a suite touching two SFs read deleted files). Publication is
+  * write-to-temp + atomic directory rename, so concurrent JVMs
+  * (sbt test alongside a bench run) race benignly: one wins the
+  * rename, the loser discards its temp tree and reads the winner's —
+  * both trees are byte-equivalent derivations of the same source.
   */
 object PartitionedTables {
   private val root = "/tmp/graft_hive"
@@ -47,11 +51,10 @@ object PartitionedTables {
     * the directory names.
     */
   def eventsByDay(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "events_by_day") { () =>
+    materialized(spark, dir, "events_by_day") { tmp =>
       graft.Tables.load(spark, dir, "events")
         .withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day")
-        .parquet(s"$root/events_by_day")
+        .write.partitionBy("day").parquet(tmp)
     }
 
   /** `documents` partitioned by `source` (20 directories on the
@@ -59,30 +62,35 @@ object PartitionedTables {
     * key moves into the directory names.
     */
   def docsBySource(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "docs_by_source") { () =>
+    materialized(spark, dir, "docs_by_source") { tmp =>
       spark.read.parquet(s"$dir/documents.parquet")
-        .write.mode("overwrite").partitionBy("source")
-        .parquet(s"$root/docs_by_source")
+        .write.partitionBy("source").parquet(tmp)
     }
 
-  /** Build-once-per-source-dir cache: the marker records which source
-    * dir the tree was derived from; a different dir (sf0.01 verify vs
-    * sf0.1 bench) rebuilds, an identical one returns the existing tree
-    * so warm bench iterations time the scan, not the write.
+  /** Build-once-per-source-dir cache behind an atomic rename: absent →
+    * write the tree to a process-private temp dir, rename into place
+    * (immutable thereafter — warm bench iterations time the scan, not
+    * the write); present → read it directly.
     */
   private def materialized(spark: SparkSession, dir: String,
-      name: String)(write: () => Unit): DataFrame = synchronized {
-    val marker = Paths.get(root, s"_${name}_src")
-    val current =
-      if (Files.exists(marker)) Files.readString(marker) else ""
-    if (current != dir) {
-      Files.createDirectories(Paths.get(root))
-      Files.deleteIfExists(marker)
-      write()
-      Files.writeString(marker, dir,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-        StandardOpenOption.TRUNCATE_EXISTING)
+      name: String)(write: String => Unit): DataFrame = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(root, key, name)
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = Paths.get(root, key,
+        s".tmp_${name}_${ProcessHandle.current().pid()}")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      write(tmp.toString)
+      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.io.IOException =>
+          // a concurrent materializer won the rename — use its tree
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+          if (!Files.exists(path.resolve("_SUCCESS")))
+            throw new IllegalStateException(
+              s"hive dataset publish failed for $path")
+      }
     }
-    spark.read.parquet(s"$root/$name")
+    spark.read.parquet(path.toString)
   }
 }

@@ -41,7 +41,15 @@ object EventStreams {
     * [[transitionsOnline]], [[sessionStatsOnline]], [[funnelOnline]]
     * (VERDICT r15 item 3 — through r15 these held each user's FULL
     * history under `NoTimeout`, so one hammered key grew without
-    * bound):
+    * bound), and since r17 uniformly by the remaining keyed twins
+    * (VERDICT r16 item 3 — per-key state was tiny but the KEY
+    * population grew with every user ever seen): [[retentionOnline]]
+    * and [[activeDaysOnline]] follow the two-phase collapse-then-
+    * remove below (retention's cohort day survives the collapse, so
+    * post-return days keep their original attribution), while the
+    * O(1)-state [[conversionLagOnline]] and [[entryTypeOnline]] have
+    * no history to collapse and use single-phase removal at the same
+    * terminal horizon (last event + 2 × TTL):
     *
     *  - **History cap** (`maxEventsPerUser`): per-user retained
     *    history is capped; past the cap the OLDEST events are dropped
@@ -164,13 +172,6 @@ object EventStreams {
       org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"),
       "left")
 
-  /** Running totals per user carried in CUSTOM keyed state
-    * (`flatMapGroupsWithState`) — the arbitrary-state rung below
-    * built-in windowed aggregation: state is one (count, id-sum) pair
-    * per user, partitioned by key, updated once per micro-batch and
-    * emitted in Update mode. `sum_ids` is a Long sum so results are
-    * order-independent and comparable to the batch twin exactly.
-    */
   /** ONLINE retention tracking — the ingest-time twin of batch x130
     * (`graft.ops.EventAnalytics.retentionCohorts`): per user, keyed
     * state carries (first active day, set of active days), both in
@@ -187,28 +188,54 @@ object EventStreams {
     *
     * State per user is bounded by the user's count of DISTINCT active
     * calendar days — the calendar is the bounded dimension, the same
-    * argument as the batch op's final aggregate.
+    * argument as the batch op's final aggregate — AND by the
+    * [[boundedStateDoc]] idle contract (r16 verdict item 3: the KEY
+    * population would otherwise grow with every user ever seen): at
+    * the event-time TTL the day set collapses but the (version,
+    * cohort day) pair survives, so a returning user's post-idle days
+    * still publish against the ORIGINAL cohort day with a monotone
+    * version; a second idle horizon removes the key outright.
     */
-  def retentionOnline(events: DataFrame): Dataset[RetentionRow] = {
+  def retentionOnline(events: DataFrame,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      idleTtlUs: Long = DefaultIdleTtlUs): Dataset[RetentionRow] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .select(col("user_id"),
         (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
-          .cast(LongType).as("d"))
-      .as[(Long, Long)]
+          .cast(LongType).as("d"),
+        expr("unix_micros(ts)").as("t"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Long)],
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long,
+            java.sql.Timestamp)],
             state: GroupState[(Long, Long, Seq[Long])]) =>
-          val (ver, _, seen0) = state.getOption.getOrElse(
+          if (state.hasTimedOut) {
+            val (ver, first, seen) = state.get
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update((ver, first, Seq.empty))
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idleTtlUs / 1000L)
+            }
+            Iterator.empty
+          } else {
+          val (ver, first0, seen0) = state.getOption.getOrElse(
             (0L, Long.MaxValue, Seq.empty[Long]))
-          val seen = (seen0.iterator ++ rows.map(_._2))
+          val batch = rows.toSeq
+          val seen = (seen0.iterator ++ batch.iterator.map(_._2))
             .toSet.toSeq.sorted
-          val first = seen.head
+          // the cohort day survives an idle collapse: min over the
+          // STORED first too, not just the retained day set
+          val first = math.min(first0, seen.head)
           val nv = ver + 1
           state.update((nv, first, seen))
+          armIdleTimer(state, batch.iterator.map(_._3).max, idleTtlUs)
           seen.iterator.map(d => RetentionRow(uid, nv, first, d - first))
+          }
       }
   }
 
@@ -573,7 +600,8 @@ object EventStreams {
     * op's `min(unix_timestamp(ts))`.
     */
   def conversionLagOnline(events: DataFrame, target: String,
-      watermarkDelay: String = DefaultWatermarkDelay)
+      watermarkDelay: String = DefaultWatermarkDelay,
+      idleTtlUs: Long = DefaultIdleTtlUs)
       : Dataset[ConversionLagRow] = {
     import events.sparkSession.implicits._
     val NoTc = Long.MaxValue
@@ -584,18 +612,30 @@ object EventStreams {
       .as[(Long, Long, Boolean, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[(Long, Long, Boolean,
             java.sql.Timestamp)],
             state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // O(1) state has no history to collapse, so the idle
+            // contract is single-phase: removal at the boundedStateDoc
+            // 2×TTL expiry horizon (the timer is armed at last event +
+            // 2×TTL below). The user's contribution stays frozen
+            // downstream at their max-version row.
+            state.remove()
+            Iterator.empty
+          } else {
           var (ver, t0, tc) = state.getOption.getOrElse(
             (0L, Long.MaxValue, NoTc))
+          var mt = Long.MinValue
           rows.foreach { case (_, t, isTarget, _) =>
             if (t < t0) t0 = t
             if (isTarget && t < tc) tc = t
+            if (t > mt) mt = t
           }
           val nv = ver + 1
           state.update((nv, t0, tc))
+          armIdleTimer(state, mt, 2L * idleTtlUs)
           val bucket =
             if (tc == NoTc) -1L
             else {
@@ -605,6 +645,7 @@ object EventStreams {
               else (64 - java.lang.Long.numberOfLeadingZeros(dt)).toLong
             }
           Iterator(ConversionLagRow(uid, nv, bucket))
+          }
       }
   }
 
@@ -622,7 +663,8 @@ object EventStreams {
     * multi-batch replay).
     */
   def entryTypeOnline(events: DataFrame, target: String,
-      watermarkDelay: String = DefaultWatermarkDelay)
+      watermarkDelay: String = DefaultWatermarkDelay,
+      idleTtlUs: Long = DefaultIdleTtlUs)
       : Dataset[EntryTypeRow] = {
     import events.sparkSession.implicits._
     events
@@ -633,21 +675,31 @@ object EventStreams {
       .as[(Long, Long, Long, String, Boolean, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[(Long, Long, Long, String,
             Boolean, java.sql.Timestamp)],
             state: GroupState[(Long, Long, Long, String, Boolean)]) =>
+          if (state.hasTimedOut) {
+            // O(1) state: single-phase removal at the 2×TTL expiry
+            // horizon (the conversionLagOnline contract)
+            state.remove()
+            Iterator.empty
+          } else {
           var (ver, ft, fid, fty, conv) = state.getOption.getOrElse(
             (0L, Long.MaxValue, Long.MaxValue, "", false))
+          var mt = Long.MinValue
           rows.foreach { case (_, t, id, ty, isT, _) =>
             if (t < ft || (t == ft && id < fid)) {
               ft = t; fid = id; fty = ty
             }
             if (isT) conv = true
+            if (t > mt) mt = t
           }
           val nv = ver + 1
           state.update((nv, ft, fid, fty, conv))
+          armIdleTimer(state, mt, 2L * idleTtlUs)
           Iterator(EntryTypeRow(uid, nv, fty, if (conv) 1L else 0L))
+          }
       }
   }
 
@@ -666,27 +718,45 @@ object EventStreams {
     *
     * State per user is one 8-byte word per DISTINCT active calendar
     * day — the calendar bounds it, the same argument as the batch
-    * op's activity-table collapse.
+    * op's activity-table collapse — AND the [[boundedStateDoc]] idle
+    * contract (r16 verdict item 3): the day set collapses at the
+    * event-time TTL (the version counter survives, so a returning
+    * user's post-idle emission still supersedes monotonically and
+    * covers post-return days only), and a second consecutive idle
+    * horizon removes the key outright.
     */
-  def activeDaysOnline(events: DataFrame): Dataset[ActiveDayRow] = {
+  def activeDaysOnline(events: DataFrame,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      idleTtlUs: Long = DefaultIdleTtlUs): Dataset[ActiveDayRow] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .select(col("user_id"),
         (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
-          .cast(LongType).as("d"))
-      .as[(Long, Long)]
+          .cast(LongType).as("d"),
+        expr("unix_micros(ts)").as("t"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Long)],
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long,
+            java.sql.Timestamp)],
             state: GroupState[(Long, Seq[Long])]) =>
+          if (state.hasTimedOut) {
+            onIdle(state, Seq.empty[Long],
+              (s: Seq[Long]) => s.isEmpty, idleTtlUs)
+            Iterator.empty
+          } else {
           val (ver, seen0) = state.getOption.getOrElse(
             (0L, Seq.empty[Long]))
-          val seen = (seen0.iterator ++ rows.map(_._2))
+          val batch = rows.toSeq
+          val seen = (seen0.iterator ++ batch.iterator.map(_._2))
             .toSet.toSeq.sorted
           val nv = ver + 1
           state.update((nv, seen))
+          armIdleTimer(state, batch.iterator.map(_._3).max, idleTtlUs)
           seen.iterator.map(d => ActiveDayRow(uid, nv, d))
+          }
       }
   }
 
@@ -767,18 +837,174 @@ object EventStreams {
       }
   }
 
-  def statefulUserTotals(events: DataFrame): Dataset[UserTotals] = {
+  /** ONLINE bounce tracking — the ingest-time twin of batch x192
+    * (`graft.ops.EventAnalytics.bounceRate`): per user, keyed state
+    * carries the (event_id, t micros, event_type) history in the
+    * batch op's event_id fold order (the sessionStatsOnline state
+    * plus the type tag); each update re-folds the user's gap sessions
+    * and re-emits, per ENTRY TYPE (the session's min-event_id type —
+    * the batch struct-min), the user's session and bounce counts with
+    * a monotone `version` stamp. Assemble by keeping each user's
+    * max-version rows and applying
+    * `EventAnalytics.bouncePublish` — the batch op's own publish tail
+    * (StreamingSpec pins assembled ≡ batch under forced multi-batch
+    * replay). Re-emission over deltas is what makes out-of-order
+    * arrivals correct: a late event can merge two sessions (un-bounce
+    * one) or replace a session's entry event — the next emission
+    * supersedes every prior row.
+    *
+    * State per user is two 8-byte words + the type tag per event,
+    * bounded by [[boundedStateDoc]]'s cap + idle-collapse contract
+    * (the cap drops the OLDEST event_ids — fold-consistent, the
+    * sessionStatsOnline argument).
+    */
+  def bounceOnline(events: DataFrame,
+      gapUs: Long = 600000000L,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      maxEventsPerUser: Int = DefaultMaxEventsPerUser,
+      idleTtlUs: Long = DefaultIdleTtlUs): Dataset[BounceRow] = {
     import events.sparkSession.implicits._
-    events.selectExpr("user_id", "event_id").as[(Long, Long)]
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Long)],
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long,
+            rows: Iterator[(Long, Long, Long, String,
+              java.sql.Timestamp)],
+            state: GroupState[(Long, Seq[(Long, Long, String)])]) =>
+          if (state.hasTimedOut) {
+            onIdle(state, Seq.empty[(Long, Long, String)],
+              (s: Seq[(Long, Long, String)]) => s.isEmpty, idleTtlUs)
+            Iterator.empty
+          } else {
+          val (ver, seen0) = state.getOption.getOrElse(
+            (0L, Seq.empty[(Long, Long, String)]))
+          val merged = (seen0.iterator ++
+            rows.map(r => (r._2, r._3, r._4)))
+            .toSeq.distinct.sortBy(_._1)
+          val seen = if (merged.size > maxEventsPerUser)
+            merged.takeRight(maxEventsPerUser) else merged
+          val nv = ver + 1
+          state.update((nv, seen))
+          armIdleTimer(state, seen.iterator.map(_._2).max, idleTtlUs)
+          // fold sessions in event_id order breaking on time gaps;
+          // the entry type is the FIRST event's (min event_id — the
+          // batch struct-min over unique ids), bounce = length 1
+          val per = scala.collection.mutable
+            .Map.empty[String, (Long, Long)]
+          var n = 0L; var tPrev = 0L; var entry = ""
+          def close(): Unit = if (n > 0) {
+            val (s, b) = per.getOrElse(entry, (0L, 0L))
+            per(entry) = (s + 1L, b + (if (n == 1L) 1L else 0L))
+          }
+          seen.foreach { case (_, t, ty) =>
+            if (n == 0L || t - tPrev > gapUs) {
+              close(); n = 0L; entry = ty
+            }
+            n += 1L; tPrev = t
+          }
+          close()
+          per.iterator.map { case (ty, (s, b)) =>
+            BounceRow(uid, nv, ty, s, b)
+          }
+          }
+      }
+  }
+
+  /** ONLINE weekly-activity calendar — the ingest-time twin feeding
+    * batch x195 (`graft.ops.EventAnalytics.growthAccounting`): per
+    * user, keyed state carries the distinct set of Monday-aligned
+    * active week starts (epoch micros of `date_trunc('week', ts)` —
+    * the activeDaysOnline pattern one calendar grain up); each update
+    * re-emits the user's FULL week list with a monotone `version`
+    * stamp. The max-version rows ARE the batch op's distinct
+    * (user, week) frame, so the full new/retained/resurrected/churned
+    * ledger assembles through `EventAnalytics.growthLedger` — the
+    * batch op's own arithmetic (StreamingSpec pins assembled ≡ batch
+    * under forced multi-batch replay).
+    *
+    * State per user is one 8-byte word per DISTINCT active week —
+    * calendar-bounded — under the [[boundedStateDoc]] idle contract
+    * (collapse at TTL, removal after two idle horizons).
+    */
+  def activeWeeksOnline(events: DataFrame,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      idleTtlUs: Long = DefaultIdleTtlUs): Dataset[ActiveWeekRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('week', ts))").as("w"),
+        expr("unix_micros(ts)").as("t"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long,
+            java.sql.Timestamp)],
+            state: GroupState[(Long, Seq[Long])]) =>
+          if (state.hasTimedOut) {
+            onIdle(state, Seq.empty[Long],
+              (s: Seq[Long]) => s.isEmpty, idleTtlUs)
+            Iterator.empty
+          } else {
+          val (ver, seen0) = state.getOption.getOrElse(
+            (0L, Seq.empty[Long]))
+          val batch = rows.toSeq
+          val seen = (seen0.iterator ++ batch.iterator.map(_._2))
+            .toSet.toSeq.sorted
+          val nv = ver + 1
+          state.update((nv, seen))
+          armIdleTimer(state, batch.iterator.map(_._3).max, idleTtlUs)
+          seen.iterator.map(w => ActiveWeekRow(uid, nv, w))
+          }
+      }
+  }
+
+  /** Running totals per user carried in CUSTOM keyed state
+    * (`flatMapGroupsWithState`) — the arbitrary-state rung below
+    * built-in windowed aggregation: state is one (count, id-sum) pair
+    * per user, partitioned by key, updated once per micro-batch and
+    * emitted in Update mode. `sum_ids` is a Long sum so results are
+    * order-independent and comparable to the batch twin exactly.
+    * O(1) state per key, so the [[boundedStateDoc]] idle contract is
+    * the single-phase removal at last event + 2 × TTL (the
+    * conversionLagOnline class); the user's totals stay frozen
+    * downstream and restart if they return past the horizon.
+    */
+  def statefulUserTotals(events: DataFrame,
+      watermarkDelay: String = DefaultWatermarkDelay,
+      idleTtlUs: Long = DefaultIdleTtlUs): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long,
+            java.sql.Timestamp)],
             state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var (n, s) = state.getOption.getOrElse((0L, 0L))
-          rows.foreach { case (_, eid) => n += 1; s += eid }
+          var mt = Long.MinValue
+          rows.foreach { case (_, eid, t, _) =>
+            n += 1; s += eid
+            if (t > mt) mt = t
+          }
           state.update((n, s))
+          armIdleTimer(state, mt, 2L * idleTtlUs)
           Iterator(UserTotals(uid, n, s))
+          }
       }
   }
 }
@@ -810,6 +1036,24 @@ case class FunnelStepRow(user_id: Long, version: Long, max_step: Long)
   */
 case class SessionLenRow(user_id: Long, version: Long, n_events: Long,
   n_sessions: Long, sum_duration_us: Long)
+
+/** Output row of [[EventStreams.bounceOnline]] — the user's current
+  * session/bounce counts per session ENTRY TYPE; `version` is the
+  * per-user monotone emission stamp (keep max per user downstream;
+  * `EventAnalytics.bouncePublish` over the kept rows — with `_n` =
+  * n_sessions and `_b` = n_bounce — is batch x192's table).
+  */
+case class BounceRow(user_id: Long, version: Long, entry_type: String,
+  n_sessions: Long, n_bounce: Long)
+
+/** Output row of [[EventStreams.activeWeeksOnline]] — one distinct
+  * Monday-aligned active week start (epoch micros) of the user;
+  * `version` is the per-user monotone emission stamp (keep max per
+  * user downstream; the kept rows are batch x195's distinct
+  * (user, week) frame — `EventAnalytics.growthLedger` publishes the
+  * full ledger from them).
+  */
+case class ActiveWeekRow(user_id: Long, version: Long, week_us: Long)
 
 /** Output row of [[EventStreams.transitionsOnline]] — the user's
   * current (from_type, to_type) consecutive-pair count; `version` is

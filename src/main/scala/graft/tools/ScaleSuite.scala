@@ -937,6 +937,68 @@ object R16LongDocScale {
   }
 }
 
+/** Crossing-vs-scale retirement check for the two r16 weak rows
+  * (VERDICT r16 item 2 — the exact x133/x45 protocol): x102_top_pc
+  * (embeddings) and x122_portable_corpus_sig (documents), timed
+  * min-of-4-warm at sf0.1 and on a shared-vocab `copies`× fixture.
+  * Embeddings are replicated `copies`× with id offsets + a per-copy
+  * scale perturbation (the R14OpScale convention), since
+  * [[ScaleFixture]] copies non-document tables verbatim. The DuckDB
+  * side of the crossing runs SEPARATELY via scripts/duck_time.py on
+  * the same dirs (never concurrently with this — the CPU-contention
+  * protocol in the verify skill).
+  */
+object R17WeakRowScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val big = args.lift(2).getOrElse(s"/tmp/sf${copies}r17")
+    // fixture build BEFORE this run's session (ScaleFixture stops the
+    // shared-JVM SparkContext on exit)
+    if (!Files.exists(Paths.get(s"$big/documents.parquet")))
+      ScaleFixture.main(Array(small, big, copies.toString))
+    val spark = Sessions.local("graft-r17-weakrows")
+    if (!Files.exists(Paths.get(s"$big/_emb"))) {
+      val e = spark.read.parquet(s"$small/embeddings.parquet")
+      (0 until copies).map { c =>
+        e.select((col("vec_id") + c * 10000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(1.0f + (c % 200) * 0.003f)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/emb_big.parquet")
+      // swap over the prefill's verbatim copy (deleteQuietly — an
+      // absent target must not wedge the prefill)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        Paths.get(s"$big/embeddings.parquet").toFile)
+      Files.move(Paths.get(s"$big/emb_big.parquet"),
+        Paths.get(s"$big/embeddings.parquet"))
+      Files.createFile(Paths.get(s"$big/_emb"))
+    }
+    def best4(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(4)(run()).min
+    }
+    val names = if (args.length > 3) args.drop(3).toSeq
+      else Seq("x102_top_pc", "x122_portable_corpus_sig")
+    val parts = names.map { name =>
+      val s = best4(name, small)
+      val b = best4(name, big)
+      f""""$name":[$s%.2f,$b%.2f,${b / s}%.2f]"""
+    }
+    println(s"""{"copies":$copies,""" +
+      parts.mkString("", ",", "}"))
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

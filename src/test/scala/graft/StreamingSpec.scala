@@ -445,6 +445,80 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounceOnline final state assembles to the batch x192 bounce " +
+      "table under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.bounceOnline(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_bounce").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stream_bounce")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val latest = emitted
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+      // the batch op's own publish tail over the assembled partials
+      val assembled = graft.ops.EventAnalytics.bouncePublish(
+          latest.select($"entry_type", $"n_sessions".as("_n"),
+            $"n_bounce".as("_b")))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.EventAnalytics.bounceRate(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(assembled.nonEmpty)
+      assert(assembled === batch)
+      val multi = emitted.groupBy($"user_id")
+        .agg(countDistinct($"version").as("v")).filter($"v" > 1).count()
+      assert(multi > 0, "expected a user updated across batches")
+    } finally q.stop()
+  }
+
+  test("activeWeeksOnline final state assembles to the batch x195 " +
+      "growth ledger under forced multi-batch replay") {
+    val dir = replayDir()
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStreams.activeWeeksOnline(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_weeks").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stream_weeks")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val latest = emitted
+        .withColumn("_mv", max($"version").over(w))
+        .filter($"version" === $"_mv")
+      // the kept rows ARE the distinct (user, week) frame; the batch
+      // op's own ledger arithmetic publishes from it
+      val assembled = graft.ops.EventAnalytics.growthLedger(
+          latest.select($"user_id".as("_u"),
+            timestamp_micros($"week_us").as("_w")).distinct())
+        .select(unix_micros($"week").as("week_us"), $"n_active",
+          $"n_new", $"n_retained", $"n_resurrected", $"n_churned_next")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.EventAnalytics.growthAccounting(
+          Tables.load(spark, sf0001, "events"), "user_id", "ts")
+        .select(unix_micros($"week").as("week_us"), $"n_active",
+          $"n_new", $"n_retained", $"n_resurrected", $"n_churned_next")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(assembled.nonEmpty)
+      assert(assembled === batch)
+      val multi = emitted.groupBy($"user_id")
+        .agg(countDistinct($"version").as("v")).filter($"v" > 1).count()
+      assert(multi > 0, "expected a user updated across batches")
+    } finally q.stop()
+  }
+
   test("sub-second event-time ordering: transitionsOnline and " +
       "interArrivalOnline match batch when siblings share a second " +
       "(the r14 second-truncated sort-key divergence)") {
@@ -748,6 +822,99 @@ class StreamingSpec extends SparkSpec {
       assert(v1.nonEmpty && v1.map(_._2).max < maxV)
       assert(rows.filter(_._2 == 1L).map(r => (r._3, r._4)).toSet ===
         Set(("X", "Y"), ("Y", "Z")))
+    } finally q.stop()
+  }
+
+  test("r17 bounded state: retentionOnline collapses the day set at " +
+      "the TTL but the cohort day survives into post-return emissions") {
+    import java.sql.Timestamp
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long, String, Double, String)](spark)
+    val events = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.retentionOnline(events,
+        watermarkDelay = "1 minute",
+        idleTtlUs = 30L * 86400L * 1000000L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_ret_idle").start()
+    def ev(id: Long, t: String, u: Long) =
+      (id, Timestamp.valueOf(t), u, "view", 1.0, "{}")
+    try {
+      // batch 1: user 1 active on Jan 5 and Jan 6 (v1: offsets 0, 1)
+      ms.addData(ev(1, "2024-01-05 10:00:00", 1L),
+        ev(2, "2024-01-06 10:00:00", 1L))
+      q.processAllAvailable()
+      // batches 2+3: user 2 far in the future advances the watermark
+      // past user 1's last event + TTL; the second batch fires the
+      // timeout (day set collapses, NO emission for user 1)
+      ms.addData(ev(10, "2024-07-25 10:00:00", 2L))
+      q.processAllAvailable()
+      ms.addData(ev(11, "2024-07-25 11:00:00", 2L))
+      q.processAllAvailable()
+      // batch 4: user 1 returns on Jul 26
+      ms.addData(ev(20, "2024-07-26 10:00:00", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("stream_ret_idle")
+        .filter($"user_id" === 1L)
+        .as[(Long, Long, Long, Long)].collect()
+      val maxV = rows.map(_._2).max
+      val v1 = rows.filter(_._2 == 1L)
+      val latest = rows.filter(_._2 == maxV)
+      assert(maxV > 1L, "post-return emission must supersede (version)")
+      assert(v1.map(_._4).toSet === Set(0L, 1L),
+        s"v1 offsets wrong: ${v1.mkString(",")}")
+      // the collapse dropped Jan 5/6 from the retained set, but the
+      // COHORT survived: the post-return row publishes Jul 26 against
+      // the ORIGINAL Jan 5 cohort day
+      val cohort = v1.head._3
+      val julOffset =
+        java.time.LocalDate.of(2024, 7, 26).toEpochDay -
+          java.time.LocalDate.of(2024, 1, 5).toEpochDay
+      assert(latest.map(r => (r._3, r._4)).toSet ===
+        Set((cohort, julOffset)),
+        s"post-return rows wrong: ${latest.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("r17 bounded state: conversionLagOnline removes an idle key at " +
+      "the 2xTTL horizon (single-phase O(1) contract)") {
+    import java.sql.Timestamp
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long, String, Double, String)](spark)
+    val events = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.conversionLagOnline(events, "purchase",
+        watermarkDelay = "1 minute",
+        idleTtlUs = 15L * 86400L * 1000000L) // 2xTTL = 30 days
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_lag_idle").start()
+    def ev(id: Long, t: String, u: Long, et: String) =
+      (id, Timestamp.valueOf(t), u, et, 1.0, "{}")
+    try {
+      // batch 1: user 1 converts (v1, bucket >= 0)
+      ms.addData(ev(1, "2024-01-05 10:00:00", 1L, "view"),
+        ev(2, "2024-01-05 10:30:00", 1L, "purchase"))
+      q.processAllAvailable()
+      // batches 2+3: watermark sails past last event + 2xTTL; the
+      // timeout REMOVES user 1 outright (no emission)
+      ms.addData(ev(10, "2024-07-25 10:00:00", 2L, "view"))
+      q.processAllAvailable()
+      ms.addData(ev(11, "2024-07-25 11:00:00", 2L, "view"))
+      q.processAllAvailable()
+      // batch 4: user 1 returns unconverted — version RESTARTS at 1
+      // (the key was removed; downstream treats rows older than 2xTTL
+      // as expired per the boundedStateDoc contract)
+      ms.addData(ev(20, "2024-07-26 10:00:00", 1L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_lag_idle")
+        .filter($"user_id" === 1L)
+        .as[(Long, Long, Long)].collect()
+      assert(rows.map(_._2).max === 1L,
+        s"expected version restart at 1 after removal: ${rows.mkString(",")}")
+      assert(rows.exists(r => r._2 == 1L && r._3 >= 0L),
+        "pre-idle converted emission missing")
+      assert(rows.map(r => (r._2, r._3)).toSet.contains((1L, -1L)),
+        "post-return not-yet-converted emission missing")
     } finally q.stop()
   }
 
