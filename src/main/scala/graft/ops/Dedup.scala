@@ -391,8 +391,29 @@ object Dedup {
           .select(col("id"), col("block"), col("tok"))
       case None => sets
     }
+    // Pair join partitioned by BLOCK alone, with an EXPLICIT partition
+    // count (r17, the x103 drift adjudication): the exchange feeding
+    // this join carries ~id-sized rows, so AQE's byte-based coalescing
+    // — blind to the join's df²-fold row EXPANSION — folded the whole
+    // pair-generation + partial-aggregate stage into ONE task at
+    // sf0.1 (9 s of single-core CPU; wall tracked the host's
+    // single-core band, which is what drifted r15→r16). Block-only
+    // partitioning is the shape that parallelizes WITHOUT losing the
+    // partial aggregate: pairs are within-block by construction, so
+    // every (a_id, b_id) group is complete inside its task (keying
+    // the repartition by (block, tok) instead scatters a pair's token
+    // buckets and the map-side reduce collapses 22M rows to 17M, not
+    // 1.2M — measured 4× worse), and HashPartitioning(block) still
+    // satisfies the join's clustering requirement on (block, tok), so
+    // no further exchange is planned. Per-task volume is one block's
+    // Σ df² — bounded by dfCap² per token on the production path, and
+    // block count ≫ cores at deployment scale.
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val shared = pairSide.toDF("a_id", "block", "tok")
-      .join(pairSide.toDF("b_id", "block", "tok"), Seq("block", "tok"))
+      .repartition(nParts, col("block"))
+      .join(pairSide.toDF("b_id", "block", "tok")
+          .repartition(nParts, col("block")),
+        Seq("block", "tok"))
       .filter(col("a_id") =!= col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
     val scored = shared
