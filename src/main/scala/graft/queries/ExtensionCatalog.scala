@@ -4811,11 +4811,25 @@ object ExtensionCatalog {
     // minhashAgg.
     QueryDef("x122_portable_corpus_sig",
       (s, dir) => {
+        // lazy-checkpoint barrier on the DISTINCT token table (r17,
+        // the x122 retirement rework), which kills two plan
+        // pathologies at once. (1) min() is duplicate-agnostic, so
+        // Catalyst's RemoveRedundantAggregates deletes the inner
+        // distinct and the md5 sketch evaluates on every token
+        // OCCURRENCE (2 md5 per row × ~25 M rows at the 100×
+        // fixture) instead of on the ~620 distinct (source, token)
+        // pairs the spelling intends; the barrier pins the dedup so
+        // the hashing runs on the vocabulary, not the corpus.
+        // (2) both self-join sides derive from this subtree, and
+        // without a barrier the whole corpus scan ran twice (once
+        // per side). Downstream of the barrier everything is
+        // vocabulary-sized. Measured: 3.70 → 1.14 s at 100×.
         val tok = t(s, dir, "documents")
           .filter(col("text").isNotNull)
           .select(col("source"),
             explode(TextAnalysis.tokens(col("text"))).as("tk"))
           .distinct()
+          .localCheckpoint(eager = false)
         val minCols = (0 until 8).map(i =>
           min(substring(md5(concat(lit(s"${i / 4}|"), col("tk"))),
             (i % 4) * 8 + 1, 8)).as(s"s$i"))
