@@ -446,11 +446,20 @@ object EventAnalytics {
   def sessionTypeLift(events: DataFrame, userCol: String,
       tsCol: String, idCol: String, typeCol: String,
       gapUs: Long = 600000000L): DataFrame = {
+    // lazy-checkpoint barrier (r17, the x174 sibling fold): FOUR
+    // consumers derive from `st` (the session total, the per-type
+    // counts, and both pair-join sides), and without the barrier each
+    // re-ran the events scan + user-keyed session window — the 10×
+    // stage audit showed the corpus scanned three times (AQE reuse
+    // caught only one). The checkpointed table is the per-(user,
+    // session, type) DISTINCT frame — session-bounded, far smaller
+    // than the event log.
     val st = sessionized(events, userCol, tsCol, idCol, gapUs,
         Seq(typeCol))
       .select(col(userCol).as("_u"), col("session_idx"),
         col(typeCol).as("_t"))
       .distinct()
+      .localCheckpoint(eager = false)
     val total = st.select(col("_u"), col("session_idx")).distinct()
       .agg(count(lit(1)).as("_s"))
     val perType = st.groupBy(col("_t")).agg(count(lit(1)).as("_n"))

@@ -69,14 +69,85 @@ case class DocCcnetBucket(doc_id: Long, lang: String, n_bigrams: Long,
   * near-indistinguishable anyway, the standard bounded-state trade).
   * New arrivals are still compared against the retained members after
   * the cap engages, so the cap costs recall only against the overflow
-  * tail. No watermark/TTL is applied: dedup state must live forever by
-  * definition — at cluster scale the state store (RocksDB) spills it.
+  * tail. Idle keys expire after `idleTtlMs` of arrival time
+  * ([[DocStreams.boundedDocState]]) — the KEY population is otherwise
+  * linear in every bucket ever touched; within the retention window
+  * dedup coverage is exact, and a bucket idle past it restarts empty
+  * (its pre-expiry members can re-pair — pure recall cost against
+  * content older than the retention, the same trade every
+  * state-store deployment makes).
   *
   * Emitted pairs are LSH *candidates* (min-id first); verification —
   * exact Jaccard via a re-join with token sets — composes downstream,
   * batch or stream-static, exactly as in the batch x12 path.
   */
 object DocStreams {
+
+  /** Default idle-state retention for the document twins: 30 days of
+    * processing time — [[boundedDocState]].
+    */
+  val DefaultIdleTtlMs: Long = 30L * 86400L * 1000L
+
+  /** The r17 bounded-state contract for DocStreams (closing the r16
+    * verdict's idle-key finding for the DOCUMENT side the way
+    * `EventStreams.boundedStateDoc` closed the event side): no keyed
+    * state in this object runs `NoTimeout` over an unbounded key
+    * population. Documents carry no event-time column, so each twin
+    * synthesizes one — `_ats = current_timestamp()` (the micro-batch
+    * timestamp: per-batch-constant, retry-deterministic) under a
+    * 0-delay watermark ([[arrivalStamped]]) — and runs
+    * `GroupStateTimeout.EventTimeTimeout` against it: every state
+    * access re-arms an `idleTtlMs` timer off the batch's arrival
+    * time, and a key idle past it is REMOVED outright (state is
+    * therefore linear only in keys active within the retention
+    * window, the same contract as any RocksDB state-store TTL
+    * deployment). Arrival-time timers, NOT `ProcessingTimeTimeout`:
+    * a processing-time timer makes the micro-batch engine schedule
+    * batches CONTINUOUSLY to fire timers (`shouldRunAnotherBatch` is
+    * unconditionally true), a busy-loop that also never quiesces
+    * `processAllAvailable` — measured as a test-suite hang; event-time
+    * timers fire only when a data batch advances the watermark, so an
+    * idle QUERY costs nothing and expiry is lazy (an idle key is
+    * collected on the next data batch after its horizon). Semantics
+    * inside the window are unchanged; past it:
+    *  - dedup-memory keys (LSH buckets, chunk hashes) restart empty —
+    *    a re-arrival can re-pair/re-flag against post-expiry content
+    *    only (pure recall cost against expired content);
+    *  - per-document re-delivery guards (the one-Boolean keys) lapse —
+    *    a document re-delivered LATER than the retention window
+    *    re-emits its row, the standard at-least-once tail every
+    *    TTL'd dedup guard has (downstream consumers key on doc_id).
+    * Batch execution is untouched: the watermark node is eliminated
+    * and timers never fire (`setTimeoutTimestamp` records, nothing
+    * expires), so batch ≡ stream equivalence holds verbatim. The ONE deliberate
+    * `NoTimeout` left is [[weightedReservoir]], whose key population
+    * (strata) is the bounded dimension by declaration — StreamingSpec
+    * gates the source so no new `NoTimeout` site can appear.
+    */
+  private[streaming] def boundedDocState(): Unit = ()
+
+  /** Stamps the synthetic arrival-time column the TTL machinery keys
+    * on ([[boundedDocState]]): `_ats` is the micro-batch timestamp
+    * under a 0-delay watermark, so the watermark tracks the latest
+    * batch's arrival instant (arrival time never regresses, and
+    * stateful operators do not late-filter rows, so a 0 delay is
+    * safe). In batch execution the watermark node is eliminated by
+    * the analyzer and the column is a query constant — inert.
+    */
+  private def arrivalStamped(df: DataFrame): DataFrame =
+    df.withColumn("_ats", current_timestamp())
+      .withWatermark("_ats", "0 seconds")
+
+  /** Re-arms a key's idle timer at (this batch's arrival time + TTL).
+    * The arrival timestamp rides the grouped tuples UNPROJECTED (the
+    * analyzer's event-time-timeout check requires the watermark-tagged
+    * column in the stateful operator's child output — the
+    * EventStreams `ts`-rides-along convention). No-op in batch
+    * execution (timers never fire there).
+    */
+  private def armIdle(state: GroupState[_], atsMs: Long,
+      idleTtlMs: Long): Unit =
+    state.setTimeoutTimestamp(atsMs + idleTtlMs)
 
   /** Online LSH candidate pairs over a document stream. Also runs on a
     * batch DataFrame (state starts empty, one "micro-batch") — the
@@ -85,30 +156,39 @@ object DocStreams {
     */
   def nearDupCandidates(docs: DataFrame, idCol: String, tokenSetCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = 64): Dataset[CandidatePair] = {
+      maxBucket: Int = 64,
+      idleTtlMs: Long = DefaultIdleTtlMs): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
-    Dedup.bandedSignatures(docs, idCol, tokenSetCol, numHashes, bands)
-      .select(col("id"), col("band_id"), col("band_hash"))
-      .as[(Long, Int, Long)]
-      .groupByKey { case (_, band, hash) => (band, hash) }
+    arrivalStamped(
+        Dedup.bandedSignatures(docs, idCol, tokenSetCol, numHashes, bands))
+      .select(col("id"), col("band_id"), col("band_hash"),
+        col("_ats"))
+      .as[(Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, band, hash, _) => (band, hash) }
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long, java.sql.Timestamp)],
             state: GroupState[Seq[Long]]) =>
-          val seen = state.getOption.getOrElse(Seq.empty[Long]).toBuffer
-          val out = mutable.ArrayBuffer.empty[CandidatePair]
-          rows.foreach { case (id, _, _) =>
-            // re-deliveries and same-batch duplicates of an id emit
-            // nothing new: the bucket already reported its pairs
-            if (!seen.contains(id)) {
-              seen.foreach { s =>
-                out += CandidatePair(math.min(s, id), math.max(s, id))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(Seq.empty[Long]).toBuffer
+            val out = mutable.ArrayBuffer.empty[CandidatePair]
+            var maxAts = Long.MinValue
+            rows.foreach { case (id, _, _, ats) =>
+              maxAts = math.max(maxAts, ats.getTime)
+              // re-deliveries and same-batch duplicates of an id emit
+              // nothing new: the bucket already reported its pairs
+              if (!seen.contains(id)) {
+                seen.foreach { s =>
+                  out += CandidatePair(math.min(s, id), math.max(s, id))
+                }
+                if (seen.length < maxBucket) seen += id
               }
-              if (seen.length < maxBucket) seen += id
             }
+            state.update(seen.toSeq)
+            armIdle(state, maxAts, idleTtlMs)
+            out.iterator
           }
-          state.update(seen.toSeq)
-          out.iterator
       }
   }
 
@@ -154,7 +234,8 @@ object DocStreams {
     */
   def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
-      k: Int = 5): Dataset[ContaminationHit] = {
+      k: Int = 5,
+      idleTtlMs: Long = DefaultIdleTtlMs): Dataset[ContaminationHit] = {
     import docs.sparkSession.implicits._
     def shingleRows(df: DataFrame, id: String, text: String,
         as: String): DataFrame =
@@ -163,24 +244,31 @@ object DocStreams {
           split(col(text), " ", -1), k, keepPartial = true))).as("sk"))
     val ev = broadcast(shingleRows(evalDocs, evalIdCol, evalTextCol,
       "eval_id"))
-    shingleRows(docs, idCol, textCol, "train_id")
-      .join(ev, "sk")
-      .select(col("train_id"), col("eval_id"))
-      .as[(Long, Long)]
-      .groupByKey(identity)
+    arrivalStamped(shingleRows(docs, idCol, textCol, "train_id")
+        .join(ev, "sk"))
+      .select(col("train_id"), col("eval_id"),
+        col("_ats"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (pair: (Long, Long), rows: Iterator[(Long, Long)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (pair: (Long, Long), rows: Iterator[(Long, Long, java.sql.Timestamp)],
             state: GroupState[Boolean]) =>
           // a document's shingle rows all arrive in its own micro-batch
           // (whole documents enter the stream atomically), so the first
           // group invocation sees the pair's complete overlap; the
-          // boolean guards against re-delivered documents
-          if (state.exists) Iterator.empty
-          else {
+          // boolean guards against re-delivered documents within the
+          // retention window (boundedDocState)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            armIdle(state, rows.map(_._3.getTime).max, idleTtlMs)
+            Iterator.empty
+          } else {
             state.update(true)
+            val batch = rows.toSeq
+            armIdle(state, batch.iterator.map(_._3.getTime).max, idleTtlMs)
             Iterator.single(
-              ContaminationHit(pair._1, pair._2, rows.size.toLong))
+              ContaminationHit(pair._1, pair._2, batch.size.toLong))
           }
       }
   }
@@ -205,7 +293,8 @@ object DocStreams {
     * on shared bigrams.
     */
   def lmScores(docs: DataFrame, idCol: String, textCol: String,
-      model: graft.ops.TextAnalysis.LmModel): Dataset[DocLmScore] = {
+      model: graft.ops.TextAnalysis.LmModel,
+      idleTtlMs: Long = DefaultIdleTtlMs): Dataset[DocLmScore] = {
     import docs.sparkSession.implicits._
     // the model carries its tokenizer (LmModel.tokenize): a probe
     // tokenized differently from the corpus the counts came from would
@@ -216,19 +305,25 @@ object DocStreams {
       (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
         (coalesce(col("cu"), lit(0L)).cast("double") +
           lit(model.vocabSize))), 6)
-    pr.join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
-      .join(broadcast(model.prefixes), Seq("w1"), "left")
-      .select(col("doc_id"), nlp.as("nlp"))
-      .as[(Long, Double)]
+    arrivalStamped(pr.join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
+        .join(broadcast(model.prefixes), Seq("w1"), "left"))
+      .select(col("doc_id"), nlp.as("nlp"),
+        col("_ats"))
+      .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (doc: Long, rows: Iterator[(Long, Double)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (doc: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
             state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            armIdle(state, rows.map(_._3.getTime).max, idleTtlMs)
+            Iterator.empty
+          } else {
             state.update(true)
-            val nlps = rows.map(_._2).toSeq
+            val batch = rows.toSeq
+            armIdle(state, batch.iterator.map(_._3.getTime).max, idleTtlMs)
+            val nlps = batch.map(_._2)
             // mirror the batch DECIMAL(18,6) route exactly: each double
             // is the 6-dp-rounded nll, re-quantized at scale 6 (what
             // Spark's double→DECIMAL(18,6) cast does), summed exactly,
@@ -298,22 +393,29 @@ object DocStreams {
       .join(broadcast(model.pred), Seq("w3"), "left")
 
   def kn3Scores(docs: DataFrame, idCol: String, textCol: String,
-      model: graft.ops.TextAnalysis.Kn3Model): Dataset[DocKn3Score] = {
+      model: graft.ops.TextAnalysis.Kn3Model,
+      idleTtlMs: Long = DefaultIdleTtlMs): Dataset[DocKn3Score] = {
     import docs.sparkSession.implicits._
     val pr = graft.ops.TextAnalysis.trigramRows(docs, idCol, textCol,
       model.tokenize)
-    joinKn3(pr, model)
-      .select(col("doc_id"), kn3Nlp(model).as("nlp"))
-      .as[(Long, Double)]
+    arrivalStamped(joinKn3(pr, model))
+      .select(col("doc_id"), kn3Nlp(model).as("nlp"),
+        col("_ats"))
+      .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (doc: Long, rows: Iterator[(Long, Double)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (doc: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
             state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            armIdle(state, rows.map(_._3.getTime).max, idleTtlMs)
+            Iterator.empty
+          } else {
             state.update(true)
-            val nlps = rows.map(_._2).toSeq
+            val batch = rows.toSeq
+            armIdle(state, batch.iterator.map(_._3.getTime).max, idleTtlMs)
+            val nlps = batch.map(_._2)
             val sum = nlps.map(d => BigDecimal(d)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
             Iterator.single(DocKn3Score(doc, nlps.size.toLong,
@@ -334,22 +436,29 @@ object DocStreams {
     */
   def kn3Gate(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, model: graft.ops.TextAnalysis.Kn3Model,
-      cutoffs: Map[String, (Double, Double)]): Dataset[DocKn3Bucket] = {
+      cutoffs: Map[String, (Double, Double)],
+      idleTtlMs: Long = DefaultIdleTtlMs): Dataset[DocKn3Bucket] = {
     import docs.sparkSession.implicits._
     val pr = graft.ops.TextAnalysis.trigramRowsWith(docs, idCol,
       textCol, langCol, model.tokenize)
-    joinKn3(pr, model)
-      .select(col("doc_id"), col("carry"), kn3Nlp(model).as("nlp"))
-      .as[(Long, String, Double)]
+    arrivalStamped(joinKn3(pr, model))
+      .select(col("doc_id"), col("carry"), kn3Nlp(model).as("nlp"),
+        col("_ats"))
+      .as[(Long, String, Double, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: (Long, String), rows: Iterator[(Long, String, Double)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, String), rows: Iterator[(Long, String, Double, java.sql.Timestamp)],
             state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            armIdle(state, rows.map(_._4.getTime).max, idleTtlMs)
+            Iterator.empty
+          } else {
             state.update(true)
-            val nlps = rows.map(_._3).toSeq
+            val batch = rows.toSeq
+            armIdle(state, batch.iterator.map(_._4.getTime).max, idleTtlMs)
+            val nlps = batch.map(_._3)
             val sum = nlps.map(d => BigDecimal(d)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
             val avg = sum.toDouble / nlps.size
@@ -380,7 +489,8 @@ object DocStreams {
     */
   def ccnetGate(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, model: graft.ops.TextAnalysis.LmModel,
-      cutoffs: Map[String, (Double, Double)]): Dataset[DocCcnetBucket] = {
+      cutoffs: Map[String, (Double, Double)],
+      idleTtlMs: Long = DefaultIdleTtlMs): Dataset[DocCcnetBucket] = {
     import docs.sparkSession.implicits._
     val pr = graft.ops.TextAnalysis.bigramRowsWith(docs, idCol, textCol,
       langCol, model.tokenize)
@@ -388,19 +498,26 @@ object DocStreams {
       (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
         (coalesce(col("cu"), lit(0L)).cast("double") +
           lit(model.vocabSize))), 6)
-    pr.join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
-      .join(broadcast(model.prefixes), Seq("w1"), "left")
-      .select(col("doc_id"), col("carry"), nlp.as("nlp"))
-      .as[(Long, String, Double)]
+    arrivalStamped(
+        pr.join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
+          .join(broadcast(model.prefixes), Seq("w1"), "left"))
+      .select(col("doc_id"), col("carry"), nlp.as("nlp"),
+        col("_ats"))
+      .as[(Long, String, Double, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: (Long, String), rows: Iterator[(Long, String, Double)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, String), rows: Iterator[(Long, String, Double, java.sql.Timestamp)],
             state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            armIdle(state, rows.map(_._4.getTime).max, idleTtlMs)
+            Iterator.empty
+          } else {
             state.update(true)
-            val nlps = rows.map(_._3).toSeq
+            val batch = rows.toSeq
+            armIdle(state, batch.iterator.map(_._4.getTime).max, idleTtlMs)
+            val nlps = batch.map(_._3)
             val sum = nlps.map(d => BigDecimal(d)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
             val avg = sum.toDouble / nlps.size
@@ -418,27 +535,33 @@ object DocStreams {
   }
 
   def repeatedChunkFlags(docs: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int): Dataset[ChunkRepeat] = {
+      chunkSize: Int,
+      idleTtlMs: Long = DefaultIdleTtlMs): Dataset[ChunkRepeat] = {
     import docs.sparkSession.implicits._
-    graft.ops.TextAnalysis.tokenChunks(docs, idCol, textCol,
-        chunkSize = chunkSize, stride = chunkSize)
+    arrivalStamped(graft.ops.TextAnalysis.tokenChunks(docs, idCol,
+        textCol, chunkSize = chunkSize, stride = chunkSize))
       .select(col("doc_id"), col("chunk_id"),
-        xxhash64(col("chunk")).as("k"))
-      .as[(Long, Long, Long)]
+        xxhash64(col("chunk")).as("k"),
+        col("_ats"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._3)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[(Long, Long, Long)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
             state: GroupState[Long]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._1, r._2))
-          val out = mutable.ArrayBuffer.empty[ChunkRepeat]
-          var first = state.getOption.getOrElse(Long.MaxValue)
-          sorted.foreach { case (doc, cid, _) =>
-            if (first < doc) out += ChunkRepeat(doc, cid, first)
-            else if (doc < first) first = doc
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._1, r._2))
+            val out = mutable.ArrayBuffer.empty[ChunkRepeat]
+            var first = state.getOption.getOrElse(Long.MaxValue)
+            sorted.foreach { case (doc, cid, _, _) =>
+              if (first < doc) out += ChunkRepeat(doc, cid, first)
+              else if (doc < first) first = doc
+            }
+            state.update(first)
+            armIdle(state, sorted.iterator.map(_._4.getTime).max, idleTtlMs)
+            out.iterator
           }
-          state.update(first)
-          out.iterator
       }
   }
 
@@ -551,36 +674,41 @@ object DocStreams {
     * delivery is possible upstream, pre-assemble documents (or
     * accumulate positions in state and emit on an event-time
     * timeout/watermark instead of first-sight). The one-Boolean-per-
-    * flagged-doc state also persists for the query's lifetime — the
-    * price of exactly-once emission without a watermark; bound it by
-    * restarting ingestion epochs or keying state GC to an upstream
-    * retention window.
+    * flagged-doc guard expires after `idleTtlMs` idle
+    * ([[boundedDocState]]): exactly-once emission holds within the
+    * retention window; a document re-delivered later re-emits.
     */
   def exactSubstrHits(docs: DataFrame, idCol: String, textCol: String,
       corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
-      k: Int): Dataset[SpanHit] = {
+      k: Int, idleTtlMs: Long = DefaultIdleTtlMs): Dataset[SpanHit] = {
     import docs.sparkSession.implicits._
     val corpusFp = corpus
       .select(explode(array_distinct(
         graft.functions.HashFunctions.ngramMd5(
           split(col(corpusTextCol), " ", -1), k))).as("fp"))
       .distinct()
-    docs.select(col(idCol).as("doc_id"),
+    arrivalStamped(docs.select(col(idCol).as("doc_id"),
         posexplode(graft.functions.HashFunctions.ngramMd5(
           split(col(textCol), " ", -1), k)))
-      .toDF("doc_id", "p", "fp")
-      .join(corpusFp, "fp")
-      .select(col("doc_id"), col("p"))
-      .as[(Long, Int)]
+        .toDF("doc_id", "p", "fp")
+        .join(corpusFp, "fp"))
+      .select(col("doc_id"), col("p"),
+        col("_ats"))
+      .as[(Long, Int, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (id: Long, rows: Iterator[(Long, Int)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (id: Long, rows: Iterator[(Long, Int, java.sql.Timestamp)],
             state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            armIdle(state, rows.map(_._3.getTime).max, idleTtlMs)
+            Iterator.empty
+          } else {
             state.update(true)
-            val ps = rows.map(_._2).toArray
+            val batch = rows.toSeq
+            armIdle(state, batch.iterator.map(_._3.getTime).max, idleTtlMs)
+            val ps = batch.map(_._2).toArray
             val covered = mutable.SortedSet.empty[Int]
             ps.foreach(p => (p until p + k).foreach(covered += _))
             Iterator.single(SpanHit(id, ps.length.toLong,
@@ -654,7 +782,10 @@ object DocStreams {
     * state ≡ batch x127 bit-for-bit).
     *
     * State per stratum is `(version, k slots)` — bounded, no
-    * watermark needed (NoTimeout; strata are the bounded dimension).
+    * watermark needed (the one sanctioned `NoTimeout` in this object,
+    * [[boundedDocState]]: STRATA are the bounded key dimension by
+    * declaration, so the key population cannot grow with the corpus;
+    * expiring a stratum would silently discard its reservoir).
     * Each update EMITS the stratum's full current reservoir stamped
     * with a monotone `version`; downstream keeps the max-version rows
     * per stratum (Update mode).

@@ -24,8 +24,12 @@ import graft.ops.Similarity
   * caps the per-bucket member list (the [[DocStreams.nearDupCandidates]]
   * bounded-state trade: arrivals after the cap still pair with the
   * retained members, the cap costs recall only against the overflow
-  * tail). No watermark/TTL: dedup state lives forever by definition —
-  * the state store spills it at cluster scale.
+  * tail). `NoTimeout` is sanctioned here (the
+  * [[DocStreams.boundedDocState]] exception class) because the KEY
+  * population is bounded by construction — SRP buckets are a
+  * `bucketBits`-bit space, so total state can never exceed
+  * `2^bucketBits × maxBucket × 8 B` (16 KiB at the defaults)
+  * regardless of corpus size; there is no idle-key growth to expire.
   */
 object VecStreams {
 

@@ -1875,4 +1875,57 @@ class StreamingSpec extends SparkSpec {
       assert(assembled === batch)
     } finally q.stop()
   }
+
+  test("DocStreams idle TTL expires an idle chunk key; default TTL retains it") {
+    // boundedDocState (r17, arrival-time timers): doc 1's chunk key is
+    // armed at (batch-1 arrival + ttl). The watermark lags one batch,
+    // so batch 2 advances it past the 1 ms deadline and batch 3 FIRES
+    // the timer (key idle both batches) — removal. Doc 4's identical
+    // chunk then re-arrives as FIRST: no flag. The same replay under
+    // the default 30-day TTL flags doc 4 against doc 1 — proving the
+    // timer, not some other state loss, caused the difference.
+    def replay(name: String, ttlMs: Long): Long = {
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](spark)
+      val q = DocStreams.repeatedChunkFlags(
+          ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 2,
+          idleTtlMs = ttlMs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        ms.addData((1L, "b1 b2"))
+        q.processAllAvailable()
+        Thread.sleep(50)
+        ms.addData((2L, "z1 z2")) // watermark → batch-2 arrival
+        q.processAllAvailable()
+        ms.addData((3L, "y1 y2")) // deadline < watermark: timer fires
+        q.processAllAvailable()
+        ms.addData((4L, "b1 b2"))
+        q.processAllAvailable()
+        spark.table(name).filter("first_id = 1").count()
+      } finally q.stop()
+    }
+    assert(replay("chunk_ttl_tiny", 1L) === 0L)
+    assert(replay("chunk_ttl_default",
+      DocStreams.DefaultIdleTtlMs) === 1L)
+  }
+
+  test("NoTimeout keyed state only at sanctioned bounded-key sites") {
+    // The boundedDocState/boundedStateDoc contract, CI-enforced at the
+    // source level: every keyed-state twin must bound its state — by
+    // TTL (unbounded key populations) or by a declared-bounded key
+    // dimension. Sanctioned NoTimeout sites: DocStreams.weightedReservoir
+    // (strata are the bounded dimension) and VecStreams (SRP bucket
+    // space is 2^bucketBits). Adding a NoTimeout site moves this count.
+    def noTimeoutSites(f: String): Int = {
+      val p = java.nio.file.Paths.get(
+        s"src/main/scala/graft/streaming/$f")
+      assert(java.nio.file.Files.exists(p), s"missing source $p")
+      "GroupStateTimeout\\.NoTimeout\\(\\)".r
+        .findAllIn(java.nio.file.Files.readString(p)).length
+    }
+    assert(noTimeoutSites("EventStreams.scala") === 0)
+    assert(noTimeoutSites("DocStreams.scala") === 1)
+    assert(noTimeoutSites("VecStreams.scala") === 1)
+  }
 }
