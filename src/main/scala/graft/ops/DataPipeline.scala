@@ -42,7 +42,10 @@ object DataPipeline {
       minJaccard: Double = 0.9, blockCol: Column = lit(0),
       numHashes: Int = 64, bands: Int = 16,
       tokenize: Column => Column = TextAnalysis.tokens): DataFrame = {
-    val gated = docs
+    // the tokenize-in-filter runs in the SCAN stage — rescue it from a
+    // sub-splittable single-file input (Parallelize.ensure; no-op at
+    // scale)
+    val gated = graft.ops.Parallelize.ensure(docs)
       .filter(col("text").isNotNull)
       .filter(size(tokenize(col("text"))).cast("long") >= minTokens)
     val keep = gated.groupBy(col("text"))

@@ -53,9 +53,14 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, setCol: String,
       blockCol: String, minJaccard: Double): DataFrame = {
-    val a = docs.select(col(idCol).as("a_id"), col(blockCol).as("block"),
+    // both self-join sides inherit the input's scan partitioning; on a
+    // sub-splittable single file the streamed probe side (pair
+    // generation + the per-pair intersect kernel) would run as ONE
+    // task (Parallelize.ensure; no-op at scale)
+    val src = Parallelize.ensure(docs)
+    val a = src.select(col(idCol).as("a_id"), col(blockCol).as("block"),
       col(setCol).as("a_set"))
-    val b = docs.select(col(idCol).as("b_id"), col(blockCol).as("block"),
+    val b = src.select(col(idCol).as("b_id"), col(blockCol).as("block"),
       col(setCol).as("b_set"))
     a.join(b, Seq("block"))
       .filter(col("a_id") < col("b_id"))
@@ -93,7 +98,11 @@ object Dedup {
       blockCol: Column = lit(0)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    docs.select(col(idCol).as("id"), blockCol.as("block"),
+    // the minhash projection is the family's CPU hot spot — rescue it
+    // from a sub-splittable scan (Parallelize.ensure; no-op at scale
+    // and on streams)
+    Parallelize.ensure(docs)
+      .select(col(idCol).as("id"), blockCol.as("block"),
         minhashSig(col(tokenSetCol), numHashes).as("sig"))
       .select(col("id"), col("block"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -158,9 +167,12 @@ object Dedup {
     // allocated ~5 strings per token per digest AND re-evaluated the
     // md5 subtree on each side of the self-join plus twice more in the
     // signature re-joins (3 full md5 passes over the corpus).
-    val sigs = docs.select(col(idCol).as("id"), blockCol.as("block"),
-      graft.functions.PortableMinHashFunctions.portableMinhashSig(
-        array_distinct(tokens(col(textCol))), k).as("sig"))
+    // the one-pass md5 signature kernel is the hot spot — rescue it
+    // from a sub-splittable scan (Parallelize.ensure; no-op at scale)
+    val sigs = Parallelize.ensure(docs)
+      .select(col(idCol).as("id"), blockCol.as("block"),
+        graft.functions.PortableMinHashFunctions.portableMinhashSig(
+          array_distinct(tokens(col(textCol))), k).as("sig"))
     // carry the (64-byte) signature through the band explode so the
     // agreement estimate computes ON the band-join output — no
     // re-join against the signatures, no second/third md5 pass

@@ -135,7 +135,11 @@ object Multimodal {
   def syntheticQuadImages(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaAsset] = {
     import s.implicits._
     import java.awt.image.BufferedImage
-    docs.select(col("doc_id"), col("lang")).as[(Long, String)]
+    // codec kernels downstream serialize on a sub-splittable scan —
+    // rescue here so encode AND decode run at session parallelism
+    // (Parallelize.ensure; no-op at scale)
+    Parallelize.ensure(
+        docs.select(col("doc_id"), col("lang")).as[(Long, String)])
       .mapPartitions { it =>
         it.map { case (id, lang) =>
           val pid = (id % 40L).toInt
@@ -222,7 +226,9 @@ object Multimodal {
     */
   def syntheticSquareWavs(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaAsset] = {
     import s.implicits._
-    docs.select(col("doc_id"), col("lang")).as[(Long, String)]
+    // same degenerate-scan rescue as syntheticQuadImages
+    Parallelize.ensure(
+        docs.select(col("doc_id"), col("lang")).as[(Long, String)])
       .mapPartitions { it =>
         it.map { case (id, lang) =>
           val pid = (id % 25L).toInt

@@ -4286,8 +4286,12 @@ object ExtensionCatalog {
       (s, dir) => {
         implicit val sp: SparkSession = s
         val assets = Multimodal.syntheticQuadImages(t(s, dir, "documents"))
+        // barrier: `hashes` feeds the group aggregate AND the re-join —
+        // without it the encode+decode codec pass ran TWICE (r17
+        // StageAudit: two ~3 s serial stages)
         val hashes = Multimodal.imageAHashes(assets).toDF()
           .select(col("doc_id"), col("ahash"))
+          .localCheckpoint(eager = false)
         val groups = hashes.groupBy("ahash")
           .agg(min(col("doc_id")).as("canonical_id"),
             count(lit(1)).as("group_n"))
@@ -4335,8 +4339,10 @@ object ExtensionCatalog {
       (s, dir) => {
         implicit val sp: SparkSession = s
         val assets = Multimodal.syntheticSquareWavs(t(s, dir, "documents"))
+        // barrier: same two-consumer double-decode fold as x107
         val hashes = Multimodal.audioEnergyHashes(assets).toDF()
           .select(col("doc_id"), col("ahash").as("ehash"))
+          .localCheckpoint(eager = false)
         val groups = hashes.groupBy("ehash")
           .agg(min(col("doc_id")).as("canonical_id"),
             count(lit(1)).as("group_n"))
