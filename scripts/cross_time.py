@@ -14,6 +14,7 @@ Spark medians ~7x in one measurement — see the verify skill notes).
 NOT part of the shipped library.
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -31,8 +32,13 @@ def main():
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # multipart fixture mirror / ScaleFixture write tables as
+        # DIRECTORIES of part files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * "
-                    f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+                    f"FROM read_parquet('{path}')")
     rows = []
     for name in sorted(oracle):
         if name not in bench or bench[name] < 0:

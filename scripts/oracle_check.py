@@ -24,6 +24,7 @@ import datetime
 import glob
 import math
 import json
+import os
 import re
 import sys
 
@@ -166,8 +167,13 @@ def connect(sf_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # multipart fixture mirror / ScaleFixture write tables as
+        # DIRECTORIES of part files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{path}')")
     return con
 
 

@@ -3,14 +3,33 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (BASELINE.md protocol): per query, 1 discarded cold run
-  * then median of 5 warm runs, wall-clock, against
+  * then MIN of 5 warm runs, wall-clock, against
   * `sys.env("SPARK_GRAFT_SF_DIR")`. Results execute fully into a noop sink
   * so no projection is pruned by a count-only action. Prints ONE JSON line.
+  *
+  * r18 protocol hardening (verdict items 2–3):
+  *  - DECLARED FIXTURE IS MULTI-PART: a single-file sf dir is
+  *    transparently mirrored to a 32-part layout
+  *    ([[graft.sources.MultipartFixture]] — the deployment scan shape;
+  *    the single-file original remains the rescue-path regression
+  *    fixture). `SPARK_GRAFT_FIXTURE=single` opts out; the JSON stamps
+  *    the layout actually used.
+  *  - STEAL-PROOF ARTIFACT: the JSON records every per-run time (cold
+  *    first, then the warm runs) per query, plus the producer, so a
+  *    row whose whole window was spanned by host CPU-steal is
+  *    self-evident; rows whose warm min lands >3× above the previous
+  *    full-suite artifact get ONE automatic same-session re-run (3
+  *    more warm runs folded into the min) and are listed in "reruns".
+  *  - COLLISION-FREE: builder runs (SPARK_GRAFT_PRODUCER=builder)
+  *    keep the committed `BENCH_LOCAL_r{N}.json` name; any other
+  *    producer writes `BENCH_DRIVER_r{N}.json` — two producers never
+  *    share a filename (the r17 hygiene finding).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rawDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val producer = sys.env.getOrElse("SPARK_GRAFT_PRODUCER", "driver")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -20,6 +39,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val singleLayout = sys.env.get("SPARK_GRAFT_FIXTURE").contains("single")
+    val (sfDir, layout) =
+      if (!singleLayout && graft.sources.MultipartFixture.isSingleFile(rawDir))
+        (graft.sources.MultipartFixture.mirror(spark, rawDir),
+          s"multipart${graft.sources.MultipartFixture.DefaultParts}")
+      else (rawDir, "single")
 
     def run(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -37,39 +63,77 @@ object Bench {
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     args.filterNot(SparkEntry.queries.contains).foreach(a =>
       System.err.println(s"[bench] unknown query name: $a"))
-    val results = wanted.map { case (name, fn) =>
-      val sec =
-        try {
-          // isolate queries from each other's leftovers: in local mode
-          // the driver IS the executor, and the previous query's driver
-          // garbage (adaptive-CC edge collects) plus its localCheckpoint
-          // blocks (ContextCleaner frees them only after their refs are
-          // GC'd) otherwise tax THIS query's warm runs — measured +1 s
-          // on the x71/x72 rows in a 117-query suite, none solo
-          System.gc()
-          run(fn) // cold run, discarded
-          // MIN of warm runs, not median (r16, VERDICT r15 item 4):
-          // this host shows multi-second CPU-steal windows (load
-          // spikes with no local process) that inflate ANY single
-          // run ~10×, so an in-suite median is not adjudication-grade
-          // — r15's x64 read 10.08 s in-suite vs 6.35 s solo
-          // min-of-4. The min is the steady-state estimator; steal
-          // only ever ADDS time.
-          (1 to warmRuns).map(_ => run(fn)).min
-        } catch { case _: Throwable => -1.0 }
-      name -> sec
+
+    // prior full-suite mins (bench_last.json, read BEFORE overwrite):
+    // the >3×-vs-prior re-run trigger — a warm min can only sit far
+    // above its prior if the plan regressed or host steal spanned the
+    // whole window; one same-session re-run disambiguates (r17 verdict
+    // item 2: the driver's 9.97 s x110 row vs 1.29 s solo steady state)
+    val priorMins: Map[String, Double] = {
+      val f = new java.io.File("bench_last.json")
+      if (!f.exists()) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(f.toPath)
+        """"([a-zA-Z0-9_]+)":(-?\d+\.?\d*)""".r.findAllMatchIn(txt)
+          .collect { case m if SparkEntry.queries.contains(m.group(1)) =>
+            m.group(1) -> m.group(2).toDouble }
+          .toMap
+      }
     }
+
+    final case class Row(name: String, min: Double, runs: Vector[Double],
+        rerun: Boolean)
+    def measure(fn: (SparkSession, String) => DataFrame,
+        warm: Int): Vector[Double] = {
+      // isolate queries from each other's leftovers: in local mode the
+      // driver IS the executor, and the previous query's driver garbage
+      // (adaptive-CC edge collects) plus its localCheckpoint blocks
+      // (ContextCleaner frees them only after their refs are GC'd)
+      // otherwise tax THIS query's warm runs — measured +1 s on the
+      // x71/x72 rows in a 117-query suite, none solo
+      System.gc()
+      // cold run first (recorded but excluded from the min), then warm
+      // runs; MIN of warm, not median (r16, VERDICT r15 item 4): this
+      // host shows multi-second CPU-steal windows that inflate ANY
+      // single run ~10×, and steal only ever ADDS time
+      (0 to warm).map(_ => run(fn)).toVector
+    }
+    val results: Seq[Row] = wanted.map { case (name, fn) =>
+      try {
+        val first = measure(fn, warmRuns)
+        val firstMin = first.tail.min
+        val suspicious = priorMins.get(name)
+          .exists(p => p >= 0 && firstMin > 3 * p && firstMin > 0.5)
+        if (suspicious && args.isEmpty) {
+          val again = measure(fn, 3)
+          Row(name, math.min(firstMin, again.tail.min), first ++ again, true)
+        } else Row(name, firstMin, first, false)
+      } catch { case _: Throwable => Row(name, -1.0, Vector.empty, false) }
+    }
+
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
-    def jsonLine(rows: Seq[(String, Double)]): String = {
-      val qs = rows.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_.min).filter(_ >= 0).sum
+    def header: String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+        s""""n_queries":${results.size},"producer":"$producer",""" +
+        s""""layout":"$layout","fixture_dir":"$sfDir","""
+    def jsonLine(rows: Seq[Row], withRuns: Boolean): String = {
+      val qs = rows.map(r => "\"" + r.name + "\":" + fmt(r.min))
+        .mkString("{", ",", "}")
+      val runsPart =
+        if (!withRuns) ""
+        else {
+          val rr = rows.map(r => "\"" + r.name + "\":[" +
+            r.runs.map(fmt).mkString(",") + "]").mkString("{", ",", "}")
+          val re = rows.filter(_.rerun).map("\"" + _.name + "\"")
+            .mkString("[", ",", "]")
+          s""","runs":$rr,"reruns":$re"""
+        }
+      header + s""""queries":$qs,"sf":"$rawDir"$runsPart}"""
     }
-    val fullLine = jsonLine(results)
+    val fileLine = jsonLine(results, withRuns = true)
     // Atomic writes: the r9 artifact was lost to a solo re-measure
     // clobbering the committed full-suite file, so full runs and solo
     // runs get DIFFERENT files, and both are temp-file + atomic-move.
@@ -92,23 +156,25 @@ object Bench {
           .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
         if (ns.isEmpty) 0 else ns.max + 1
       }
-      writeAtomic(s"BENCH_LOCAL_r$round.json", fullLine)
-      writeAtomic("bench_last.json", fullLine)
-    } else writeAtomic("bench_solo.json", fullLine)
+      val artifact = if (producer == "builder") s"BENCH_LOCAL_r$round.json"
+        else s"BENCH_DRIVER_r$round.json"
+      writeAtomic(artifact, fileLine)
+      writeAtomic("bench_last.json", fileLine)
+    } else writeAtomic("bench_solo.json", fileLine)
     // stdout contract: the driver captures only the LAST ~2000 bytes of
     // the sbt run (every BENCH_r1..r9 tail is exactly 2000 chars), and
     // sbt appends its own ~90-byte "[success] Total time" line after us
     // — so a 121-query line can never survive the window. Emit a
     // compact line that FITS: full total + as many slowest rows as a
-    // 1700-byte budget allows; the complete map lives in the files
-    // above.
+    // 1700-byte budget allows; the complete map (and per-run arrays)
+    // live in the files above.
     val budget = 1700
-    val bySlowest = results.sortBy { case (_, v) => -v }
+    val bySlowest = results.sortBy(r => -r.min)
     var take = bySlowest.size
-    var line = fullLine
+    var line = jsonLine(results, withRuns = false)
     while (line.length > budget && take > 1) {
       take -= 1
-      line = jsonLine(bySlowest.take(take).sortBy(_._1))
+      line = jsonLine(bySlowest.take(take).sortBy(_.name), withRuns = false)
     }
     println(line)
     spark.stop()

@@ -68,6 +68,20 @@ object ParquetInspector {
     ParquetFileReader.open(HadoopInputFile.fromPath(
       new Path(path), new Configuration()))
 
+  /** The physical files of a dataset path: the path itself when it is
+    * a plain file (the reference's one-file-per-table model and the
+    * driver's single-file fixtures), or the sorted part files when it
+    * is a dataset DIRECTORY (the multi-part fixture mirror /
+    * deployment shape) — footer-level ops aggregate over these.
+    */
+  def datasetFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(p => p.isFile && p.getName.endsWith(".parquet"))
+        .map(_.getPath).sorted.toSeq
+    else Seq(path)
+  }
+
   /** Copy a page payload out of parquet-java's BytesInput (the
     * non-deprecated stream path — the array/buffer getters are
     * deprecated in parquet-java 1.16).

@@ -370,6 +370,14 @@ object Dedup {
     * fixture hits survive cap 64). Default `None` keeps the exact
     * semantics (the x103 oracle twin).
     *
+    * Parallelism note: the pair join is partitioned by block (the
+    * shape that preserves the map-side partial aggregate). When the
+    * corpus has fewer distinct blocks than
+    * `spark.sql.shuffle.partitions` — few or skewed sources — a
+    * token-derived salt is added automatically so a dominant block
+    * still spreads across the session; callers need no
+    * block-cardinality precondition.
+    *
     * The scan+tokenize+explode subtree feeds three consumers (the
     * sizes aggregate and both pair-join sides), so it sits behind a
     * lazy localCheckpoint barrier — one corpus scan, not three (the
@@ -403,29 +411,55 @@ object Dedup {
           .select(col("id"), col("block"), col("tok"))
       case None => sets
     }
-    // Pair join partitioned by BLOCK alone, with an EXPLICIT partition
-    // count (r17, the x103 drift adjudication): the exchange feeding
-    // this join carries ~id-sized rows, so AQE's byte-based coalescing
-    // — blind to the join's df²-fold row EXPANSION — folded the whole
-    // pair-generation + partial-aggregate stage into ONE task at
-    // sf0.1 (9 s of single-core CPU; wall tracked the host's
-    // single-core band, which is what drifted r15→r16). Block-only
-    // partitioning is the shape that parallelizes WITHOUT losing the
-    // partial aggregate: pairs are within-block by construction, so
-    // every (a_id, b_id) group is complete inside its task (keying
-    // the repartition by (block, tok) instead scatters a pair's token
-    // buckets and the map-side reduce collapses 22M rows to 17M, not
-    // 1.2M — measured 4× worse), and HashPartitioning(block) still
-    // satisfies the join's clustering requirement on (block, tok), so
-    // no further exchange is planned. Per-task volume is one block's
-    // Σ df² — bounded by dfCap² per token on the production path, and
-    // block count ≫ cores at deployment scale.
+    // Pair join partitioned by BLOCK (plus a token-derived salt when
+    // blocks are scarce), with an EXPLICIT partition count (r17, the
+    // x103 drift adjudication): the exchange feeding this join carries
+    // ~id-sized rows, so AQE's byte-based coalescing — blind to the
+    // join's df²-fold row EXPANSION — folded the whole pair-generation
+    // + partial-aggregate stage into ONE task at sf0.1 (9 s of
+    // single-core CPU; wall tracked the host's single-core band, which
+    // is what drifted r15→r16). Block-only partitioning is the shape
+    // that parallelizes WITHOUT losing the partial aggregate: pairs
+    // are within-block by construction, so every (a_id, b_id) group is
+    // complete inside its task (keying the repartition by (block, tok)
+    // instead scatters a pair's token buckets and the map-side reduce
+    // collapses 22M rows to 17M, not 1.2M — measured 4× worse), and
+    // HashPartitioning(block, _st) satisfies the join's clustering
+    // requirement on (block, _st, tok), so no further exchange is
+    // planned.
+    //
+    // Salt fallback (r17 ADVICE): block-only keying caps parallelism
+    // at the block cardinality — a corpus with few or one block(s)
+    // would serialize its whole Σ df² pair expansion into that many
+    // tasks, structurally re-creating the AQE pathology the explicit
+    // repartition fixed. So when distinct blocks < session
+    // parallelism, both sides gain `_st = xxhash64(tok) mod s`
+    // (s = ceil(nParts / nBlocks)) as an EXTRA join key: _st is a
+    // function of the join key `tok`, so the match set is identical,
+    // within-block pairing is preserved, and a dominant block spreads
+    // over s tasks. The cost is partial-aggregate fold quality — a
+    // pair's token buckets span ≤ s partitions, so the map-side
+    // reduce emits ≤ s rows per pair instead of 1 (measured: salting
+    // the 20-block fixture to s=2 doubled the pair exchange 1.2M →
+    // 2.5M rows for a 20 → 40 bucket gain, a net LOSS) — so salting
+    // engages only on a genuine ≥2× parallelism deficit
+    // (nBlocks < nParts/2), with the MINIMUM salt that fills the
+    // session (s = 1, the exact r17 block-only shape, otherwise —
+    // always the deployment case). The block-cardinality probe runs
+    // against the RAW input (one column-pruned scan of the block
+    // column — probing `sets` instead would force the whole tokenize
+    // checkpoint to materialize inside the probe job; measured +0.6 s
+    // on x113).
     val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val shared = pairSide.toDF("a_id", "block", "tok")
-      .repartition(nParts, col("block"))
-      .join(pairSide.toDF("b_id", "block", "tok")
-          .repartition(nParts, col("block")),
-        Seq("block", "tok"))
+    val nBlocks = math.max(1L,
+      docs.select(col(blockCol)).distinct().count())
+    val salts = if (nBlocks * 2L >= nParts.toLong) 1L
+      else math.min(nParts.toLong, (nParts.toLong + nBlocks - 1L) / nBlocks)
+    def side(idName: String) = pairSide.toDF(idName, "block", "tok")
+      .withColumn("_st", pmod(xxhash64(col("tok")), lit(salts)))
+      .repartition(nParts, col("block"), col("_st"))
+    val shared = side("a_id")
+      .join(side("b_id"), Seq("block", "_st", "tok"))
       .filter(col("a_id") =!= col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
     val scored = shared

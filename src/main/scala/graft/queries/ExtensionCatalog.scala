@@ -7912,8 +7912,23 @@ object ExtensionCatalog {
     QueryDef("x11_inspect_footer",
       (s, dir) => {
         import s.implicits._
+        // a table may be one file (driver fixture) or a multi-part
+        // dataset directory (fixture mirror): sum footer row counts
+        // over the dataset's files — still footer-only (no data scan),
+        // and the per-file opens run DISTRIBUTED via inspectFiles (a
+        // driver-side loop over 320 mirror part files cost 4 s serial)
+        val fileTable = Tables.names.flatMap { n =>
+          graft.inspect.ParquetInspector
+            .datasetFiles(Tables.path(dir, n)).map(f => (n, f))
+        }
+        val byFile = // file path → table; file paths are unique
+          fileTable.map { case (tn, f) => f -> tn }.toMap
+        val counts = graft.inspect.ParquetInspector
+          .inspectFiles(s, fileTable.map(_._2))
+          .select("path", "numRows").collect()
+          .map(r => byFile(r.getString(0)) -> r.getLong(1))
         val rows = Tables.names.map { n =>
-          (n, graft.inspect.ParquetInspector.footer(Tables.path(dir, n)).numRows)
+          (n, counts.collect { case (t2, c) if t2 == n => c }.sum)
         }
         ordered(rows.toDF("table_name", "num_rows"))
       },

@@ -1,0 +1,68 @@
+package graft.tools
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Shared per-stage metrics collector for [[StageAudit]] and
+  * [[StageGate]]. SparkListener events arrive asynchronously on the
+  * listener bus (r17 ADVICE: a drain that races delivery can miss a
+  * query's trailing stages and leak the previous query's late events
+  * into the next bucket), so [[drain]] first QUIESCES: it polls until
+  * the queue size is stable across two consecutive windows (the
+  * public-API stand-in for the private `listenerBus.waitUntilEmpty`),
+  * then snapshots and clears atomically with respect to this reader.
+  */
+object StageCollector {
+  /** One completed stage: (stageId, numTasks, wallSec, cpuSec,
+    * shuffleRecordsRead, shuffleRecordsWritten).
+    */
+  final case class StageRow(id: Int, tasks: Int, wall: Double,
+      cpu: Double, shuffleRead: Long, shuffleWrite: Long)
+}
+
+final class StageCollector(spark: SparkSession) {
+  import StageCollector.StageRow
+
+  private val q = new ConcurrentLinkedQueue[StageRow]()
+
+  private val listener = new SparkListener {
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      val wall = (for {
+        a <- s.stageInfo.completionTime
+        b <- s.stageInfo.submissionTime
+      } yield (a - b) / 1e3).getOrElse(-1.0)
+      q.add(StageRow(s.stageInfo.stageId, s.stageInfo.numTasks, wall,
+        m.executorCpuTime / 1e9,
+        m.shuffleReadMetrics.recordsRead,
+        m.shuffleWriteMetrics.recordsWritten))
+    }
+  }
+  spark.sparkContext.addSparkListener(listener)
+
+  /** Detach from the listener bus (suites share one session — a
+    * leaked listener keeps collecting for the JVM's lifetime).
+    */
+  def close(): Unit = spark.sparkContext.removeSparkListener(listener)
+
+  /** Flush the listener bus (stability poll, ≤3 s) and return + clear
+    * every stage completed since the last drain.
+    */
+  def drain(): Seq[StageCollector.StageRow] = {
+    val deadline = System.nanoTime() + 3_000_000_000L
+    var prev = -1
+    var stable = 0
+    while (stable < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val now = q.size
+      stable = if (now == prev) stable + 1 else 0
+      prev = now
+    }
+    val out = Vector.newBuilder[StageRow]
+    var r = q.poll()
+    while (r != null) { out += r; r = q.poll() }
+    out.result()
+  }
+}

@@ -1918,8 +1918,16 @@ class StreamingSpec extends SparkSpec {
     // (strata are the bounded dimension) and VecStreams (SRP bucket
     // space is 2^bucketBits). Adding a NoTimeout site moves this count.
     def noTimeoutSites(f: String): Int = {
-      val p = java.nio.file.Paths.get(
-        s"src/main/scala/graft/streaming/$f")
+      // r17 ADVICE: resolve the source tree from the working directory
+      // by walking UP until build.sbt is found — robust to runners
+      // that start tests from a module/IDE directory, not repo root
+      val start = java.nio.file.Paths.get(
+        sys.props.getOrElse("user.dir", ".")).toAbsolutePath
+      val root = Iterator.iterate(start)(_.getParent)
+        .takeWhile(_ != null)
+        .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")))
+        .getOrElse(start)
+      val p = root.resolve(s"src/main/scala/graft/streaming/$f")
       assert(java.nio.file.Files.exists(p), s"missing source $p")
       "GroupStateTimeout\\.NoTimeout\\(\\)".r
         .findAllIn(java.nio.file.Files.readString(p)).length
