@@ -51,6 +51,14 @@ object PartitionedTables {
     * the directory names.
     */
   def eventsByDay(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(eventsByDayPath(spark, dir))
+
+  /** Filesystem path of the [[eventsByDay]] tree (materializing it on
+    * first use) — the streaming file source consumes the PATH, not a
+    * batch DataFrame: the production ingest shape is new partition
+    * directories arriving under a standing hive root.
+    */
+  def eventsByDayPath(spark: SparkSession, dir: String): String =
     materialized(spark, dir, "events_by_day") { tmp =>
       graft.Tables.load(spark, dir, "events")
         .withColumn("day", to_date(col("ts")))
@@ -62,6 +70,12 @@ object PartitionedTables {
     * key moves into the directory names.
     */
   def docsBySource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(docsBySourcePath(spark, dir))
+
+  /** Filesystem path of the [[docsBySource]] tree (see
+    * [[eventsByDayPath]]).
+    */
+  def docsBySourcePath(spark: SparkSession, dir: String): String =
     materialized(spark, dir, "docs_by_source") { tmp =>
       spark.read.parquet(s"$dir/documents.parquet")
         .write.partitionBy("source").parquet(tmp)
@@ -73,7 +87,7 @@ object PartitionedTables {
     * the write); present → read it directly.
     */
   private def materialized(spark: SparkSession, dir: String,
-      name: String)(write: String => Unit): DataFrame = synchronized {
+      name: String)(write: String => Unit): String = synchronized {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = Paths.get(root, key, name)
     if (!Files.exists(path.resolve("_SUCCESS"))) {
@@ -91,6 +105,6 @@ object PartitionedTables {
               s"hive dataset publish failed for $path")
       }
     }
-    spark.read.parquet(path.toString)
+    path.toString
   }
 }

@@ -1936,4 +1936,123 @@ class StreamingSpec extends SparkSpec {
     assert(noTimeoutSites("DocStreams.scala") === 1)
     assert(noTimeoutSites("VecStreams.scala") === 1)
   }
+
+  // ——— streaming over the hive-partitioned trees (r17 verdict item
+  // 6): the production ingest shape is a file-stream source watching a
+  // standing hive root while new partition directories arrive over
+  // time. These pins prove (a) the x205/x206 trees are consumable as
+  // STREAM sources with multi-batch replay, (b) the partition column
+  // (directory names, not data pages) survives the stream reader with
+  // correct per-row values, and (c) a streaming twin assembled from
+  // that source equals its batch form on the same tree.
+
+  test("EventStreams tumbling twin over the hive events_by_day tree: " +
+      "assembled == batch, partition column survives the stream reader") {
+    import org.apache.spark.sql.types._
+    val tree = graft.sources.PartitionedTables
+      .eventsByDayPath(spark, sf0001)
+    // the tree stores ts as TIMESTAMP_NTZ (Tables.load normalization);
+    // `day` is the hive partition column, present only in dir names
+    val treeSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType),
+      StructField("day", DateType)))
+    def readTree() = spark.readStream
+      .schema(treeSchema)
+      .option("maxFilesPerTrigger", 1) // ≥30 day dirs → ≥30 micro-batches
+      .parquet(tree)
+
+    // (b) partition-column fidelity: per-day counts computed FROM THE
+    // PARTITION COLUMN must equal batch per-day counts computed from
+    // the data column ts — wrong or missing dir-derived values go red
+    val qDays = readTree()
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hive_days").start()
+    try {
+      qDays.processAllAvailable()
+      val streamed = spark.table("hive_days")
+        .orderBy($"day").collect().toSeq
+      val batch = Tables.load(spark, sf0001, "events")
+        .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+        .orderBy($"day").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+    } finally qDays.stop()
+
+    // (c) twin equivalence: the q20 tumbling twin assembled from the
+    // partitioned stream equals the oracle-checked batch form
+    val qAgg = EventStreams.tumblingCounts(
+        readTree().withColumn("ts", $"ts".cast("timestamp")))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hive_q20").start()
+    try {
+      qAgg.processAllAvailable()
+      val streamed = spark.table("hive_q20")
+        .select($"h".cast("timestamp").as("h"), $"event_type", $"n",
+          $"sum_value_micros")
+        .orderBy($"h", $"event_type").collect().toSeq
+      val batch = SparkEntry.queries("q20_tumbling_window")(spark, sf0001)
+        .select($"h".cast("timestamp").as("h"), $"event_type", $"n",
+          $"sum_value_micros")
+        .orderBy($"h", $"event_type").collect().toSeq
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+    } finally qAgg.stop()
+  }
+
+  test("DocStreams gopher twin over the hive docs_by_source tree: " +
+      "assembled == batch, source partition column survives") {
+    import org.apache.spark.sql.types._
+    val tree = graft.sources.PartitionedTables
+      .docsBySourcePath(spark, sf0001)
+    val treeSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("source", StringType)))
+    def readTree() = spark.readStream
+      .schema(treeSchema)
+      .option("maxFilesPerTrigger", 1) // 20 source dirs → 20 batches
+      .parquet(tree)
+    val batchDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+    // (b) partition-column fidelity: per-source doc counts from the
+    // dir-derived column vs the base table's data column
+    val qSrc = readTree().groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hive_sources").start()
+    try {
+      qSrc.processAllAvailable()
+      val streamed = spark.table("hive_sources")
+        .orderBy($"source").collect().toSeq
+      val batch = batchDocs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+    } finally qSrc.stop()
+
+    // (c) twin equivalence: the stateless gopher gate assembled from
+    // the partitioned stream (multi-batch append) equals its batch
+    // form on the base table, row for row
+    val qGate = DocStreams.gopherRules(readTree(), "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hive_gopher").start()
+    try {
+      qGate.processAllAvailable()
+      val streamed = spark.table("hive_gopher")
+        .orderBy($"doc_id").collect().toSeq
+      val batch = graft.ops.TextAnalysis
+        .gopherRules(batchDocs, "doc_id", "text")
+        .orderBy($"doc_id").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+    } finally qGate.stop()
+  }
 }
