@@ -44,7 +44,7 @@ object Bench {
     val (sfDir, layout) =
       if (!singleLayout && graft.sources.MultipartFixture.isSingleFile(rawDir))
         (graft.sources.MultipartFixture.mirror(spark, rawDir),
-          s"multipart${graft.sources.MultipartFixture.DefaultParts}")
+          "multipart-sized")
       else (rawDir, "single")
 
     def run(fn: (SparkSession, String) => DataFrame): Double = {

@@ -36,6 +36,26 @@ object MultipartFixture {
   private val root = "/tmp/graft_multipart"
   val DefaultParts = 32
 
+  /** Per-table part count: ~1 MB/file with a 2-file floor, capped at
+    * the session width. Adjudicated by THREE r18 full-suite runs
+    * (BENCH_LOCAL.md r18 layout A/B): a flat 32-part layout shredded
+    * the 0.6–2 MB tables into 19–64 KB shards and taxed ~150
+    * sub-second rows one 32-task scan-launch round EACH (+25 s
+    * suite-wide vs the single-file 125.9 s; even 32-sharding only the
+    * kernel tables cost +16.5 s and pushed ~20 doc/embedding-light
+    * rows toward the ≥1 s weak bar against a ~0.1 s DuckDB
+    * denominator — manufactured weak rows with zero deployment
+    * meaning, since real writers target 128 MB–1 GB files and the
+    * PLAN is identical either way). Byte-sizing keeps every table a
+    * genuine multi-file dataset while the CPU kernels' session-width
+    * parallelism comes from `Parallelize.ensure`'s documented rescue —
+    * live at toy scale, a no-op at deployment scale where splits ≥
+    * cores (pinned in ParallelizeSpec).
+    */
+  def partsFor(table: String, bytes: Long): Int =
+    math.max(2, math.min(DefaultParts,
+      math.ceil(bytes / (1024.0 * 1024.0)).toInt))
+
   /** True when `dir` looks like a single-file driver fixture (its
     * tables are plain files, not dataset directories).
     */
@@ -46,17 +66,17 @@ object MultipartFixture {
     * Returns a directory usable anywhere a fixture dir is: each table
     * at `<mirror>/<table>.parquet/` as `parts` Parquet files.
     */
-  def mirror(spark: SparkSession, dir: String,
-      parts: Int = DefaultParts): String = synchronized {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_p$parts"
+  def mirror(spark: SparkSession, dir: String): String = synchronized {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_sized_v3"
     val out = Paths.get(root, key)
     if (!Files.exists(out.resolve("_READY"))) {
       val tmp = Paths.get(root, s".tmp_${key}_${ProcessHandle.current().pid()}")
       org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
       Files.createDirectories(tmp)
       graft.Tables.names.foreach { t =>
+        val bytes = new java.io.File(graft.Tables.path(dir, t)).length()
         graft.Tables.load(spark, dir, t)
-          .repartition(parts)
+          .repartition(partsFor(t, bytes))
           .write.mode("overwrite")
           .parquet(tmp.resolve(s"$t.parquet").toString)
       }
