@@ -486,12 +486,19 @@ object Dedup {
     * paragraph in 10 000 pages" case that document-level near-dup
     * leaves behind.
     *
-    * Spans are keyed by the md5 of the space-joined gram (the x49
-    * portable-shingle idiom), so the oracle spells the identical
-    * keys; the reference algorithm's suffix array is replaced by the
-    * shuffle-friendly fingerprint group — the standard distributed
-    * formulation (suffix arrays don't shard; fingerprint buckets
-    * do).
+    * Spans are keyed by the zero-allocation 64-bit gram-hash kernel
+    * (r18, the x45 precedent at Dedup.scala's chunk scrub: gram keys
+    * are INTERNAL — no published value contains them — so equal
+    * windows need equal keys and nothing more; an oracle keying the
+    * same pipeline on md5 of the space-joined gram gets identical
+    * output, collision odds ~grams²/2⁶⁴). The md5 spelling was the
+    * 100× bottleneck: digest + hex per window and 32-byte string
+    * shuffle keys vs one xxhash64 per token + a Long — measured
+    * 34.5 → 15.6 s at 100× (1.62× DuckDB; BENCH_LOCAL.md r18). The
+    * reference
+    * algorithm's suffix array is replaced by the shuffle-friendly
+    * fingerprint group — the standard distributed formulation
+    * (suffix arrays don't shard; fingerprint buckets do).
     *
     * Scale design (100 TB): shuffles carry only `(fp, doc_id, p)`
     * rows — never text; the duplicated-key table prunes to
@@ -512,9 +519,9 @@ object Dedup {
         TextAnalysis.tokens(col(textCol)).as("toks"))
     // lazy barrier: the (fp, doc_id, p) rows feed BOTH the min/max
     // frequency aggregate and the join probe — without it the
-    // scan + ngram + md5 subtree runs twice (the x74/x94 fold)
+    // scan + ngram + hash subtree runs twice (the x74/x94 fold)
     val sh = base.select(col("doc_id"),
-      posexplode(graft.functions.HashFunctions.ngramMd5(col("toks"), k)))
+      posexplode(graft.functions.HashFunctions.ngramHashes(col("toks"), k)))
       .toDF("doc_id", "p", "fp")
       .localCheckpoint(eager = false)
     val firsts = sh.groupBy("fp")
