@@ -151,7 +151,9 @@ object StageGate {
         }
       } else {
         val names =
-          if (rest.nonEmpty) rest else slowestDeclared(12)
+          if (rest.contains("--all")) graft.SparkEntry.queries.keys.toSeq.sorted
+          else if (rest.nonEmpty) rest
+          else slowestDeclared(12)
         val vs = audit(spark, names, threshold,
           n => graft.SparkEntry.queries(n)(spark, dir))
         vs.foreach(v => println(f"[gate] VIOLATION ${v.query} " +
