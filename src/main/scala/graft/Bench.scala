@@ -18,7 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    first, then the warm runs) per query, plus the producer, so a
   *    row whose whole window was spanned by host CPU-steal is
   *    self-evident; rows whose warm min lands >3× above the previous
-  *    full-suite artifact get ONE automatic same-session re-run (3
+  *    full-suite artifact (same layout only — r19) OR whose own warm
+  *    window shows a rising >3× max/min slope ([[slopeSuspicious]],
+  *    r19 verdict item 3) get ONE automatic same-session re-run (3
   *    more warm runs folded into the min) and are listed in "reruns".
   *  - COLLISION-FREE: builder runs (SPARK_GRAFT_PRODUCER=builder)
   *    keep the committed `BENCH_LOCAL_r{N}.json` name; any other
@@ -26,6 +28,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    share a filename (the r17 hygiene finding).
   */
 object Bench {
+  /** Within-artifact run-slope re-run trigger (r19, verdict item 3):
+    * the r17 protocol re-ran only when the warm MIN regressed >3× vs
+    * the prior round, which missed r18's x59 — its min IMPROVED while
+    * the warm tail rose monotonically 1.55 → 9.24 s (accumulating
+    * state or steal spanning the tail; either way the row needs a
+    * same-session re-run to disambiguate). Flags a run array (cold
+    * first) whose WARM max/min > 3, provided
+    *  - the max is material (> 0.5 s — sub-second jitter rows would
+    *    churn re-runs with zero information), and
+    *  - the max is NOT the first warm run: a decaying
+    *    first-warm-run-high shape (r18's x110: 4.34 → 1.23) is
+    *    residual JIT — the known warm-up profile the cold-run discard
+    *    already acknowledges — not a rising tail.
+    * Calibrated by replaying every r18 per-run array: flags exactly
+    * {q17_json, x59_incremental_neardup} (BenchSlopeSpec pins this).
+    */
+  def slopeSuspicious(runs: Vector[Double]): Boolean = {
+    val warm = runs.drop(1)
+    if (warm.size < 3 || warm.exists(_ <= 0)) false
+    else {
+      val mx = warm.max
+      mx / warm.min > 3 && mx > 0.5 && warm.indexOf(mx) > 0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val rawDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,13 +95,21 @@ object Bench {
     // the >3×-vs-prior re-run trigger — a warm min can only sit far
     // above its prior if the plan regressed or host steal spanned the
     // whole window; one same-session re-run disambiguates (r17 verdict
-    // item 2: the driver's 9.97 s x110 row vs 1.29 s solo steady state)
+    // item 2: the driver's 9.97 s x110 row vs 1.29 s solo steady state).
+    // LAYOUT-GUARDED (r18 ADVICE): bench_last.json is shared across
+    // producers AND fixture layouts, and a single-file-layout baseline
+    // has structurally different mins (serial scans) — comparing across
+    // layouts manufactures spurious re-runs or masks regressions, so a
+    // prior written under a different layout is discarded wholesale.
     val priorMins: Map[String, Double] = {
       val f = new java.io.File("bench_last.json")
       if (!f.exists()) Map.empty
       else {
         val txt = java.nio.file.Files.readString(f.toPath)
-        """"([a-zA-Z0-9_]+)":(-?\d+\.?\d*)""".r.findAllMatchIn(txt)
+        val priorLayout = """"layout":"([a-z-]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!priorLayout.contains(layout)) Map.empty
+        else """"([a-zA-Z0-9_]+)":(-?\d+\.?\d*)""".r.findAllMatchIn(txt)
           .collect { case m if SparkEntry.queries.contains(m.group(1)) =>
             m.group(1) -> m.group(2).toDouble }
           .toMap
@@ -103,7 +138,8 @@ object Bench {
         val first = measure(fn, warmRuns)
         val firstMin = first.tail.min
         val suspicious = priorMins.get(name)
-          .exists(p => p >= 0 && firstMin > 3 * p && firstMin > 0.5)
+          .exists(p => p >= 0 && firstMin > 3 * p && firstMin > 0.5) ||
+          slopeSuspicious(first)
         if (suspicious && args.isEmpty) {
           val again = measure(fn, 3)
           Row(name, math.min(firstMin, again.tail.min), first ++ again, true)

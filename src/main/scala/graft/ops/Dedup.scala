@@ -491,7 +491,19 @@ object Dedup {
     * are INTERNAL — no published value contains them — so equal
     * windows need equal keys and nothing more; an oracle keying the
     * same pipeline on md5 of the space-joined gram gets identical
-    * output, collision odds ~grams²/2⁶⁴). The md5 spelling was the
+    * output). Collision budget at scale (r18 ADVICE): a birthday
+    * collision between two DISTINCT grams false-scrubs one k-token
+    * span from an unrelated document — expected collisions ≈
+    * g²/2⁶⁵ for g distinct grams, i.e. ~0 at fixture scale but
+    * ~27 000 spans at a 100 TB corpus's ~10¹² distinct grams — a
+    * ~10⁻⁸ per-gram false-scrub rate, well inside a training-data
+    * scrub's tolerance (the pass is already recall-lossy by design:
+    * k-gram granularity). A deployment needing exactness swaps the
+    * key to a 128-bit struct (two independently-seeded xxhash64
+    * folds — expected collisions ≈ g²/2¹²⁹ ≈ 0 at any corpus size)
+    * at ~2× key-hash cost and a 16-byte shuffle key; the published
+    * output is key-representation-independent either way. The md5
+    * spelling was the
     * 100× bottleneck: digest + hex per window and 32-byte string
     * shuffle keys vs one xxhash64 per token + a Long — measured
     * 34.5 → 15.6 s at 100× (1.62× DuckDB; BENCH_LOCAL.md r18). The

@@ -3987,8 +3987,11 @@ object ExtensionCatalog {
     // x100 — ExactSubstr duplicated-span scrub (Lee et al. 2022 shape):
     // any 8-token span in >= 2 docs survives only in the lowest doc_id;
     // other occurrences' positions are scrubbed (overlaps unioned).
-    // Span keys are the x49 portable md5 grams, so the oracle spells
-    // identical keys; within-doc-only repeats are untouched.
+    // Span keys are INTERNAL (r18): Spark keys windows with the 64-bit
+    // gram-hash kernel, the oracle keys the same pipeline on md5 of
+    // the space-joined gram — different keys, identical published
+    // output (no published value contains a key; equal windows just
+    // need equal keys on each side). Within-doc-only repeats untouched.
     QueryDef("x100_exact_substr",
       (s, dir) => ordered(Dedup.exactSubstrScrub(
         t(s, dir, "documents"), "doc_id", "text", k = 8)),
@@ -8044,5 +8047,24 @@ object ExtensionCatalog {
     "x16_approx_distinct" -> "x114_portable_distinct",
     "x52_approx_quantiles" -> "x120_portable_quantiles",
     "x68_heavy_hitters" -> "x121_portable_topk"
+  )
+
+  /** Driver-observed sf0.01 row counts for the rows-only sketch
+    * queries, STABLE across every CORRECTNESS_r15–r18 artifact (r18
+    * verdict item 4). Verify emits these next to each dump
+    * (`no_oracle_twins.json`) so a no-oracle row is self-describing
+    * in the round artifact: which twin hash-verifies its pipeline
+    * shape, and whether its own row count still matches the
+    * multi-round constant. A drift here is a REAL behavior change —
+    * update the constant only with a committed adjudication note.
+    */
+  val noOracleRowsSf001: Map[String, Long] = Map(
+    "x8_minhash_lsh" -> 428L,
+    "x9_simhash" -> 17L,
+    "x13_minhash_agg" -> 1280L,
+    "x15_sign_lsh_pairs" -> 17L,
+    "x16_approx_distinct" -> 5L,
+    "x52_approx_quantiles" -> 5L,
+    "x68_heavy_hitters" -> 31L
   )
 }

@@ -62,12 +62,29 @@ object MultipartFixture {
   def isSingleFile(dir: String): Boolean =
     new java.io.File(graft.Tables.path(dir, "lineitem")).isFile
 
+  /** Cheap content fingerprint of a source fixture dir (per-table
+    * file length + mtime, r18 ADVICE): a mirror keyed on PATH alone
+    * would silently serve stale rows after the driver regenerates a
+    * fixture in place — Bench/StageGate would measure old data while
+    * DuckDB pairings pointed at the raw dir read the new rows.
+    */
+  private def contentKey(dir: String): String = {
+    val sig = graft.Tables.names.map { t =>
+      val f = new java.io.File(graft.Tables.path(dir, t))
+      s"$t:${f.length()}:${f.lastModified()}"
+    }.mkString("|")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8"))
+    md5.take(6).map(b => f"$b%02x").mkString
+  }
+
   /** Resolve (building on first use) the N-part mirror of `dir`.
     * Returns a directory usable anywhere a fixture dir is: each table
     * at `<mirror>/<table>.parquet/` as `parts` Parquet files.
     */
   def mirror(spark: SparkSession, dir: String): String = synchronized {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_sized_v3"
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      s"_sized_v3_${contentKey(dir)}"
     val out = Paths.get(root, key)
     if (!Files.exists(out.resolve("_READY"))) {
       val tmp = Paths.get(root, s".tmp_${key}_${ProcessHandle.current().pid()}")

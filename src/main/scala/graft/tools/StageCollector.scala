@@ -9,10 +9,15 @@ import org.apache.spark.sql.SparkSession
   * [[StageGate]]. SparkListener events arrive asynchronously on the
   * listener bus (r17 ADVICE: a drain that races delivery can miss a
   * query's trailing stages and leak the previous query's late events
-  * into the next bucket), so [[drain]] first QUIESCES: it polls until
-  * the queue size is stable across two consecutive windows (the
-  * public-API stand-in for the private `listenerBus.waitUntilEmpty`),
-  * then snapshots and clears atomically with respect to this reader.
+  * into the next bucket), so [[drain]] first QUIESCES — r19 (r18
+  * ADVICE): via `listenerBus.waitUntilEmpty` through a reflective
+  * shim (`private[spark]` in source, public in bytecode), which is
+  * exact — the bus itself reports empty queues, so a stage-completion
+  * event delayed >200 ms on a busy bus (the `--all` sweep) can no
+  * longer leak a cold-run stage into the warm bucket or drop a
+  * violation into the discarded drain. The r17 size-stability poll
+  * (queue stable across two 100 ms windows, 3 s deadline) survives
+  * only as the fallback when the shim is unavailable.
   */
 object StageCollector {
   /** One completed stage: (stageId, numTasks, wallSec, cpuSec,
@@ -47,18 +52,34 @@ final class StageCollector(spark: SparkSession) {
     */
   def close(): Unit = spark.sparkContext.removeSparkListener(listener)
 
-  /** Flush the listener bus (stability poll, ≤3 s) and return + clear
-    * every stage completed since the last drain.
+  // reflective waitUntilEmpty(timeoutMillis) shim; None when the
+  // runtime's bus lacks it (then drain() falls back to the poll)
+  private val busWait: Option[(AnyRef, java.lang.reflect.Method)] =
+    try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      Some((bus, bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)))
+    } catch { case _: Throwable => None }
+
+  /** Flush the listener bus (exact `waitUntilEmpty`, ≤3 s; stability
+    * poll fallback) and return + clear every stage completed since
+    * the last drain.
     */
   def drain(): Seq[StageCollector.StageRow] = {
-    val deadline = System.nanoTime() + 3_000_000_000L
-    var prev = -1
-    var stable = 0
-    while (stable < 2 && System.nanoTime() < deadline) {
-      Thread.sleep(100)
-      val now = q.size
-      stable = if (now == prev) stable + 1 else 0
-      prev = now
+    val quiesced = busWait.exists { case (bus, m) =>
+      try { m.invoke(bus, java.lang.Long.valueOf(3000L)); true }
+      catch { case _: Throwable => false } // timeout: fall through
+    }
+    if (!quiesced) {
+      val deadline = System.nanoTime() + 3_000_000_000L
+      var prev = -1
+      var stable = 0
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = q.size
+        stable = if (now == prev) stable + 1 else 0
+        prev = now
+      }
     }
     val out = Vector.newBuilder[StageRow]
     var r = q.poll()

@@ -48,4 +48,14 @@ class TwinCoverageSpec extends AnyFunSuite {
     assert(twinned.intersect(twins.keySet).isEmpty,
       "a portable twin must terminate at an oracle-backed query")
   }
+
+  test("every rows-only query has a pinned sf0.01 row-count constant") {
+    // r19 (verdict item 4): Verify's no_oracle_twins.json sidecar
+    // compares each dump against these constants — a rows-only query
+    // without one would silently ship without its stability check
+    assert(ExtensionCatalog.noOracleRowsSf001.keySet == rowsOnly,
+      s"noOracleRowsSf001 keys must be exactly the rows-only set; " +
+        s"missing: ${rowsOnly -- ExtensionCatalog.noOracleRowsSf001.keySet}, " +
+        s"stale: ${ExtensionCatalog.noOracleRowsSf001.keySet -- rowsOnly}")
+  }
 }
