@@ -999,6 +999,88 @@ object R17WeakRowScale {
   }
 }
 
+/** Crossing-vs-scale trajectory rows for the four r18 fixture-layout
+  * movers (VERDICT r18 item 5): x12_neardup_pairs /
+  * x126_cluster_reps / x157_source_signature (documents — measured on
+  * the standing shared-vocab [[ScaleFixture]] dirs, the exact
+  * x133/x45 protocol) and x155_session_type_lift (events — measured
+  * on an events-replicated fixture this object builds: `copies`×
+  * user_id/event_id offsets over the same time span, i.e. more
+  * concurrent users, the realistic session-growth axis; other tables
+  * verbatim). Timing = 1 discarded cold + min-of-4 warm per (row,
+  * dir). The DuckDB side of any crossing runs SEPARATELY via
+  * scripts/duck_time.py on the same dirs (never concurrent — the
+  * CPU-contention protocol in the verify skill); x12/x126's oracles
+  * are all-pairs / recursive-CTE spellings that do not complete at
+  * 100× in bounded time, so their trajectory rows are Spark-growth +
+  * the committed 1× crossing (0.19× / 0.01×), the x34 precedent.
+  */
+object R19MoverScale {
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val docsBig = args.lift(2).getOrElse(s"/tmp/sf${copies}r17w")
+    val evtBig = args.lift(3).getOrElse(s"/tmp/sf${copies}r19evt")
+    if (!Files.exists(Paths.get(s"$docsBig/documents.parquet")))
+      ScaleFixture.main(Array(small, docsBig, copies.toString))
+    val spark = Sessions.local("graft-r19-movers")
+    if (!Files.exists(Paths.get(s"$evtBig/_evt"))) {
+      Files.createDirectories(Paths.get(evtBig))
+      val e = graft.Tables.load(spark, small, "events")
+      (0 until copies).map { c =>
+        e.select((col("event_id") + c * 100000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + c * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$evtBig/events.parquet")
+      // remaining tables verbatim so the dir is a complete fixture
+      Files.list(Paths.get(small)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          p.getFileName.toString != "events.parquet" &&
+          Files.isRegularFile(p))
+        .foreach(p => Files.copy(p,
+          Paths.get(evtBig, p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING))
+      Files.createFile(Paths.get(s"$evtBig/_evt"))
+    }
+    // SPARK_GRAFT_SCALE_WARM trims the warm count at 100× (the
+    // SPARK_GRAFT_WARM_RUNS precedent: multi-minute rows can't afford
+    // 4-warm mins); the 100× leg also needs SPARK_DRIVER_MEM ≥ 32g —
+    // the pair-verify working set of 6M shared-vocab docs through ONE
+    // 32-thread JVM overflows the default 8g heap (measured OOM, r19;
+    // a deployment spreads the same join over executors whose
+    // aggregate memory scales with the data, so the single-JVM heap is
+    // a bench-host artifact, not a plan property)
+    val warm = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", "4").toInt
+    def best4(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // cold, discarded
+      Seq.fill(warm)(run()).min
+    }
+    val docRows = Seq("x12_neardup_pairs", "x126_cluster_reps",
+      "x157_source_signature")
+    val parts =
+      docRows.map { name =>
+        val s = best4(name, small)
+        val b = best4(name, docsBig)
+        f""""$name":[$s%.2f,$b%.2f,${b / s}%.2f]"""
+      } :+ {
+        val s = best4("x155_session_type_lift", small)
+        val b = best4("x155_session_type_lift", evtBig)
+        f""""x155_session_type_lift":[$s%.2f,$b%.2f,${b / s}%.2f]"""
+      }
+    println(s"""{"copies":$copies,""" + parts.mkString("", ",", "}"))
+    spark.stop()
+  }
+}
+
 private[tools] object Sessions {
   def local(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -23,16 +23,23 @@ import graft.tools.StageGate
 class StageGateSpec extends SparkSpec {
   import spark.implicits._
 
-  // One block; every doc carries 300 SHARED tokens (join volume
-  // 100² pairs × 300 tokens ≈ 3M joined rows — hot when serialized on
-  // one core) plus 350 UNIQUE tokens, so containment = 300/650 ≈ 0.46
-  // < 0.5 and the post-join publish stages are near-EMPTY: the only
-  // stage that can possibly be single-task-hot is the pair join
+  // One block; every doc carries 900 SHARED tokens (join volume
+  // 100² pairs × 900 tokens ≈ 9M joined rows — hot when serialized on
+  // one core) plus 1050 UNIQUE tokens, so containment = 900/1950 ≈
+  // 0.46 < 0.5 and the post-join publish stages are near-EMPTY: the
+  // only stage that can possibly be single-task-hot is the pair join
   // itself, which is exactly what the gate discriminates on.
+  //
+  // Sizing (r19): at the original 300-token volume the seeded stage's
+  // CPU ASYMPTOTES to ~0.26 s under full-suite JIT warmth (measured
+  // over 8 iterations) — straddling the 0.3 s threshold, so the red
+  // test stayed a coin flip in `sbt test` even after the AQE pin
+  // below. At 900 tokens the warm asymptote is 0.67–0.93 s: a ≥2×
+  // margin however hot the JIT.
   private lazy val corpus = {
-    val shared = (0 until 300).map(i => s"s$i").mkString(" ")
+    val shared = (0 until 900).map(i => s"s$i").mkString(" ")
     (0 until 100).map { i =>
-      val unique = (0 until 350).map(j => s"u${i}_$j").mkString(" ")
+      val unique = (0 until 1050).map(j => s"u${i}_$j").mkString(" ")
       (i.toLong, s"$shared $unique", "b0")
     }.toDF("doc_id", "text", "source")
   }
