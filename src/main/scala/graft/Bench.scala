@@ -49,7 +49,10 @@ object Bench {
     if (warm.size < 3 || warm.exists(_ <= 0)) false
     else {
       val mx = warm.max
-      mx / warm.min > 3 && mx > 0.5 && warm.indexOf(mx) > 0
+      // lastIndexOf (r19 ADVICE): an exact tie between the first warm
+      // run and a later rising-tail run must still flag — the later
+      // occurrence is the signal, indexOf would report position 0
+      mx / warm.min > 3 && mx > 0.5 && warm.lastIndexOf(mx) > 0
     }
   }
 
@@ -74,10 +77,21 @@ object Bench {
           "multipart-sized")
       else (rawDir, "single")
 
-    def run(fn: (SparkSession, String) => DataFrame): Double = {
+    // Per-run stage-CPU next to wall (r19 verdict item 2): host
+    // CPU-steal inflates WALL while the tasks' summed executor CPU
+    // stays flat, so a whole-window-elevated row (the x34 [3.57…2.83]
+    // shape, which min-of-N and the slope trigger both structurally
+    // miss) is adjudicable from the artifact alone — wall≫cpu with
+    // cpu in band vs the prior round = steal; wall and cpu elevated
+    // together = a real regression. The drain (listener-bus quiesce +
+    // sum) runs AFTER the wall clock stops, so it costs the suite a
+    // few ms per run and the measurement nothing.
+    val stages = new graft.tools.StageCollector(spark)
+    def run(fn: (SparkSession, String) => DataFrame): (Double, Double) = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      (wall, stages.drain().map(_.cpu).sum)
     }
 
     // optional args = query names to bench (dev iteration); driver
@@ -117,9 +131,9 @@ object Bench {
     }
 
     final case class Row(name: String, min: Double, runs: Vector[Double],
-        rerun: Boolean)
+        cpuRuns: Vector[Double], rerun: Boolean)
     def measure(fn: (SparkSession, String) => DataFrame,
-        warm: Int): Vector[Double] = {
+        warm: Int): Vector[(Double, Double)] = {
       // isolate queries from each other's leftovers: in local mode the
       // driver IS the executor, and the previous query's driver garbage
       // (adaptive-CC edge collects) plus its localCheckpoint blocks
@@ -136,15 +150,22 @@ object Bench {
     val results: Seq[Row] = wanted.map { case (name, fn) =>
       try {
         val first = measure(fn, warmRuns)
-        val firstMin = first.tail.min
+        val firstMin = first.tail.map(_._1).min
         val suspicious = priorMins.get(name)
           .exists(p => p >= 0 && firstMin > 3 * p && firstMin > 0.5) ||
-          slopeSuspicious(first)
+          slopeSuspicious(first.map(_._1))
         if (suspicious && args.isEmpty) {
+          // record first ++ again.tail (r19 ADVICE): again's cold run
+          // would otherwise sit in the published array disguised as a
+          // warm entry and poison replay-based calibration — with the
+          // tail-only append, every recorded entry past index 0 is warm
           val again = measure(fn, 3)
-          Row(name, math.min(firstMin, again.tail.min), first ++ again, true)
-        } else Row(name, firstMin, first, false)
-      } catch { case _: Throwable => Row(name, -1.0, Vector.empty, false) }
+          val all = first ++ again.tail
+          Row(name, math.min(firstMin, again.tail.map(_._1).min),
+            all.map(_._1), all.map(_._2), true)
+        } else Row(name, firstMin, first.map(_._1), first.map(_._2), false)
+      } catch { case _: Throwable =>
+        Row(name, -1.0, Vector.empty, Vector.empty, false) }
     }
 
     def fmt(v: Double): String =
@@ -163,9 +184,11 @@ object Bench {
         else {
           val rr = rows.map(r => "\"" + r.name + "\":[" +
             r.runs.map(fmt).mkString(",") + "]").mkString("{", ",", "}")
+          val cr = rows.map(r => "\"" + r.name + "\":[" +
+            r.cpuRuns.map(fmt).mkString(",") + "]").mkString("{", ",", "}")
           val re = rows.filter(_.rerun).map("\"" + _.name + "\"")
             .mkString("[", ",", "]")
-          s""","runs":$rr,"reruns":$re"""
+          s""","runs":$rr,"cpu_runs":$cr,"reruns":$re"""
         }
       header + s""""queries":$qs,"sf":"$rawDir"$runsPart}"""
     }

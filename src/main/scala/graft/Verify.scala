@@ -69,10 +69,14 @@ object Verify {
           Some(s"${q("spark_rows")}: $rows"),
           expected.map(e => s"${q("expected_rows_sf001")}: $e"),
           // the row-count constant is an sf0.01 fact (the driver's
-          // Verify SF); at any other dev SF the comparison is vacuous
+          // Verify SF); at any other dev SF the comparison is vacuous.
+          // rows < 0 is a parquet READBACK failure, not a behavior
+          // change (r19 ADVICE) — a distinct marker keeps a transient
+          // read error from being adjudicated as drift
           expected.filter(_ => sfDir.contains("sf0.01"))
             .map(e => s"${q("rows_stable_since")}: " +
-              (if (rows == e) q("r15") else q("DRIFTED")))
+              (if (rows < 0) q("READ_FAILED")
+               else if (rows == e) q("r15") else q("DRIFTED")))
         ).flatten.mkString(s"${q(name)}: {", ", ", "}")
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/no_oracle_twins.json"), twinJson)

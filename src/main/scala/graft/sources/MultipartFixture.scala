@@ -83,8 +83,8 @@ object MultipartFixture {
     * at `<mirror>/<table>.parquet/` as `parts` Parquet files.
     */
   def mirror(spark: SparkSession, dir: String): String = synchronized {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      s"_sized_v3_${contentKey(dir)}"
+    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = sanitized + s"_sized_v3_${contentKey(dir)}"
     val out = Paths.get(root, key)
     if (!Files.exists(out.resolve("_READY"))) {
       val tmp = Paths.get(root, s".tmp_${key}_${ProcessHandle.current().pid()}")
@@ -106,6 +106,21 @@ object MultipartFixture {
             throw new IllegalStateException(
               s"multipart mirror publish failed for $out")
       }
+      // Superseded-mirror sweep (r19 ADVICE): content-fingerprinted
+      // keys mean every fixture regeneration publishes a NEW mirror
+      // while the old content key's tree would otherwise live under
+      // /tmp/graft_multipart forever — unbounded disk growth across
+      // rounds. Any sibling sharing this source dir's sanitized
+      // prefix but carrying a different content key is a mirror of
+      // rows that no longer exist on disk; no live reader can hold
+      // it (the stale key is unreachable — mirror() always resolves
+      // the CURRENT fingerprint), so it is deleted on publish.
+      Option(out.getParent.toFile.listFiles()).getOrElse(Array())
+        .filter { f =>
+          f.isDirectory && f.getName != key &&
+            f.getName.startsWith(s"${sanitized}_sized_v3_")
+        }
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     }
     out.toString
   }
