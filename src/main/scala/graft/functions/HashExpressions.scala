@@ -103,7 +103,8 @@ object SketchKernels {
     * (collision odds ~grams²/2^64), and equal token windows always
     * produce equal hashes.
     */
-  def ngramHashes(arr: ArrayData, n: Int, keepPartial: Boolean): ArrayData = {
+  def ngramHashes(arr: ArrayData, n: Int, keepPartial: Boolean,
+      seed: Long = 42L): ArrayData = {
     val cnt = arr.numElements()
     val th = new Array[Long](cnt)
     val isNull = new Array[Boolean](cnt)
@@ -111,7 +112,7 @@ object SketchKernels {
     while (i < cnt) {
       isNull(i) = arr.isNullAt(i)
       if (!isNull(i))
-        th(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        th(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, seed)
       i += 1
     }
     val outLen = math.max(cnt - n + 1, if (keepPartial && cnt > 0) 1 else 0)
@@ -320,7 +321,8 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * string-gram spelling exists for oracles; pipelines that only need
   * gram IDENTITY use this.
   */
-case class NGramHashes(child: Expression, n: Int, keepPartial: Boolean)
+case class NGramHashes(child: Expression, n: Int, keepPartial: Boolean,
+    seed: Long = 42L)
     extends UnaryExpression {
   require(n >= 1, "n must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -332,11 +334,12 @@ case class NGramHashes(child: Expression, n: Int, keepPartial: Boolean)
     }
   }
   override def nullSafeEval(input: Any): Any =
-    SketchKernels.ngramHashes(input.asInstanceOf[ArrayData], n, keepPartial)
+    SketchKernels.ngramHashes(input.asInstanceOf[ArrayData], n, keepPartial,
+      seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.SketchKernels.ngramHashes(" +
-        s"$a, $n, $keepPartial);")
+        s"$a, $n, $keepPartial, ${seed}L);")
   override protected def withNewChildInternal(newChild: Expression): NGramHashes =
     copy(child = newChild)
 }
@@ -542,9 +545,9 @@ object HashFunctions {
     ColumnBridge.column(
       MinHashSig(ColumnBridge.expression(tokens), numHashes))
   def ngramHashes(tokens: Column, n: Int,
-      keepPartial: Boolean = false): Column =
+      keepPartial: Boolean = false, seed: Long = 42L): Column =
     ColumnBridge.column(
-      NGramHashes(ColumnBridge.expression(tokens), n, keepPartial))
+      NGramHashes(ColumnBridge.expression(tokens), n, keepPartial, seed))
   def rollingFingerprint(s: Column): Column =
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(s)))
   /** md5-hex k-grams (keepPartial=false), the portable gram key. */

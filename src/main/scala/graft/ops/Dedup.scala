@@ -498,11 +498,12 @@ object Dedup {
     * ~27 000 spans at a 100 TB corpus's ~10¹² distinct grams — a
     * ~10⁻⁸ per-gram false-scrub rate, well inside a training-data
     * scrub's tolerance (the pass is already recall-lossy by design:
-    * k-gram granularity). A deployment needing exactness swaps the
-    * key to a 128-bit struct (two independently-seeded xxhash64
-    * folds — expected collisions ≈ g²/2¹²⁹ ≈ 0 at any corpus size)
-    * at ~2× key-hash cost and a 16-byte shuffle key; the published
-    * output is key-representation-independent either way. The md5
+    * k-gram granularity). A deployment needing exactness passes
+    * `keyBits = 128` — a 128-bit struct key of two independently-
+    * seeded xxhash64 folds (expected collisions ≈ g²/2¹²⁹ ≈ 0 at any
+    * corpus size) at ~2× key-hash cost and a 16-byte shuffle key; the
+    * published output is key-representation-independent either way
+    * (KeyWidthSpec pins 64 ≡ 128 on the fixture). The md5
     * spelling was the
     * 100× bottleneck: digest + hex per window and 32-byte string
     * shuffle keys vs one xxhash64 per token + a Long — measured
@@ -523,17 +524,35 @@ object Dedup {
     * `(doc_id, n_tokens, n_removed, kept_text)`.
     */
   def exactSubstrScrub(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, keyBits: Int = 64): DataFrame = {
     require(k >= 1, "span length k must be >= 1")
+    require(keyBits == 64 || keyBits == 128,
+      s"keyBits must be 64 or 128, got $keyBits")
     // null text is out of contract (size(null) = -1 vs SQL null-skip)
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
+    // keyBits=128 is the documented exactness escape hatch (r19
+    // verdict item 5): two INDEPENDENTLY-SEEDED gram-hash folds
+    // zipped into one struct key — expected collisions ≈ g²/2¹²⁹ ≈ 0
+    // at any corpus size (vs ~27 000 false-scrubbed spans at a
+    // 100 TB corpus's ~10¹² grams under one 64-bit key), at ~2× the
+    // key-hash cost and a 16-byte shuffle key. The published output
+    // is key-representation-independent: equal token windows get
+    // equal keys under either width, so the two widths differ only
+    // on hash collisions (KeyWidthSpec pins 64 ≡ 128 on the fixture).
+    val fpArr =
+      if (keyBits == 64)
+        graft.functions.HashFunctions.ngramHashes(col("toks"), k)
+      else zip_with(
+        graft.functions.HashFunctions.ngramHashes(col("toks"), k),
+        graft.functions.HashFunctions.ngramHashes(col("toks"), k,
+          keepPartial = false, seed = 0x5DEECE66DL),
+        (a, b) => struct(a.as("h1"), b.as("h2")))
     // lazy barrier: the (fp, doc_id, p) rows feed BOTH the min/max
     // frequency aggregate and the join probe — without it the
     // scan + ngram + hash subtree runs twice (the x74/x94 fold)
-    val sh = base.select(col("doc_id"),
-      posexplode(graft.functions.HashFunctions.ngramHashes(col("toks"), k)))
+    val sh = base.select(col("doc_id"), posexplode(fpArr))
       .toDF("doc_id", "p", "fp")
       .localCheckpoint(eager = false)
     val firsts = sh.groupBy("fp")
