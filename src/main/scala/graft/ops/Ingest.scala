@@ -1,0 +1,129 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.PartitionedTables
+
+/** Incremental ingest against a growing hive-partitioned corpus — the
+  * continuous-crawl production shape the r19 verdict asked to promote
+  * from spec-only coverage to a declared, oracle-checked query family
+  * (x208–x210): a new partition of raw documents arrives, is near-dup
+  * deduplicated against the standing ingested tree, and the survivors
+  * are APPENDED as a new partition directory under the same hive root
+  * — standing directories untouched, exactly how a daily crawl drop
+  * lands next to three years of ingested days.
+  *
+  * The fixture's `src19` source plays the arriving drop; the ingested
+  * corpus is the [[PartitionedTables.docsBySource]] tree with the
+  * `source=src19` directory pruned away (directory-level pruning — the
+  * filter never opens the arriving partition's footers; plan-gated in
+  * PlanQualitySpec). The reference engine has no multi-file dataset
+  * path at all (`ColumnChunk.file_path` is parsed but never followed —
+  * `/root/reference/src/reader/metadata.cpp:73`), so this family is
+  * pure extension surface.
+  *
+  * Scale design (100 TB): the dedup is [[Dedup.incrementalNearDupPairs]]
+  * — new×seen band-bucket joins ONLY (the already-clean corpus never
+  * pairs with itself), shuffles carry id+band keys, and the quadratic
+  * verify work is confined to cross-side bucket collisions. The append
+  * writes one new directory; nothing standing is rewritten, so ingest
+  * cost is O(batch), never O(corpus). Banding is the x59
+  * recall-certain 96×24 config (P[miss] ≈ 1.3·10⁻¹¹ per qualifying
+  * pair at j = 0.9), which is what lets an all-pairs SQL oracle check
+  * the LSH path exactly (IngestSpec pins recall 1.0 on the fixture).
+  */
+object Ingest {
+
+  /** The arriving partition of the declared queries. */
+  val ArrivingSource = "src19"
+
+  /** The raw arriving batch — read from the base documents table (a
+    * crawl drop is a flat file set, not yet part of any tree).
+    */
+  def arriving(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "documents")
+      .filter(col("source") === ArrivingSource)
+
+  /** The standing ingested corpus: the hive tree minus the arriving
+    * source — 19 of 20 directories survive pruning.
+    */
+  def ingested(spark: SparkSession, dir: String): DataFrame =
+    PartitionedTables.docsBySource(spark, dir)
+      .filter(col("source") =!= ArrivingSource)
+
+  /** Exactly-verified near-dup pairs between the arriving batch and
+    * the ingested tree: `(new_id, seen_id, jaccard)` with
+    * `jaccard >= minJaccard`. ONE spelling shared by the decision
+    * report (x208), the pair evidence (x209), and the append step
+    * (x210), so the three views cannot drift from each other.
+    */
+  def crossIngestPairs(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.9, numHashes: Int = 96,
+      bands: Int = 24): DataFrame = {
+    def tok(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), Dedup.tokenSet(col("text")).as("tok"))
+    Dedup.incrementalNearDupPairs(
+      newDocs = tok(arriving(spark, dir)),
+      seen = tok(ingested(spark, dir)),
+      "doc_id", "tok", minJaccard, numHashes, bands)
+  }
+
+  /** Per-arriving-document ingest decision: `(doc_id, n_matches,
+    * kept)` — a document is kept iff NO ingested document matches it
+    * at the near-dup threshold.
+    */
+  def ingestDecision(spark: SparkSession, dir: String): DataFrame = {
+    val m = crossIngestPairs(spark, dir)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    arriving(spark, dir).select(col("doc_id"))
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("n_matches").isNull.as("kept"))
+  }
+
+  /** Filesystem root of the APPENDED tree: the 19 standing partition
+    * directories of the ingested corpus copied verbatim (a production
+    * append never rewrites standing partitions) plus the deduped
+    * arriving batch written as the new `source=src19` directory.
+    * Materialized once per source dir behind the
+    * [[PartitionedTables]] write-temp + atomic-rename protocol; warm
+    * bench iterations time the round-trip SCAN, not the ingest.
+    */
+  def appendedTreePath(spark: SparkSession, dir: String): String =
+    PartitionedTables.dataset(spark, dir, "docs_appended") { tmp =>
+      val src = Paths.get(PartitionedTables.docsBySourcePath(spark, dir))
+      Files.createDirectories(Paths.get(tmp))
+      Files.list(src).iterator().asScala.toSeq.foreach { p =>
+        if (p.getFileName.toString != s"source=$ArrivingSource") {
+          val dst = Paths.get(tmp, p.getFileName.toString)
+          if (Files.isDirectory(p))
+            org.apache.commons.io.FileUtils.copyDirectory(p.toFile,
+              dst.toFile)
+          else Files.copy(p, dst)
+        }
+      }
+      val dupIds = crossIngestPairs(spark, dir)
+        .select(col("new_id").as("doc_id")).distinct()
+      // the duplicate-id set is batch-bounded → broadcast anti-join;
+      // the arriving side never shuffles
+      val kept = arriving(spark, dir)
+        .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+      kept.drop("source").write
+        .parquet(Paths.get(tmp, s"source=$ArrivingSource").toString)
+    }
+
+  /** The appended tree read back through hive partition discovery —
+    * the end-to-end round trip (dedup decisions + directory append +
+    * partition-column re-inference) whose scan x210 hash-checks
+    * against a base-table oracle.
+    */
+  def appendedTree(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(appendedTreePath(spark, dir))
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Cardinality, Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, UrlCanon}
+import graft.ops.{Cardinality, Contamination, Dedup, Ingest, Multimodal, Sampling, Similarity, TextAnalysis, UrlCanon}
 
 /** North-star extension queries (beyond the reference's own surface, per
   * BASELINE.json): dedup family, similarity search, text analysis,
@@ -54,6 +54,25 @@ object ExtensionCatalog {
     * one never-occurring pattern (the zero-count path).
     */
   private val blockPats: Seq[String] = Seq("slow table", "dup", "zzz")
+
+  /** Cross-ingest near-dup pairs (arriving src19 × ingested rest,
+    * exact Jaccard ≥ 0.9) — ONE spelling shared by the x208/x209/x210
+    * oracles, mirroring [[graft.ops.Ingest.crossIngestPairs]] on the
+    * Spark side, so the decision report, the pair evidence, and the
+    * append accounting cannot drift from each other.
+    */
+  private val ingestPairsCtes: String = """toks AS (
+          SELECT doc_id, source,
+            list_distinct(string_split(text, ' ')) AS tok
+          FROM documents),
+        im AS (
+          SELECT n.doc_id AS new_id, o.doc_id AS seen_id,
+            CAST(len(list_intersect(n.tok, o.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(n.tok, o.tok))) AS jaccard
+          FROM toks n JOIN toks o
+            ON n.source = 'src19' AND o.source <> 'src19'
+          WHERE CAST(len(list_intersect(n.tok, o.tok)) AS DOUBLE) /
+              len(list_distinct(list_concat(n.tok, o.tok))) >= 0.9)"""
 
   /** Generated portable-MinHash LSH candidate chain (base → digs →
     * sig → banded → cand) — ONE spelling shared by x43 and x110, so
@@ -4392,9 +4411,15 @@ object ExtensionCatalog {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val scored = TextAnalysis.lmQuality(docs, "doc_id", "text")
-        val d = scored.select(col("doc_id"), col("avg_nll"))
-          .join(docs.select(col("doc_id"),
-            TextAnalysis.tokenCount(col("text")).as("n_tokens")), "doc_id")
+        // n_tokens = n_bigrams + 1 for EVERY doc lmQuality scores: a
+        // scored doc's bigram count is len(tokens)−1 by construction
+        // (consecutive pairs of the same whitespace split the oracle's
+        // string_split spells), and sub-2-token docs are absent from
+        // both the score and the oracle's lmq join. Deriving it here
+        // drops the r19 plan's second documents scan + re-tokenize +
+        // join shuffle — the x109 adjudication's plan fix (r20).
+        val d = scored.select(col("doc_id"), col("avg_nll"),
+          (col("n_bigrams") + lit(1L)).as("n_tokens"))
         ordered(TextAnalysis.packSequencesOrdered(
           d, Seq("avg_nll", "doc_id"), seqLen = 2048))
       },
@@ -8019,7 +8044,63 @@ object ExtensionCatalog {
           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
             AS BIGINT)) AS BIGINT) AS value_micros
         FROM events GROUP BY 1
-        """ + orderedSql(Seq("day", "n_events", "value_micros"))))
+        """ + orderedSql(Seq("day", "n_events", "value_micros")))),
+
+    // x208–x210 — the INCREMENTAL-INGEST family (r19 verdict item 6:
+    // the continuous-ingest-against-a-growing-hive-tree production
+    // shape, previously spec-only): the fixture's src19 plays a newly
+    // arriving crawl drop, near-dup deduped (x59's recall-certain
+    // 96×24 banding, cross-side only) against the standing
+    // docsBySource tree with the source=src19 directory PRUNED away,
+    // and the survivors appended as a new partition directory. One
+    // shared pair spelling ([[Ingest.crossIngestPairs]] /
+    // `ingestPairsCtes`) feeds all three views so they cannot drift.
+
+    // x208 — per-arriving-document ingest decision: match count
+    // against the ingested corpus and the keep/drop verdict.
+    QueryDef("x208_ingest_dedup",
+      (s, dir) => ordered(Ingest.ingestDecision(s, dir)),
+      Some(s"""WITH $ingestPairsCtes,
+        m AS (
+          SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+          FROM im GROUP BY 1)
+        SELECT d.doc_id, COALESCE(m.n_matches, 0) AS n_matches,
+          m.new_id IS NULL AS kept
+        FROM documents d LEFT JOIN m ON m.new_id = d.doc_id
+        WHERE d.source = 'src19'
+        """ + orderedSql(Seq("doc_id", "n_matches", "kept")))),
+
+    // x209 — the pair evidence behind x208's decisions: every
+    // exactly-verified (new, seen) near-dup pair at the ingest
+    // threshold. The oracle is the literal cross-side all-pairs
+    // spelling (the x59 precedent — LSH recall certainty at 96×24 is
+    // what makes the equality exact, IngestSpec pins it).
+    QueryDef("x209_ingest_pairs",
+      (s, dir) => ordered(Ingest.crossIngestPairs(s, dir)),
+      Some(s"""WITH $ingestPairsCtes
+        SELECT new_id, seen_id, jaccard FROM im
+        """ + orderedSql(Seq("new_id", "seen_id", "jaccard")))),
+
+    // x210 — the END-TO-END round trip: deduped arrivals appended as
+    // a new source=src19 directory next to the 19 untouched standing
+    // directories, the whole tree re-read through hive partition
+    // discovery, and the per-source accounting hash-checked against a
+    // base-table oracle — any row lost or duplicated by the
+    // dedup/append/re-infer cycle goes red at the driver.
+    QueryDef("x210_ingest_append",
+      (s, dir) => ordered(Ingest.appendedTree(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))),
+      Some(s"""WITH $ingestPairsCtes,
+        dup AS (SELECT DISTINCT new_id FROM im)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents d
+        WHERE d.source <> 'src19'
+           OR d.doc_id NOT IN (SELECT new_id FROM dup)
+        GROUP BY 1
+        """ + orderedSql(Seq("source", "n_docs", "sum_chars"))))
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -81,6 +81,17 @@ object PartitionedTables {
         .write.partitionBy("source").parquet(tmp)
     }
 
+  /** Package-private handle to the materialize-once protocol for
+    * derived datasets built OUTSIDE this object (the x208–x210 ingest
+    * round trip in [[graft.ops.Ingest]] — its write step needs the
+    * dedup ops, which must not become a dependency of the sources
+    * package): same per-source-dir immutability, same temp-write +
+    * atomic-rename publication, same benign concurrent race.
+    */
+  private[graft] def dataset(spark: SparkSession, dir: String,
+      name: String)(write: String => Unit): String =
+    materialized(spark, dir, name)(write)
+
   /** Build-once-per-source-dir cache behind an atomic rename: absent →
     * write the tree to a process-private temp dir, rename into place
     * (immutable thereafter — warm bench iterations time the scan, not

@@ -550,6 +550,39 @@ class PlanQualitySpec extends SparkSpec {
         "partitions, expected 2 of 20")
   }
 
+  test("round-20 ingest family: the ingested-tree scans prune the " +
+      "arriving directory; the appended tree reads all 20") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(name: String): Seq[FileSourceScanExec] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.sparkPlan.collect {
+          case s: FileSourceScanExec => s
+        }
+    // x208: every hive-tree scan (the seen side appears once per
+    // banded-signature/verify consumer) must carry the partition
+    // filter and select 19 of the 20 source directories — the
+    // arriving partition's footers are never opened by the corpus side
+    val treeScans208 = scans("x208_ingest_dedup")
+      .filter(_.partitionFilters.nonEmpty)
+    assert(treeScans208.nonEmpty,
+      "x208 lost its ingested-tree partition filter")
+    treeScans208.foreach { s =>
+      assert(s.selectedPartitions.partitionCount == 19,
+        s"x208 tree scan selected ${s.selectedPartitions.partitionCount} " +
+          "source partitions, expected 19 of 20")
+    }
+    // x210: the round-tripped tree scan sees all 20 directories
+    // (19 standing + the appended arrival)
+    val treeScans210 = scans("x210_ingest_append")
+      .filter(_.relation.partitionSchema.nonEmpty)
+    assert(treeScans210.nonEmpty, "x210 lost its hive tree scan")
+    treeScans210.foreach { s =>
+      assert(s.selectedPartitions.partitionCount == 20,
+        s"x210 saw ${s.selectedPartitions.partitionCount} partitions, " +
+          "expected 20 after the append")
+    }
+  }
+
   test("no declared query plans an unpartitioned window or cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
