@@ -21,10 +21,15 @@ import org.apache.spark.sql.SparkSession
   */
 object StageCollector {
   /** One completed stage: (stageId, numTasks, wallSec, cpuSec,
-    * shuffleRecordsRead, shuffleRecordsWritten).
+    * shuffleRecordsRead, shuffleRecordsWritten) plus the BYTE-level
+    * shuffle/spill totals (r19 verdict item 4: the x12/x126 100×
+    * adjudication needs shuffle BYTES per candidate pair, not record
+    * counts).
     */
   final case class StageRow(id: Int, tasks: Int, wall: Double,
-      cpu: Double, shuffleRead: Long, shuffleWrite: Long)
+      cpu: Double, shuffleRead: Long, shuffleWrite: Long,
+      shuffleReadBytes: Long = 0L, shuffleWriteBytes: Long = 0L,
+      spillBytes: Long = 0L)
 }
 
 final class StageCollector(spark: SparkSession) {
@@ -42,7 +47,10 @@ final class StageCollector(spark: SparkSession) {
       q.add(StageRow(s.stageInfo.stageId, s.stageInfo.numTasks, wall,
         m.executorCpuTime / 1e9,
         m.shuffleReadMetrics.recordsRead,
-        m.shuffleWriteMetrics.recordsWritten))
+        m.shuffleWriteMetrics.recordsWritten,
+        m.shuffleReadMetrics.totalBytesRead,
+        m.shuffleWriteMetrics.bytesWritten,
+        m.memoryBytesSpilled + m.diskBytesSpilled))
     }
   }
   spark.sparkContext.addSparkListener(listener)
