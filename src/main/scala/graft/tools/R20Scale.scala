@@ -27,6 +27,9 @@ object X12ShuffleScale {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
     val big = args.lift(2).getOrElse(s"/tmp/sf${copies}r17w")
+    // x126_cluster_reps rides the same generator config; the 4th arg
+    // swaps the measured declared query
+    val query = args.lift(3).getOrElse("x12_neardup_pairs")
     if (!Files.exists(Paths.get(s"$big/documents.parquet")))
       ScaleFixture.main(Array(small, big, copies.toString))
     val spark = Sessions.local("graft-x12-shuffle")
@@ -39,7 +42,7 @@ object X12ShuffleScale {
       val cand = graft.ops.Dedup.lshCandidatePairs(
         toks, "doc_id", "tok", 96, 24, col("source")).count()
       stages.drain() // candidate count is NOT part of the measured run
-      val fn = graft.SparkEntry.queries("x12_neardup_pairs")
+      val fn = graft.SparkEntry.queries(query)
       def run(): Double = {
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
@@ -57,7 +60,7 @@ object X12ShuffleScale {
         f""""write_bytes_per_pair":${wb.toDouble / cand}%.1f}"""
     }
     val parts = Seq(small, big).map(probe)
-    println(s"""{"query":"x12_neardup_pairs","copies":$copies,""" +
+    println(s"""{"query":"$query","copies":$copies,""" +
       parts.mkString("", ",", "}"))
     spark.stop()
   }
@@ -68,6 +71,11 @@ object X109Scale {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
     val big = args.lift(2).getOrElse(s"/tmp/sf${copies}r17w")
+    // trailing args = declared query names (default: the x109
+    // adjudication pair); any weak-queue row rides the same protocol
+    val names =
+      if (args.length > 3) args.drop(3).toSeq
+      else Seq("x73_lm_quality", "x109_curriculum_pack")
     if (!Files.exists(Paths.get(s"$big/documents.parquet")))
       ScaleFixture.main(Array(small, big, copies.toString))
     val spark = Sessions.local("graft-x109-scale")
@@ -82,7 +90,7 @@ object X109Scale {
       run() // cold, discarded (model build lands here, as in Bench)
       Seq.fill(warm)(run()).min
     }
-    val parts = Seq("x73_lm_quality", "x109_curriculum_pack").map { n =>
+    val parts = names.map { n =>
       val s = bestN(n, small)
       val b = bestN(n, big)
       f""""$n":[$s%.2f,$b%.2f,${b / s}%.2f]"""
