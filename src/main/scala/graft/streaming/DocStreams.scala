@@ -47,6 +47,11 @@ case class SpanHit(doc_id: Long, n_spans: Long, n_covered: Long)
 case class DocCcnetBucket(doc_id: Long, lang: String, n_bigrams: Long,
   avg_nll: Double, bucket: String)
 
+/** An arriving document's exactly-verified near-dup match against the
+  * frozen ingested corpus — the online x209 row.
+  */
+case class IngestPair(new_id: Long, seen_id: Long, jaccard: Double)
+
 /** Streaming document-pipeline surface: ONLINE near-duplicate detection.
   *
   * A training-data ingest doesn't get to re-run batch dedup over the
@@ -812,6 +817,89 @@ object DocStreams {
           state.update((nv, merged))
           merged.zipWithIndex.iterator.map { case ((key, id, w), i) =>
             ReservoirRow(s, id, w, key, (i + 1).toLong, nv)
+          }
+      }
+  }
+
+  /** ONLINE incremental-ingest near-dup pairs — the streaming twin of
+    * [[graft.ops.Ingest.crossIngestPairs]] (batch x209) and the
+    * continuous form of the x208–x210 ingest shape: arriving documents
+    * stream in, the INGESTED corpus is a frozen static frame (the
+    * standing hive tree), and each arrival is LSH-banded then
+    * stream-static joined against the corpus' banded signatures, with
+    * exact Jaccard verification inline. The corpus never pairs with
+    * itself and never re-shuffles per batch — its banded+token side is
+    * a static plan the engine re-reads per micro-batch (or caches).
+    *
+    * The stream side inlines the [[Dedup.bandedSignatures]] expansion
+    * so the token set rides WITH the band keys: the batch path re-joins
+    * tokens by id afterwards, but on a stream that re-join would be a
+    * stream-stream self-join (watermark-bound, append-delayed); the
+    * payload-carrying expansion keeps the whole pipeline one
+    * stream-static join plus a per-pair re-delivery guard.
+    *
+    * A pair colliding in several bands produces several identical
+    * verified rows; per-(new, seen) one-Boolean keyed state emits the
+    * first and swallows the rest (all of a document's bands arrive in
+    * its own batch, so emission is not delayed). State follows the
+    * [[boundedDocState]] contract: `idleTtlMs` of arrival time, then
+    * the key is removed — a document re-delivered past the retention
+    * re-emits its pairs, the standard at-least-once tail. Recall per
+    * pair is the batch generator's 1−(1−j^rows)^bands regardless of
+    * batching, since banding is per-document.
+    *
+    * Returns `(new_id, seen_id, jaccard)` with `jaccard >= minJaccard`
+    * exactly verified — assembled output, deduplicated, equals the
+    * batch twin on the union of arrivals (StreamingSpec pins this from
+    * the hive tree's arriving partition).
+    */
+  def ingestPairs(newDocs: DataFrame, seen: DataFrame, idCol: String,
+      tokenSetCol: String, minJaccard: Double, numHashes: Int = 96,
+      bands: Int = 24, idleTtlMs: Long = DefaultIdleTtlMs)
+      : Dataset[IngestPair] = {
+    import newDocs.sparkSession.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sb = Dedup.bandedSignatures(seen, idCol, tokenSetCol, numHashes,
+        bands)
+      .join(seen.select(col(idCol).as("id"),
+        col(tokenSetCol).as("_sa")), "id")
+      .select(col("band_id"), col("band_hash"),
+        col("id").as("seen_id"), col("_sa"))
+    val nb = newDocs
+      .select(col(idCol).as("new_id"), col(tokenSetCol).as("_na"),
+        graft.functions.HashFunctions.minhashSig(
+          col(tokenSetCol), numHashes).as("sig"))
+      .select(col("new_id"), col("_na"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_id"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+              lit(rowsPerBand))).as("band_hash")))).as("band"))
+      .select(col("new_id"), col("_na"),
+        col("band.band_id"), col("band.band_hash"))
+    arrivalStamped(nb.join(sb, Seq("band_id", "band_hash"))
+        .filter(col("new_id") =!= col("seen_id"))
+        .select(col("new_id"), col("seen_id"),
+          graft.functions.VectorFunctions.setJaccardSorted(
+            col("_na"), col("_sa")).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard))
+      .select(col("new_id"), col("seen_id"), col("jaccard"), col("_ats"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (pair: (Long, Long),
+            rs: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+            state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rs.toSeq
+            armIdle(state, batch.iterator.map(_._4.getTime).max, idleTtlMs)
+            if (state.exists) Iterator.empty
+            else {
+              state.update(true)
+              Iterator.single(IngestPair(pair._1, pair._2, batch.head._3))
+            }
           }
       }
   }

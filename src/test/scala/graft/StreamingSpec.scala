@@ -2116,4 +2116,47 @@ class StreamingSpec extends SparkSpec {
       assert(multi > 0, "expected a user updated across day batches")
     } finally q.stop()
   }
+
+  test("DocStreams.ingestPairs: arriving hive partition streamed " +
+      "against the frozen ingested tree equals batch x209") {
+    // the continuous form of the r20 x208-x210 ingest family: the
+    // arriving source=src19 directory replays as a file stream (one
+    // part file per trigger), the ingested corpus is the pruned
+    // standing tree as a STATIC frame, and the assembled online pairs
+    // must equal the batch crossIngestPairs rows exactly
+    import org.apache.spark.sql.types._
+    val treePath = graft.sources.PartitionedTables
+      .docsBySourcePath(spark, sf0001)
+    val arrSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val arriving = spark.readStream
+      .schema(arrSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$treePath/source=${graft.ops.Ingest.ArrivingSource}")
+      .select($"doc_id", graft.ops.Dedup.tokenSet($"text").as("tok"))
+    val seen = graft.ops.Ingest.ingested(spark, sf0001)
+      .select($"doc_id", graft.ops.Dedup.tokenSet($"text").as("tok"))
+    val q = DocStreams.ingestPairs(arriving, seen, "doc_id", "tok",
+        minJaccard = 0.9)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_pairs").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_pairs")
+        .select($"new_id", $"seen_id", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.ops.Ingest.crossIngestPairs(spark, sf0001)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch,
+        s"missed=${batch -- streamed} extra=${streamed -- batch}")
+      // the re-delivery guard emitted each pair exactly once
+      val n = spark.table("ingest_pairs").count()
+      assert(n == streamed.size.toLong,
+        s"duplicate emissions: $n rows for ${streamed.size} pairs")
+    } finally q.stop()
+  }
 }
