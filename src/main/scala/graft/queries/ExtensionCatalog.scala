@@ -8100,7 +8100,50 @@ object ExtensionCatalog {
         WHERE d.source <> 'src19'
            OR d.doc_id NOT IN (SELECT new_id FROM dup)
         GROUP BY 1
-        """ + orderedSql(Seq("source", "n_docs", "sum_chars"))))
+        """ + orderedSql(Seq("source", "n_docs", "sum_chars")))),
+
+    // x211 — the INGEST AUDIT CARD: the one-row report a data team
+    // reads after each drop (arrived / kept / dropped, the drop rate
+    // in exact BIGINT micros, and the post-append corpus accounting
+    // measured from the round-tripped TREE, not recomputed from the
+    // base table — so the card itself re-proves the append). The
+    // x96/x83 audit-card pattern applied to the x208–x210 family;
+    // cross of two one-row aggregates rides a broadcast (the x152
+    // one-row-total convention, no cartesian).
+    QueryDef("x211_ingest_card",
+      (s, dir) => {
+        val dec = Ingest.ingestDecision(s, dir)
+        val arr = dec.agg(count(lit(1)).as("n_arrived"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+        val after = Ingest.appendedTree(s, dir).agg(
+          countDistinct(col("source")).as("n_sources_after"),
+          count(lit(1)).as("n_docs_after"))
+        ordered(arr.crossJoin(broadcast(after)).select(
+          col("n_arrived"),
+          (col("n_arrived") - col("n_dropped")).as("n_kept"),
+          col("n_dropped"),
+          expr("n_dropped * 1000000 div n_arrived")
+            .as("drop_rate_micros"),
+          col("n_sources_after"), col("n_docs_after")))
+      },
+      Some(s"""WITH $ingestPairsCtes,
+        dup AS (SELECT DISTINCT new_id FROM im),
+        arr AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_arrived,
+            CAST(SUM(CASE WHEN doc_id IN (SELECT new_id FROM dup)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+          FROM documents WHERE source = 'src19'),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          FROM documents)
+        SELECT n_arrived, n_arrived - n_dropped AS n_kept, n_dropped,
+          (n_dropped * 1000000) // n_arrived AS drop_rate_micros,
+          n_sources AS n_sources_after,
+          n_total - n_dropped AS n_docs_after
+        FROM arr CROSS JOIN tot
+        """ + orderedSql(Seq("n_arrived", "n_kept", "n_dropped",
+          "drop_rate_micros", "n_sources_after", "n_docs_after"))))
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
