@@ -65,6 +65,17 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r20 (guide §2.2/§2.5): AQE's coalescer merges post-shuffle
+      // partitions up to minPartitionSize (default 1 MiB) even when the
+      // rows carry CPU-heavy work — on this suite that serialized whole
+      // window/sort/verify stages onto 1-4 cores (q25's 100k-event
+      // session window ran as ONE task). 128 KiB keeps small-but-hot
+      // stages parallel (measured: q25 0.65→0.34 s, q26 0.62→0.36,
+      // x12 1.33→0.92 warm mins). Scale-neutral: at deployment scale
+      // every healthy partition is far above either floor and the
+      // 64 MiB advisory governs; env-parameterised for cluster tuning.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "131072"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -51,8 +51,16 @@ object DataPipeline {
     val keep = gated.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
     val exact = gated.join(keep, Seq("doc_id", "text"), "left_semi")
+    // lazy barrier (r20, the funnelStages fold): `withTok` feeds FOUR
+    // consumers (the LSH signature pass, both verify-join sides, and
+    // the final anti-join) and each would otherwise re-run the
+    // gate → exact-dedup groupBy+semi-join → tokenize subtree — at
+    // scale, four corpus passes with two shuffles each. The
+    // checkpointed frame is the exact-dedup SURVIVORS (already gated
+    // and deduped).
     val withTok = exact.withColumn("_tok",
-      Dedup.tokenSet(col("text"), tokenize))
+        Dedup.tokenSet(col("text"), tokenize))
+      .localCheckpoint(eager = false)
     val victims = nearDupVictims(
       Dedup.nearDupPairs(withTok, "doc_id", "_tok", minJaccard,
         numHashes = numHashes, bands = bands, blockCol = blockCol))

@@ -116,6 +116,13 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, idCol: String, tokenSetCol: String,
       numHashes: Int = 64, bands: Int = 16,
       blockCol: Column = lit(0)): DataFrame = {
+    // NO materialization barrier here, DELIBERATELY (r20 measured): the
+    // self-join's two `banded` sides do re-run the MinHash projection,
+    // but the one-pass xxhash64 kernel is cheaper than writing+reading
+    // checkpoint blocks — a lazy localCheckpoint of `banded` raised
+    // x12's warm suite CPU 7.2 → 11.6 s (wall 1.33 → 1.87) and x50's
+    // 12.9 → 20.2 s. The probe stage, not the signature kernel,
+    // dominates this family (StageAudit r20).
     val banded = bandedSignatures(docs, idCol, tokenSetCol, numHashes,
       bands, blockCol)
     val a = banded.select(col("block"), col("band_id"), col("band_hash"),
@@ -176,6 +183,11 @@ object Dedup {
     // carry the (64-byte) signature through the band explode so the
     // agreement estimate computes ON the band-join output — no
     // re-join against the signatures, no second/third md5 pass
+    // NO materialization barrier, DELIBERATELY (r20 measured, same
+    // verdict as lshCandidatePairs): checkpointing `banded` here —
+    // sig strings + band keys are ~100 B/row — cost more block-write/
+    // read CPU than the second md5 pass it saved (x43 warm suite CPU
+    // 4.3 → 6.7 s, x110 10.8 → 15.6 s, x112 6.7 → 9.6 s).
     val banded = sigs.select(col("id"), col("block"), col("sig"),
         explode(array((0 until bands).map { bnd =>
           struct(lit(bnd).as("band_id"),
@@ -451,8 +463,14 @@ object Dedup {
     // checkpoint to materialize inside the probe job; measured +0.6 s
     // on x113).
     val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // approx_count_distinct (r20): the probe only picks a SALT, which
+    // is output-neutral (the salt is a function of the join key, so
+    // the match set is identical at any salt) — a ±5% HLL estimate
+    // decides it as well as the exact count, in one partial-aggregate
+    // pass instead of a distinct shuffle + count (at scale: no
+    // shuffle of the distinct block values at all).
     val nBlocks = math.max(1L,
-      docs.select(col(blockCol)).distinct().count())
+      docs.agg(approx_count_distinct(col(blockCol))).head().getLong(0))
     val salts = if (nBlocks * 2L >= nParts.toLong) 1L
       else math.min(nParts.toLong, (nParts.toLong + nBlocks - 1L) / nBlocks)
     def side(idName: String) = pairSide.toDF(idName, "block", "tok")
@@ -682,16 +700,14 @@ object Dedup {
       minJaccard: Double, k: Int, numHashes: Int = 64, bands: Int = 16,
       blockCol: Column = lit(0)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // localCheckpoint: the symmetrize union below consumes the verified
-    // pairs TWICE, and without a barrier each branch re-runs the whole
-    // LSH + exact-verify subtree (the expensive part — the token arrays
-    // re-join and re-merge per branch). The checkpointed frame is tiny
-    // (id, id, jaccard), so this is the lmModel small-data precedent,
-    // not the x45 fat-payload anti-case; measured 2.44 s -> see
-    // BENCH_LOCAL.md r10. Blocks are freed by the ContextCleaner when
-    // the returned frame is unreferenced.
+    // NO checkpoint barrier on the verified pairs (r20 REVERSAL of the
+    // r10 fold): the symmetrize union's two branches share the
+    // candidate-distinct exchange via ReuseExchange, so only the cheap
+    // post-exchange verify projection runs per branch — re-measured
+    // 1.00 s warm min without the barrier vs 1.36 s with it (the r10
+    // measurement predates exchange reuse landing in this plan shape).
     val pairs = nearDupPairs(docs, idCol, tokenSetCol, minJaccard,
-      numHashes, bands, blockCol).localCheckpoint(eager = false)
+      numHashes, bands, blockCol)
     val sym = pairs.select(col("a_id").as("doc_id"),
         col("b_id").as("nbr_id"), col("jaccard"))
       .union(pairs.select(col("b_id").as("doc_id"),
@@ -784,9 +800,13 @@ object Dedup {
         shiftright(col("sig"), j * width).bitwiseAND(lit(mask))
           .as("chunk_val"))
     }
+    // lazy barrier (r20, the lshCandidatePairs fold): the chunk-bucket
+    // self-join consumes `chunked` on both sides — without it each
+    // side re-runs the SimHash kernel over the corpus.
     val chunked = sigs.select(col("id"), col("sig"),
         explode(array(chunkStructs: _*)).as("c"))
       .select(col("id"), col("sig"), col("c.chunk_id"), col("c.chunk_val"))
+      .localCheckpoint(eager = false)
     val a = chunked.select(col("chunk_id"), col("chunk_val"),
       col("id").as("a_id"), col("sig").as("a_sig"))
     val b = chunked.select(col("chunk_id"), col("chunk_val"),
@@ -830,9 +850,11 @@ object Dedup {
         shiftright(col("sig"), j * width).bitwiseAND(lit(mask))
           .as("chunk_val"))
     }
+    // lazy barrier (r20): same self-join fold as [[simhashPairs]].
     val chunked = sigs.select(col("id"), col("sig"),
         explode(array(chunkStructs: _*)).as("c"))
       .select(col("id"), col("sig"), col("c.chunk_id"), col("c.chunk_val"))
+      .localCheckpoint(eager = false)
     val a = chunked.select(col("chunk_id"), col("chunk_val"),
       col("id").as("a_id"), col("sig").as("a_sig"))
     val b = chunked.select(col("chunk_id"), col("chunk_val"),

@@ -601,6 +601,12 @@ object ImageIoCodec {
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   import javax.imageio.ImageIO
 
+  // ImageIO defaults to DISK-backed image streams: every encode/decode
+  // round-trips its bytes through a temp file. All payloads here are
+  // in-memory byte arrays, so use memory-backed streams (bytes
+  // produced are identical; this only removes temp-file I/O per call).
+  ImageIO.setUseCache(false)
+
   /** None when no installed reader claims the bytes (text blobs, truncated
     * files) — the caller's skip-not-throw contract rests on this.
     */
@@ -614,17 +620,16 @@ object ImageIoCodec {
   def meanLuma(img: BufferedImage): Double = {
     val w = img.getWidth
     val h = img.getHeight
+    // one bulk ARGB fetch (identical values to per-pixel getRGB, which
+    // pays a color-model conversion call per pixel)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var sum = 0.0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
-          0.114 * (rgb & 0xFF)
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+        0.114 * (rgb & 0xFF)
+      i += 1
     }
     sum / (w.toLong * h)
   }
@@ -671,13 +676,17 @@ object ImageIoCodec {
     val h = img.getHeight
     val cellSum = new Array[Long](64)
     val cellPx = new Array[Long](64)
+    // one bulk ARGB fetch (identical values to per-pixel getRGB, which
+    // pays a color-model conversion call per pixel)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var y = 0
     while (y < h) {
       val cy = y * 8 / h
+      val rowOff = y * w
       var x = 0
       while (x < w) {
         val cx = x * 8 / w
-        val rgb = img.getRGB(x, y)
+        val rgb = px(rowOff + x)
         val luma = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
           (rgb & 0xFF)) / 3
         val c = cy * 8 + cx

@@ -1053,6 +1053,13 @@ object Similarity {
     require(iters >= 1 && scale >= 1L, "need iters >= 1 and scale >= 1")
     val grid = transform(toDouble(col(vecCol)),
       x => floor(x * 1000).cast(LongType))
+    // NO Parallelize.ensure rescue, DELIBERATELY (r20 measured): the
+    // dim²-row explode + partial aggregate runs as two tasks on the
+    // mirror, but spreading it to 32 raised warm suite CPU 1.1 → 2.8 s
+    // for zero wall gain (0.75 → 0.72) — the stage is too short for
+    // the round-robin exchange + 16× more partial-agg hash maps to
+    // pay off. At scale the scan has real splits and parallelism
+    // comes free.
     val s = emb.filter(col(vecCol).isNotNull)
       .select(posexplode(grid), grid.as("g"))
       .toDF("i", "gi", "g")

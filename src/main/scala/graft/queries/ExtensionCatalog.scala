@@ -570,14 +570,25 @@ object ExtensionCatalog {
       col("source"), lit("</div><p>"), col("text"),
       lit("</p><div>$$ ## !!</div><!-- c --></body></html>"))
     val ex = TextAnalysis.htmlMainContent(page)
+    // lazy barrier (r20, guide §2.4): `extracted` — whose projection is
+    // the regex-heavy html extraction — feeds the x96 stage aggregate,
+    // the Gopher gate, the quality join and (through it) the CCNet
+    // bucketing and the final join; without the barrier every consumer
+    // re-runs the extraction over the corpus. The checkpointed frame is
+    // the already-extracted (doc_id, lang, n_kept, mt) — the funnel's
+    // survivors, a fraction of the raw corpus.
     val extracted = raw.select(col("doc_id"), col("lang"),
         ex.getField("n_kept").as("n_kept"),
         ex.getField("main_text").as("mt"))
       .filter(col("n_kept") >= 1L)
+      .localCheckpoint(eager = false)
     val passIds = TextAnalysis.gopherRules(
         extracted.select(col("doc_id"), col("mt")), "doc_id", "mt")
       .filter(col("pass_flag") === 1L).select(col("doc_id"))
+    // same fold for `quality` (3 consumers: the x96 stage aggregate,
+    // the CCNet bucketing, the final join)
     val quality = extracted.join(passIds, "doc_id")
+      .localCheckpoint(eager = false)
     val keepIds = TextAnalysis.ccnetBuckets(quality, "doc_id", "mt", "lang")
       .filter(col("bucket") =!= "tail").select(col("doc_id"))
     val fin = quality.join(keepIds, "doc_id")
@@ -3367,7 +3378,11 @@ object ExtensionCatalog {
         val merges = TextAnalysis.bpeLearnMerges(docs, "text", k = 10)
           .orderBy("merge_rank").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        ordered(docs.filter(col("text").isNotNull)
+        // the learned-BPE encode kernel is the CPU hot spot — rescue it
+        // from the mirror's two-part scan (Parallelize.ensure; no-op at
+        // scale)
+        ordered(graft.ops.Parallelize.ensure(
+            docs.filter(col("text").isNotNull))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(length(col("text")).cast(LongType)).as("sum_chars"),

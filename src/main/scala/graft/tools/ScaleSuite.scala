@@ -1089,6 +1089,10 @@ private[tools] object Sessions {
       .appName(name)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench's AQE coalesce floor (r20) so tool-measured plans
+      // and stages reproduce the bench's
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "131072"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -88,14 +88,20 @@ class PlanQualitySpec extends SparkSpec {
     val finalized = df.queryExecution.executedPlan.toString
     assert(finalized.contains("ReusedExchange"),
       s"x39 re-split the corpus scan (ReuseExchange pin regressed):\n$finalized")
-    // x74's symmetrize union reads the verified pairs through a
-    // localCheckpoint barrier: the LSH + exact-verify subtree must NOT
-    // appear in (and hence be re-run by) the query's own plan — only
-    // the checkpointed RDD, consumed twice, plus the rank window.
-    val x74 = SparkEntry.queries("x74_knn_neardups")(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    assert(!x74.contains("Join"),
-      s"x74 lost its checkpoint barrier — the verify subtree would run twice:\n$x74")
+    // x74 (r20, reversing the r10 barrier): the symmetrize union's two
+    // branches must SHARE the candidate-distinct exchange via
+    // ReuseExchange — the re-measured cheaper shape (1.00 s vs 1.36 s
+    // warm with the old localCheckpoint barrier). Only the finalized
+    // adaptive plan shows the reuse, so run it first (the x39 pin's
+    // protocol). If this regresses, the LSH subtree re-runs once per
+    // union branch — two corpus passes at 100 TB.
+    val x74df = SparkEntry.queries("x74_knn_neardups")(spark, sf0001)
+    val x74rdd = x74df.queryExecution.toRdd
+    spark.sparkContext.runJob(x74rdd,
+      (it: Iterator[InternalRow]) => { while (it.hasNext) it.next(); () })
+    val x74 = x74df.queryExecution.executedPlan.toString
+    assert(x74.contains("ReusedExchange"),
+      s"x74 symmetrize union re-splits the LSH subtree (ReuseExchange pin regressed):\n$x74")
   }
 
   test("round-11 plan shapes: x89 zero-shuffle kernel, x90 capped window shapes") {
