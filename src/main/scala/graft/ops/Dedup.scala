@@ -27,6 +27,16 @@ object Dedup {
     * merge-walk Jaccard kernel (sort once per document, compare once
     * per candidate pair). Set semantics are order-independent, so every
     * consumer (MinHash, LSH, exact Jaccard) is unaffected.
+    *
+    * array_sort, NOT sort_array, DELIBERATELY (r20 measured): the
+    * hypothesis that ArraySort's default-lambda comparator pays an
+    * interpreted-HOF tax vs SortArray's native ordering did NOT
+    * reproduce — swapping the whole family to sort_array moved the
+    * 8-row token-set solo suite 82.3 → 79.6 s summed warm CPU, inside
+    * this family's ±15% cpu_runs jitter, with zero wall change
+    * (7.35 → 7.48 s). Spark 4 evidently specializes the default
+    * comparator. Keeping array_sort also keeps SortedKernelRule's
+    * merge-walk match trivially exact.
     */
   def tokenSet(text: Column,
       tokenize: Column => Column = TextAnalysis.tokens): Column =
