@@ -102,21 +102,31 @@ object DataPipeline {
     * the top of this file — "a smarter representative choice drops in
     * by changing the aggregation, not the plan shape" — made concrete.
     *
-    * Representative = argmax by (`qualityCol` desc, id asc): two
-    * map-side-combinable aggregates — per-component max quality, then
-    * min id among the maximal members — so the choice is deterministic
-    * under any partitioning and needs NO window sort over members.
-    * Singleton documents (no near-dup pair) are their own component
-    * and their own representative.
+    * Representative = argmax by (`qualityCol` desc, id asc), computed
+    * as ONE map-side-combinable aggregate (r21, VERDICT r20 item 3 —
+    * the selection was two component-keyed aggregates plus an extra
+    * join): `max(struct(quality, ~id))`. Struct ordering is
+    * lexicographic, so the max carries the maximal quality, and among
+    * the maximal members the maximal `~id` — bitwise NOT is a total,
+    * strictly DECREASING bijection on Long (no negation overflow at
+    * `Long.MinValue`), so `~(max(~id))` is exactly the minimal id.
+    * The published tie-break contract (quality desc, id asc) is
+    * therefore identical to the old two-aggregate spelling;
+    * DataPipelineSpec pins it on a tie fixture. The choice stays
+    * deterministic under any partitioning and needs NO window sort
+    * over members. Singleton documents (no near-dup pair) are their
+    * own component and their own representative.
     *
     * Scale: the CC labeling is the dominant cost (O(log d) bounded
     * shuffle rounds over the PAIR list — x33's analysis); the
-    * selection adds two component-keyed aggregates and one
-    * component-keyed equi join, all co-partitioned by the same key.
+    * selection adds one component-keyed aggregate and one
+    * component-keyed equi join, co-partitioned by the same key.
     *
     * Contract: `qualityCol` must be non-null on every row (coalesce a
     * nullable signal first) — an all-null component would select no
-    * representative and its rows would drop at the inner join.
+    * representative and its rows would drop at the inner join. `idCol`
+    * must be an integral type (the argmax folds it through bitwise
+    * NOT).
     *
     * Returns `(idCol, component, qualityCol, rep_id, keep)` —
     * `keep` ∈ {0,1}, exactly one keep=1 per component.
@@ -126,12 +136,10 @@ object DataPipeline {
       qualityCol: String): DataFrame = {
     val labeled = Clusters.assignComponents(docs, idCol, pairs,
       aCol, bCol)
-    val best = labeled.groupBy(col("component"))
-      .agg(max(col(qualityCol)).as("_bq"))
-    val rep = labeled.join(best, Seq("component"))
-      .filter(col(qualityCol) === col("_bq"))
-      .groupBy(col("component"))
-      .agg(min(col(idCol)).as("rep_id"))
+    val rep = labeled.groupBy(col("component"))
+      .agg(max(struct(col(qualityCol).as("q"),
+        bitwise_not(col(idCol)).as("nid"))).as("_m"))
+      .select(col("component"), bitwise_not(col("_m.nid")).as("rep_id"))
     labeled.join(rep, Seq("component"))
       .select(col(idCol), col("component"), col(qualityCol),
         col("rep_id"),

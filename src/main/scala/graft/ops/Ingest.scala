@@ -1,8 +1,9 @@
 package graft.ops
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
+import scala.jdk.OptionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -77,8 +78,18 @@ object Ingest {
     * kept)` — a document is kept iff NO ingested document matches it
     * at the near-dup threshold.
     */
-  def ingestDecision(spark: SparkSession, dir: String): DataFrame = {
-    val m = crossIngestPairs(spark, dir)
+  def ingestDecision(spark: SparkSession, dir: String): DataFrame =
+    ingestDecisionFrom(spark, dir, crossIngestPairs(spark, dir))
+
+  /** [[ingestDecision]] over a caller-supplied pair frame — x211's
+    * card computes the pairs ONCE (behind a lazy localCheckpoint) and
+    * feeds both its decision leg and its append leg from the same
+    * frame, instead of running the cross-ingest dedup twice per
+    * invocation (§2.4, the C2/C8 shared-subtree fold).
+    */
+  private[graft] def ingestDecisionFrom(spark: SparkSession,
+      dir: String, pairs: DataFrame): DataFrame = {
+    val m = pairs
       .groupBy(col("new_id").as("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
     arriving(spark, dir).select(col("doc_id"))
@@ -88,36 +99,84 @@ object Ingest {
         col("n_matches").isNull.as("kept"))
   }
 
-  /** Filesystem root of the APPENDED tree: the 19 standing partition
-    * directories of the ingested corpus copied verbatim (a production
-    * append never rewrites standing partitions) plus the deduped
-    * arriving batch written as the new `source=src19` directory.
-    * Materialized once per source dir behind the
-    * [[PartitionedTables]] write-temp + atomic-rename protocol; warm
-    * bench iterations time the round-trip SCAN, not the ingest.
-    */
-  def appendedTreePath(spark: SparkSession, dir: String): String =
-    PartitionedTables.dataset(spark, dir, "docs_appended") { tmp =>
-      val src = Paths.get(PartitionedTables.docsBySourcePath(spark, dir))
-      Files.createDirectories(Paths.get(tmp))
-      Files.list(src).iterator().asScala.toSeq.foreach { p =>
-        if (p.getFileName.toString != s"source=$ArrivingSource") {
-          val dst = Paths.get(tmp, p.getFileName.toString)
-          if (Files.isDirectory(p))
-            org.apache.commons.io.FileUtils.copyDirectory(p.toFile,
-              dst.toFile)
-          else Files.copy(p, dst)
+  // ---- per-invocation append protocol -------------------------------
+  //
+  // r21 (VERDICT r20 "What's wrong" #1): the first cut materialized the
+  // appended tree ONCE per source dir under /tmp/graft_hive and every
+  // later bench run timed only a 20-directory SCAN — a persisted
+  // intermediate standing in for the declared dedup+append work, which
+  // the round rules treat as gaming. Now EVERY call performs the
+  // declared ingest: near-dup dedup of the arriving batch against the
+  // standing tree, then the survivors written as a fresh
+  // `source=src19` partition directory. The 19 standing partition
+  // directories are SYMLINKED into the run root rather than copied —
+  // a production append leaves standing partitions in place and adds
+  // one directory; the link forest reproduces exactly that (same
+  // inodes, provably untouched; IngestSpec pins it), and it keeps the
+  // timed work the ingest itself instead of an artifactual 19-way file
+  // copy no deployment performs. Run roots are unique per (JVM, call);
+  // each call deletes its predecessor's root, a shutdown hook removes
+  // the last one, and roots of dead JVMs are swept on first use — at
+  // most one live run tree per JVM, so disk stays bounded.
+
+  private val ingestRoot = "/tmp/graft_ingest"
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong()
+  @volatile private var lastRunDir: Option[Path] = None
+  private lazy val cleanupInstalled: Unit = {
+    // sweep run roots abandoned by crashed/killed JVMs (dir name
+    // leads with the owning pid); never touch a live JVM's tree
+    val ours = ProcessHandle.current().pid()
+    Option(new java.io.File(ingestRoot).listFiles())
+      .getOrElse(Array.empty)
+      .filter { f =>
+        f.getName.takeWhile(_.isDigit).toLongOption.exists { pid =>
+          pid != ours && !ProcessHandle.of(pid).toScala
+            .exists(_.isAlive)
         }
       }
-      val dupIds = crossIngestPairs(spark, dir)
-        .select(col("new_id").as("doc_id")).distinct()
-      // the duplicate-id set is batch-bounded → broadcast anti-join;
-      // the arriving side never shuffles
-      val kept = arriving(spark, dir)
-        .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
-      kept.drop("source").write
-        .parquet(Paths.get(tmp, s"source=$ArrivingSource").toString)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      lastRunDir.foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))))
+  }
+  /** Filesystem root of the APPENDED tree: the 19 standing partition
+    * directories linked in place (a production append never rewrites
+    * standing partitions) plus the deduped arriving batch written as
+    * the new `source=src19` directory. Performs the full declared
+    * ingest — dedup, append, fresh directory — on EVERY call; nothing
+    * is cached across invocations (see the protocol note above).
+    */
+  def appendedTreePath(spark: SparkSession, dir: String): String =
+    appendedTreePathFrom(spark, dir, crossIngestPairs(spark, dir))
+
+  /** [[appendedTreePath]] over a caller-supplied pair frame (see
+    * [[ingestDecisionFrom]]).
+    */
+  private[graft] def appendedTreePathFrom(spark: SparkSession,
+      dir: String, pairs: DataFrame): String = synchronized {
+    cleanupInstalled
+    lastRunDir.foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    lastRunDir = None
+    val src = Paths.get(PartitionedTables.docsBySourcePath(spark, dir))
+    val run = Paths.get(ingestRoot,
+      s"${ProcessHandle.current().pid()}_run" +
+        s"${runCounter.incrementAndGet()}")
+    Files.createDirectories(run)
+    Files.list(src).iterator().asScala.toSeq.foreach { p =>
+      if (p.getFileName.toString != s"source=$ArrivingSource")
+        Files.createSymbolicLink(run.resolve(p.getFileName.toString), p)
     }
+    val dupIds = pairs.select(col("new_id").as("doc_id")).distinct()
+    // the duplicate-id set is batch-bounded → broadcast anti-join;
+    // the arriving side never shuffles
+    val kept = arriving(spark, dir)
+      .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+    kept.drop("source").write
+      .parquet(run.resolve(s"source=$ArrivingSource").toString)
+    lastRunDir = Some(run)
+    run.toString
+  }
 
   /** The appended tree read back through hive partition discovery —
     * the end-to-end round trip (dedup decisions + directory append +
@@ -126,4 +185,11 @@ object Ingest {
     */
   def appendedTree(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(appendedTreePath(spark, dir))
+
+  /** [[appendedTree]] over a caller-supplied pair frame (see
+    * [[ingestDecisionFrom]]).
+    */
+  private[graft] def appendedTreeFrom(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame =
+    spark.read.parquet(appendedTreePathFrom(spark, dir, pairs))
 }

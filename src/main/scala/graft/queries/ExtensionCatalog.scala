@@ -8127,10 +8127,18 @@ object ExtensionCatalog {
     // one-row-total convention, no cartesian).
     QueryDef("x211_ingest_card",
       (s, dir) => {
-        val dec = Ingest.ingestDecision(s, dir)
+        // ONE cross-ingest dedup per invocation (§2.4, lazy barrier):
+        // the decision leg and the append leg both consume the pair
+        // frame — without the checkpoint each would re-run the full
+        // band-join + verify per run. The append (an eager write
+        // inside the timed window since r21's per-run protocol)
+        // materializes the checkpoint; the decision leg reuses it.
+        val pairs = Ingest.crossIngestPairs(s, dir)
+          .localCheckpoint(eager = false)
+        val dec = Ingest.ingestDecisionFrom(s, dir, pairs)
         val arr = dec.agg(count(lit(1)).as("n_arrived"),
           sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
-        val after = Ingest.appendedTree(s, dir).agg(
+        val after = Ingest.appendedTreeFrom(s, dir, pairs).agg(
           countDistinct(col("source")).as("n_sources_after"),
           count(lit(1)).as("n_docs_after"))
         ordered(arr.crossJoin(broadcast(after)).select(

@@ -134,14 +134,23 @@ class DataPipelineSpec extends SparkSpec {
     val docs = Seq(
       (1L, 30L), (2L, 50L), (3L, 50L), // cluster {1,2,3}: max q=50 tie -> rep 2
       (10L, 7L), (11L, 9L),            // cluster {10,11}: rep 11 (LARGER id wins on quality)
-      (20L, 1L)                        // singleton
+      (20L, 1L),                       // singleton
+      // r21 argmax-fold edge: the struct argmax routes ids through
+      // bitwise NOT (order-reversing, total on Long) — a tie at the
+      // integer extreme pins that Long.MinValue cannot overflow the
+      // fold the way numeric negation would
+      (Long.MinValue, 5L), (-5L, 5L)   // tie -> rep Long.MinValue
     ).toDF("doc_id", "n_tokens")
-    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (Long.MinValue, -5L)).toDF("a_id", "b_id")
     val out = DataPipeline.clusterRepresentatives(
         docs, "doc_id", pairs, "a_id", "b_id", "n_tokens")
       .as[(Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    assert(out.size === 6)
+    assert(out.size === 8)
+    // extreme-id tie: min id wins, even at Long.MinValue
+    assert(out(Long.MinValue)._4 === Long.MinValue &&
+      out(Long.MinValue)._5 === 1L && out(-5L)._5 === 0L)
     // quality argmax, not min-id: 11 beats 10 despite the larger id
     assert(out(10L)._4 === 11L && out(11L)._5 === 1L && out(10L)._5 === 0L)
     // tie on quality -> smallest id among the maximal members

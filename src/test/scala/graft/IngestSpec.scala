@@ -16,9 +16,14 @@ import graft.ops.{Dedup, Ingest}
   *     precedent, extended to the cross-SOURCE ingest split).
   *  2. APPEND FIDELITY — the round-tripped tree holds exactly
   *     (standing corpus) ∪ (arrivals minus near-dup drops), with the
-  *     standing partition directories copied verbatim (same file
-  *     names — a production append never rewrites standing
-  *     partitions) and the new source=src19 directory present.
+  *     standing partition directories linked IN PLACE (same inodes —
+  *     a production append never rewrites standing partitions) and
+  *     the new source=src19 directory present.
+  *  3. PER-RUN FRESHNESS (r21, the VERDICT r20 gaming fix) — every
+  *     appendedTreePath call performs the declared dedup + append
+  *     into a fresh run tree; nothing is served from a cross-run
+  *     cache, and the predecessor tree is deleted so disk stays
+  *     bounded.
   */
 class IngestSpec extends SparkSpec {
 
@@ -46,9 +51,11 @@ class IngestSpec extends SparkSpec {
   }
 
   test("appended tree holds standing ∪ deduped arrivals, standing " +
-      "directories copied verbatim") {
+      "directories linked in place") {
     val cols = Seq("doc_id", "text", "lang", "n_chars", "source")
-    val tree = Ingest.appendedTree(spark, sf0001)
+    val appRoot = java.nio.file.Paths.get(
+      Ingest.appendedTreePath(spark, sf0001))
+    val tree = spark.read.parquet(appRoot.toString)
       .select(cols.map(col): _*)
     val base = Tables.load(spark, sf0001, "documents")
     val dupIds = Ingest.crossIngestPairs(spark, sf0001)
@@ -64,12 +71,11 @@ class IngestSpec extends SparkSpec {
     val dec = Ingest.ingestDecision(spark, sf0001).collect()
     assert(dec.exists(!_.getAs[Boolean]("kept")))
     assert(dec.exists(_.getAs[Boolean]("kept")))
-    // standing partition dirs: same file names as the source tree
-    // (copied, not rewritten), plus the new arriving directory
+    // standing partition dirs: linked IN PLACE to the source tree's
+    // directories (same inodes — provably not rewritten), plus the
+    // new arriving directory
     val srcRoot = java.nio.file.Paths.get(
       graft.sources.PartitionedTables.docsBySourcePath(spark, sf0001))
-    val appRoot = java.nio.file.Paths.get(
-      Ingest.appendedTreePath(spark, sf0001))
     def files(p: java.nio.file.Path): Set[String] = {
       val s = java.nio.file.Files.list(p)
       try s.iterator().asScala.map(_.getFileName.toString).toSet
@@ -79,11 +85,27 @@ class IngestSpec extends SparkSpec {
       .filterNot(_ == s"source=${Ingest.ArrivingSource}")
     assert(standing.nonEmpty)
     standing.foreach { d =>
-      assert(files(appRoot.resolve(d)) == files(srcRoot.resolve(d)),
+      val link = appRoot.resolve(d)
+      assert(java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) == srcRoot.resolve(d),
+        s"standing partition $d is not linked in place")
+      assert(files(link) == files(srcRoot.resolve(d)),
         s"standing partition $d was rewritten by the append")
     }
     assert(java.nio.file.Files.isDirectory(
       appRoot.resolve(s"source=${Ingest.ArrivingSource}")),
       "arriving partition directory missing from the appended tree")
+  }
+
+  test("append performs the declared ingest on EVERY invocation: " +
+      "fresh run tree, predecessor deleted (no cross-run cache)") {
+    val p1 = Ingest.appendedTreePath(spark, sf0001)
+    val p2 = Ingest.appendedTreePath(spark, sf0001)
+    assert(p1 != p2, "per-run protocol must never serve a cached tree")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p1)),
+      "predecessor run tree must be deleted (bounded disk)")
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths
+        .get(p2, s"source=${Ingest.ArrivingSource}")),
+      "fresh run tree missing its arriving partition")
   }
 }

@@ -37,6 +37,36 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.count() === docs.filter($"lang" === one).count())
   }
 
+  test("hive dataset cache re-materializes when the producing-code " +
+      "version flips (r21 stale-key fix)") {
+    // unique probe name per run: the cache is a cross-JVM /tmp tree,
+    // so a fixed name would make the build-count assertions depend on
+    // prior runs' leftovers
+    val probe = s"layoutspec_probe_${System.nanoTime()}"
+    var builds = 0
+    def build(v: Int): String =
+      graft.sources.PartitionedTables.dataset(spark, sf0001, probe, v) {
+        tmp =>
+          builds += 1
+          Tables.load(spark, sf0001, "documents").limit(1)
+            .withColumn("p", lit(1))
+            .write.partitionBy("p").parquet(tmp)
+      }
+    val p1 = build(901)
+    val p1again = build(901)
+    assert(p1 === p1again && builds === 1,
+      "same version + same source must reuse the materialized tree")
+    val p2 = build(902)
+    assert(p2 !== p1, "version flip must change the cache key")
+    assert(builds === 2, "version flip must re-materialize")
+    // the superseded tree is swept on publish — a stale tree can
+    // never be read after a producing-code change
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p1)),
+      "superseded dataset tree must be swept")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p2))
+  }
+
   test("sharded training layout: shard dirs, pos-ordered files, stable addresses") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shard").toString
     val docs = Tables.load(spark, sf0001, "documents")
