@@ -76,6 +76,13 @@ object Bench {
       // 64 MiB advisory governs; env-parameterised for cluster tuning.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "131072"))
+      // r21 (guide §2.3): shuffle/spill codec, env-parameterised. The
+      // local default stays Spark's lz4 — at sf0.1 shuffle bytes are
+      // too small for the codec to matter and the driver's bench must
+      // stay comparable; the 10× scale-fixture experiment
+      // (BENCH_LOCAL.md r21) is what justifies a cluster's choice.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

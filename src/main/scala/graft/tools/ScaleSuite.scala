@@ -1093,6 +1093,12 @@ private[tools] object Sessions {
       // and stages reproduce the bench's
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "131072"))
+      // r21 (guide §2.3): shuffle/spill codec, env-parameterised for
+      // the scale-fixture codec experiment (lz4 vs zstd rows in
+      // BENCH_LOCAL.md). Default stays Spark's lz4 so tool runs match
+      // the bench session.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
